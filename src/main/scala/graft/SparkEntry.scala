@@ -1,13 +1,62 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Buckets, Cardinality}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator claimed in SURVEY.md §2 gets a `queries` entry; every
+  * SQL-expressible one also gets a DuckDB `oracleSql` twin with IDENTICAL
+  * output column names (the driver's compare sorts columns by name).
+  * Approximate/sketch/ANN operators are rows-only checked here and
+  * bound-property-tested in ScalaTest instead (SURVEY.md §5).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's whole output surface: distinct users per
+    * minute/day/week/month/year (processor.go O3+O4). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Cardinality.statsAllGranularities(
+      events(spark, "/root/testdata/sf0.001"), col("ts"), col("user_id"))
+
+  // ---------------------------------------------------------------------
+  // Cardinality core (reference parity)
+  // ---------------------------------------------------------------------
+
+  private val cardinalityQueries: Map[String, (SparkSession, String) => DataFrame] =
+    Buckets.granularities.map { g =>
+      s"q_card_$g" -> ((s: SparkSession, dir: String) =>
+        Cardinality.exactPerBucket(events(s, dir), g, col("ts"), col("user_id")))
+    }.toMap ++ Map(
+      "q_card_stats_all" -> ((s: SparkSession, dir: String) =>
+        Cardinality.statsAllGranularities(events(s, dir), col("ts"), col("user_id"))),
+      "q_card_minute_approx" -> ((s: SparkSession, dir: String) =>
+        Cardinality.approxPerBucket(events(s, dir), "minute", col("ts"), col("user_id"))),
+      "q_card_sketch_rollup" -> ((s: SparkSession, dir: String) =>
+        Cardinality.sketchRollup(events(s, dir), col("ts"), col("user_id")))
+    )
+
+  private val cardinalityOracles: Map[String, String] =
+    Buckets.granularities.map { g =>
+      s"q_card_$g" ->
+        s"""SELECT ${Buckets.bucketStartSql(g, "ts")} AS bucket, count(DISTINCT user_id) AS n_users FROM events GROUP BY 1"""
+    }.toMap ++ Map(
+      "q_card_stats_all" -> Buckets.granularities.map { g =>
+        s"""SELECT '${Buckets.label(g)}' AS "Type", ${Buckets.bucketStartSql(g, "ts")} AS "Timestamp", count(DISTINCT user_id) AS "Value" FROM events GROUP BY 1, 2"""
+      }.mkString(" UNION ALL ")
+    )
+
+  // ---------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    cardinalityQueries
+
+  def oracleSql: Map[String, String] =
+    cardinalityOracles
 }
