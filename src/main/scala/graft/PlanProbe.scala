@@ -1,0 +1,16 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object PlanProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    args.foreach { q =>
+      println(s"=== $q ===")
+      println(SparkEntry.queries(q)(spark, "/root/testdata/sf0.01").queryExecution.executedPlan.toString.take(3000))
+    }
+    spark.stop()
+  }
+}

@@ -55,8 +55,8 @@ object SparkEntry {
   // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    cardinalityQueries
+    cardinalityQueries ++ graft.operators.Relational.queries
 
   def oracleSql: Map[String, String] =
-    cardinalityOracles
+    cardinalityOracles ++ graft.operators.Relational.oracles
 }

@@ -1,0 +1,323 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Batch relational analytics surface (SURVEY.md §7.2 item 2) — the
+  * operator categories the reference lacks entirely (§2.3: joins, SQL
+  * window functions, sorts/limits, set ops, scalar library), built on
+  * Catalyst built-ins so pushdown/pruning/join-selection are free.
+  *
+  * Scale notes per query are on each member. General rules applied:
+  * dimension tables (region/nation/customer/supplier/part at TPC-H
+  * proportions) are broadcast — at 100 TB the fact tables (lineitem,
+  * orders, events) shuffle at most once on their join key; aggregations
+  * are single hash-partial+final passes; top-k uses TakeOrderedAndProject
+  * (per-partition heap + driver merge, no global sort).
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String) = Tables(s, dir, name)
+
+  /** TPC-H Q1-style pricing summary: one scan of lineitem, predicate pushed
+    * to parquet, 6 aggregates over 2 grouping keys (map-side partial agg ⇒
+    * shuffle carries ~|groups| rows). Doubles rounded for oracle parity. */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  val pricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  round(avg(l_extendedprice), 4) AS avg_price,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3-style: top-10 open orders by revenue for one market segment.
+    * customer is a broadcast dim (150 rows/SF-proportional); orders⋈lineitem
+    * shuffles on orderkey. Tie-proof ordering (rounded revenue, then key) so
+    * the LIMIT boundary is engine-independent. */
+  def topRevenueOrders(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1998-01-01").cast("timestamp")
+    val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(s, dir, "orders").filter(col("o_orderdate") < cut)
+    val l = t(s, dir, "lineitem").filter(col("l_shipdate") > cut)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .select(col("l_orderkey"), unix_timestamp(col("o_orderdate")).as("orderdate_epoch"), col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val topRevenueOrdersSql: String =
+    """SELECT l_orderkey,
+      |  CAST(epoch(o_orderdate) AS BIGINT) AS orderdate_epoch,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+      |  AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** TPC-H Q5-style: revenue by nation where customer and supplier share the
+    * nation. region→nation→supplier chain is all broadcast; the only
+    * shuffles are lineitem⋈orders on orderkey and the final tiny groupBy. */
+  def localSupplierVolume(s: SparkSession, dir: String): DataFrame = {
+    val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    val n = t(s, dir, "nation").join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+    val sup = t(s, dir, "supplier").join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    t(s, dir, "lineitem")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey") &&
+                          col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+
+  }
+
+  val localSupplierVolumeSql: String =
+    """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name""".stripMargin
+
+  /** ROLLUP aggregation (grand total + per-segment + per-(segment,status)).
+    * Spark expands grouping sets map-side; still one shuffle. */
+  def rollupOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .rollup(col("c_mktsegment"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum(col("o_totalprice")), 2).as("total_price"))
+
+  val rollupOrdersSql: String =
+    """SELECT c_mktsegment, o_orderstatus, count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS total_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY ROLLUP(c_mktsegment, o_orderstatus)""".stripMargin
+
+  /** SQL window functions: rank / dense_rank / lag / running sum per
+    * customer. Deterministic ORDER BY (date, then key) so ties can't
+    * reorder between engines. One shuffle on o_custkey serves all four
+    * window specs (same partitioning). */
+  def windowFunctions(s: SparkSession, dir: String): DataFrame = {
+    val byPrice = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc)
+    val byDate = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders").select(
+      col("o_custkey"), col("o_orderkey"),
+      rank().over(byPrice).as("price_rank"),
+      dense_rank().over(byPrice).as("price_dense_rank"),
+      round(lag(col("o_totalprice"), 1).over(byDate), 2).as("prev_price"),
+      round(sum(col("o_totalprice")).over(
+        byDate.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("running_total"))
+  }
+
+  val windowFunctionsSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS price_rank,
+      |  dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS price_dense_rank,
+      |  round(lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS prev_price,
+      |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+      |FROM orders""".stripMargin
+
+  /** Top-k: Catalyst plans ORDER BY + LIMIT as TakeOrderedAndProject —
+    * per-partition heaps, no global sort. No arithmetic ⇒ raw parquet
+    * doubles are bit-identical across engines. */
+  def topKParts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      .limit(25)
+
+  val topKPartsSql: String =
+    """SELECT p_partkey, p_name, p_retailprice FROM part
+      |ORDER BY p_retailprice DESC, p_partkey LIMIT 25""".stripMargin
+
+  /** Set operations: (customers with orders ∪ high-balance customers) ∖
+    * AUTOMOBILE-segment customers. All three legs are key-only projections;
+    * UNION/EXCEPT are distinct-semantics in both Spark and DuckDB. */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val withOrders = t(s, dir, "orders").select(col("o_custkey").as("custkey"))
+    val highBal = c.filter(col("c_acctbal") > 5000).select(col("c_custkey").as("custkey"))
+    val auto = c.filter(col("c_mktsegment") === "AUTOMOBILE").select(col("c_custkey").as("custkey"))
+    withOrders.union(highBal).except(auto)
+  }
+
+  val setOpsSql: String =
+    """(SELECT o_custkey AS custkey FROM orders
+      | UNION
+      | SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000)
+      |EXCEPT
+      |SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'""".stripMargin
+
+  /** Left-semi join (EXISTS): customers that placed a high-value order.
+    * Fact side is aggregated to keys before the broadcast-able semi join. */
+  def semiJoin(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "orders").filter(col("o_totalprice") > 100000)
+    t(s, dir, "customer")
+      .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  val semiJoinSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 100000)""".stripMargin
+
+  /** Left-anti join (NOT EXISTS): customers who never placed an order above
+    * 250k (threshold chosen to be non-empty at every SF). */
+  def antiJoin(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "orders").filter(col("o_totalprice") > 250000)
+    t(s, dir, "customer")
+      .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  val antiJoinSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 250000)""".stripMargin
+
+  /** Scalar-function library over part: string ops, math, modulo —
+    * all codegen'd Catalyst built-ins, no UDFs. */
+  def scalarFunctions(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+      col("p_partkey"),
+      upper(col("p_name")).as("name_upper"),
+      length(col("p_name")).cast("long").as("name_len"),
+      substring(col("p_name"), 1, 5).as("name_pfx"),
+      concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+      round(sqrt(col("p_retailprice")), 4).as("price_sqrt"),
+      (col("p_size") % 7).cast("long").as("size_mod"),
+      when(col("p_retailprice") > 1500, "premium").otherwise("standard").as("tier"))
+
+  val scalarFunctionsSql: String =
+    """SELECT p_partkey,
+      |  upper(p_name) AS name_upper,
+      |  CAST(length(p_name) AS BIGINT) AS name_len,
+      |  substr(p_name, 1, 5) AS name_pfx,
+      |  p_brand || '#' || p_type AS brand_type,
+      |  round(sqrt(p_retailprice), 4) AS price_sqrt,
+      |  CAST(p_size % 7 AS BIGINT) AS size_mod,
+      |  CASE WHEN p_retailprice > 1500 THEN 'premium' ELSE 'standard' END AS tier
+      |FROM part""".stripMargin
+
+  /** Date/time scalar functions over orders. */
+  def dateFunctions(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).cast("long").as("order_year"),
+      month(col("o_orderdate")).cast("long").as("order_month"),
+      dayofmonth(col("o_orderdate")).cast("long").as("order_day"),
+      quarter(col("o_orderdate")).cast("long").as("order_quarter"),
+      datediff(lit("2002-01-01").cast("date"), col("o_orderdate")).cast("long").as("days_to_2002"),
+      unix_timestamp(add_months(col("o_orderdate"), 3)).as("plus3m_epoch"))
+
+  val dateFunctionsSql: String =
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS BIGINT) AS order_year,
+      |  CAST(month(o_orderdate) AS BIGINT) AS order_month,
+      |  CAST(day(o_orderdate) AS BIGINT) AS order_day,
+      |  CAST(quarter(o_orderdate) AS BIGINT) AS order_quarter,
+      |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS days_to_2002,
+      |  CAST(epoch(o_orderdate + INTERVAL 3 MONTH) AS BIGINT) AS plus3m_epoch
+      |FROM orders""".stripMargin
+
+  /** Statistical aggregates incl. exact median (interpolating percentile in
+    * both engines) and sample stddev. */
+  def statsAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(min(col("o_totalprice")), 2).as("min_price"),
+        round(max(col("o_totalprice")), 2).as("max_price"),
+        round(avg(col("o_totalprice")), 4).as("avg_price"),
+        round(stddev_samp(col("o_totalprice")), 4).as("sd_price"),
+        round(median(col("o_totalprice")), 2).as("med_price"))
+
+  val statsAggSql: String =
+    """SELECT o_orderstatus, count(*) AS n,
+      |  round(min(o_totalprice), 2) AS min_price,
+      |  round(max(o_totalprice), 2) AS max_price,
+      |  round(avg(o_totalprice), 4) AS avg_price,
+      |  round(stddev_samp(o_totalprice), 4) AS sd_price,
+      |  round(median(o_totalprice), 2) AS med_price
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
+  /** JSON extraction from events.props via from_json (schema'd, codegen'd
+    * Jackson parse — the batch analogue of the reference's per-message
+    * jsoniter decode, kafkaio.go:76-81). */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_id"),
+              from_json(col("props"),
+                org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+                .getField("k").as("k"))
+
+  val jsonExtractSql: String =
+    """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rel_pricing_summary" -> (pricingSummary _),
+    "q_rel_top_revenue" -> (topRevenueOrders _),
+    "q_rel_local_volume" -> (localSupplierVolume _),
+    "q_rel_rollup" -> (rollupOrders _),
+    "q_rel_window_funcs" -> (windowFunctions _),
+    "q_rel_topk" -> (topKParts _),
+    "q_rel_setops" -> (setOps _),
+    "q_rel_semi_join" -> (semiJoin _),
+    "q_rel_anti_join" -> (antiJoin _),
+    "q_rel_scalar_funcs" -> (scalarFunctions _),
+    "q_rel_date_funcs" -> (dateFunctions _),
+    "q_rel_stats_agg" -> (statsAgg _),
+    "q_rel_json_extract" -> (jsonExtract _))
+
+  val oracles: Map[String, String] = Map(
+    "q_rel_pricing_summary" -> pricingSummarySql,
+    "q_rel_top_revenue" -> topRevenueOrdersSql,
+    "q_rel_local_volume" -> localSupplierVolumeSql,
+    "q_rel_rollup" -> rollupOrdersSql,
+    "q_rel_window_funcs" -> windowFunctionsSql,
+    "q_rel_topk" -> topKPartsSql,
+    "q_rel_setops" -> setOpsSql,
+    "q_rel_semi_join" -> semiJoinSql,
+    "q_rel_anti_join" -> antiJoinSql,
+    "q_rel_scalar_funcs" -> scalarFunctionsSql,
+    "q_rel_date_funcs" -> dateFunctionsSql,
+    "q_rel_stats_agg" -> statsAggSql,
+    "q_rel_json_extract" -> jsonExtractSql)
+}
