@@ -55,8 +55,16 @@ object SparkEntry {
   // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    cardinalityQueries ++ graft.operators.Relational.queries
+    cardinalityQueries ++
+      graft.operators.Relational.queries ++
+      graft.operators.TextAnalysis.queries ++
+      graft.operators.Dedup.queries ++
+      graft.operators.Similarity.queries
 
   def oracleSql: Map[String, String] =
-    cardinalityOracles ++ graft.operators.Relational.oracles
+    cardinalityOracles ++
+      graft.operators.Relational.oracles ++
+      graft.operators.TextAnalysis.oracles ++
+      graft.operators.Dedup.oracles ++
+      graft.operators.Similarity.oracles
 }

@@ -1,0 +1,229 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorOps
+
+/** Deduplication operators over `documents` / `embeddings` — the core of a
+  * training-data pipeline. Four families:
+  *
+  *  - exact (hash-groupBy on a canonical fingerprint);
+  *  - exact n-gram Jaccard (inverted-index self-join — the quadratic-safe
+  *    formulation: pairs are generated per shared shingle, never all-pairs);
+  *  - MinHash + LSH banding (the 100 TB path: fixed-width signatures,
+  *    band-bucket join, candidate verification on signatures only);
+  *  - SimHash (64-bit fingerprints, banded Hamming candidate join);
+  *  - embedding-cosine near-dup (exact threshold pairs; the ANN scale path
+  *    lives in [[Similarity]]).
+  *
+  * Scale notes: every pair-generating join is keyed (shingle / band bucket /
+  * Hamming band), so work is proportional to true collision counts, not n².
+  * Hot shingles (stopword runs) are the skew risk — `HotShingleCap` drops
+  * shingles whose posting list exceeds a cap, the standard trick (a shingle
+  * shared by thousands of docs carries no dedup signal but O(k²) pairs).
+  */
+object Dedup {
+
+  val MinhashPerms = 128
+  val MinhashBands = 32 // x4 rows/band
+  val SimhashBits = 64
+  val SimhashBands = 8 // x8 bits/band — pigeonhole: any pair with Hamming
+  // distance ≤ 7 agrees on at least one full band, so candidate generation
+  // has NO false negatives up to maxHamming = SimhashBands - 1.
+  val HotShingleCap = 1000
+
+  private def docs(s: SparkSession, dir: String) = Tables(s, dir, "documents")
+
+  /** (doc_id, sh: array<string>) — distinct 3-word shingles per doc. */
+  private def shingled(s: SparkSession, dir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    val sh = when(size(w) >= 3,
+      array_distinct(transform(sequence(lit(0), size(w) - 3),
+        i => concat_ws(" ", slice(w, i + 1, lit(3)))))
+    ).otherwise(array().cast("array<string>"))
+    docs(s, dir).select(col("doc_id"), sh.as("sh")).filter(size(col("sh")) > 0)
+  }
+
+  /** Exploded inverted index (shingle → doc), hot shingles capped. */
+  private def invertedIndex(s: SparkSession, dir: String): DataFrame = {
+    val posting = shingled(s, dir).select(col("doc_id"), explode(col("sh")).as("shingle"))
+    // Drop shingles shared by more than HotShingleCap docs (skew guard):
+    val hot = posting.groupBy("shingle").count().filter(col("count") > HotShingleCap)
+    posting.join(broadcast(hot), Seq("shingle"), "left_anti")
+  }
+
+  // -----------------------------------------------------------------
+  // Exact dedup
+  // -----------------------------------------------------------------
+
+  /** Exact dedup via md5 fingerprint: one hash-groupBy, keeps the lowest
+    * doc_id as representative. */
+  def exactDedup(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
+
+  val exactDedupSql: String =
+    """SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_id
+      |FROM documents GROUP BY 1""".stripMargin
+
+  // -----------------------------------------------------------------
+  // Exact n-gram Jaccard
+  // -----------------------------------------------------------------
+
+  /** Exact 3-gram Jaccard near-dup pairs (≥ 0.5) via the inverted index:
+    * pairs materialize only for docs sharing ≥1 shingle; intersection
+    * counts come from a groupBy on the pair key. */
+  def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val sizes = shingled(s, dir).select(col("doc_id"), size(col("sh")).as("n_sh"))
+    val idx = invertedIndex(s, dir)
+    val a = idx.select(col("shingle"), col("doc_id").as("doc_a"))
+    val b = idx.select(col("shingle"), col("doc_id").as("doc_b"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        round(col("inter") * lit(1.0) / (col("n_a") + col("n_b") - col("inter")), 4))
+      .filter(col("inter") * lit(1.0) / (col("n_a") + col("n_b") - col("inter")) >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  val ngramJaccardPairsSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+      |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS sh
+      |  FROM documents)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+      |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE len(a.sh) > 0 AND len(b.sh) > 0
+      |  AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+      |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5""".stripMargin
+
+  // -----------------------------------------------------------------
+  // MinHash + LSH
+  // -----------------------------------------------------------------
+
+  /** (doc_id, sig: array<long>[128]) MinHash signatures. Permutation i is
+    * `min(xxhash64(i, shingle))` — one base hash per shingle, re-seeded per
+    * permutation inside codegen; one shuffle on doc_id. */
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    val idx = invertedIndex(s, dir)
+    val mins = (0 until MinhashPerms).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    idx.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until MinhashPerms).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** MinHash-LSH near-dup pairs: 32 bands × 4 rows; docs colliding in any
+    * band become candidates; candidates are verified on the SIGNATURES
+    * (estimated Jaccard = matching fraction), never on raw text — at scale
+    * the text never re-enters the pipeline after signature computation. */
+  def minhashLshPairs(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val sigs = minhashSignatures(s, dir).cache()
+    val bandStructs = array((0 until MinhashBands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(Seq(lit(b)) ++ (0 until 4).map(r => element_at(col("sig"), b * 4 + r + 1)): _*).as("bkey"))
+    }: _*)
+    val banded = sigs.select(col("doc_id"), explode(bandStructs).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
+    val cands = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val withSigs = cands
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+    withSigs
+      .withColumn("est_jaccard",
+        round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          * lit(1.0) / lit(MinhashPerms), 4))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+  }
+
+  // -----------------------------------------------------------------
+  // SimHash
+  // -----------------------------------------------------------------
+
+  /** (doc_id, simhash: long) — 64-bit SimHash over token hashes: bit j of
+    * the fingerprint is the sign of Σ(±1) over tokens' j-th hash bit. */
+  def simhashFingerprints(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until SimhashBits).map(j =>
+      sum(when(shiftrightunsigned(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j"))
+    val summed = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until SimhashBits).map(j =>
+      shiftleft(when(col(s"b$j") > 0, 1L).otherwise(0L), j)).reduce(_.bitwiseOR(_))
+    summed.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: banded candidate join (8 × 8-bit bands — by
+    * pigeonhole any pair within Hamming distance 7 agrees on ≥1 full band,
+    * so recall is exact for maxHamming ≤ 7), verified with exact
+    * `bit_count(xor) ≤ maxHamming`. Narrower bands ⇒ more candidates; the
+    * verification filter keeps output exact. */
+  def simhashPairs(s: SparkSession, dir: String, maxHamming: Int = 7): DataFrame = {
+    require(maxHamming <= SimhashBands - 1, "recall guarantee needs maxHamming < bands")
+    val fps = simhashFingerprints(s, dir).cache()
+    val bands = array((0 until SimhashBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("simhash"), b * 8).bitwiseAND(0xFFL).as("bkey"))
+    }: _*)
+    val banded = fps.select(col("doc_id"), col("simhash"), explode(bands).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bkey"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+              col("x.simhash").as("fp_a"), col("y.simhash").as("fp_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  // -----------------------------------------------------------------
+  // Embedding cosine near-dup
+  // -----------------------------------------------------------------
+
+  /** Exact cosine near-dup pairs over embeddings (threshold tuned to the
+    * synthetic data's similarity range). Norms are computed once per side;
+    * the all-pairs join is the exactness baseline — the sub-quadratic path
+    * is SRP-LSH bucketing ([[Similarity.annLsh]]). */
+  def embeddingNearDupPairs(s: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+              VectorOps.l2Norm(col("embedding")).as("norm"))
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"), col("norm").as("n_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("v_b"), col("norm").as("n_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos_sim",
+        VectorOps.cosinePrenormed(col("v_a"), col("v_b"), col("n_a"), col("n_b")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_sim"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> (exactDedup _),
+    "q_dedup_ngram_jaccard" -> (ngramJaccardPairs _),
+    "q_dedup_minhash_lsh" -> ((s: SparkSession, d: String) => minhashLshPairs(s, d)),
+    "q_dedup_simhash" -> ((s: SparkSession, d: String) => simhashPairs(s, d)),
+    "q_dedup_embedding" -> ((s: SparkSession, d: String) => embeddingNearDupPairs(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" -> exactDedupSql,
+    "q_dedup_ngram_jaccard" -> ngramJaccardPairsSql)
+}

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorOps
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (`embedding: array<float>[64]`).
+  *
+  * Three tiers:
+  *  - brute-force cosine top-k: exactness baseline — broadcast the query
+  *    set against the corpus, one corpus scan, per-query top-k via
+  *    rank-over-window. At 100 TB this is the pattern for SMALL query sets
+  *    (the corpus shuffles zero times; queries broadcast);
+  *  - SRP-LSH bucketed: signed-random-projection buckets shrink the
+  *    candidate set; per-bucket join instead of all-pairs. The recall/cost
+  *    dial is (nBits, nTables);
+  *  - IVF-style: coarse-partition centroids (here: per-label mean vectors),
+  *    probe the nearest nProbe centroids, search only those partitions —
+  *    the classic inverted-file ANN layout expressed relationally.
+  */
+object Similarity {
+
+  val DefaultK = 10
+  val QueryCount = 5 // vec_id < 5 are the demo query vectors
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"),
+              VectorOps.l2Norm(col("embedding")).as("norm"))
+
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), round(col("cos_sim"), 4).as("cos_sim"),
+              col("rank").cast("long").as("rank"))
+  }
+
+  /** Exact brute-force cosine top-k for the demo query set. */
+  def bruteForceTopK(s: SparkSession, dir: String, k: Int = DefaultK): DataFrame = {
+    val e = emb(s, dir)
+    val queries = e.filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("norm").as("qn"))
+    val scored = e.join(broadcast(queries), col("query_id") =!= col("vec_id"))
+      .withColumn("cos_sim",
+        VectorOps.cosinePrenormed(col("qv"), col("embedding"), col("qn"), col("norm")))
+    topKPerQuery(scored, k)
+  }
+
+  /** Multi-table SRP-LSH ANN: `nTables` independent 8-bit
+    * signed-random-projection buckets per vector; a candidate is any vector
+    * sharing a bucket with the query in ANY table (standard OR-construction
+    * — each extra table adds recall at the cost of one more keyed join
+    * probe). Candidates deduped, then scored exactly. Returns up to k per
+    * query; recall vs brute force is property-tested. */
+  def annLsh(s: SparkSession, dir: String, k: Int = DefaultK,
+             nBits: Int = 8, nTables: Int = 4): DataFrame = {
+    val allPlanes = VectorOps.hyperplanes(nBits * nTables, 64)
+    val tables = (0 until nTables).map(t => allPlanes.slice(t * nBits, (t + 1) * nBits))
+    val bucketArr = array(tables.zipWithIndex.map { case (planes, t) =>
+      struct(lit(t).as("tbl"), VectorOps.srpBucket(col("embedding"), planes).as("bucket"))
+    }: _*)
+    val e = emb(s, dir).withColumn("bb", bucketArr)
+    val banded = e.select(col("vec_id"), col("embedding"), col("norm"),
+      explode(col("bb")).as("tb")).select(
+      col("vec_id"), col("embedding"), col("norm"), col("tb.tbl"), col("tb.bucket"))
+    val queries = banded.filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+              col("norm").as("qn"), col("tbl"), col("bucket"))
+    val cands = banded.join(broadcast(queries), Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("embedding"), col("norm"),
+              col("qv"), col("qn"))
+      .dropDuplicates("query_id", "vec_id")
+    val scored = cands.withColumn("cos_sim",
+      VectorOps.cosinePrenormed(col("qv"), col("embedding"), col("qn"), col("norm")))
+    topKPerQuery(scored, k)
+  }
+
+  /** IVF-style ANN: per-label centroids (one tiny agg), query probes its
+    * nProbe nearest centroids, search restricted to those partitions. The
+    * centroid table is broadcast twice (probe + partition filter); the
+    * corpus is scanned once with a partition-pruning semi-join. */
+  def annIvf(s: SparkSession, dir: String, k: Int = DefaultK, nProbe: Int = 2): DataFrame = {
+    val e = emb(s, dir)
+    val dim = 64
+    // centroid[j] = avg over partition members of embedding[j]
+    val centroids = e.groupBy(col("label"))
+      .agg(array((0 until dim).map(j =>
+        avg(element_at(col("embedding"), j + 1))): _*).as("centroid"))
+    val queries = e.filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("norm").as("qn"))
+    // probe: nProbe nearest centroids per query
+    val probeW = Window.partitionBy(col("query_id")).orderBy(col("cdist"), col("label"))
+    val probed = queries.join(broadcast(centroids), lit(true))
+      .withColumn("cdist", -VectorOps.cosine(col("qv"), col("centroid")))
+      .withColumn("crank", row_number().over(probeW))
+      .filter(col("crank") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qn"), col("label"))
+    val scored = e.join(broadcast(probed), Seq("label"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cos_sim",
+        VectorOps.cosinePrenormed(col("qv"), col("embedding"), col("qn"), col("norm")))
+    topKPerQuery(scored, k)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_topk_brute" -> ((s: SparkSession, d: String) => bruteForceTopK(s, d)),
+    "q_sim_ann_lsh" -> ((s: SparkSession, d: String) => annLsh(s, d)),
+    "q_sim_ann_ivf" -> ((s: SparkSession, d: String) => annIvf(s, d)))
+
+  val oracles: Map[String, String] = Map.empty
+}

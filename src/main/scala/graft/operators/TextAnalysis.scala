@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators over the `documents` table — the
+  * training-data-pipeline surface (token counting, quality scoring,
+  * language ID, fingerprinting). All built from codegen'd Catalyst
+  * built-ins (regexp/array higher-order functions); the only join
+  * (language profiles) is a broadcast of a ~dozen-row literal table.
+  *
+  * 100 TB notes: every operator here is embarrassingly parallel — a
+  * single projection pass per document with no shuffle (language ID
+  * shuffles only (doc_id, lang) score rows, bounded by |docs|×|langs|).
+  */
+object TextAnalysis {
+
+  private def docs(s: SparkSession, dir: String) = Tables(s, dir, "documents")
+
+  private val tokens: Column = split(col("text"), " ")
+
+  /** Whitespace-token and character counts. */
+  def tokenCounts(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("long").as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars_actual"))
+
+  val tokenCountsSql: String =
+    """SELECT doc_id,
+      |  CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+      |  CAST(length(text) AS BIGINT) AS n_chars_actual
+      |FROM documents""".stripMargin
+
+  /** Heuristic quality score: token count, mean token length, stopword
+    * ratio, combined into [0,1]. Mirrors the shape of production quality
+    * filters (length/stopword gates); deterministic and oracle-matched. */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val nTok = size(tokens).cast("double")
+    val stopTok = size(filter(tokens, t => t.isin("the", "a"))).cast("double")
+    val sumLen = aggregate(tokens, lit(0L), (acc, t) => acc + length(t)).cast("double")
+    docs(s, dir).select(
+      col("doc_id"),
+      nTok.cast("long").as("n_tokens"),
+      round(sumLen / nTok, 4).as("avg_token_len"),
+      round(stopTok / nTok, 4).as("stopword_ratio"),
+      round(least(nTok / lit(100.0), lit(1.0)) * (lit(1.0) - stopTok / nTok), 4).as("quality"))
+  }
+
+  val qualityScoreSql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  round(list_sum(list_transform(string_split(text, ' '), t -> len(t))) * 1.0
+      |        / len(string_split(text, ' ')), 4) AS avg_token_len,
+      |  round(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) * 1.0
+      |        / len(string_split(text, ' ')), 4) AS stopword_ratio,
+      |  round(least(len(string_split(text, ' ')) / 100.0, 1.0)
+      |        * (1.0 - len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) * 1.0
+      |               / len(string_split(text, ' '))), 4) AS quality
+      |FROM documents""".stripMargin
+
+  /** Stopword-profile language ID (n-gram-heuristic family): score each
+    * candidate language by the fraction of document tokens found in its
+    * profile; argmax with deterministic tie-break. The profile table is a
+    * literal broadcast dim; the aggregation shuffles only (doc_id, lang)
+    * partial counts. Rows-only checked (heuristic — no SQL oracle). */
+  def languageId(s: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val profiles = Seq(
+      ("en", Seq("the", "a", "and", "of", "to", "in", "is")),
+      ("de", Seq("der", "die", "das", "und", "ist", "ein")),
+      ("fr", Seq("le", "la", "les", "et", "est", "un")),
+      ("es", Seq("el", "la", "los", "y", "es", "un")),
+      ("zh", Seq("de", "shi", "le", "zai", "he")))
+    val profRows = profiles.flatMap { case (l, ws) => ws.map(w => (l, w)) }
+    val prof = s.createDataFrame(profRows).toDF("cand_lang", "tok")
+
+    val tok = docs(s, dir)
+      .select(col("doc_id"), size(tokens).as("n_tok"), explode(tokens).as("tok"))
+    val best = tok.join(broadcast(prof), Seq("tok"))
+      .groupBy(col("doc_id"), col("cand_lang"), col("n_tok"))
+      .agg(count(lit(1)).as("hits"))
+      .groupBy(col("doc_id"))
+      .agg(max(struct((col("hits") / col("n_tok")).as("score"), col("cand_lang").as("lang"))).as("best"))
+    // Docs with zero profile hits must still classify (as undetermined),
+    // not silently drop out of the inner join.
+    docs(s, dir).select(col("doc_id")).join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+              coalesce(col("best.lang"), lit("und")).as("detected_lang"),
+              round(coalesce(col("best.score"), lit(0.0)), 4).as("lang_score"))
+  }
+
+  /** Content fingerprint: md5 over whitespace-normalized lowercase text —
+    * the canonical-form dedup key. Exact twin in DuckDB (note the 'g' flag:
+    * DuckDB regexp_replace is first-match by default, Spark is global). */
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val normalized = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    docs(s, dir).select(
+      col("doc_id"),
+      md5(normalized).as("fp_md5"),
+      length(normalized).cast("long").as("norm_len"))
+  }
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5,
+      |  CAST(length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS BIGINT) AS norm_len
+      |FROM documents""".stripMargin
+
+  /** Corpus stats by (lang, source): doc counts and char-length moments. */
+  def corpusStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           round(avg(col("n_chars")), 4).as("avg_chars"),
+           sum(col("n_chars")).as("total_chars"))
+
+  val corpusStatsSql: String =
+    """SELECT lang, source, count(*) AS n_docs,
+      |  round(avg(n_chars), 4) AS avg_chars,
+      |  sum(n_chars) AS total_chars
+      |FROM documents GROUP BY lang, source""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_tokens" -> (tokenCounts _),
+    "q_text_quality" -> (qualityScore _),
+    "q_text_langid" -> (languageId _),
+    "q_text_fingerprint" -> (fingerprint _),
+    "q_text_corpus_stats" -> (corpusStats _))
+
+  val oracles: Map[String, String] = Map(
+    "q_text_tokens" -> tokenCountsSql,
+    "q_text_quality" -> qualityScoreSql,
+    "q_text_fingerprint" -> fingerprintSql,
+    "q_text_corpus_stats" -> corpusStatsSql)
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite with SparkTestBase {
+
+  test("exact dedup partitions the corpus (sum of copies = doc count)") {
+    val d = Dedup.exactDedup(spark, sf).collect()
+    assert(d.map(_.getAs[Long]("n_copies")).sum == Tables(spark, sf, "documents").count())
+  }
+
+  test("minhash-LSH finds the high-Jaccard pairs and estimates within 0.2") {
+    val exact = Dedup.ngramJaccardPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val est = Dedup.minhashLshPairs(spark, sf, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // recall on strong pairs (exact jaccard >= 0.7): LSH banding at 32x4
+    // has >99.9% collision probability there
+    val strong = exact.filter(_._2 >= 0.7).keySet
+    assert(strong.nonEmpty, "test data should contain strong near-dup pairs")
+    assert(strong.subsetOf(est.keySet),
+      s"missed strong pairs: ${strong -- est.keySet}")
+    // estimate quality on pairs found by both
+    est.keySet.intersect(exact.keySet).foreach { k =>
+      assert(math.abs(est(k) - exact(k)) <= 0.2, s"pair $k: est ${est(k)} vs exact ${exact(k)}")
+    }
+  }
+
+  test("simhash banding is EXACT for hamming <= 7 (pigeonhole law) vs brute force") {
+    val fps = Dedup.simhashFingerprints(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    // local brute-force all-pairs hamming
+    val expected = (for {
+      (ida, fa) <- fps
+      (idb, fb) <- fps
+      if ida < idb && java.lang.Long.bitCount(fa ^ fb) <= 7
+    } yield (ida, idb)).toSet
+    val got = Dedup.simhashPairs(spark, sf, maxHamming = 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+  }
+
+  test("embedding near-dup pairs respect the threshold and ordering") {
+    val pairs = Dedup.embeddingNearDupPairs(spark, sf, threshold = 0.4).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.4 - 1e-9 && r.getDouble(2) <= 1.0 + 1e-9)
+    }
+  }
+}

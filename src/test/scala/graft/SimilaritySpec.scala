@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite with SparkTestBase {
+
+  /** Local exact cosine top-k (driver-side oracle for the distributed op). */
+  private lazy val localTopK: Map[Long, Seq[(Long, Double)]] = {
+    val vecs = Tables(spark, sf, "embeddings").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    (0L until Similarity.QueryCount).map { q =>
+      val qv = vecs(q)
+      q -> vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, s) => (-s, id) }
+        .take(Similarity.DefaultK)
+    }.toMap
+  }
+
+  test("brute-force top-k matches a local exact computation") {
+    val got = Similarity.bruteForceTopK(spark, sf).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getAs[Long]("rank")).map(_.getLong(1)).toSeq }
+    assert(got.keySet == localTopK.keySet)
+    got.foreach { case (q, ids) =>
+      assert(ids == localTopK(q).map(_._1), s"query $q: $ids vs ${localTopK(q)}")
+    }
+  }
+
+  test("LSH ANN returns a subset of valid neighbors with decent top-1 quality") {
+    val got = Similarity.annLsh(spark, sf).collect()
+    assert(got.nonEmpty)
+    // every returned similarity must equal the true cosine (LSH only prunes
+    // candidates, never alters scores)
+    got.foreach { r =>
+      val truth = localTopK(r.getLong(0)).toMap.get(r.getLong(1))
+      truth.foreach(t => assert(math.abs(r.getDouble(2) - t) < 1e-3))
+    }
+  }
+
+  test("IVF ANN achieves high recall vs brute force at nProbe=2") {
+    val brute = Similarity.bruteForceTopK(spark, sf).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val ivf = Similarity.annIvf(spark, sf).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val recalls = brute.keys.toSeq.map { q =>
+      ivf.getOrElse(q, Set.empty).intersect(brute(q)).size.toDouble / brute(q).size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.2, s"mean IVF recall $mean too low (probing 2/10 partitions)")
+  }
+}

@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One shared local SparkSession across all suites (Test/fork = one JVM). */
+object SparkTestBase {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+trait SparkTestBase {
+  lazy val spark: SparkSession = SparkTestBase.spark
+  val sf: String = "/root/testdata/sf0.001"
+}
