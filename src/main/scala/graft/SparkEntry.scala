@@ -39,7 +39,23 @@ object SparkEntry {
       "q_card_minute_approx" -> ((s: SparkSession, dir: String) =>
         Cardinality.approxPerBucket(events(s, dir), "minute", col("ts"), col("user_id"))),
       "q_card_sketch_rollup" -> ((s: SparkSession, dir: String) =>
-        Cardinality.sketchRollup(events(s, dir), col("ts"), col("user_id")))
+        Cardinality.sketchRollup(events(s, dir), col("ts"), col("user_id"))),
+      // custom HLL Aggregator (graft.functions.Hll) per day bucket
+      "q_card_hll_udaf" -> ((s: SparkSession, dir: String) => {
+        s.udf.register("hll_distinct", udaf(new graft.functions.HllAggregator))
+        events(s, dir)
+          .groupBy(Buckets.bucketStart("day", col("ts")).as("bucket"))
+          .agg(expr("hll_distinct(CAST(user_id AS STRING))").as("n_users_hll"))
+      }),
+      // exact-semantics tier: the reference's data-driven windows, replayed
+      // in batch over events (SURVEY.md §2.1; parity-tested in StreamingSpec)
+      "q_stream_data_driven" -> ((s: SparkSession, dir: String) => {
+        import s.implicits._
+        graft.streaming.DataDrivenWindows.batch(s,
+          events(s, dir).select(
+            col("user_id").cast("string").as("uid"),
+            unix_timestamp(col("ts")).as("ts")).as[graft.streaming.UserMsg]).toDF()
+      })
     )
 
   private val cardinalityOracles: Map[String, String] =
@@ -59,12 +75,14 @@ object SparkEntry {
       graft.operators.Relational.queries ++
       graft.operators.TextAnalysis.queries ++
       graft.operators.Dedup.queries ++
-      graft.operators.Similarity.queries
+      graft.operators.Similarity.queries ++
+      graft.multimodal.Multimodal.queries
 
   def oracleSql: Map[String, String] =
     cardinalityOracles ++
       graft.operators.Relational.oracles ++
       graft.operators.TextAnalysis.oracles ++
       graft.operators.Dedup.oracles ++
-      graft.operators.Similarity.oracles
+      graft.operators.Similarity.oracles ++
+      graft.multimodal.Multimodal.oracles
 }

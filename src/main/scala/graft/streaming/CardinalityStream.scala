@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Structured-Streaming rebuild of the reference pipeline (SURVEY.md §2):
+  * Kafka source → JSON parse (drop-malformed) → 5-granularity event-time
+  * windowed distinct-count → `{Type,Timestamp,Value}` JSON → Kafka sink.
+  *
+  * Differences from the reference, by design (SURVEY.md §7.4):
+  *  - windows are calendar-aligned (the exact data-driven tier is
+  *    [[DataDrivenWindows]]);
+  *  - watermarking bounds state and handles late data (the reference has
+  *    none — late events silently join the current window);
+  *  - checkpointing gives at-least-once (reference: at-most-once).
+  *
+  * Scale: each granularity is an independent windowed `approx_count_distinct`
+  * over the same source — state per key is one fixed-size HLL++ register
+  * set, so a 1000-executor cluster holds (buckets × 16 KiB) state per
+  * granularity regardless of user cardinality.
+  */
+object CardinalityStream {
+
+  /** Schema of the reference's input JSON (`processor.go:13-16`). */
+  val userSchema: StructType = StructType(Seq(
+    StructField("uid", StringType),
+    StructField("ts", LongType)))
+
+  /** Parse raw JSON message values into (uid, event_time), dropping
+    * malformed rows — the analogue of the reference's log-and-skip
+    * (`kafkaio.go:78-81`). Also drops `ts <= 0` rows, which the reference
+    * would mishandle via u64 underflow (SURVEY.md §2.1.3). */
+  def parse(raw: DataFrame): DataFrame =
+    raw.select(from_json(col("value").cast("string"), userSchema).as("m"))
+      .select(col("m.uid").as("uid"), col("m.ts").as("ts"))
+      .filter(col("uid").isNotNull && col("ts").isNotNull && col("ts") > 0)
+      .select(col("uid"), timestamp_seconds(col("ts")).as("event_time"))
+
+  /** One granularity's windowed approximate distinct count.
+    * minute/day/week use fixed-width tumbling `window()`; month/year are
+    * calendar-true via `date_trunc` (window() cannot express them). */
+  def aggregated(parsed: DataFrame, granularity: String, watermark: String = "10 minutes"): DataFrame = {
+    val wm = parsed.withWatermark("event_time", watermark)
+    val bucketed = granularity match {
+      case "minute" | "day" | "week" =>
+        val dur = Map("minute" -> "1 minute", "day" -> "1 day", "week" -> "7 days")(granularity)
+        wm.groupBy(window(col("event_time"), dur).getField("start").as("win_start"))
+      case "month" | "year" =>
+        wm.groupBy(date_trunc(granularity, col("event_time")).as("win_start"))
+    }
+    bucketed
+      .agg(approx_count_distinct(col("uid"), graft.core.Cardinality.ReferenceRsd).as("Value"))
+      .select(
+        lit(s"${granularity}_count").as("Type"),
+        unix_timestamp(col("win_start")).as("Timestamp"),
+        col("Value"))
+  }
+
+  /** All five granularities unioned — one streaming DataFrame in the
+    * reference's output shape. */
+  def allGranularities(parsed: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    graft.core.Buckets.granularities
+      .map(g => aggregated(parsed, g, watermark))
+      .reduce(_ unionAll _)
+
+  /** Format for the Kafka sink: keyless JSON with capitalized keys,
+    * matching `kafkaio.go:92-100` (compact rather than pretty-printed —
+    * cosmetic divergence documented in SURVEY.md §2 O6). */
+  def toSinkFormat(stats: DataFrame): DataFrame =
+    stats.select(to_json(struct(col("Type"), col("Timestamp"), col("Value"))).as("value"))
+
+  /** The full wired pipeline against real Kafka — the analogue of the
+    * reference's `main()` (`main.go:13-28`). Untested here (no broker in
+    * the environment); the parse→aggregate→format stages are covered via
+    * MemoryStream in StreamingSpec. */
+  def run(spark: SparkSession, checkpointDir: String): Unit = {
+    val raw = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", KafkaConfig.broker)
+      .option("subscribe", KafkaConfig.usersTopic)
+      .option("startingOffsets", "earliest") // replay-from-start, README.md:5
+      .load()
+    val out = toSinkFormat(allGranularities(parse(raw)))
+    out.writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", KafkaConfig.broker)
+      .option("topic", KafkaConfig.statsTopic)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("update")
+      .start()
+    spark.streams.awaitAnyTermination()
+  }
+}

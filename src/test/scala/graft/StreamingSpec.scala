@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{CardinalityStream, DataDrivenWindows, StatMsg, UserMsg}
+
+class StreamingSpec extends AnyFunSuite with SparkTestBase {
+
+  import org.apache.spark.sql.functions._
+
+  test("parse drops malformed JSON, null fields, and ts<=0 (log-and-skip parity)") {
+    import spark.implicits._
+    val input = MemoryStream[String](spark)
+    input.addData(
+      """{"uid":"alice","ts":1468244384}""",
+      """{"uid":"bob","ts":1468244389}""",
+      """not json at all""",
+      """{"uid":"carol"}""", // missing ts
+      """{"uid":"dave","ts":0}""", // reference would u64-underflow
+      """{"ts":1468244395}""") // missing uid
+    val q = CardinalityStream.parse(input.toDF())
+      .writeStream.format("memory").queryName("parsed").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("parsed").collect()
+      assert(rows.map(_.getString(0)).sorted.toSeq == Seq("alice", "bob"))
+    } finally q.stop()
+  }
+
+  test("minute-granularity streaming agg counts distinct users per aligned window") {
+    import spark.implicits._
+    val input = MemoryStream[String](spark)
+    val base = 1468244340L // aligned: 2016-07-11 13:39:00 UTC
+    input.addData(
+      s"""{"uid":"u1","ts":${base + 5}}""",
+      s"""{"uid":"u2","ts":${base + 20}}""",
+      s"""{"uid":"u1","ts":${base + 40}}""", // dup in window 1
+      s"""{"uid":"u3","ts":${base + 65}}""") // window 2
+    val agg = CardinalityStream.aggregated(CardinalityStream.parse(input.toDF()), "minute")
+    val q = agg.writeStream.format("memory").queryName("mstats").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("mstats").collect()
+        .map(r => r.getLong(1) -> r.getLong(2)).toMap
+      assert(got == Map(base -> 2L, (base + 60) -> 1L))
+    } finally q.stop()
+  }
+
+  test("all five granularities stream in the reference output shape") {
+    import spark.implicits._
+    val input = MemoryStream[String](spark)
+    input.addData("""{"uid":"x","ts":1468244384}""")
+    val all = CardinalityStream.toSinkFormat(
+      CardinalityStream.allGranularities(CardinalityStream.parse(input.toDF())))
+    val q = all.writeStream.format("memory").queryName("allg").outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val jsons = spark.table("allg").collect().map(_.getString(0))
+      assert(jsons.length == 5)
+      // capitalized keys, epoch-seconds Timestamp — kafkaio.go:92 casing
+      jsons.foreach { j =>
+        assert(j.contains("\"Type\":") && j.contains("\"Timestamp\":") && j.contains("\"Value\":"), j)
+      }
+      val types = jsons.flatMap("\"Type\":\"(\\w+)\"".r.findFirstMatchIn(_).map(_.group(1))).toSet
+      assert(types == Set("minute_count", "day_count", "week_count", "month_count", "year_count"))
+    } finally q.stop()
+  }
+
+  // ---------------------------------------------------------------
+  // Exact-semantics tier: data-driven windows (processor.go:79-102)
+  // ---------------------------------------------------------------
+
+  /** Independent in-test simulation of the reference processor (SURVEY.md
+    * §5): exact distinct sets instead of HLL — flush TIMING must match our
+    * operator exactly; Values are compared within the HLL bound. */
+  private def simulate(msgs: Seq[UserMsg], statType: String): Seq[(Long, Int)] = {
+    var seen = Set.empty[String]
+    var lastFlush = 0L
+    var interval = DataDrivenWindows.intervalFrom(statType, 0L)
+    val out = Seq.newBuilder[(Long, Int)]
+    msgs.foreach { m =>
+      seen += m.uid
+      if (m.ts > lastFlush + interval) {
+        out += ((lastFlush, seen.size))
+        seen = Set.empty
+        lastFlush = m.ts
+        interval = DataDrivenWindows.intervalFrom(statType, m.ts)
+      }
+    }
+    out.result()
+  }
+
+  test("data-driven windows replicate the reference flush semantics") {
+    import spark.implicits._
+    // monotone stream shaped like the reference benchmark
+    // (processor_test.go:33-38): gaps U[0,3600) — deterministic LCG
+    var ts = 1468244384L
+    var seed = 12345L
+    val msgs = (0 until 600).map { i =>
+      seed = (seed * 6364136223846793005L + 1442695040888963407L) & Long.MaxValue
+      ts += seed % 3600
+      UserMsg(s"user${seed % 100}", ts)
+    }
+    val input = MemoryStream[UserMsg](spark)
+    val out = DataDrivenWindows(spark, input.toDS())
+    val q = out.writeStream.format("memory").queryName("ddw").outputMode("append").start()
+    try {
+      input.addData(msgs) // single batch: full order preserved, like Kafka
+      q.processAllAvailable()
+      val got = spark.table("ddw").as[StatMsg].collect()
+        .groupBy(_.Type).view.mapValues(_.sortBy(_.Timestamp)).toMap
+      graft.core.Buckets.granularities.map(g => s"${g}_count").foreach { st =>
+        val sim = simulate(msgs, st)
+        val ours = got.getOrElse(st, Array.empty[StatMsg]).toSeq
+        // flush timing: exact parity
+        assert(ours.map(_.Timestamp) == sim.map(_._1), s"$st flush timestamps diverge")
+        // values: within HLL accuracy of the exact simulation
+        ours.zip(sim).foreach { case (o, (_, exact)) =>
+          assert(math.abs(o.Value - exact) <= math.max(1.0, 0.05 * exact),
+            s"$st window ${o.Timestamp}: hll ${o.Value} vs exact $exact")
+        }
+      }
+      // degenerate first window: Timestamp 0 (SURVEY §2.1.3)
+      assert(got.values.forall(_.head.Timestamp == 0L))
+    } finally q.stop()
+  }
+
+  test("intervalFrom matches the reference's epoch-0 initial intervals") {
+    assert(DataDrivenWindows.intervalFrom("minute_count", 0) == 60L)
+    assert(DataDrivenWindows.intervalFrom("day_count", 0) == 86400L)
+    assert(DataDrivenWindows.intervalFrom("week_count", 0) == 604800L)
+    assert(DataDrivenWindows.intervalFrom("month_count", 0) == 2678400L) // Jan 1970: 31 days
+    assert(DataDrivenWindows.intervalFrom("year_count", 0) == 31536000L) // 1970: 365 days
+  }
+
+  test("goAddDate normalizes month-end overflow like Go time.AddDate") {
+    // 1970-01-31 + 1 month = 1970-03-03 (Feb 1970 has 28 days) — NOT Feb 28
+    val jan31 = java.time.LocalDateTime.of(1970, 1, 31, 12, 0)
+      .toEpochSecond(java.time.ZoneOffset.UTC)
+    val got = java.time.LocalDateTime.ofEpochSecond(
+      DataDrivenWindows.goAddDate(jan31, 0, 1), 0, java.time.ZoneOffset.UTC)
+    assert(got == java.time.LocalDateTime.of(1970, 3, 3, 12, 0))
+    // leap-day + 1 year: 2024-02-29 + 1y = 2025-03-01 (Go normalization)
+    val leap = java.time.LocalDateTime.of(2024, 2, 29, 0, 0)
+      .toEpochSecond(java.time.ZoneOffset.UTC)
+    val gotY = java.time.LocalDateTime.ofEpochSecond(
+      DataDrivenWindows.goAddDate(leap, 1, 0), 0, java.time.ZoneOffset.UTC)
+    assert(gotY == java.time.LocalDateTime.of(2025, 3, 1, 0, 0))
+  }
+}
