@@ -10,16 +10,17 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** Σ aᵢ·bᵢ (computed in double). */
+  /** Σ aᵢ·bᵢ (computed in double) — a native codegen'd Catalyst expression
+    * ([[graft.functions.expressions.DotProduct]]); see its Scaladoc for why
+    * not `aggregate(zip_with(...))`. */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x)
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.expressions.DotProduct(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
 
   /** ‖a‖₂ */
-  def l2Norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
   /** cos(a, b) — callers should pre-compute norms when one side is reused
     * (e.g. the corpus side of a k-NN scan). */

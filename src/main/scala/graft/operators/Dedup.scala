@@ -36,22 +36,43 @@ object Dedup {
 
   private def docs(s: SparkSession, dir: String) = Tables(s, dir, "documents")
 
-  /** (doc_id, sh: array<string>) — distinct 3-word shingles per doc. */
-  private def shingled(s: SparkSession, dir: String): DataFrame = {
-    val w = split(col("text"), " ")
-    val sh = when(size(w) >= 3,
-      array_distinct(transform(sequence(lit(0), size(w) - 3),
-        i => concat_ws(" ", slice(w, i + 1, lit(3)))))
-    ).otherwise(array().cast("array<string>"))
-    docs(s, dir).select(col("doc_id"), sh.as("sh")).filter(size(col("sh")) > 0)
+  /** (doc_id, sh_hash) postings: one row per DISTINCT 3-word shingle per
+    * doc, carrying the shingle's 64-bit xxHash instead of the string —
+    * shuffle keys shrink ~4x, and MinHash permutations re-hash an 8-byte
+    * value instead of the string. A 64-bit collision among distinct
+    * shingles (~n²/2⁶⁵) is the accepted trade.
+    *
+    * Built with a typed flatMap rather than
+    * `transform(sequence(...), i -> concat_ws(slice(...)))`: Spark's
+    * higher-order-function lambdas evaluate INTERPRETED per element (they
+    * are CodegenFallback) — measured 4.8 s just to shingle 5 000 docs at
+    * sf0.1; the JIT'd imperative pass is the honest hot-path choice here
+    * (guide tier (d), genuinely per-row imperative). */
+  private def postings(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val w = text.split(" ", -1)
+        if (w.length < 3) Iterator.empty
+        else {
+          val seen = new java.util.HashSet[Long](w.length * 2)
+          val out = Seq.newBuilder[(Long, Long)]
+          var i = 0
+          while (i + 2 < w.length) {
+            val h = graft.functions.Hll.hash(w(i) + " " + w(i + 1) + " " + w(i + 2))
+            if (seen.add(h)) out += ((id, h))
+            i += 1
+          }
+          out.result()
+        }
+      }.toDF("doc_id", "sh_hash")
   }
 
-  /** Exploded inverted index (shingle → doc), hot shingles capped. */
+  /** Postings with hot shingles dropped (skew guard). */
   private def invertedIndex(s: SparkSession, dir: String): DataFrame = {
-    val posting = shingled(s, dir).select(col("doc_id"), explode(col("sh")).as("shingle"))
-    // Drop shingles shared by more than HotShingleCap docs (skew guard):
-    val hot = posting.groupBy("shingle").count().filter(col("count") > HotShingleCap)
-    posting.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val posting = postings(s, dir)
+    val hot = posting.groupBy("sh_hash").count().filter(col("count") > HotShingleCap)
+    posting.join(broadcast(hot), Seq("sh_hash"), "left_anti")
   }
 
   // -----------------------------------------------------------------
@@ -77,11 +98,13 @@ object Dedup {
     * pairs materialize only for docs sharing ≥1 shingle; intersection
     * counts come from a groupBy on the pair key. */
   def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val sizes = shingled(s, dir).select(col("doc_id"), size(col("sh")).as("n_sh"))
-    val idx = invertedIndex(s, dir)
-    val a = idx.select(col("shingle"), col("doc_id").as("doc_a"))
-    val b = idx.select(col("shingle"), col("doc_id").as("doc_b"))
-    val inter = a.join(b, Seq("shingle"))
+    val post = postings(s, dir).cache() // reused: sizes + hot-cap + join
+    val sizes = post.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val hot = post.groupBy("sh_hash").count().filter(col("count") > HotShingleCap)
+    val idx = post.join(broadcast(hot), Seq("sh_hash"), "left_anti")
+    val a = idx.select(col("sh_hash"), col("doc_id").as("doc_a"))
+    val b = idx.select(col("sh_hash"), col("doc_id").as("doc_b"))
+    val inter = a.join(b, Seq("sh_hash"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
@@ -112,16 +135,19 @@ object Dedup {
   // MinHash + LSH
   // -----------------------------------------------------------------
 
-  /** (doc_id, sig: array<long>[128]) MinHash signatures. Permutation i is
-    * `min(xxhash64(i, shingle))` — one base hash per shingle, re-seeded per
-    * permutation inside codegen; one shuffle on doc_id. */
+  /** (doc_id, sig: array<long>[128]) MinHash signatures via ONE typed
+    * Aggregator ([[graft.functions.MinHashSigAggregator]] — see its
+    * Scaladoc for why not 128 min() columns). One shuffle on doc_id, with
+    * partial aggregation (the buffer merges slot-wise). */
   def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
-    val idx = invertedIndex(s, dir)
-    val mins = (0 until MinhashPerms).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
-    idx.groupBy(col("doc_id"))
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"), array((0 until MinhashPerms).map(i => col(s"h$i")): _*).as("sig"))
+    import s.implicits._
+    val agg = new graft.functions.MinHashSigAggregator(MinhashPerms)
+    // explicit select: the using-column join in invertedIndex reorders
+    // columns to (sh_hash, doc_id)
+    invertedIndex(s, dir).select("doc_id", "sh_hash").as[(Long, Long)]
+      .groupByKey(_._1)
+      .agg(agg.toColumn.name("sig"))
+      .toDF("doc_id", "sig")
   }
 
   /** MinHash-LSH near-dup pairs: 32 bands × 4 rows; docs colliding in any
