@@ -73,6 +73,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     cardinalityQueries ++
       graft.operators.Relational.queries ++
+      graft.operators.Temporal.queries ++
       graft.operators.TextAnalysis.queries ++
       graft.operators.Dedup.queries ++
       graft.operators.Similarity.queries ++
@@ -81,6 +82,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     cardinalityOracles ++
       graft.operators.Relational.oracles ++
+      graft.operators.Temporal.oracles ++
       graft.operators.TextAnalysis.oracles ++
       graft.operators.Dedup.oracles ++
       graft.operators.Similarity.oracles ++

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Temporal operators beyond plain tumbling windows: as-of join, sliding
+  * windows, session windows, range join.
+  *
+  * The as-of join is the "operator Spark lacks" case (SURVEY.md guidance
+  * tier (a)): composed from a tagged union + running `last(ignoreNulls)`
+  * window — a single sort-based pass per key, which is exactly how a
+  * native as-of join executes. One shuffle on the key, no point-in-time
+  * self-join blowup; at 100 TB this beats the naive
+  * `JOIN ... ON a.ts > b.ts` + argmax formulation by orders of magnitude.
+  */
+object Temporal {
+
+  private def events(s: SparkSession, dir: String) = Tables(s, dir, "events")
+
+  /** AS-OF JOIN: for every purchase event, the most recent STRICTLY-prior
+    * click of the same user (DuckDB `ASOF JOIN` semantics with `p.ts >
+    * c.ts`). Tagged union sorted by (ts, tag) — purchases sort before
+    * same-timestamp clicks so strictness holds — then a running
+    * `last(click_id, ignoreNulls)` per user. */
+  def asOfJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(1).as("tag"),
+              col("event_id").as("click_event_id"), lit(null).cast("long").as("purchase_event_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(0).as("tag"),
+              lit(null).cast("long").as("click_event_id"), col("event_id").as("purchase_event_id"))
+    // tag order 0-before-1 at equal ts ⇒ a purchase never sees a
+    // same-instant click (strict inequality)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionAll(purchases)
+      .withColumn("last_click", last(col("click_event_id"), ignoreNulls = true).over(w))
+      .filter(col("purchase_event_id").isNotNull)
+      .select(col("purchase_event_id"), col("user_id"), col("last_click").as("click_event_id"))
+  }
+
+  val asOfJoinSql: String =
+    """SELECT p.event_id AS purchase_event_id, p.user_id,
+      |       c.event_id AS click_event_id
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts > c.ts""".stripMargin
+
+  /** Sliding windows: 10-minute windows every 5 minutes (each event lands
+    * in exactly two windows). Spark expands window instances map-side;
+    * one shuffled aggregation. */
+  def slidingWindowCounts(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(unix_timestamp(window(col("ts"), "10 minutes", "5 minutes")
+        .getField("start")).as("w_start"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+
+  val slidingWindowCountsSql: String =
+    """WITH x AS (
+      |  SELECT user_id, CAST(floor(floor(epoch(ts)) / 300) * 300 AS BIGINT) AS w_start FROM events
+      |  UNION ALL
+      |  SELECT user_id, CAST(floor(floor(epoch(ts)) / 300) * 300 - 300 AS BIGINT) AS w_start FROM events)
+      |SELECT w_start, count(DISTINCT user_id) AS n_users FROM x GROUP BY 1""".stripMargin
+
+  /** Session windows: per-user sessions with a 30-minute inactivity gap —
+    * `session_window` is Spark's native merging-window state machine; the
+    * oracle reproduces it with the classic gaps-and-islands formulation
+    * (lag + running sum of breaks), microsecond-exact via epoch_us. */
+  def sessionWindows(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+              unix_timestamp(col("sw.start")).as("session_start"),
+              col("n_events"))
+
+  val sessionWindowsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800000000
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM e)
+      |SELECT user_id, CAST(epoch_us(min(ts)) // 1000000 AS BIGINT) AS session_start,
+      |       count(*) AS n_events
+      |FROM s GROUP BY user_id, sid""".stripMargin
+
+  /** Range join (equi + interval predicate): lineitems shipped within 60
+    * days of their order's date, revenue per order month. The equi key
+    * carries the join (hash/broadcast); the range predicate is a residual
+    * filter — no interval-join blowup. */
+  def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+    Tables(s, dir, "lineitem")
+      .join(o, col("l_orderkey") === col("o_orderkey") &&
+               col("l_shipdate") >= col("o_orderdate") &&
+               col("l_shipdate") < date_add(col("o_orderdate"), 60))
+      .groupBy(unix_timestamp(date_trunc("month", col("o_orderdate"))).as("order_month"))
+      .agg(count(lit(1)).as("n_lineitems"),
+           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+  }
+
+  val rangeJoinSql: String =
+    """SELECT CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS order_month,
+      |  count(*) AS n_lineitems,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN orders
+      |  ON l_orderkey = o_orderkey
+      | AND l_shipdate >= o_orderdate
+      | AND l_shipdate < o_orderdate + INTERVAL 60 DAY
+      |GROUP BY 1""".stripMargin
+
+  /** CUBE over (mktsegment, orderpriority): all four grouping sets. */
+  def cubeOrders(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .join(broadcast(Tables(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .cube(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+           round(avg(col("o_totalprice")), 4).as("avg_price"))
+
+  val cubeOrdersSql: String =
+    """SELECT c_mktsegment, o_orderpriority, count(*) AS n_orders,
+      |  round(avg(o_totalprice), 4) AS avg_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY CUBE(c_mktsegment, o_orderpriority)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tmp_asof_join" -> (asOfJoin _),
+    "q_tmp_sliding_window" -> (slidingWindowCounts _),
+    "q_tmp_session_window" -> (sessionWindows _),
+    "q_tmp_range_join" -> (rangeJoin _),
+    "q_tmp_cube" -> (cubeOrders _))
+
+  val oracles: Map[String, String] = Map(
+    "q_tmp_asof_join" -> asOfJoinSql,
+    "q_tmp_sliding_window" -> slidingWindowCountsSql,
+    "q_tmp_session_window" -> sessionWindowsSql,
+    "q_tmp_range_join" -> rangeJoinSql,
+    "q_tmp_cube" -> cubeOrdersSql)
+}
