@@ -12,9 +12,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * The composable formulation (`aggregate(zip_with(a, b, _*_), 0.0, _+_)`)
   * materializes an intermediate array per row and interprets two lambda
   * closures — measured 31 s for 2M 64-dim pairs at sf0.1. This expression
-  * generates a tight primitive loop inside whole-stage codegen (no
-  * allocation, no virtual calls): the vector hot path a 100 TB similarity
-  * scan actually needs.
+  * compiles to a tight primitive loop (via whole-stage codegen where the
+  * surrounding plan supports it, or a generated UnsafeProjection inside
+  * joins that don't, e.g. BroadcastNestedLoopJoin): measured 1.6 s on the
+  * same workload — the vector hot path a 100 TB similarity scan needs.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
