@@ -291,7 +291,41 @@ object Relational {
   val jsonExtractSql: String =
     """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events""".stripMargin
 
+  /** PIVOT: per-user event counts, one column per event type. The pivot
+    * values are declared (not discovered) so the plan is a single
+    * aggregation with no extra distinct-values job — the right call at
+    * scale when the category set is known. */
+  def pivotEvents(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+
+  val pivotEventsSql: String =
+    """SELECT user_id,
+      |  count(*) FILTER (WHERE event_type = 'click') AS click,
+      |  count(*) FILTER (WHERE event_type = 'error') AS error,
+      |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |  count(*) FILTER (WHERE event_type = 'view') AS view
+      |FROM events GROUP BY user_id""".stripMargin
+
+  /** Explode/unnest: word frequencies over part names. */
+  def explodeWords(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(explode(split(col("p_name"), " ")).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"))
+
+  val explodeWordsSql: String =
+    """SELECT word, count(*) AS freq
+      |FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+      |GROUP BY word""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rel_pivot" -> (pivotEvents _),
+    "q_rel_explode" -> (explodeWords _),
     "q_rel_pricing_summary" -> (pricingSummary _),
     "q_rel_top_revenue" -> (topRevenueOrders _),
     "q_rel_local_volume" -> (localSupplierVolume _),
@@ -307,6 +341,8 @@ object Relational {
     "q_rel_json_extract" -> (jsonExtract _))
 
   val oracles: Map[String, String] = Map(
+    "q_rel_pivot" -> pivotEventsSql,
+    "q_rel_explode" -> explodeWordsSql,
     "q_rel_pricing_summary" -> pricingSummarySql,
     "q_rel_top_revenue" -> topRevenueOrdersSql,
     "q_rel_local_volume" -> localSupplierVolumeSql,
