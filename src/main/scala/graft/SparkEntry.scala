@@ -36,8 +36,11 @@ object SparkEntry {
     }.toMap ++ Map(
       "q_card_stats_all" -> ((s: SparkSession, dir: String) =>
         Cardinality.statsAllGranularities(events(s, dir), col("ts"), col("user_id"))),
+      // fine buckets -> sparse DataSketches; coarse buckets -> HLL++
       "q_card_minute_approx" -> ((s: SparkSession, dir: String) =>
-        Cardinality.approxPerBucket(events(s, dir), "minute", col("ts"), col("user_id"))),
+        Cardinality.approxPerBucketSketch(events(s, dir), "minute", col("ts"), col("user_id"))),
+      "q_card_day_approx" -> ((s: SparkSession, dir: String) =>
+        Cardinality.approxPerBucket(events(s, dir), "day", col("ts"), col("user_id"))),
       "q_card_sketch_rollup" -> ((s: SparkSession, dir: String) =>
         Cardinality.sketchRollup(events(s, dir), col("ts"), col("user_id"))),
       // custom HLL Aggregator (graft.functions.Hll) per day bucket

@@ -38,10 +38,23 @@ object Cardinality {
     df.groupBy(Buckets.bucketStart(g, ts).as("bucket"))
       .agg(countDistinct(id).as("n_users"))
 
-  /** Approximate twin of [[exactPerBucket]] (HLL++, p=14). */
+  /** Approximate twin of [[exactPerBucket]] (HLL++, p=14). For COARSE
+    * granularities (few buckets, many users each) — HLL++ buffers are
+    * dense (~22 KB per group at p=14), so fine-grained buckets should use
+    * [[approxPerBucketSketch]] instead. */
   def approxPerBucket(df: DataFrame, g: String, ts: Column, id: Column): DataFrame =
     df.groupBy(Buckets.bucketStart(g, ts).as("bucket"))
       .agg(approx_count_distinct(id, ReferenceRsd).as("n_users_approx"))
+
+  /** Approximate distinct per bucket via DataSketches HLL (lgK=14 — same
+    * register count): sketches stay SPARSE for low-cardinality groups, so
+    * ~39k minute buckets at sf0.1 cost KBs, not GBs, of aggregation buffer
+    * (measured 5.3 s → ~1 s vs [[approxPerBucket]]). The right default for
+    * fine-grained buckets at 100 TB. */
+  def approxPerBucketSketch(df: DataFrame, g: String, ts: Column, id: Column): DataFrame =
+    df.groupBy(Buckets.bucketStart(g, ts).as("bucket"))
+      .agg(hll_sketch_estimate(
+        hll_sketch_agg(id.cast("string"), lit(ReferenceLgK))).as("n_users_approx"))
 
   /** The reference's full output surface in one query: for all five
     * granularities, `(Type, Timestamp, Value)` rows — the batch analogue of

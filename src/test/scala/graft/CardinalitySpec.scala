@@ -9,18 +9,22 @@ class CardinalitySpec extends AnyFunSuite with SparkTestBase {
 
   private def ev = Tables(spark, sf, "events")
 
-  test("approx_count_distinct stays within 5x the HLL rsd bound per day bucket") {
+  test("both approx tiers stay within 5x the HLL rsd bound per day bucket") {
     val exact = Cardinality.exactPerBucket(ev, "day", col("ts"), col("user_id"))
-    val approx = Cardinality.approxPerBucket(ev, "day", col("ts"), col("user_id"))
-    val joined = exact.join(approx, "bucket").collect()
-    assert(joined.nonEmpty)
-    joined.foreach { r =>
-      val e = r.getAs[Long]("n_users")
-      val a = r.getAs[Long]("n_users_approx")
-      // rsd = 0.81%; 5 sigma margin (deterministic data, fixed hash — this
-      // is a sanity envelope, not a statistical test)
-      assert(math.abs(a - e) <= math.max(1.0, 5 * 0.0081 * e),
-        s"bucket ${r.get(0)}: approx $a vs exact $e")
+    Seq(
+      Cardinality.approxPerBucket(ev, "day", col("ts"), col("user_id")),
+      Cardinality.approxPerBucketSketch(ev, "day", col("ts"), col("user_id"))
+    ).foreach { approx =>
+      val joined = exact.join(approx, "bucket").collect()
+      assert(joined.nonEmpty)
+      joined.foreach { r =>
+        val e = r.getAs[Long]("n_users")
+        val a = r.getAs[Long]("n_users_approx")
+        // rsd = 0.81%; 5 sigma margin (deterministic data, fixed hash — this
+        // is a sanity envelope, not a statistical test)
+        assert(math.abs(a - e) <= math.max(1.0, 5 * 0.0081 * e),
+          s"bucket ${r.get(0)}: approx $a vs exact $e")
+      }
     }
   }
 
