@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.DotProduct
+import graft.functions.expressions.{DotProduct, HllDistinctAgg}
 
 /** SparkSessionExtensions injector exposing graft's native expressions to
   * SQL — install with
@@ -23,6 +23,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "dot_product(a, b) takes exactly 2 arguments")
         DotProduct(args(0), args(1))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("hll_distinct_native"),
+      new ExpressionInfo(classOf[HllDistinctAgg].getName, "hll_distinct_native"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "hll_distinct_native(x) takes exactly 1 argument")
+        HllDistinctAgg(args.head).toAggregateExpression()
       }))
   }
 }

@@ -1,0 +1,47 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One-off 10x scale experiment: replicate sf0.1 inputs (1M events, 50k
+  * docs, 20k vectors) into /tmp and time the heaviest operators, to observe
+  * scaling behavior beyond the provided SFs. Dev tool, not part of the
+  * driver contract. */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val src = "/root/testdata/sf0.1"
+    val dst = "/tmp/sf1x"
+    val k = 10
+    // events: shift user_id and ts per replica (keeps cardinality scaling)
+    val ev = Tables(spark, src, "events")
+    val evBig = (0 until k).map(i => ev
+      .withColumn("user_id", col("user_id") + lit(i * 10000L))
+      .withColumn("event_id", col("event_id") + lit(i * 10000000L))).reduce(_ unionAll _)
+    evBig.write.mode("overwrite").parquet(s"$dst/events.parquet")
+    val docs = Tables(spark, src, "documents")
+    val docsBig = (0 until k).map(i => docs
+      .withColumn("doc_id", col("doc_id") + lit(i * 1000000L))).reduce(_ unionAll _)
+    docsBig.write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    val emb = Tables(spark, src, "embeddings")
+    val embBig = (0 until k).map(i => emb
+      .withColumn("vec_id", col("vec_id") + lit(i * 1000000L))).reduce(_ unionAll _)
+    embBig.write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+    println(s"rows: events=${spark.read.parquet(s"$dst/events.parquet").count()}" +
+      s" docs=${spark.read.parquet(s"$dst/documents.parquet").count()}" +
+      s" emb=${spark.read.parquet(s"$dst/embeddings.parquet").count()}")
+    def time(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"SCALE10X $name: ${(System.nanoTime()-t0)/1e9}%.2f s")
+    }
+    for (q <- Seq("q_card_stats_all", "q_card_sketch_rollup", "q_card_minute_approx",
+                  "q_dedup_minhash_lsh", "q_dedup_ngram_jaccard", "q_dedup_simhash",
+                  "q_text_langid", "q_stream_data_driven"))
+      time(q)(SparkEntry.queries(q)(spark, dst).write.format("noop").mode("overwrite").save())
+    spark.stop()
+  }
+}

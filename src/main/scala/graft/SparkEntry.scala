@@ -43,6 +43,16 @@ object SparkEntry {
         Cardinality.approxPerBucket(events(s, dir), "day", col("ts"), col("user_id"))),
       "q_card_sketch_rollup" -> ((s: SparkSession, dir: String) =>
         Cardinality.sketchRollup(events(s, dir), col("ts"), col("user_id"))),
+      // native TypedImperativeAggregate HLL via SQL (GraftExtensions path)
+      "q_card_hll_native" -> ((s: SparkSession, dir: String) => {
+        s.sessionState.functionRegistry.createOrReplaceTempFunction(
+          "hll_distinct_native",
+          exprs => graft.functions.expressions.HllDistinctAgg(exprs.head).toAggregateExpression(),
+          "built-in")
+        events(s, dir)
+          .groupBy(Buckets.bucketStart("day", col("ts")).as("bucket"))
+          .agg(expr("hll_distinct_native(CAST(user_id AS STRING))").as("n_users_hll"))
+      }),
       // custom HLL Aggregator (graft.functions.Hll) per day bucket
       "q_card_hll_udaf" -> ((s: SparkSession, dir: String) => {
         s.udf.register("hll_distinct", udaf(new graft.functions.HllAggregator))

@@ -17,14 +17,17 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-      // reader rejects (PARQUET_TYPE_ILLEGAL). Read nanos as LongType and
-      // convert to TimestampType (µs) with exact integer division — ns
-      // epochs (~1.7e18) exceed 2^53, so a double divide would corrupt
-      // the low bits.
+      // The driver's events.ts is parquet TIMESTAMP(NANOS) which Spark's
+      // vectorized reader rejects (PARQUET_TYPE_ILLEGAL). Read nanos as
+      // LongType and convert to TimestampType (µs) with exact integer
+      // division — ns epochs (~1.7e18) exceed 2^53, so a double divide
+      // would corrupt the low bits. Events tables that already carry a
+      // real timestamp column (e.g. re-written copies) pass through.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else df
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

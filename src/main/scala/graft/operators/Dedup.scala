@@ -96,7 +96,12 @@ object Dedup {
 
   /** Exact 3-gram Jaccard near-dup pairs (≥ 0.5) via the inverted index:
     * pairs materialize only for docs sharing ≥1 shingle; intersection
-    * counts come from a groupBy on the pair key. */
+    * counts come from a groupBy on the pair key.
+    *
+    * Scaling law (measured, ScaleProbe 10x): the pair join is quadratic in
+    * corpus duplication — run [[exactDedup]] first to collapse identical
+    * copies, and prefer [[minhashLshPairs]] (sublinear on the same 10x
+    * corpus) beyond oracle scale. This operator is the exactness baseline. */
   def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val post = postings(s, dir).cache() // reused: sizes + hot-cap + join
     val sizes = post.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))

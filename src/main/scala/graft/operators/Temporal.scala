@@ -132,7 +132,23 @@ object Temporal {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY CUBE(c_mktsegment, o_orderpriority)""".stripMargin
 
+  /** Explicit GROUPING SETS (a set the rollup/cube shorthands can't
+    * express: totals by segment-and-priority, by segment, and grand). */
+  def groupingSetsOrders(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .join(broadcast(Tables(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .groupingSets(
+        Seq(Seq(col("c_mktsegment"), col("o_orderpriority")), Seq(col("c_mktsegment")), Seq()),
+        col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+
+  val groupingSetsOrdersSql: String =
+    """SELECT c_mktsegment, o_orderpriority, count(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority), (c_mktsegment), ())""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tmp_grouping_sets" -> (groupingSetsOrders _),
     "q_tmp_asof_join" -> (asOfJoin _),
     "q_tmp_sliding_window" -> (slidingWindowCounts _),
     "q_tmp_session_window" -> (sessionWindows _),
@@ -140,6 +156,7 @@ object Temporal {
     "q_tmp_cube" -> (cubeOrders _))
 
   val oracles: Map[String, String] = Map(
+    "q_tmp_grouping_sets" -> groupingSetsOrdersSql,
     "q_tmp_asof_join" -> asOfJoinSql,
     "q_tmp_sliding_window" -> slidingWindowCountsSql,
     "q_tmp_session_window" -> sessionWindowsSql,

@@ -33,6 +33,20 @@ class HllSpec extends AnyFunSuite with SparkTestBase {
     assert(Hll.estimate(once) == Hll.estimate(thrice))
   }
 
+  test("native TypedImperativeAggregate matches the Aggregator tier exactly") {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hll_distinct_native",
+      exprs => graft.functions.expressions.HllDistinctAgg(exprs.head).toAggregateExpression(),
+      "built-in")
+    spark.udf.register("hll_distinct", udaf(new HllAggregator))
+    Tables(spark, sf, "events").createOrReplaceTempView("ev_native")
+    val r = spark.sql(
+      """SELECT hll_distinct_native(CAST(user_id AS STRING)) AS a,
+        |       hll_distinct(CAST(user_id AS STRING)) AS b FROM ev_native""".stripMargin)
+      .collect()(0)
+    assert(r.getLong(0) == r.getLong(1))
+  }
+
   test("registered as a SQL UDAF, distributes over the events table") {
     spark.udf.register("hll_distinct", udaf(new HllAggregator))
     Tables(spark, sf, "events").createOrReplaceTempView("ev_hll")
