@@ -38,23 +38,28 @@ object CardinalityStream {
       .select(col("uid"), timestamp_seconds(col("ts")).as("event_time"))
 
   /** One granularity's windowed approximate distinct count.
-    * minute/day/week use fixed-width tumbling `window()`; month/year are
-    * calendar-true via `date_trunc` (window() cannot express them). */
+    * minute/day/week use fixed-width tumbling `window()` — grouped by the
+    * WINDOW COLUMN itself, not a projection of it: extracting `.start`
+    * before the groupBy severs the watermark→aggregation linkage and
+    * append mode rejects the query (STREAMING_OUTPUT_MODE). Month/year are
+    * calendar-true via `date_trunc` (window() cannot express them); they
+    * keep the watermark column association only in update/complete modes.
+    */
   def aggregated(parsed: DataFrame, granularity: String, watermark: String = "10 minutes"): DataFrame = {
     val wm = parsed.withWatermark("event_time", watermark)
-    val bucketed = granularity match {
+    val agg = approx_count_distinct(col("uid"), graft.core.Cardinality.ReferenceRsd).as("Value")
+    val aggregated = granularity match {
       case "minute" | "day" | "week" =>
         val dur = Map("minute" -> "1 minute", "day" -> "1 day", "week" -> "7 days")(granularity)
-        wm.groupBy(window(col("event_time"), dur).getField("start").as("win_start"))
+        wm.groupBy(window(col("event_time"), dur).as("win")).agg(agg)
+          .withColumn("win_start", col("win.start"))
       case "month" | "year" =>
-        wm.groupBy(date_trunc(granularity, col("event_time")).as("win_start"))
+        wm.groupBy(date_trunc(granularity, col("event_time")).as("win_start")).agg(agg)
     }
-    bucketed
-      .agg(approx_count_distinct(col("uid"), graft.core.Cardinality.ReferenceRsd).as("Value"))
-      .select(
-        lit(s"${granularity}_count").as("Type"),
-        unix_timestamp(col("win_start")).as("Timestamp"),
-        col("Value"))
+    aggregated.select(
+      lit(s"${granularity}_count").as("Type"),
+      unix_timestamp(col("win_start")).as("Timestamp"),
+      col("Value"))
   }
 
   /** All five granularities unioned — one streaming DataFrame in the

@@ -126,6 +126,38 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("watermark bounds state: events later than the watermark do not resurrect closed windows") {
+    import spark.implicits._
+    val input = MemoryStream[String](spark)
+    val base = 1468244340L
+    val agg = CardinalityStream.aggregated(
+      CardinalityStream.parse(input.toDF()), "minute", watermark = "10 minutes")
+    // append mode only emits windows the watermark has sealed — the
+    // mechanism the reference lacks entirely (SURVEY §2.1.3: no
+    // late-data handling, late events silently join the current window)
+    val q = agg.writeStream.format("memory").queryName("wmstats").outputMode("append").start()
+    try {
+      input.addData(s"""{"uid":"a","ts":$base}""", s"""{"uid":"b","ts":${base + 30}}""")
+      q.processAllAvailable()
+      // watermark is base+30-10min; window [base, base+60) not sealed yet
+      assert(spark.table("wmstats").isEmpty)
+      // advance event time far past the window; it seals and emits
+      input.addData(s"""{"uid":"c","ts":${base + 3600}}""")
+      q.processAllAvailable()
+      val sealedCounts = spark.table("wmstats").collect()
+        .map(r => r.getLong(1) -> r.getLong(2)).toMap
+      assert(sealedCounts == Map(base -> 2L))
+      // a VERY late event for the sealed window is dropped, not re-emitted
+      input.addData(s"""{"uid":"zzz","ts":${base + 1}}""")
+      // plus another advance so any (incorrect) re-emission would flush
+      input.addData(s"""{"uid":"d","ts":${base + 7200}}""")
+      q.processAllAvailable()
+      val again = spark.table("wmstats").collect()
+        .map(r => r.getLong(1) -> r.getLong(2)).toMap
+      assert(again.getOrElse(base, 2L) == 2L, s"late event resurrected a sealed window: $again")
+    } finally q.stop()
+  }
+
   test("intervalFrom matches the reference's epoch-0 initial intervals") {
     assert(DataDrivenWindows.intervalFrom("minute_count", 0) == 60L)
     assert(DataDrivenWindows.intervalFrom("day_count", 0) == 86400L)
