@@ -87,6 +87,7 @@ object SparkEntry {
     cardinalityQueries ++
       graft.operators.Relational.queries ++
       graft.operators.Temporal.queries ++
+      graft.operators.Skew.queries ++
       graft.operators.TextAnalysis.queries ++
       graft.operators.Dedup.queries ++
       graft.operators.Similarity.queries ++
@@ -96,6 +97,7 @@ object SparkEntry {
     cardinalityOracles ++
       graft.operators.Relational.oracles ++
       graft.operators.Temporal.oracles ++
+      graft.operators.Skew.oracles ++
       graft.operators.TextAnalysis.oracles ++
       graft.operators.Dedup.oracles ++
       graft.operators.Similarity.oracles ++
