@@ -22,6 +22,18 @@ object Relational {
 
   private def t(s: SparkSession, dir: String, name: String) = Tables(s, dir, name)
 
+
+  /** Order-independent money aggregation for oracle parity: per-row cast
+    * to DECIMAL(18,6), exact decimal sum, round to cents, back to double.
+    * Two failure classes this kills (both observed live): double sums are
+    * partial-aggregation-order dependent (a cent off on a rounding
+    * boundary at sf0.001); and a scale-4 cast rounds the 6-decimal-digit
+    * price products at REAL midpoints, where Spark (HALF_UP) and DuckDB
+    * (half-even) disagree — scale 6 holds the exact product, so the cast
+    * never rounds. At 100 TB sums use DECIMAL(38,6). */
+  private def moneySum(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(sum(e.cast("decimal(18,6)")), 2).cast("double")
+
   /** TPC-H Q1-style pricing summary: one scan of lineitem, predicate pushed
     * to parquet, 6 aggregates over 2 grouping keys (map-side partial agg ⇒
     * shuffle carries ~|groups| rows). Doubles rounded for oracle parity. */
@@ -30,10 +42,10 @@ object Relational {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         round(avg(col("l_extendedprice")), 4).as("avg_price"),
         round(avg(col("l_discount")), 4).as("avg_disc"),
@@ -41,10 +53,10 @@ object Relational {
 
   val pricingSummarySql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  round(sum(l_quantity), 2) AS sum_qty,
-      |  round(sum(l_extendedprice), 2) AS sum_base_price,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+      |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+      |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
       |  round(avg(l_quantity), 4) AS avg_qty,
       |  round(avg(l_extendedprice), 4) AS avg_price,
       |  round(avg(l_discount), 4) AS avg_disc,
@@ -64,7 +76,7 @@ object Relational {
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
       .select(col("l_orderkey"), unix_timestamp(col("o_orderdate")).as("orderdate_epoch"), col("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
@@ -73,7 +85,7 @@ object Relational {
   val topRevenueOrdersSql: String =
     """SELECT l_orderkey,
       |  CAST(epoch(o_orderdate) AS BIGINT) AS orderdate_epoch,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
       |FROM customer, orders, lineitem
       |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
       |  AND l_orderkey = o_orderkey
@@ -98,12 +110,12 @@ object Relational {
       .join(broadcast(c), col("o_custkey") === col("c_custkey") &&
                           col("c_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
 
   }
 
   val localSupplierVolumeSql: String =
-    """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    """SELECT n_name, CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
       |FROM customer, orders, lineitem, supplier, nation, region
       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -119,11 +131,11 @@ object Relational {
       .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
       .rollup(col("c_mktsegment"), col("o_orderstatus"))
       .agg(count(lit(1)).as("n_orders"),
-           round(sum(col("o_totalprice")), 2).as("total_price"))
+           moneySum(col("o_totalprice")).as("total_price"))
 
   val rollupOrdersSql: String =
     """SELECT c_mktsegment, o_orderstatus, count(*) AS n_orders,
-      |  round(sum(o_totalprice), 2) AS total_price
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY ROLLUP(c_mktsegment, o_orderstatus)""".stripMargin
 

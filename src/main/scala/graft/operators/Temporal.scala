@@ -105,13 +105,13 @@ object Temporal {
                col("l_shipdate") < date_add(col("o_orderdate"), 60))
       .groupBy(unix_timestamp(date_trunc("month", col("o_orderdate"))).as("order_month"))
       .agg(count(lit(1)).as("n_lineitems"),
-           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+           round(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)")), 2).cast("double").as("revenue"))
   }
 
   val rangeJoinSql: String =
     """SELECT CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS order_month,
       |  count(*) AS n_lineitems,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
       |FROM lineitem JOIN orders
       |  ON l_orderkey = o_orderkey
       | AND l_shipdate >= o_orderdate

@@ -123,7 +123,33 @@ object TextAnalysis {
       |  sum(n_chars) AS total_chars
       |FROM documents GROUP BY lang, source""".stripMargin
 
+  /** Repetition ratio: frequency of the most common token over total
+    * tokens — high values flag boilerplate/spam docs (a standard pipeline
+    * quality gate). Explode → two-level aggregation; the shuffle carries
+    * (doc, token) partial counts. */
+  def repetitionRatio(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), size(tokens).as("n_tok"), explode(tokens).as("tok"))
+      .groupBy(col("doc_id"), col("n_tok"), col("tok"))
+      .agg(count(lit(1)).as("tok_count"))
+      .groupBy(col("doc_id"), col("n_tok"))
+      .agg(max(col("tok_count")).as("top_tok_count"))
+      .select(col("doc_id"),
+              col("top_tok_count"),
+              round(col("top_tok_count") / col("n_tok"), 4).as("repetition_ratio"))
+
+  val repetitionRatioSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+      |         unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |c AS (SELECT doc_id, n_tok, tok, count(*) AS tok_count FROM t GROUP BY 1, 2, 3)
+      |SELECT doc_id, max(tok_count) AS top_tok_count,
+      |       round(max(tok_count) * 1.0 / n_tok, 4) AS repetition_ratio
+      |FROM c GROUP BY doc_id, n_tok""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_repetition" -> (repetitionRatio _),
     "q_text_tokens" -> (tokenCounts _),
     "q_text_quality" -> (qualityScore _),
     "q_text_langid" -> (languageId _),
@@ -131,6 +157,7 @@ object TextAnalysis {
     "q_text_corpus_stats" -> (corpusStats _))
 
   val oracles: Map[String, String] = Map(
+    "q_text_repetition" -> repetitionRatioSql,
     "q_text_tokens" -> tokenCountsSql,
     "q_text_quality" -> qualityScoreSql,
     "q_text_fingerprint" -> fingerprintSql,
