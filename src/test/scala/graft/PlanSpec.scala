@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan invariants — the "is this the plan you'd want at 100 TB"
+  * checks, kept as specs so a regression in plan shape fails CI, not just
+  * a manual PlanProbe run.
+  */
+class PlanSpec extends AnyFunSuite with SparkTestBase {
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("pricing summary pushes the shipdate filter into the parquet scan") {
+    val p = plan("q_rel_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p.take(800))
+  }
+
+  test("pricing summary prunes to only the needed lineitem columns") {
+    val p = plan("q_rel_pricing_summary")
+    // plan toString may truncate ReadSchema; the scan's output column list
+    // is the same pruning evidence
+    val readSchema = "FileScan parquet \\[([^\\]]*)\\]".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_comment"),
+      s"scan reads more than needed: $readSchema")
+    assert(readSchema.contains("l_quantity") && readSchema.contains("l_shipdate"))
+  }
+
+  test("dimension joins broadcast, never sort-merge, in q_rel_top_revenue") {
+    val p = plan("q_rel_top_revenue")
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+    assert(!p.contains("SortMergeJoin"), "a dim join fell back to SMJ")
+  }
+
+  test("top-k plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan("q_rel_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(500))
+    assert(!p.contains("Sort "), "global sort snuck into a limit query")
+  }
+
+  test("aggregations split into partial + final HashAggregate") {
+    val p = plan("q_card_day")
+    assert(p.contains("partial_count"), p.take(800))
+  }
+
+  test("salted join runs as ShuffledHashJoin, not broadcast") {
+    val p = plan("q_skew_salted_join")
+    assert(p.contains("ShuffledHashJoin"), p.take(500))
+    assert(!p.contains("BroadcastHashJoin"))
+  }
+}
