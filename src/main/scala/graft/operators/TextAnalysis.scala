@@ -148,7 +148,35 @@ object TextAnalysis {
       |       round(max(tok_count) * 1.0 / n_tok, 4) AS repetition_ratio
       |FROM c GROUP BY doc_id, n_tok""".stripMargin
 
+  /** Unigram log-probability scoring (perplexity family): pass 1 computes
+    * corpus word frequencies (a tiny broadcast table); pass 2 scores each
+    * doc by its mean token log-probability. Low scores flag docs full of
+    * corpus-rare tokens — the cheap statistical quality gate that precedes
+    * model-based filtering in training pipelines. Two scans, one broadcast
+    * join, no shuffle of document text. */
+  def unigramLogProb(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir).select(col("doc_id"), explode(tokens).as("tok"))
+    val total = docs(s, dir).select(sum(size(tokens))).collect()(0).getLong(0)
+    val freqs = tok.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+      .select(col("tok"), (col("tf") / lit(total.toDouble)).as("p"))
+    tok.join(broadcast(freqs), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(round(avg(log(col("p"))), 4).as("mean_logprob"),
+           count(lit(1)).as("n_scored"))
+  }
+
+  val unigramLogProbSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |freqs AS (
+      |  SELECT tok, count(*) * 1.0 / (SELECT count(*) FROM tok) AS p
+      |  FROM tok GROUP BY tok)
+      |SELECT doc_id, round(avg(ln(p)), 4) AS mean_logprob, count(*) AS n_scored
+      |FROM tok JOIN freqs USING (tok)
+      |GROUP BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_unigram_logprob" -> (unigramLogProb _),
     "q_text_repetition" -> (repetitionRatio _),
     "q_text_tokens" -> (tokenCounts _),
     "q_text_quality" -> (qualityScore _),
@@ -157,6 +185,7 @@ object TextAnalysis {
     "q_text_corpus_stats" -> (corpusStats _))
 
   val oracles: Map[String, String] = Map(
+    "q_text_unigram_logprob" -> unigramLogProbSql,
     "q_text_repetition" -> repetitionRatioSql,
     "q_text_tokens" -> tokenCountsSql,
     "q_text_quality" -> qualityScoreSql,
