@@ -31,12 +31,17 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
+      // release any blocks a query cached (minhash sigs, postings, minute
+      // sketches) so later queries aren't timed against pinned storage
+      spark.catalog.clearCache()
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }
+    // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
+    def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => s""""$k":${f3(v)}""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

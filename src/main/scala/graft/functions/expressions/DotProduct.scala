@@ -42,7 +42,13 @@ case class DotProduct(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val (lf, rf) = (isFloat(left), isFloat(right))
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // fail fast on dimension mismatch — silently truncating to the shorter
+    // vector would make downstream similarity rankings quietly wrong
+    if (n != y.numElements()) {
+      throw new IllegalArgumentException(
+        s"dot_product: dimension mismatch ($n vs ${y.numElements()})")
+    }
     var sum = 0.0
     var i = 0
     while (i < n) {
@@ -62,7 +68,11 @@ case class DotProduct(left: Expression, right: Expression)
       val getL = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val getR = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "dot_product: dimension mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |double $sum = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $sum += ($getL) * ($getR);

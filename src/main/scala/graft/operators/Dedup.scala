@@ -101,14 +101,16 @@ object Dedup {
     * Scaling law (measured, ScaleProbe 10x): the pair join is quadratic in
     * corpus duplication — run [[exactDedup]] first to collapse identical
     * copies, and prefer [[minhashLshPairs]] (sublinear on the same 10x
-    * corpus) beyond oracle scale. This operator is the exactness baseline. */
+    * corpus) beyond oracle scale. This operator is the exactness baseline:
+    * it uses UNCAPPED postings for both intersections and set sizes — a
+    * hot-shingle cap here would silently compute a different statistic
+    * than true Jaccard (and than the oracle); the capped index belongs to
+    * the approximate path ([[minhashLshPairs]]). */
   def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val post = postings(s, dir).cache() // reused: sizes + hot-cap + join
+    val post = postings(s, dir).cache() // reused: sizes + both join sides
     val sizes = post.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val hot = post.groupBy("sh_hash").count().filter(col("count") > HotShingleCap)
-    val idx = post.join(broadcast(hot), Seq("sh_hash"), "left_anti")
-    val a = idx.select(col("sh_hash"), col("doc_id").as("doc_a"))
-    val b = idx.select(col("sh_hash"), col("doc_id").as("doc_b"))
+    val a = post.select(col("sh_hash"), col("doc_id").as("doc_a"))
+    val b = post.select(col("sh_hash"), col("doc_id").as("doc_b"))
     val inter = a.join(b, Seq("sh_hash"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))

@@ -23,16 +23,7 @@ object Relational {
   private def t(s: SparkSession, dir: String, name: String) = Tables(s, dir, name)
 
 
-  /** Order-independent money aggregation for oracle parity: per-row cast
-    * to DECIMAL(18,6), exact decimal sum, round to cents, back to double.
-    * Two failure classes this kills (both observed live): double sums are
-    * partial-aggregation-order dependent (a cent off on a rounding
-    * boundary at sf0.001); and a scale-4 cast rounds the 6-decimal-digit
-    * price products at REAL midpoints, where Spark (HALF_UP) and DuckDB
-    * (half-even) disagree — scale 6 holds the exact product, so the cast
-    * never rounds. At 100 TB sums use DECIMAL(38,6). */
-  private def moneySum(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    round(sum(e.cast("decimal(18,6)")), 2).cast("double")
+  import OracleSafe.moneySum
 
   /** TPC-H Q1-style pricing summary: one scan of lineitem, predicate pushed
     * to parquet, 6 aggregates over 2 grouping keys (map-side partial agg ⇒

@@ -34,8 +34,13 @@ object Temporal {
       .select(col("user_id"), col("ts"), lit(0).as("tag"),
               lit(null).cast("long").as("click_event_id"), col("event_id").as("purchase_event_id"))
     // tag order 0-before-1 at equal ts ⇒ a purchase never sees a
-    // same-instant click (strict inequality)
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("tag"))
+    // same-instant click (strict inequality); click_event_id breaks ties
+    // among same-timestamp clicks deterministically (highest id wins —
+    // DuckDB's ASOF tie-winner is unspecified, so equal-ts click pairs are
+    // the one case the oracle can't pin; event timestamps are ns-unique in
+    // the testdata)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("tag"), col("click_event_id").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     clicks.unionAll(purchases)
       .withColumn("last_click", last(col("click_event_id"), ignoreNulls = true).over(w))
@@ -105,7 +110,7 @@ object Temporal {
                col("l_shipdate") < date_add(col("o_orderdate"), 60))
       .groupBy(unix_timestamp(date_trunc("month", col("o_orderdate"))).as("order_month"))
       .agg(count(lit(1)).as("n_lineitems"),
-           round(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)")), 2).cast("double").as("revenue"))
+           OracleSafe.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
   }
 
   val rangeJoinSql: String =

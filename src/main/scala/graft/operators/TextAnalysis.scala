@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -67,7 +68,6 @@ object TextAnalysis {
     * literal broadcast dim; the aggregation shuffles only (doc_id, lang)
     * partial counts. Rows-only checked (heuristic — no SQL oracle). */
   def languageId(s: SparkSession, dir: String): DataFrame = {
-    import scala.jdk.CollectionConverters._
     val profiles = Seq(
       ("en", Seq("the", "a", "and", "of", "to", "in", "is")),
       ("de", Seq("der", "die", "das", "und", "ist", "ein")),
@@ -156,9 +156,12 @@ object TextAnalysis {
     * join, no shuffle of document text. */
   def unigramLogProb(s: SparkSession, dir: String): DataFrame = {
     val tok = docs(s, dir).select(col("doc_id"), explode(tokens).as("tok"))
-    val total = docs(s, dir).select(sum(size(tokens))).collect()(0).getLong(0)
+    // total token count derives from the frequency aggregation itself
+    // (unpartitioned window over the tiny vocab table) — no third scan of
+    // the documents, no driver-side collect, no NPE on an empty corpus
     val freqs = tok.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
-      .select(col("tok"), (col("tf") / lit(total.toDouble)).as("p"))
+      .select(col("tok"),
+        (col("tf") / sum(col("tf")).over(Window.partitionBy())).as("p"))
     tok.join(broadcast(freqs), Seq("tok"))
       .groupBy(col("doc_id"))
       .agg(round(avg(log(col("p"))), 4).as("mean_logprob"),

@@ -49,9 +49,15 @@ object CardinalityStream {
     val wm = parsed.withWatermark("event_time", watermark)
     val agg = approx_count_distinct(col("uid"), graft.core.Cardinality.ReferenceRsd).as("Value")
     val aggregated = granularity match {
-      case "minute" | "day" | "week" =>
-        val dur = Map("minute" -> "1 minute", "day" -> "1 day", "week" -> "7 days")(granularity)
+      case "minute" | "day" =>
+        val dur = Map("minute" -> "1 minute", "day" -> "1 day")(granularity)
         wm.groupBy(window(col("event_time"), dur).as("win")).agg(agg)
+          .withColumn("win_start", col("win.start"))
+      case "week" =>
+        // epoch-aligned 7-day windows would start on Thursdays (1970-01-01);
+        // startTime shifts the origin 4 days to Monday so streaming weeks
+        // match the batch tier's ISO date_trunc('week') boundaries
+        wm.groupBy(window(col("event_time"), "7 days", "7 days", "4 days").as("win")).agg(agg)
           .withColumn("win_start", col("win.start"))
       case "month" | "year" =>
         wm.groupBy(date_trunc(granularity, col("event_time")).as("win_start")).agg(agg)
