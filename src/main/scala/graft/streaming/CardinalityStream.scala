@@ -76,10 +76,20 @@ object CardinalityStream {
       .reduce(_ unionAll _)
 
   /** Format for the Kafka sink: keyless JSON with capitalized keys,
-    * matching `kafkaio.go:92-100` (compact rather than pretty-printed —
-    * cosmetic divergence documented in SURVEY.md §2 O6). */
+    * matching `kafkaio.go:92-100` (compact; see [[toSinkFormatPretty]] for
+    * the byte-exact variant). */
   def toSinkFormat(stats: DataFrame): DataFrame =
     stats.select(to_json(struct(col("Type"), col("Timestamp"), col("Value"))).as("value"))
+
+  /** Byte-exact replica of the reference's output encoding:
+    * `jsoniter.MarshalIndent(msg, "", "  ")` (`kafkaio.go:92`) —
+    * pretty-printed, two-space indent, capitalized keys. Built with
+    * `format_string` (codegen'd); StatType values never need JSON escaping
+    * and Timestamp/Value are integers, so printf is safe here. */
+  def toSinkFormatPretty(stats: DataFrame): DataFrame =
+    stats.select(format_string(
+      "{\n  \"Type\": \"%s\",\n  \"Timestamp\": %d,\n  \"Value\": %d\n}",
+      col("Type"), col("Timestamp"), col("Value")).as("value"))
 
   /** The full wired pipeline against real Kafka — the analogue of the
     * reference's `main()` (`main.go:13-28`). Untested here (no broker in

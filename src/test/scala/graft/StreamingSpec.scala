@@ -67,6 +67,17 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("pretty sink format is byte-exact with Go jsoniter.MarshalIndent output") {
+    import spark.implicits._
+    val stats = Seq(graft.streaming.StatMsg("minute_count", 1468244384L, 997L)).toDF()
+    val got = CardinalityStream.toSinkFormatPretty(stats).collect()(0).getString(0)
+    // shape from FIXTURES.md / kafkaio.go:92 (Go-default capitalized keys,
+    // two-space indent)
+    val expected =
+      "{\n  \"Type\": \"minute_count\",\n  \"Timestamp\": 1468244384,\n  \"Value\": 997\n}"
+    assert(got == expected, s"\ngot:\n$got\nexpected:\n$expected")
+  }
+
   // ---------------------------------------------------------------
   // Exact-semantics tier: data-driven windows (processor.go:79-102)
   // ---------------------------------------------------------------
