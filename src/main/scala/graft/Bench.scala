@@ -31,10 +31,12 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
+      val elapsed = (System.nanoTime() - t0) / 1e9
       // release any blocks a query cached (minhash sigs, postings, minute
-      // sketches) so later queries aren't timed against pinned storage
+      // sketches) so later queries aren't timed against pinned storage;
+      // teardown cost stays OUTSIDE the timed region
       spark.catalog.clearCache()
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> elapsed
     }
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
     def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

@@ -99,8 +99,14 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_decode_meta" -> ((s: SparkSession, d: String) => decodeMeta(s, d).toDF()),
+    // posexplode to scalar (media_id, dim_idx, value) rows: the driver's
+    // correctness gate sorts rows via pandas, which cannot canonicalize a
+    // raw array<float> column. Library callers use extractFeatures directly.
     "q_mm_features" -> ((s: SparkSession, d: String) =>
-      extractFeatures(s, d).toDF().select(col("media_id"), col("feature"))),
+      extractFeatures(s, d).toDF()
+        .select(col("media_id"), posexplode(col("feature")))
+        .select(col("media_id"), col("pos").cast("long").as("dim_idx"),
+                round(col("col").cast("double"), 5).as("value"))),
     "q_mm_frame_sample" -> ((s: SparkSession, d: String) =>
       sampleFrames(s, d)
         .groupBy("media_id", "kind", "total_bytes")

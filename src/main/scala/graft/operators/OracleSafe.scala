@@ -21,4 +21,19 @@ private[operators] object OracleSafe {
   /** DuckDB twin of [[moneySum]] for oracle SQL. */
   def moneySumSql(expr: String): String =
     s"CAST(round(sum(CAST($expr AS DECIMAL(18,6))), 2) AS DOUBLE)"
+
+  /** Engine-parity-safe `round(avg(long_col), 4)`: Spark's `Average` over
+    * longs accumulates in floating point (order-dependent) and DuckDB's
+    * decimal division returns DOUBLE, so neither `avg` nor a decimal cast
+    * survives the hash gate. Instead keep everything in exact BIGINT —
+    * round-half-up of sum/count at scale 4 is `(20000*sum + n) div (2*n)`
+    * — then both engines divide the SAME integer by 10000.0 (one shared
+    * double op ⇒ bit-identical). `sumCol`/`cntCol` must be exact longs. */
+  def avgRound4(sumCol: Column, cntCol: Column): Column =
+    call_function("div", sumCol * lit(20000L) + cntCol, cntCol * lit(2L)) / lit(10000.0)
+
+  /** DuckDB twin of [[avgRound4]] (`//` is floor division — equals
+    * truncation here because every operand is positive). */
+  def avgRound4Sql(sumExpr: String, cntExpr: String): String =
+    s"(($sumExpr * 20000 + $cntExpr) // (2 * $cntExpr)) / 10000.0"
 }

@@ -109,17 +109,21 @@ object TextAnalysis {
       |  CAST(length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS BIGINT) AS norm_len
       |FROM documents""".stripMargin
 
-  /** Corpus stats by (lang, source): doc counts and char-length moments. */
+  /** Corpus stats by (lang, source): doc counts and char-length moments.
+    * `avg_chars` goes through [[OracleSafe.avgRound4]] — `round(avg(...))`
+    * over longs is NOT engine-parity-safe (Spark's Average accumulates in
+    * floating point; the 4th decimal diverged from DuckDB at sf0.01). */
   def corpusStats(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .groupBy(col("lang"), col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-           round(avg(col("n_chars")), 4).as("avg_chars"),
-           sum(col("n_chars")).as("total_chars"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .select(col("lang"), col("source"), col("n_docs"),
+              OracleSafe.avgRound4(col("total_chars"), col("n_docs")).as("avg_chars"),
+              col("total_chars"))
 
   val corpusStatsSql: String =
-    """SELECT lang, source, count(*) AS n_docs,
-      |  round(avg(n_chars), 4) AS avg_chars,
+    s"""SELECT lang, source, count(*) AS n_docs,
+      |  ${OracleSafe.avgRound4Sql("sum(n_chars)", "count(*)")} AS avg_chars,
       |  sum(n_chars) AS total_chars
       |FROM documents GROUP BY lang, source""".stripMargin
 

@@ -38,6 +38,14 @@ def main(sf_dir, out_dir):
                         ignore_index=True) if glob.glob(qdir + "/*.parquet") else pd.DataFrame()
         if name not in oracle:
             status = "ROWS-ONLY" if len(got) > 0 else "ROWS-ONLY-EMPTY!"
+            try:
+                canon(got)  # mirror the driver: it sorts rows-only output too,
+                            # and dies on unsortable cells (e.g. array columns)
+            except Exception as e:
+                status = "ROWS-ONLY-UNSORTABLE!"
+                n_fail += 1
+                print(f"{status:18s} {name:28s} {type(e).__name__}: {e}")
+                continue
             n_rowsonly += 1
             print(f"{status:18s} {name:28s} rows={len(got)}")
             continue
