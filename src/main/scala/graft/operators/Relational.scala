@@ -169,8 +169,10 @@ object Relational {
       |ORDER BY p_retailprice DESC, p_partkey LIMIT 25""".stripMargin
 
   /** Set operations: (customers with orders ∪ high-balance customers) ∖
-    * AUTOMOBILE-segment customers. All three legs are key-only projections;
-    * UNION/EXCEPT are distinct-semantics in both Spark and DuckDB. */
+    * AUTOMOBILE-segment customers. All three legs are key-only projections.
+    * NOTE: DataFrame.union is UNION ALL — parity with DuckDB's distinct
+    * UNION holds here only because the trailing `.except` applies distinct
+    * semantics to the whole result. Don't reuse the union leg alone. */
   def setOps(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
     val withOrders = t(s, dir, "orders").select(col("o_custkey").as("custkey"))

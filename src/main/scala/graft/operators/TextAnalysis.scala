@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -160,12 +159,14 @@ object TextAnalysis {
     * join, no shuffle of document text. */
   def unigramLogProb(s: SparkSession, dir: String): DataFrame = {
     val tok = docs(s, dir).select(col("doc_id"), explode(tokens).as("tok"))
-    // total token count derives from the frequency aggregation itself
-    // (unpartitioned window over the tiny vocab table) — no third scan of
-    // the documents, no driver-side collect, no NPE on an empty corpus
-    val freqs = tok.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
-      .select(col("tok"),
-        (col("tf") / sum(col("tf")).over(Window.partitionBy())).as("p"))
+    // total token count derives from the frequency aggregation itself — as
+    // a 1-row partial+final aggregate broadcast-cross-joined back, NOT an
+    // unpartitioned window: Window.partitionBy() moves the whole vocab to
+    // one task, a straggler when the vocabulary is billions of rows
+    val tf = tok.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    val total = tf.agg(sum(col("tf")).as("total"))
+    val freqs = tf.crossJoin(broadcast(total))
+      .select(col("tok"), (col("tf") / col("total")).as("p"))
     tok.join(broadcast(freqs), Seq("tok"))
       .groupBy(col("doc_id"))
       .agg(round(avg(log(col("p"))), 4).as("mean_logprob"),

@@ -43,12 +43,33 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       s"missing=${expected -- got} extra=${got -- expected}")
   }
 
-  test("embedding near-dup pairs respect the threshold and ordering") {
+  test("embedding near-dup: exact precision, bounded recall vs brute force") {
+    // local brute-force oracle: all pairs with cosine >= threshold
+    val vecs = Tables(spark, sf, "embeddings").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val exact = (for {
+      (ida, va) <- vecs
+      (idb, vb) <- vecs
+      if ida < idb && cos(va, vb) >= 0.4
+    } yield (ida, idb)).toSet
+    assert(exact.nonEmpty, "test data should contain near-dup embedding pairs")
+
     val pairs = Dedup.embeddingNearDupPairs(spark, sf, threshold = 0.4).collect()
-    assert(pairs.nonEmpty)
+    val got = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
     pairs.foreach { r =>
       assert(r.getLong(0) < r.getLong(1))
       assert(r.getDouble(2) >= 0.4 - 1e-9 && r.getDouble(2) <= 1.0 + 1e-9)
     }
+    // verification is exact cosine => NO false positives, ever
+    assert(got.subsetOf(exact), s"false positives: ${got -- exact}")
+    // LSH candidates => recall approximate; 16x4 banding expects ~0.94 at
+    // this corpus's similarity range (deterministic planes, fixed seed)
+    assert(got.size >= math.ceil(0.6 * exact.size).toInt,
+      s"recall too low: ${got.size}/${exact.size}")
   }
 }

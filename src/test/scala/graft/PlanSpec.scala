@@ -48,4 +48,10 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("ShuffledHashJoin"), p.take(500))
     assert(!p.contains("BroadcastHashJoin"))
   }
+
+  test("embedding near-dup has no all-pairs join (LSH-bucketed candidates)") {
+    val p = plan("q_dedup_embedding")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "all-pairs BNLJ in the plan")
+    assert(!p.contains("CartesianProduct"), "cartesian product in the plan")
+  }
 }
