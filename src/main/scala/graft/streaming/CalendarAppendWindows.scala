@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.time.{LocalDateTime, ZoneOffset}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.functions.Hll
+
+/** Append-mode calendar-bucket distinct counting for ALL five reference
+  * granularities — including month/year, which the windowed-aggregate tier
+  * ([[CardinalityStream.aggregated]]) can only run in update/complete
+  * modes: `window()` cannot express calendar months, and grouping by
+  * `date_trunc` severs the watermark→aggregation linkage that append mode
+  * requires (SURVEY.md §8.4 gap 2).
+  *
+  * Mechanism: `flatMapGroupsWithState` keyed by (granularity, bucket
+  * start), one fixed-size HLL register set per open bucket, and an
+  * EVENT-TIME TIMEOUT at the bucket's calendar end — when the watermark
+  * passes the bucket end, the bucket emits `(Type, Timestamp, Value)`
+  * exactly once and its state is freed. Late rows behind the watermark are
+  * filtered by Spark before they reach the operator (late-data drop), so a
+  * sealed bucket can never resurrect.
+  *
+  * Scale notes: state is (open buckets × 16 KiB) per granularity —
+  * independent of user cardinality, like the reference's sketches; keys
+  * hash-partition across executors, and the HLL buffer merges map-side.
+  * Surviving-row invariant: a row reaching the operator has
+  * `event_time ≥ watermark`, and its bucket end > event_time, so the
+  * timeout timestamp is always strictly ahead of the watermark (required
+  * by `setTimeoutTimestamp`).
+  */
+object CalendarAppendWindows {
+
+  final case class BucketState(registers: Array[Byte])
+
+  /** Calendar end (epoch seconds) of the bucket starting at `bucketStart`.
+    * Calendar-true for month/year (java.time clamping is irrelevant here:
+    * `date_trunc` starts are always day 1 / Jan 1). */
+  def bucketEnd(granularity: String, bucketStart: Long): Long = {
+    val dt = LocalDateTime.ofEpochSecond(bucketStart, 0, ZoneOffset.UTC)
+    (granularity match {
+      case "minute" => dt.plusMinutes(1)
+      case "day"    => dt.plusDays(1)
+      case "week"   => dt.plusDays(7)
+      case "month"  => dt.plusMonths(1)
+      case "year"   => dt.plusYears(1)
+      case other    => throw new IllegalArgumentException(other)
+    }).toEpochSecond(ZoneOffset.UTC)
+  }
+
+  private def update(granularity: String)(
+      key: Long, rows: Iterator[(Long, String, java.sql.Timestamp)],
+      state: GroupState[BucketState]): Iterator[StatMsg] =
+    if (state.hasTimedOut) {
+      val est = Hll.estimate(state.get.registers)
+      state.remove()
+      Iterator.single(StatMsg(s"${granularity}_count", key, est))
+    } else {
+      val st = state.getOption.getOrElse(BucketState(Hll.emptyRegisters()))
+      rows.foreach(r => Hll.add(st.registers, Hll.hash(r._2)))
+      state.update(st)
+      state.setTimeoutTimestamp(bucketEnd(granularity, key) * 1000L)
+      Iterator.empty
+    }
+
+  /** One granularity's append-mode stream over `parsed` (`uid`,
+    * `event_time` — [[CardinalityStream.parse]] output). */
+  def aggregated(spark: SparkSession, parsed: DataFrame, granularity: String,
+                 watermark: String = "10 minutes"): Dataset[StatMsg] = {
+    import spark.implicits._
+    parsed.withWatermark("event_time", watermark)
+      .select(
+        unix_timestamp(date_trunc(granularity, col("event_time"))).as("bucket_start"),
+        col("uid"), col("event_time"))
+      .as[(Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        update(granularity))
+  }
+
+  /** All five granularities, one append-mode stream in the reference
+    * output shape — the full O3 fan-out with watermark-bounded state. */
+  def allGranularities(spark: SparkSession, parsed: DataFrame,
+                       watermark: String = "10 minutes"): DataFrame = {
+    import spark.implicits._
+    graft.core.Buckets.granularities
+      .map(g => aggregated(spark, parsed, g, watermark).toDF())
+      .reduce(_ unionAll _)
+  }
+}

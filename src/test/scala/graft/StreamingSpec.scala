@@ -169,6 +169,58 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("append-mode month/year granularities emit once on watermark seal and drop late data") {
+    import spark.implicits._
+    val input = MemoryStream[String](spark)
+    val jul11 = 1468244384L // 2016-07-11 UTC
+    val jul1 = 1467331200L // 2016-07-01 00:00:00 UTC (month bucket start)
+    val aug2 = 1470096000L // 2016-08-02 UTC — seals the July bucket
+    val agg = graft.streaming.CalendarAppendWindows.aggregated(
+      spark, CardinalityStream.parse(input.toDF()), "month", watermark = "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("capp").outputMode("append").start()
+    try {
+      input.addData(s"""{"uid":"u1","ts":$jul11}""", s"""{"uid":"u2","ts":${jul11 + 100}}""")
+      q.processAllAvailable()
+      assert(spark.table("capp").isEmpty, "bucket emitted before watermark sealed it")
+      // advance event time into August (watermark passes July's end)...
+      input.addData(s"""{"uid":"u3","ts":$aug2}""")
+      q.processAllAvailable()
+      // ...and one more batch so the timeout fires under the advanced watermark
+      input.addData(s"""{"uid":"u4","ts":${aug2 + 60}}""")
+      q.processAllAvailable()
+      val sealedRows = spark.table("capp").as[StatMsg].collect()
+      assert(sealedRows.toSeq == Seq(StatMsg("month_count", jul1, 2L)), sealedRows.mkString(","))
+      // a very late July event is dropped; the sealed bucket never re-emits
+      input.addData(s"""{"uid":"zzz","ts":${jul11 + 1}}""")
+      input.addData(s"""{"uid":"u5","ts":${aug2 + 7200}}""")
+      q.processAllAvailable()
+      val again = spark.table("capp").as[StatMsg].collect().filter(_.Timestamp == jul1)
+      assert(again.toSeq == Seq(StatMsg("month_count", jul1, 2L)),
+        s"late event resurrected or re-emitted a sealed month bucket: ${again.mkString(",")}")
+    } finally q.stop()
+  }
+
+  test("append-mode year bucket seals with calendar-true boundaries") {
+    import spark.implicits._
+    val input = MemoryStream[String](spark)
+    val jan1_2016 = 1451606400L
+    val feb2017 = 1485907200L // 2017-02-01 — seals 2016
+    val agg = graft.streaming.CalendarAppendWindows.aggregated(
+      spark, CardinalityStream.parse(input.toDF()), "year", watermark = "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("cappy").outputMode("append").start()
+    try {
+      input.addData(s"""{"uid":"a","ts":${jan1_2016 + 5000}}""",
+                    s"""{"uid":"b","ts":${jan1_2016 + 86400 * 200}}""")
+      q.processAllAvailable()
+      input.addData(s"""{"uid":"c","ts":$feb2017}""")
+      q.processAllAvailable()
+      input.addData(s"""{"uid":"d","ts":${feb2017 + 60}}""")
+      q.processAllAvailable()
+      val sealedRows = spark.table("cappy").as[StatMsg].collect()
+      assert(sealedRows.toSeq == Seq(StatMsg("year_count", jan1_2016, 2L)), sealedRows.mkString(","))
+    } finally q.stop()
+  }
+
   test("intervalFrom matches the reference's epoch-0 initial intervals") {
     assert(DataDrivenWindows.intervalFrom("minute_count", 0) == 60L)
     assert(DataDrivenWindows.intervalFrom("day_count", 0) == 86400L)
