@@ -81,27 +81,64 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
-  /** IVF-style ANN: per-label centroids (one tiny agg), query probes its
-    * nProbe nearest centroids, search restricted to those partitions. The
-    * centroid table is broadcast twice (probe + partition filter); the
-    * corpus is scanned once with a partition-pruning semi-join. */
-  def annIvf(s: SparkSession, dir: String, k: Int = DefaultK, nProbe: Int = 2): DataFrame = {
+  /** Assign each vector its nearest centroid id by cosine (argmax via an
+    * orderable struct — ties break toward the higher cid, deterministic).
+    * Centroids are literals, so assignment is one map-only pass. */
+  private def assignCid(e: DataFrame, cents: Seq[Seq[Double]]): DataFrame = {
+    val scored = cents.zipWithIndex.map { case (c, i) =>
+      struct(VectorOps.cosine(col("embedding"), array(c.map(lit): _*)).as("sim"),
+             lit(i).as("cid"))
+    }
+    e.withColumn("cid", greatest(scored: _*).getField("cid"))
+  }
+
+  /** Lloyd's k-means coarse quantizer in DataFrame ops: deterministic init
+    * (k lowest-hash vectors), then `iters` rounds of
+    * assign-via-broadcast-literals → per-dimension mean re-centering. Only
+    * the k×dim centroid model crosses to the driver each round (the MLlib
+    * KMeans pattern) — the corpus never leaves the executors, each round is
+    * one map-only assignment plus one k-group aggregation. Empty clusters
+    * keep their previous centroid. */
+  def learnCentroids(s: SparkSession, e: DataFrame, k: Int = 8, iters: Int = 4,
+                     dim: Int = 64): Seq[Seq[Double]] = {
+    var cents: Seq[Seq[Double]] = e
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
+      .collect().toSeq.map(_.getSeq[Float](1).toSeq.map(_.toDouble))
+    for (_ <- 0 until iters) {
+      val recentered = assignCid(e, cents)
+        .groupBy(col("cid"))
+        .agg(array((0 until dim).map(j =>
+          avg(element_at(col("embedding"), j + 1))): _*).as("centroid"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+      cents = cents.indices.map(i => recentered.getOrElse(i, cents(i)))
+    }
+    cents
+  }
+
+  /** IVF ANN with a LEARNED coarse quantizer: k-means centroids
+    * ([[learnCentroids]] — replacing round 1's label-column stand-in),
+    * query probes its nProbe nearest centroids, search restricted to those
+    * inverted lists. The corpus is scanned once for assignment (at scale
+    * the assignment is the persisted IVF index); probed queries broadcast;
+    * recall vs brute force is property-tested in SimilaritySpec. */
+  def annIvf(s: SparkSession, dir: String, k: Int = DefaultK, nProbe: Int = 2,
+             nCentroids: Int = 8, iters: Int = 4): DataFrame = {
+    import s.implicits._
     val e = emb(s, dir)
-    val dim = 64
-    // centroid[j] = avg over partition members of embedding[j]
-    val centroids = e.groupBy(col("label"))
-      .agg(array((0 until dim).map(j =>
-        avg(element_at(col("embedding"), j + 1))): _*).as("centroid"))
-    val queries = e.filter(col("vec_id") < QueryCount)
+    val cents = learnCentroids(s, e, nCentroids, iters)
+    val assigned = assignCid(e, cents)
+    val centDf = cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cid", "centroid")
+    val queries = assigned.filter(col("vec_id") < QueryCount)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("norm").as("qn"))
     // probe: nProbe nearest centroids per query
-    val probeW = Window.partitionBy(col("query_id")).orderBy(col("cdist"), col("label"))
-    val probed = queries.join(broadcast(centroids), lit(true))
+    val probeW = Window.partitionBy(col("query_id")).orderBy(col("cdist"), col("cid"))
+    val probed = queries.join(broadcast(centDf), lit(true))
       .withColumn("cdist", -VectorOps.cosine(col("qv"), col("centroid")))
       .withColumn("crank", row_number().over(probeW))
       .filter(col("crank") <= nProbe)
-      .select(col("query_id"), col("qv"), col("qn"), col("label"))
-    val scored = e.join(broadcast(probed), Seq("label"))
+      .select(col("query_id"), col("qv"), col("qn"), col("cid"))
+    val scored = assigned.join(broadcast(probed), Seq("cid"))
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("cos_sim",
         VectorOps.cosinePrenormed(col("qv"), col("embedding"), col("qn"), col("norm")))

@@ -30,12 +30,25 @@ object CardinalityStream {
   /** Parse raw JSON message values into (uid, event_time), dropping
     * malformed rows — the analogue of the reference's log-and-skip
     * (`kafkaio.go:78-81`). Also drops `ts <= 0` rows, which the reference
-    * would mishandle via u64 underflow (SURVEY.md §2.1.3). */
-  def parse(raw: DataFrame): DataFrame =
-    raw.select(from_json(col("value").cast("string"), userSchema).as("m"))
+    * would mishandle via u64 underflow (SURVEY.md §2.1.3).
+    *
+    * `referenceParity = true` replicates jsoniter's default decode for the
+    * uid field (`processor.go:87` via `kafkaio.go:77`): a missing/null
+    * `uid` decodes as `""` and IS counted as a distinct user, instead of
+    * being dropped. Remaining documented divergence: jsoniter matches JSON
+    * keys case-insensitively as a fallback; `from_json` is case-sensitive,
+    * so `{"UID":…}` parses as a missing uid here (= `""` in parity mode). */
+  def parse(raw: DataFrame, referenceParity: Boolean = false): DataFrame = {
+    val parsed = raw
+      .select(from_json(col("value").cast("string"), userSchema).as("m"))
       .select(col("m.uid").as("uid"), col("m.ts").as("ts"))
-      .filter(col("uid").isNotNull && col("ts").isNotNull && col("ts") > 0)
+    val withUid =
+      if (referenceParity) parsed.select(coalesce(col("uid"), lit("")).as("uid"), col("ts"))
+      else parsed.filter(col("uid").isNotNull)
+    withUid
+      .filter(col("ts").isNotNull && col("ts") > 0)
       .select(col("uid"), timestamp_seconds(col("ts")).as("event_time"))
+  }
 
   /** One granularity's windowed approximate distinct count.
     * minute/day/week use fixed-width tumbling `window()` — grouped by the

@@ -46,7 +46,7 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("IVF ANN achieves high recall vs brute force at nProbe=2") {
+  test("IVF ANN with learned centroids beats the probed-fraction recall floor") {
     val brute = Similarity.bruteForceTopK(spark, sf).collect()
       .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
     val ivf = Similarity.annIvf(spark, sf).collect()
@@ -55,6 +55,10 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       ivf.getOrElse(q, Set.empty).intersect(brute(q)).size.toDouble / brute(q).size
     }
     val mean = recalls.sum / recalls.size
-    assert(mean >= 0.2, s"mean IVF recall $mean too low (probing 2/10 partitions)")
+    // probing 2 of 8 learned partitions = 25% of the corpus; the synthetic
+    // embeddings are nearly unclustered (max pairwise cos ~0.5), so recall
+    // cannot far exceed the probed fraction — 0.3 asserts the quantizer
+    // beats random partitioning (measured 0.34 with k-means, vs 0.25 floor)
+    assert(mean >= 0.3, s"mean IVF recall $mean too low (probing 2/8 partitions)")
   }
 }

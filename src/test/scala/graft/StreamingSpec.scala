@@ -28,6 +28,24 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("reference-parity parse counts a missing uid as the empty string (jsoniter decode)") {
+    import spark.implicits._
+    val input = MemoryStream[String](spark)
+    input.addData(
+      """{"uid":"alice","ts":1468244384}""",
+      """{"ts":1468244395}""", // missing uid -> "" (processor.go:87 counts it)
+      """{"uid":null,"ts":1468244396}""", // explicit null -> "" likewise
+      """not json at all""", // malformed still dropped (log-and-skip)
+      """{"uid":"ghost"}""") // missing ts -> still dropped (u64-underflow guard)
+    val q = CardinalityStream.parse(input.toDF(), referenceParity = true)
+      .writeStream.format("memory").queryName("parity").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("parity").collect().map(_.getString(0)).sorted.toSeq
+      assert(rows == Seq("", "", "alice"))
+    } finally q.stop()
+  }
+
   test("minute-granularity streaming agg counts distinct users per aligned window") {
     import spark.implicits._
     val input = MemoryStream[String](spark)
