@@ -44,6 +44,23 @@ object Multimodal {
         duration_ms = math.abs(h >> 20) % 600000)
     }
 
+    /** "Resize" to a target pixel budget: deterministic stride-sampling of
+      * the payload down to `targetW*targetH/8` bytes (a real codec would
+      * decode, scale, re-encode here — same signature, same batch shape). */
+    def resize(bytes: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+      val budget = math.max(1, targetW * targetH / 8)
+      if (bytes.length <= budget) bytes
+      else {
+        val out = new Array[Byte](budget)
+        var i = 0
+        while (i < budget) {
+          out(i) = bytes((i.toLong * bytes.length / budget).toInt)
+          i += 1
+        }
+        out
+      }
+    }
+
     /** "Extract" a fixed-dim feature vector (stand-in for an embedding). */
     def features(id: Long, bytes: Array[Byte]): MediaFeatures = {
       val f = new Array[Float](FeatureDim)
@@ -83,6 +100,26 @@ object Multimodal {
       .mapPartitions(_.map { case (id, bytes) => FakeCodec.features(id, bytes) })
   }
 
+  /** Resize/thumbnail pass: decode header + downsample each payload to a
+    * target pixel budget, partition-wise (per-partition codec state, like
+    * [[decodeMeta]]). The thumbnail binary stays with its row — never
+    * shuffled (the query projection reduces it to a checksum before any
+    * exchange). */
+  def resizeMedia(s: SparkSession, dir: String,
+                  targetW: Int = 64, targetH: Int = 64): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir).select("media_id", "kind", "content").as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, kind, bytes) =>
+          val meta = FakeCodec.probe(id, kind, bytes)
+          val thumb = FakeCodec.resize(bytes, targetW, targetH)
+          (id, kind, meta.width, meta.height, targetW, targetH, thumb)
+        }
+      }
+      .toDF("media_id", "kind", "src_width", "src_height",
+            "thumb_width", "thumb_height", "thumb")
+  }
+
   /** Frame sampling: slice the binary payload into fixed-length frames
     * (every `stride`-th), one output row per frame. Pure SQL — `substring`
     * works on BinaryType and stays codegen'd; explode happens after
@@ -111,7 +148,13 @@ object Multimodal {
       sampleFrames(s, d)
         .groupBy("media_id", "kind", "total_bytes")
         .agg(count(lit(1)).as("n_frames"),
-             sum(length(col("frame"))).as("sampled_bytes"))))
+             sum(length(col("frame"))).as("sampled_bytes"))),
+    // scalar projection (checksum, not the binary) for driver sortability
+    "q_mm_resize" -> ((s: SparkSession, d: String) =>
+      resizeMedia(s, d).select(
+        col("media_id"), col("kind"), col("src_width"), col("src_height"),
+        length(col("thumb")).cast("long").as("thumb_bytes"),
+        md5(col("thumb")).as("thumb_md5"))))
 
   val oracles: Map[String, String] = Map.empty
 }

@@ -287,14 +287,79 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_sim"))
   }
 
+  // -----------------------------------------------------------------
+  // Near-dup cluster grouping (connected components)
+  // -----------------------------------------------------------------
+
+  /** Connected components over a near-dup pair table: iterative
+    * neighbor-min label propagation to a fixpoint. Each round is one keyed
+    * join + one min-aggregation; `localCheckpoint` truncates the loop's
+    * lineage so plan size stays constant across iterations. Converges in
+    * O(component diameter) rounds — near-dup clusters are shallow (dup
+    * chains, not paths), so this is small; at 100 TB with adversarial
+    * graphs the same loop structure hosts large-star/small-star
+    * (O(log n) rounds) without changing the dataflow shape.
+    *
+    * Returns `(doc_id, cluster_id)` where `cluster_id` is the component's
+    * minimum doc_id — the canonical "keep" representative. */
+  def clusterPairs(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster_id"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("cluster_id").as("nbr")), "dst")
+        .groupBy(col("src"))
+        .agg(min(col("nbr")).as("nbr_min"))
+        .select(col("src").as("id"), col("nbr_min"))
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"),
+          (coalesce(col("nbr_min"), col("cluster_id")) < col("cluster_id")).as("chg"))
+        .localCheckpoint() // truncate lineage; also makes the count cheap
+      changed = stepped.filter(col("chg")).count()
+      labels = stepped.select(col("id"), col("cluster_id"))
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("cluster_id"))
+  }
+
+  /** Near-dup clusters over the exact Jaccard pairs — the oracle-checkable
+    * composition (the MinHash-LSH pairs feed the same `clusterPairs` at
+    * scale). */
+  def nearDupClusters(s: SparkSession, dir: String): DataFrame =
+    clusterPairs(ngramJaccardPairs(s, dir))
+
+  val nearDupClustersSql: String = {
+    // embed the jaccard-pair oracle as a CTE, then a recursive reachability
+    // closure; cluster id = min reachable doc_id (incl. self)
+    val pairsSubquery = ngramJaccardPairsSql.replace("WITH sh AS", "(WITH sh AS") + ")"
+    s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM $pairsSubquery p),
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |          UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+      |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+      |FROM reach GROUP BY src""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (exactDedup _),
     "q_dedup_ngram_jaccard" -> (ngramJaccardPairs _),
     "q_dedup_minhash_lsh" -> ((s: SparkSession, d: String) => minhashLshPairs(s, d)),
     "q_dedup_simhash" -> ((s: SparkSession, d: String) => simhashPairs(s, d)),
-    "q_dedup_embedding" -> ((s: SparkSession, d: String) => embeddingNearDupPairs(s, d)))
+    "q_dedup_embedding" -> ((s: SparkSession, d: String) => embeddingNearDupPairs(s, d)),
+    "q_dedup_clusters" -> (nearDupClusters _))
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> exactDedupSql,
-    "q_dedup_ngram_jaccard" -> ngramJaccardPairsSql)
+    "q_dedup_ngram_jaccard" -> ngramJaccardPairsSql,
+    "q_dedup_clusters" -> nearDupClustersSql)
 }

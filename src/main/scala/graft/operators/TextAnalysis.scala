@@ -183,10 +183,93 @@ object TextAnalysis {
       |FROM tok JOIN freqs USING (tok)
       |GROUP BY doc_id""".stripMargin
 
+  /** GPT-2-family "BPE-ish" pre-tokenizer pattern — contraction suffixes,
+    * space-prefixed letter/digit runs, punctuation runs, whitespace.
+    * Deliberately restricted to syntax Java regex and RE2 (DuckDB) treat
+    * identically: no lookarounds, no backrefs (RE2 has neither). */
+  val BpePattern: String =
+    """'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""
+
+  /** Token counting, BPE-ish tier: the subword-style pre-tokenization used
+    * by LLM training pipelines for budget estimates — counts per doc plus
+    * the whitespace-token count for comparison. Map-only, codegen'd
+    * `regexp_extract_all`. */
+  def bpeTokenCounts(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).cast("long").as("n_bpe_tokens"),
+      size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("long").as("n_ws_tokens"))
+
+  val bpeTokenCountsSql: String = {
+    val sqlPat = BpePattern.replace("'", "''")
+    s"""SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '$sqlPat')) AS BIGINT) AS n_bpe_tokens,
+      |  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_ws_tokens
+      |FROM documents""".stripMargin
+  }
+
+  /** Winnowing document fingerprints (the MOSS local-fingerprinting
+    * algorithm, Schleimer et al., SIGMOD'03): Rabin-Karp rolling hash over
+    * character k-grams, then per sliding window of `w` consecutive k-gram
+    * hashes select the RIGHTMOST minimum — guarantees any match of length
+    * ≥ w+k-1 between two docs shares a fingerprint, with expected density
+    * 2/(w+1). Output is the distinct (doc_id, fp) set.
+    *
+    * Typed flatMap (guide tier (d)): the rolling hash + window minimum is
+    * genuinely per-row imperative — higher-order-function lambdas evaluate
+    * interpreted, and a SQL formulation would materialize every k-gram.
+    * Map-only (no shuffle before the distinct, which is keyed by doc). */
+  def winnowFingerprints(s: SparkSession, dir: String, k: Int = 5, w: Int = 4): DataFrame =
+    winnowFingerprintsOf(s, docs(s, dir), k, w)
+
+  /** [[winnowFingerprints]] over any `(doc_id, text)` DataFrame. */
+  def winnowFingerprintsOf(s: SparkSession, documents: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
+    import s.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val n = text.length - k + 1
+        if (n <= 0) Iterator.empty
+        else {
+          val B = 1000003L
+          var pow = 1L
+          var i = 0
+          while (i < k - 1) { pow *= B; i += 1 }
+          val hs = new Array[Long](n)
+          var h = 0L
+          i = 0
+          while (i < k) { h = h * B + text.charAt(i); i += 1 }
+          hs(0) = graft.functions.MinHashSigAggregator.mix(h)
+          i = 1
+          while (i < n) {
+            h = (h - text.charAt(i - 1) * pow) * B + text.charAt(i + k - 1)
+            hs(i) = graft.functions.MinHashSigAggregator.mix(h)
+            i += 1
+          }
+          // winnowing: rightmost min per window; record when the selected
+          // POSITION changes (standard robust winnowing)
+          val out = Seq.newBuilder[(Long, Long)]
+          var lastPos = -1
+          var start = 0
+          val lastStart = n - w
+          while (start <= math.max(lastStart, 0) && n >= 1) {
+            val end = math.min(start + w, n)
+            var minPos = start
+            var j = start + 1
+            while (j < end) { if (hs(j) <= hs(minPos)) minPos = j; j += 1 }
+            if (minPos != lastPos) { out += ((id, hs(minPos))); lastPos = minPos }
+            start += 1
+          }
+          out.result()
+        }
+      }.toDF("doc_id", "fp").distinct()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_unigram_logprob" -> (unigramLogProb _),
     "q_text_repetition" -> (repetitionRatio _),
     "q_text_tokens" -> (tokenCounts _),
+    "q_text_bpe_tokens" -> (bpeTokenCounts _),
+    "q_text_winnow" -> ((s: SparkSession, d: String) => winnowFingerprints(s, d)),
     "q_text_quality" -> (qualityScore _),
     "q_text_langid" -> (languageId _),
     "q_text_fingerprint" -> (fingerprint _),
@@ -196,6 +279,7 @@ object TextAnalysis {
     "q_text_unigram_logprob" -> unigramLogProbSql,
     "q_text_repetition" -> repetitionRatioSql,
     "q_text_tokens" -> tokenCountsSql,
+    "q_text_bpe_tokens" -> bpeTokenCountsSql,
     "q_text_quality" -> qualityScoreSql,
     "q_text_fingerprint" -> fingerprintSql,
     "q_text_corpus_stats" -> corpusStatsSql)

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Dedup
@@ -41,6 +42,27 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == expected,
       s"missing=${expected -- got} extra=${got -- expected}")
+  }
+
+  test("near-dup clusters equal a local union-find over the same pairs") {
+    val pairs = Dedup.ngramJaccardPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // local union-find oracle
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(x => x -> find(x)).toMap
+    val got = Dedup.clusterPairs(
+        Dedup.ngramJaccardPairs(spark, sf).select(col("doc_a"), col("doc_b")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, s"missing=${expected.toSet -- got.toSet} extra=${got.toSet -- expected.toSet}")
   }
 
   test("embedding near-dup: exact precision, bounded recall vs brute force") {

@@ -24,6 +24,20 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("resize respects the pixel-budget bound and is deterministic") {
+    val rows = Multimodal.resizeMedia(spark, sf, targetW = 64, targetH = 64).collect()
+    assert(rows.length == Tables(spark, sf, "documents").count())
+    val budget = 64 * 64 / 8
+    rows.foreach { r =>
+      val thumb = r.getAs[Array[Byte]]("thumb")
+      assert(thumb.length <= budget, s"media ${r.getLong(0)} over budget")
+      assert(r.getAs[Int]("thumb_width") == 64 && r.getAs[Int]("thumb_height") == 64)
+    }
+    val again = Multimodal.resizeMedia(spark, sf, targetW = 64, targetH = 64).collect()
+    assert(rows.map(_.getAs[Array[Byte]]("thumb").toSeq).toSeq ==
+           again.map(_.getAs[Array[Byte]]("thumb").toSeq).toSeq)
+  }
+
   test("frame sampling slices the payload without exceeding it") {
     val rows = Multimodal.sampleFrames(spark, sf).collect()
     assert(rows.nonEmpty)

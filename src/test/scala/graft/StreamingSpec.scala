@@ -239,6 +239,35 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming dedup drops duplicates within the watermark, state expires after") {
+    import spark.implicits._
+    val input = MemoryStream[String](spark)
+    val base = 1468244340L
+    val out = graft.streaming.StreamDedup.withinWatermark(
+      CardinalityStream.parse(input.toDF()), watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("sdedup").outputMode("append").start()
+    try {
+      input.addData(
+        s"""{"uid":"u1","ts":$base}""",
+        s"""{"uid":"u1","ts":${base + 5}}""", // dup within watermark
+        s"""{"uid":"u2","ts":${base + 10}}""")
+      q.processAllAvailable()
+      assert(spark.table("sdedup").collect().map(_.getString(0)).sorted.toSeq == Seq("u1", "u2"))
+      // still within horizon: dropped
+      input.addData(s"""{"uid":"u1","ts":${base + 30}}""")
+      q.processAllAvailable()
+      assert(spark.table("sdedup").count() == 2)
+      // advance the watermark far past u1's expiry, then u1 reappears: the
+      // state was evicted, so it re-emits (at-least-once dedup semantics)
+      input.addData(s"""{"uid":"adv","ts":${base + 7200}}""")
+      q.processAllAvailable()
+      input.addData(s"""{"uid":"u1","ts":${base + 7300}}""")
+      q.processAllAvailable()
+      val u1Count = spark.table("sdedup").collect().count(_.getString(0) == "u1")
+      assert(u1Count == 2, s"expected expired-key re-emission, got $u1Count")
+    } finally q.stop()
+  }
+
   test("intervalFrom matches the reference's epoch-0 initial intervals") {
     assert(DataDrivenWindows.intervalFrom("minute_count", 0) == 60L)
     assert(DataDrivenWindows.intervalFrom("day_count", 0) == 86400L)

@@ -33,6 +33,46 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     out.foreach(r => assert(valid.contains(r.getString(1))))
   }
 
+  test("BPE-ish token counts match a local Java-regex scan and bound ws tokens") {
+    val texts = Tables(spark, sf, "documents").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pat = java.util.regex.Pattern.compile(TextAnalysis.BpePattern)
+    TextAnalysis.bpeTokenCounts(spark, sf).collect().foreach { r =>
+      val m = pat.matcher(texts(r.getLong(0)))
+      var n = 0
+      while (m.find()) n += 1
+      assert(r.getLong(1) == n, s"doc ${r.getLong(0)}")
+      // BPE pre-tokens split at least as fine as whitespace tokens
+      assert(r.getLong(1) >= r.getLong(2), s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("winnowing fingerprints: deterministic, and identical docs share identical sets") {
+    val fps = TextAnalysis.winnowFingerprints(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(fps.nonEmpty && fps.values.forall(_.nonEmpty))
+    // determinism (rolling hash + fixed windows — no run-to-run variance)
+    val again = TextAnalysis.winnowFingerprints(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(fps == again)
+    // winnowing laws on constructed docs (k=5, w=4):
+    //  - identical text => identical fingerprint set;
+    //  - any shared substring of length >= w+k-1 (=8) => shared fingerprint
+    //    (the MOSS match guarantee);
+    //  - disjoint alphabets => disjoint sets
+    import spark.implicits._
+    val common = "the quick brown fox jumps over the lazy dog"
+    val docsDf = Seq(
+      (1L, common), (2L, common),
+      (3L, s"prefix words here $common and a suffix tail"),
+      (4L, "zzzzxxxxqqqqwwwwzzzzxxxx")).toDF("doc_id", "text")
+    val law = graft.operators.TextAnalysis.winnowFingerprintsOf(spark, docsDf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(law(1L) == law(2L), "identical docs must fingerprint identically")
+    assert(law(1L).intersect(law(3L)).nonEmpty, "long shared substring must share a fingerprint")
+    assert(law(1L).intersect(law(4L)).isEmpty, "disjoint alphabets must not collide")
+  }
+
   test("fingerprint md5 matches a local MessageDigest on normalized text") {
     val texts = Tables(spark, sf, "documents").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
