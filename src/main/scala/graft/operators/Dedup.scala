@@ -350,16 +350,35 @@ object Dedup {
       |FROM reach GROUP BY src""".stripMargin
   }
 
+  /** End-to-end dedup pipeline: near-dup clustering (which subsumes exact
+    * duplicates — identical docs have Jaccard 1.0), keep each cluster's
+    * minimum doc_id, anti-join the rest away. The composition a training
+    * pipeline actually runs; returns the kept document id set. */
+  def dedupPipeline(s: SparkSession, dir: String): DataFrame = {
+    val clusters = nearDupClusters(s, dir)
+    val removedNearDup = clusters.filter(col("doc_id") =!= col("cluster_id"))
+    docs(s, dir).select(col("doc_id"))
+      .join(removedNearDup.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+  }
+
+  val dedupPipelineSql: String =
+    s"""SELECT doc_id FROM documents
+      |WHERE doc_id NOT IN (
+      |  SELECT doc_id FROM ($nearDupClustersSql) c WHERE doc_id <> cluster_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (exactDedup _),
     "q_dedup_ngram_jaccard" -> (ngramJaccardPairs _),
     "q_dedup_minhash_lsh" -> ((s: SparkSession, d: String) => minhashLshPairs(s, d)),
     "q_dedup_simhash" -> ((s: SparkSession, d: String) => simhashPairs(s, d)),
     "q_dedup_embedding" -> ((s: SparkSession, d: String) => embeddingNearDupPairs(s, d)),
-    "q_dedup_clusters" -> (nearDupClusters _))
+    "q_dedup_clusters" -> (nearDupClusters _),
+    "q_dedup_pipeline" -> (dedupPipeline _))
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> exactDedupSql,
     "q_dedup_ngram_jaccard" -> ngramJaccardPairsSql,
-    "q_dedup_clusters" -> nearDupClustersSql)
+    "q_dedup_clusters" -> nearDupClustersSql,
+    "q_dedup_pipeline" -> dedupPipelineSql)
 }

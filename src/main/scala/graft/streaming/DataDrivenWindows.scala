@@ -107,6 +107,13 @@ object DataDrivenWindows {
     * shuffle — no driver-side collect), fresh state per run — exactly the
     * reference's "re-run reprocesses the topic from the start"
     * (`README.md:5`). Trailing windows are discarded, as in the reference.
+    *
+    * Parallelism is capped at 5 (one sequential pass per granularity) BY
+    * DESIGN: the reference's flush rule is order-dependent, so exact parity
+    * requires a single in-order scan per granularity. This tier exists for
+    * parity; the scalable tiers are [[graft.core.Cardinality]] (batch) and
+    * [[CalendarAppendWindows]] (streaming append), whose aggregations
+    * partition freely.
     */
   def batch(spark: SparkSession, msgs: Dataset[UserMsg]): Dataset[StatMsg] = {
     import spark.implicits._
