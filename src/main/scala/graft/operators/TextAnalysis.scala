@@ -222,46 +222,50 @@ object TextAnalysis {
   def winnowFingerprints(s: SparkSession, dir: String, k: Int = 5, w: Int = 4): DataFrame =
     winnowFingerprintsOf(s, docs(s, dir), k, w)
 
+  /** Per-document winnowing core (pure — property-tested directly):
+    * rolling k-gram hashes, rightmost-min per window of `w`, new selection
+    * recorded when the selected POSITION changes (robust winnowing). */
+  def winnow(text: String, k: Int = 5, w: Int = 4): Seq[Long] = {
+    val n = text.length - k + 1
+    if (n <= 0) Seq.empty
+    else {
+      val B = 1000003L
+      var pow = 1L
+      var i = 0
+      while (i < k - 1) { pow *= B; i += 1 }
+      val hs = new Array[Long](n)
+      var h = 0L
+      i = 0
+      while (i < k) { h = h * B + text.charAt(i); i += 1 }
+      hs(0) = graft.functions.MinHashSigAggregator.mix(h)
+      i = 1
+      while (i < n) {
+        h = (h - text.charAt(i - 1) * pow) * B + text.charAt(i + k - 1)
+        hs(i) = graft.functions.MinHashSigAggregator.mix(h)
+        i += 1
+      }
+      val out = Seq.newBuilder[Long]
+      var lastPos = -1
+      var start = 0
+      val lastStart = math.max(n - w, 0)
+      while (start <= lastStart) {
+        val end = math.min(start + w, n)
+        var minPos = start
+        var j = start + 1
+        while (j < end) { if (hs(j) <= hs(minPos)) minPos = j; j += 1 }
+        if (minPos != lastPos) { out += hs(minPos); lastPos = minPos }
+        start += 1
+      }
+      out.result()
+    }
+  }
+
   /** [[winnowFingerprints]] over any `(doc_id, text)` DataFrame. */
   def winnowFingerprintsOf(s: SparkSession, documents: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
     import s.implicits._
     documents.select(col("doc_id"), col("text")).as[(Long, String)]
-      .flatMap { case (id, text) =>
-        val n = text.length - k + 1
-        if (n <= 0) Iterator.empty
-        else {
-          val B = 1000003L
-          var pow = 1L
-          var i = 0
-          while (i < k - 1) { pow *= B; i += 1 }
-          val hs = new Array[Long](n)
-          var h = 0L
-          i = 0
-          while (i < k) { h = h * B + text.charAt(i); i += 1 }
-          hs(0) = graft.functions.MinHashSigAggregator.mix(h)
-          i = 1
-          while (i < n) {
-            h = (h - text.charAt(i - 1) * pow) * B + text.charAt(i + k - 1)
-            hs(i) = graft.functions.MinHashSigAggregator.mix(h)
-            i += 1
-          }
-          // winnowing: rightmost min per window; record when the selected
-          // POSITION changes (standard robust winnowing)
-          val out = Seq.newBuilder[(Long, Long)]
-          var lastPos = -1
-          var start = 0
-          val lastStart = n - w
-          while (start <= math.max(lastStart, 0) && n >= 1) {
-            val end = math.min(start + w, n)
-            var minPos = start
-            var j = start + 1
-            while (j < end) { if (hs(j) <= hs(minPos)) minPos = j; j += 1 }
-            if (minPos != lastPos) { out += ((id, hs(minPos))); lastPos = minPos }
-            start += 1
-          }
-          out.result()
-        }
-      }.toDF("doc_id", "fp").distinct()
+      .flatMap { case (id, text) => winnow(text, k, w).map(fp => (id, fp)) }
+      .toDF("doc_id", "fp").distinct()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

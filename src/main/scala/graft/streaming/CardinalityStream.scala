@@ -107,19 +107,27 @@ object CardinalityStream {
   /** The full wired pipeline against real Kafka — the analogue of the
     * reference's `main()` (`main.go:13-28`). Untested here (no broker in
     * the environment); the parse→aggregate→format stages are covered via
-    * MemoryStream in StreamingSpec. */
-  def run(spark: SparkSession, checkpointDir: String): Unit = {
+    * MemoryStream in StreamingSpec.
+    *
+    * `append = true` routes through [[CalendarAppendWindows]]: every
+    * granularity (month/year included) emits exactly once per sealed
+    * bucket — each output `(Type, Timestamp)` appears once on the stats
+    * topic, like the reference. The default update mode re-emits a
+    * bucket's running count as it grows (downstream keeps the latest). */
+  def run(spark: SparkSession, checkpointDir: String, append: Boolean = false): Unit = {
     val raw = spark.readStream.format("kafka")
       .option("kafka.bootstrap.servers", KafkaConfig.broker)
       .option("subscribe", KafkaConfig.usersTopic)
       .option("startingOffsets", "earliest") // replay-from-start, README.md:5
       .load()
-    val out = toSinkFormat(allGranularities(parse(raw)))
-    out.writeStream.format("kafka")
+    val stats =
+      if (append) CalendarAppendWindows.allGranularities(spark, parse(raw))
+      else allGranularities(parse(raw))
+    toSinkFormat(stats).writeStream.format("kafka")
       .option("kafka.bootstrap.servers", KafkaConfig.broker)
       .option("topic", KafkaConfig.statsTopic)
       .option("checkpointLocation", checkpointDir)
-      .outputMode("update")
+      .outputMode(if (append) "append" else "update")
       .start()
     spark.streams.awaitAnyTermination()
   }

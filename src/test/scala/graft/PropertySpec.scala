@@ -38,6 +38,56 @@ class PropertySpec extends AnyFunSuite {
     }, n = 20)
   }
 
+  test("winnowing MOSS guarantee: shared substring >= w+k-1 chars implies a shared fingerprint") {
+    val lowerStr = (min: Int, max: Int) => for {
+      len <- Gen.chooseNum(min, max)
+      cs <- Gen.listOfN(len, Gen.alphaLowerChar)
+    } yield cs.mkString
+    check(Prop.forAll(lowerStr(8, 24), lowerStr(0, 30), lowerStr(0, 30),
+                      lowerStr(0, 30), lowerStr(0, 30)) {
+      (shared, p1, s1, p2, s2) =>
+        import graft.operators.TextAnalysis.winnow
+        val a = winnow(p1 + shared + s1).toSet
+        val b = winnow(p2 + shared + s2).toSet
+        a.intersect(b).nonEmpty
+    })
+  }
+
+  test("SimHashAggregator: merge(a,b) == reduce over concatenation; finish matches brute sign") {
+    val agg = new graft.functions.SimHashAggregator(64)
+    check(Prop.forAll(Gen.listOf(Gen.long), Gen.listOf(Gen.long)) { (xs: List[Long], ys: List[Long]) =>
+      def reduceAll(hs: List[Long]) =
+        hs.foldLeft(agg.zero)((b, h) => agg.reduce(b, (0L, h)))
+      val merged = agg.merge(reduceAll(xs), reduceAll(ys))
+      val together = reduceAll(xs ++ ys)
+      val mergeLaw = merged.toSeq == together.toSeq
+      // brute-force fingerprint: bit j set iff strictly more set-bits than not
+      val brute = (0 until 64).foldLeft(0L) { (fp, j) =>
+        val sum = (xs ++ ys).map(h => if (((h >>> j) & 1L) == 1L) 1 else -1).sum
+        if (sum > 0) fp | (1L << j) else fp
+      }
+      mergeLaw && agg.finish(together) == brute
+    })
+  }
+
+  test("calendar bucket ends are strictly ahead and re-truncate to the same bucket") {
+    import graft.streaming.CalendarAppendWindows.bucketEnd
+    val gran = Gen.oneOf("minute", "day", "week", "month", "year")
+    check(Prop.forAll(gran, Gen.chooseNum(0L, 4102444800L)) { (g, ts) =>
+      // truncate ts to a legitimate bucket start for g
+      val dt = LocalDateTime.ofEpochSecond(ts, 0, ZoneOffset.UTC)
+      val start = (g match {
+        case "minute" => dt.withSecond(0)
+        case "day"    => dt.toLocalDate.atStartOfDay
+        case "week"   => dt.toLocalDate.minusDays(dt.getDayOfWeek.getValue - 1).atStartOfDay
+        case "month"  => dt.toLocalDate.withDayOfMonth(1).atStartOfDay
+        case "year"   => dt.toLocalDate.withDayOfYear(1).atStartOfDay
+      }).toEpochSecond(ZoneOffset.UTC)
+      val end = bucketEnd(g, start)
+      end > start && end - start <= 366L * 86400 && ts < end && ts >= start
+    })
+  }
+
   test("goAddDate(+1 month) is 28-35 days ahead and preserves clock time") {
     check(Prop.forAll(Gen.chooseNum(0L, 4102444800L)) { ts => // 1970..2100
       val next = DataDrivenWindows.goAddDate(ts, 0, 1)
