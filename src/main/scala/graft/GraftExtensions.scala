@@ -17,6 +17,8 @@ import graft.functions.expressions.{DotProduct, HllDistinctAgg}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    // flag-gated COUNT(DISTINCT) -> HLL++ approximate-query rewrite
+    e.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
     e.injectFunction((
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),

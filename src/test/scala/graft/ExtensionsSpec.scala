@@ -21,6 +21,44 @@ class ExtensionsSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(r - 11.0) < 1e-9)
   }
 
+  test("approx-distinct rewrite rule swaps COUNT(DISTINCT) for HLL++ only when enabled") {
+    import org.apache.spark.sql.functions._
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.ApproxDistinctRewrite
+    // a Dataset caches its QueryExecution, so build a FRESH plan after
+    // each conf flip — the rewrite is decided at optimization time
+    def df = Tables(spark, sf, "events")
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    try {
+      // disabled (default): the exact distinct plan survives
+      spark.conf.set(graft.plans.ApproxDistinctRewrite.EnabledKey, "false")
+      val exactDf = df
+      val exactPlan = exactDf.queryExecution.executedPlan.toString
+      assert(exactPlan.contains("distinct"), exactPlan.take(500))
+      val exact = exactDf.collect().map(r => r.get(0) -> r.getLong(1)).toMap
+
+      // enabled: plan rewrites to approx_count_distinct, no Expand
+      spark.conf.set(graft.plans.ApproxDistinctRewrite.EnabledKey, "true")
+      val approxDf = df
+      val approxPlan = approxDf.queryExecution.executedPlan.toString
+      assert(approxPlan.contains("approx_count_distinct"), approxPlan.take(500))
+      assert(!approxPlan.contains("Expand"), "distinct expansion survived the rewrite")
+      val approx = approxDf.collect().map(r => r.get(0) -> r.getLong(1)).toMap
+
+      assert(approx.keySet == exact.keySet)
+      approx.foreach { case (k, est) =>
+        val ex = exact(k)
+        assert(math.abs(est - ex) <= math.max(1.0, 4 * 0.0081 * ex),
+          s"bucket $k: approx $est vs exact $ex")
+      }
+    } finally {
+      spark.conf.set(graft.plans.ApproxDistinctRewrite.EnabledKey, "false")
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == graft.plans.ApproxDistinctRewrite)
+    }
+  }
+
   test("streaming file-source replay: JSONL directory drives the pipeline (README.md:27 workflow)") {
     import graft.streaming.CardinalityStream
     val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toFile
