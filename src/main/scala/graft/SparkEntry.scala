@@ -91,6 +91,7 @@ object SparkEntry {
       graft.operators.TextAnalysis.queries ++
       graft.operators.Dedup.queries ++
       graft.operators.Similarity.queries ++
+      graft.operators.Sampling.queries ++
       graft.multimodal.Multimodal.queries
 
   def oracleSql: Map[String, String] =
@@ -101,5 +102,6 @@ object SparkEntry {
       graft.operators.TextAnalysis.oracles ++
       graft.operators.Dedup.oracles ++
       graft.operators.Similarity.oracles ++
+      graft.operators.Sampling.oracles ++
       graft.multimodal.Multimodal.oracles
 }

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Training-mix sampling over `documents` — the operators that carve a
+  * corpus into reproducible training subsets.
+  *
+  *  - [[systematicSample]]: deterministic arithmetic hash-mod sampling —
+  *    pure integer arithmetic on the key, so the SAME rows are selected by
+  *    any engine (DuckDB-oracled) and by any re-run. The idiom for "take a
+  *    stable p% slice of 100 TB": a map-only pushed-down filter, no
+  *    shuffle, no RNG state.
+  *  - [[stratifiedSample]]: per-stratum fractions via `DataFrame.stat
+  *    .sampleBy` (seeded Bernoulli per row) — the training-mix reweighter
+  *    (e.g. upsample low-resource languages). Deterministic per seed but
+  *    RNG-based, so rows-only + property-tested (binomial bounds), not
+  *    oracle-matched.
+  */
+object Sampling {
+
+  private def docs(s: SparkSession, dir: String) = Tables(s, dir, "documents")
+
+  /** Knuth's multiplicative-hash constant (2^32 / phi, public domain). */
+  val Mix = 2654435761L
+
+  /** Deterministic ~`pct`% systematic sample: `(doc_id * Mix) % 100 < pct`.
+    * All-integer (64-bit wrap-free here: doc_id * Mix stays far below
+    * 2^63 for any realistic id space; at wider ids, mod the id first). */
+  def systematicSample(s: SparkSession, dir: String, pct: Int = 10): DataFrame =
+    docs(s, dir)
+      .filter(pmod(col("doc_id") * lit(Mix), lit(100L)) < pct)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+
+  def systematicSampleSql(pct: Int = 10): String =
+    s"""SELECT doc_id, lang, source, n_chars FROM documents
+      |WHERE (doc_id * 2654435761) % 100 < $pct""".stripMargin
+
+  /** Per-language stratified sample: `fractions` maps lang → keep
+    * probability (missing langs keep 0). Seeded, reproducible. */
+  def stratifiedSample(s: SparkSession, dir: String,
+                       fractions: Map[String, Double], seed: Long = 42L): DataFrame =
+    docs(s, dir)
+      .stat.sampleBy("lang", fractions, seed)
+      .select(col("doc_id"), col("lang"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_systematic" -> ((s: SparkSession, d: String) => systematicSample(s, d)),
+    "q_sample_stratified" -> ((s: SparkSession, d: String) =>
+      stratifiedSample(s, d,
+        Map("en" -> 0.5, "de" -> 1.0, "fr" -> 1.0, "es" -> 0.25, "zh" -> 1.0))))
+
+  val oracles: Map[String, String] = Map(
+    "q_sample_systematic" -> systematicSampleSql())
+}

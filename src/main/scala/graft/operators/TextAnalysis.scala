@@ -268,6 +268,21 @@ object TextAnalysis {
       .toDF("doc_id", "fp").distinct()
   }
 
+  /** Vocabulary builder: top-N tokens by corpus frequency with a
+    * deterministic tie-break — the pre-pass of any tokenizer training.
+    * Plans as partial+final agg then TakeOrderedAndProject (no global
+    * sort), so it scales to billion-token vocabularies. */
+  def vocab(s: SparkSession, dir: String, topN: Int = 500): DataFrame =
+    docs(s, dir).select(explode(tokens).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("tok"))
+      .limit(topN)
+
+  val vocabSql: String =
+    """SELECT tok, count(*) AS tf
+      |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |GROUP BY tok ORDER BY tf DESC, tok LIMIT 500""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_unigram_logprob" -> (unigramLogProb _),
     "q_text_repetition" -> (repetitionRatio _),
@@ -277,7 +292,8 @@ object TextAnalysis {
     "q_text_quality" -> (qualityScore _),
     "q_text_langid" -> (languageId _),
     "q_text_fingerprint" -> (fingerprint _),
-    "q_text_corpus_stats" -> (corpusStats _))
+    "q_text_corpus_stats" -> (corpusStats _),
+    "q_text_vocab" -> ((s: SparkSession, d: String) => vocab(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q_text_unigram_logprob" -> unigramLogProbSql,
@@ -286,5 +302,6 @@ object TextAnalysis {
     "q_text_bpe_tokens" -> bpeTokenCountsSql,
     "q_text_quality" -> qualityScoreSql,
     "q_text_fingerprint" -> fingerprintSql,
-    "q_text_corpus_stats" -> corpusStatsSql)
+    "q_text_corpus_stats" -> corpusStatsSql,
+    "q_text_vocab" -> vocabSql)
 }

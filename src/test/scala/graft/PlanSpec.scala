@@ -49,6 +49,18 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("BroadcastHashJoin"))
   }
 
+  test("vocab builder plans as TakeOrderedAndProject over partial+final agg") {
+    val p = plan("q_text_vocab")
+    assert(p.contains("TakeOrderedAndProject"), p.take(500))
+    assert(p.contains("partial_count"), p.take(800))
+  }
+
+  test("systematic sample scan reads only the projected columns") {
+    val p = plan("q_sample_systematic")
+    val readSchema = "FileScan parquet \\[([^\\]]*)\\]".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(!readSchema.contains("text"), s"sample scan reads the text payload: $readSchema")
+  }
+
   test("embedding near-dup has no all-pairs join (LSH-bucketed candidates)") {
     val p = plan("q_dedup_embedding")
     assert(!p.contains("BroadcastNestedLoopJoin"), "all-pairs BNLJ in the plan")
