@@ -80,4 +80,47 @@ class CheckpointRecoverySpec extends AnyFunSuite with SparkTestBase {
     // territory was flushed by a phase2 message
     assert(got.nonEmpty && got.map(_._1).exists(_ >= base + 100 * 20))
   }
+
+  test("append-mode calendar bucket state survives a query restart via checkpoint") {
+    val in = java.nio.file.Files.createTempDirectory("cal-in").toFile
+    val out = java.nio.file.Files.createTempDirectory("cal-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cal-state").toString
+
+    val jul1 = 1467331200L // 2016-07-01 UTC (month bucket start)
+    val jul11 = 1468244384L
+    val aug2 = 1470096000L
+
+    def startQuery() = {
+      val parsed = JsonlSource.readStream(spark, in.getAbsolutePath)
+      graft.streaming.CalendarAppendWindows
+        .aggregated(spark, parsed, "month", watermark = "10 minutes").toDF()
+        .writeStream.format("json")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    }
+
+    // phase 1: two distinct July uids; bucket stays open (no seal yet)
+    writeLines(in, "a.jsonl", Seq(("m1", jul11), ("m2", jul11 + 100)))
+    val q1 = startQuery()
+    q1.processAllAvailable(); q1.stop()
+
+    // phase 2 AFTER RESTART: one more July uid, then August advances the
+    // watermark past July's end — the sealed count must include phase-1
+    // state (3 uids), proving the HLL registers survived the restart
+    writeLines(in, "b.jsonl", Seq(("m3", jul11 + 200), ("adv1", aug2)))
+    val q2 = startQuery()
+    q2.processAllAvailable(); q2.stop()
+    writeLines(in, "c.jsonl", Seq(("adv2", aug2 + 60)))
+    val q3 = startQuery()
+    q3.processAllAvailable(); q3.stop()
+
+    import spark.implicits._
+    val sealed2 = spark.read.schema("Type STRING, Timestamp LONG, Value LONG").json(out)
+      .filter($"Type" === "month_count" && $"Timestamp" === jul1)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(sealed2 == Seq((jul1, 3L)),
+      s"July bucket should seal once with all 3 uids across restarts: $sealed2")
+  }
 }
