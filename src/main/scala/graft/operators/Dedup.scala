@@ -350,6 +350,60 @@ object Dedup {
       |FROM reach GROUP BY src""".stripMargin
   }
 
+  // -----------------------------------------------------------------
+  // Cross-corpus dedup (bloom-prefiltered anti-join)
+  // -----------------------------------------------------------------
+
+  /** Register the Catalyst runtime-filter bloom expressions as SQL
+    * functions (`bloom_filter_agg` / `might_contain` are not in the public
+    * registry; both are codegen'd and designed as a pair). */
+  private def registerBloom(s: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_agg",
+      exprs => new BloomFilterAggregate(new XxHash64(exprs)).toAggregateExpression(),
+      "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_contains",
+      exprs => BloomFilterMightContain(exprs(0), new XxHash64(Seq(exprs(1)))),
+      "built-in")
+  }
+
+  /** Cross-corpus dedup: which docs of a NEW batch (doc_id ≥ `splitAt`)
+    * are absent from the BASE corpus (doc_id < `splitAt`), by normalized
+    * fingerprint — "dedupe today's crawl against the existing corpus", the
+    * incremental dedup every training pipeline runs.
+    *
+    * 100 TB shape: a bloom filter over the base fingerprints (built by one
+    * aggregation, shipped as a scalar-subquery constant) pre-filters the
+    * anti-join — rows the bloom rules out skip the join entirely (bloom
+    * "no" is definitive), so the shuffled anti-join probe side shrinks
+    * from |new| to |maybe-duplicates| ≈ |true dups| + fp-rate × |new|.
+    * The trailing exact anti-join makes the result EXACT (bloom false
+    * positives are re-checked, never dropped wrongly). */
+  def crossCorpusNewDocs(s: SparkSession, dir: String, splitAt: Long = 250L): DataFrame = {
+    registerBloom(s)
+    TextAnalysis.fingerprint(s, dir).select(col("doc_id"), col("fp_md5"))
+      .createOrReplaceTempView("graft_cc_fps")
+    s.sql(
+      s"""WITH base AS (SELECT fp_md5 FROM graft_cc_fps WHERE doc_id < $splitAt),
+        |flagged AS (
+        |  SELECT doc_id, fp_md5,
+        |    graft_bloom_contains((SELECT graft_bloom_agg(fp_md5) FROM base), fp_md5) AS maybe
+        |  FROM graft_cc_fps WHERE doc_id >= $splitAt)
+        |SELECT f.doc_id FROM flagged f
+        |LEFT ANTI JOIN base b ON f.maybe AND f.fp_md5 = b.fp_md5""".stripMargin)
+  }
+
+  val crossCorpusNewDocsSql: String =
+    """WITH fp AS (
+      |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5
+      |  FROM documents)
+      |SELECT n.doc_id FROM fp n
+      |WHERE n.doc_id >= 250
+      |  AND n.fp_md5 NOT IN (SELECT fp_md5 FROM fp WHERE doc_id < 250)""".stripMargin
+
   /** End-to-end dedup pipeline: near-dup clustering (which subsumes exact
     * duplicates — identical docs have Jaccard 1.0), keep each cluster's
     * minimum doc_id, anti-join the rest away. The composition a training
@@ -374,11 +428,13 @@ object Dedup {
     "q_dedup_simhash" -> ((s: SparkSession, d: String) => simhashPairs(s, d)),
     "q_dedup_embedding" -> ((s: SparkSession, d: String) => embeddingNearDupPairs(s, d)),
     "q_dedup_clusters" -> (nearDupClusters _),
-    "q_dedup_pipeline" -> (dedupPipeline _))
+    "q_dedup_pipeline" -> (dedupPipeline _),
+    "q_dedup_cross_corpus" -> ((s: SparkSession, d: String) => crossCorpusNewDocs(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> exactDedupSql,
     "q_dedup_ngram_jaccard" -> ngramJaccardPairsSql,
     "q_dedup_clusters" -> nearDupClustersSql,
-    "q_dedup_pipeline" -> dedupPipelineSql)
+    "q_dedup_pipeline" -> dedupPipelineSql,
+    "q_dedup_cross_corpus" -> crossCorpusNewDocsSql)
 }

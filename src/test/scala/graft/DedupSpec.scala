@@ -65,6 +65,19 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(got == expected, s"missing=${expected.toSet -- got.toSet} extra=${got.toSet -- expected.toSet}")
   }
 
+  test("cross-corpus bloom-prefiltered dedup is exact vs a local fingerprint check") {
+    val split = 250L
+    val fps = graft.operators.TextAnalysis.fingerprint(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val baseFps = fps.filter(_._1 < split).map(_._2).toSet
+    val expected = fps.filter { case (id, fp) => id >= split && !baseFps.contains(fp) }
+      .map(_._1).toSet
+    val got = Dedup.crossCorpusNewDocs(spark, sf, splitAt = split).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+  }
+
   test("embedding near-dup: exact precision, bounded recall vs brute force") {
     // local brute-force oracle: all pairs with cosine >= threshold
     val vecs = Tables(spark, sf, "embeddings").collect()
