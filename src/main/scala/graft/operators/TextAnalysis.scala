@@ -283,6 +283,24 @@ object TextAnalysis {
       |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
       |GROUP BY tok ORDER BY tf DESC, tok LIMIT 500""".stripMargin
 
+  /** Approximate token frequencies via Count-Min Sketch: ONE distributed
+    * pass builds the sketch (`df.stat.countMinSketch` — mergeable counter
+    * arrays, fixed size regardless of cardinality); the driver then probes
+    * it for the top-`topN` vocab tokens, the k-means-centroids pattern of
+    * "the model crosses to the driver, the corpus never does". CMS error
+    * is one-sided: estimate ≥ true count, overcount ≤ eps × total tokens
+    * with probability `confidence` (spec-tested). At 100 TB this answers
+    * "how often does token X appear" without a vocabulary-sized shuffle. */
+  def tokenFreqCms(s: SparkSession, dir: String, topN: Int = 100,
+                   eps: Double = 0.001, confidence: Double = 0.99): DataFrame = {
+    import s.implicits._
+    val tok = docs(s, dir).select(explode(tokens).as("tok"))
+    val cms = tok.stat.countMinSketch("tok", eps, confidence, seed = 42)
+    vocab(s, dir, topN).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), cms.estimateCount(r.getString(0))))
+      .toDF("tok", "tf_exact", "tf_cms")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_unigram_logprob" -> (unigramLogProb _),
     "q_text_repetition" -> (repetitionRatio _),
@@ -293,7 +311,8 @@ object TextAnalysis {
     "q_text_langid" -> (languageId _),
     "q_text_fingerprint" -> (fingerprint _),
     "q_text_corpus_stats" -> (corpusStats _),
-    "q_text_vocab" -> ((s: SparkSession, d: String) => vocab(s, d)))
+    "q_text_vocab" -> ((s: SparkSession, d: String) => vocab(s, d)),
+    "q_text_cms_freq" -> ((s: SparkSession, d: String) => tokenFreqCms(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q_text_unigram_logprob" -> unigramLogProbSql,

@@ -73,6 +73,18 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(law(1L).intersect(law(4L)).isEmpty, "disjoint alphabets must not collide")
   }
 
+  test("count-min sketch estimates are one-sided within the eps bound") {
+    val rows = TextAnalysis.tokenFreqCms(spark, sf, topN = 50, eps = 0.001).collect()
+    assert(rows.nonEmpty)
+    val totalTokens = TextAnalysis.tokenCounts(spark, sf).collect().map(_.getLong(1)).sum
+    rows.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"CMS undercounted ${r.getString(0)}: $est < $exact")
+      assert(est <= exact + math.max(1, (0.002 * totalTokens).toLong),
+        s"CMS overcount on ${r.getString(0)}: $est vs $exact (total $totalTokens)")
+    }
+  }
+
   test("fingerprint md5 matches a local MessageDigest on normalized text") {
     val texts = Tables(spark, sf, "documents").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
