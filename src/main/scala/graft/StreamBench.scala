@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{CalendarAppendWindows, DataDrivenWindows, UserMsg}
+
+/** Single-node streaming throughput bench on the REFERENCE's benchmark
+  * workload (`/root/reference/processor/processor_test.go:32-39`): uid
+  * drawn from ≤100 users, event time monotone with U[0,3600)-second gaps —
+  * so the numbers are directly comparable to `go test -bench
+  * BenchmarkProcessMessages` on the reference (which publishes no absolute
+  * figure; BASELINE.md).
+  *
+  * Measures both streaming tiers end-to-end through a MemoryStream:
+  *  - exact-semantics data-driven windows (the bit-faithful replica);
+  *  - append-mode calendar buckets (the scalable watermarked tier).
+  *
+  * Prints ONE JSON line. Not part of the driver contract — evidence for
+  * the "matches-or-beats single-node throughput" goal.
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_STREAM_N", "500000").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // reference benchmark workload shape (processor_test.go:32-39),
+    // deterministic LCG instead of math/rand
+    var ts = 1468244384L
+    var seed = 12345L
+    val msgs = (0 until n).map { _ =>
+      seed = (seed * 6364136223846793005L + 1442695040888963407L) & Long.MaxValue
+      ts += seed % 3600
+      UserMsg(s"user${seed % 100}", ts)
+    }
+
+    def timed(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+
+    val ddSec = timed {
+      val in = MemoryStream[UserMsg](spark)
+      val q = DataDrivenWindows(spark, in.toDS()).writeStream
+        .format("noop").outputMode("append").start()
+      in.addData(msgs)
+      q.processAllAvailable(); q.stop()
+    }
+
+    val calSec = timed {
+      val in = MemoryStream[UserMsg](spark)
+      val parsed = in.toDS().select($"uid", timestamp_seconds($"ts").as("event_time"))
+      val q = CalendarAppendWindows.allGranularities(spark, parsed).writeStream
+        .format("noop").outputMode("append").start()
+      in.addData(msgs)
+      q.processAllAvailable(); q.stop()
+    }
+
+    def f0(v: Double): String = String.format(java.util.Locale.ROOT, "%.0f", Double.box(v))
+    println(s"""{"metric":"stream_msgs_per_sec","msgs":$n,""" +
+      s""""data_driven":${f0(n / ddSec)},"calendar_append":${f0(n / calSec)},""" +
+      s""""data_driven_sec":${f0(ddSec)},"calendar_append_sec":${f0(calSec)}}""")
+    spark.stop()
+  }
+}
