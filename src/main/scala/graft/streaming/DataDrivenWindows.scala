@@ -83,9 +83,12 @@ object DataDrivenWindows {
   private def update(statType: String, msgs: Iterator[(String, UserMsg)],
                      state: GroupState[WindowState]): Iterator[StatMsg] = {
     // per-micro-batch event-time sort; the reference's cross-message order
-    // comes from Kafka, ours from the source within a batch
-    val (out, st) = processSorted(statType,
-      msgs.map(_._2).toSeq.sortBy(_.ts).iterator,
+    // comes from Kafka, ours from the source within a batch. Array +
+    // in-place stable sort, not toSeq.sortBy — this tier's parallelism is
+    // capped at 5 groups, so per-group constant factors are the throughput
+    val arr = msgs.map(_._2).toArray
+    scala.util.Sorting.stableSort(arr, (a: UserMsg, b: UserMsg) => a.ts < b.ts)
+    val (out, st) = processSorted(statType, arr.iterator,
       state.getOption.getOrElse(freshState(statType)))
     state.update(st)
     out.iterator
