@@ -61,6 +61,12 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!readSchema.contains("text"), s"sample scan reads the text payload: $readSchema")
   }
 
+  test("cross-corpus dedup keeps the bloom pre-filter ahead of the anti-join") {
+    val p = plan("q_dedup_cross_corpus")
+    assert(p.contains("might_contain"), "bloom pre-filter dropped out of the plan")
+    assert(p.contains("LeftAnti"), p.take(500))
+  }
+
   test("embedding near-dup has no all-pairs join (LSH-bucketed candidates)") {
     val p = plan("q_dedup_embedding")
     assert(!p.contains("BroadcastNestedLoopJoin"), "all-pairs BNLJ in the plan")
