@@ -104,7 +104,10 @@ object SparseHll {
   def estimate(state: Array[Byte]): Long =
     if (state.length == Hll.M) Hll.estimate(state) else readN(state).toLong
 
-  /** Union; returns the (possibly reallocated) merged state. */
+  /** Union. CONSUMES both inputs — either argument may be mutated in
+    * place and returned (aggregation-buffer semantics, like [[Hll.merge]]
+    * and Spark `Aggregator.merge`). Use ONLY the returned array; neither
+    * input is a valid sketch afterwards. */
   def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
     if (a.length == Hll.M && b.length == Hll.M) Hll.merge(a, b)
     else if (a.length == Hll.M) { addAllInto(a, b); a }

@@ -75,6 +75,18 @@ object Dedup {
     posting.join(broadcast(hot), Seq("sh_hash"), "left_anti")
   }
 
+  /** Candidate pairs from a banded key table `(idCol, band, bkey)`: self-
+    * join on the band key, ordered ids, deduped — the shared LSH banding
+    * core of MinHash-LSH, SimHash, and embedding-LSH (and the single place
+    * a per-bucket skew cap would go). */
+  private def bandedCandidatePairs(banded: DataFrame, idCol: String,
+                                   outA: String, outB: String): DataFrame =
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+        col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as(outA), col(s"y.$idCol").as(outB))
+      .distinct()
+
   // -----------------------------------------------------------------
   // Exact dedup
   // -----------------------------------------------------------------
@@ -169,11 +181,7 @@ object Dedup {
     }: _*)
     val banded = sigs.select(col("doc_id"), explode(bandStructs).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
-    val cands = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    val cands = bandedCandidatePairs(banded, "doc_id", "doc_a", "doc_b")
     val withSigs = cands
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
@@ -216,14 +224,11 @@ object Dedup {
       struct(lit(b).as("band"),
         shiftrightunsigned(col("simhash"), b * 8).bitwiseAND(0xFFL).as("bkey"))
     }: _*)
-    val banded = fps.select(col("doc_id"), col("simhash"), explode(bands).as("bb"))
-      .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bkey"))
-    banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-              col("x.simhash").as("fp_a"), col("y.simhash").as("fp_b"))
-      .distinct()
+    val banded = fps.select(col("doc_id"), explode(bands).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
+    bandedCandidatePairs(banded, "doc_id", "doc_a", "doc_b")
+      .join(fps.select(col("doc_id").as("doc_a"), col("simhash").as("fp_a")), "doc_a")
+      .join(fps.select(col("doc_id").as("doc_b"), col("simhash").as("fp_b")), "doc_b")
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
@@ -273,11 +278,7 @@ object Dedup {
     val banded = e.select(col("vec_id"), explode(bandArr).as("bb"))
       .select(col("vec_id"), col("bb.band"), col("bb.bkey"))
       .cache()
-    val cands = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-        col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
-      .distinct()
+    val cands = bandedCandidatePairs(banded, "vec_id", "id_a", "id_b")
     cands
       .join(e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"), col("norm").as("n_a")), "id_a")
       .join(e.select(col("vec_id").as("id_b"), col("embedding").as("v_b"), col("norm").as("n_b")), "id_b")
@@ -404,22 +405,34 @@ object Dedup {
       |WHERE n.doc_id >= 250
       |  AND n.fp_md5 NOT IN (SELECT fp_md5 FROM fp WHERE doc_id < 250)""".stripMargin
 
-  /** End-to-end dedup pipeline: near-dup clustering (which subsumes exact
-    * duplicates — identical docs have Jaccard 1.0), keep each cluster's
-    * minimum doc_id, anti-join the rest away. The composition a training
-    * pipeline actually runs; returns the kept document id set. */
+  /** End-to-end dedup pipeline: exact dedup PLUS near-dup clustering, keep
+    * each group's minimum doc_id, anti-join the rest away. The exact stage
+    * is composed explicitly — near-dup clustering covers identical docs of
+    * ≥ 3 tokens (Jaccard 1.0), but shorter-than-one-shingle documents
+    * produce no postings and would otherwise slip through. Returns the
+    * kept document id set. */
   def dedupPipeline(s: SparkSession, dir: String): DataFrame = {
     val clusters = nearDupClusters(s, dir)
     val removedNearDup = clusters.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    val keepers = exactDedup(s, dir).select(col("keep_id"))
+    val removedExact = docs(s, dir)
+      .select(col("doc_id"))
+      .join(keepers, col("doc_id") === col("keep_id"), "left_anti")
+      .select(col("doc_id"))
     docs(s, dir).select(col("doc_id"))
-      .join(removedNearDup.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .join(removedNearDup.union(removedExact).distinct(), Seq("doc_id"), "left_anti")
       .select(col("doc_id"))
   }
 
   val dedupPipelineSql: String =
     s"""SELECT doc_id FROM documents
       |WHERE doc_id NOT IN (
-      |  SELECT doc_id FROM ($nearDupClustersSql) c WHERE doc_id <> cluster_id)""".stripMargin
+      |  SELECT doc_id FROM ($nearDupClustersSql) c WHERE doc_id <> cluster_id)
+      |AND doc_id NOT IN (
+      |  SELECT d.doc_id FROM documents d
+      |  JOIN (SELECT md5(text) AS h, min(doc_id) AS keep FROM documents GROUP BY 1) k
+      |    ON md5(d.text) = k.h AND d.doc_id <> k.keep)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (exactDedup _),

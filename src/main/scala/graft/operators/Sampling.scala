@@ -26,17 +26,22 @@ object Sampling {
   /** Knuth's multiplicative-hash constant (2^32 / phi, public domain). */
   val Mix = 2654435761L
 
-  /** Deterministic ~`pct`% systematic sample: `(doc_id * Mix) % 100 < pct`.
-    * All-integer (64-bit wrap-free here: doc_id * Mix stays far below
-    * 2^63 for any realistic id space; at wider ids, mod the id first). */
+  /** Prime id-wrap keeping `IdMod * Mix` < 2^63 — overflow-FREE by
+    * construction (Spark would silently wrap a BIGINT multiply while
+    * DuckDB raises an out-of-range error, so the oracle pair must never
+    * overflow; a 100 TB corpus has ~1e10 ids, well past 2^63 / Mix). */
+  val IdMod = 1000000007L
+
+  /** Deterministic ~`pct`% systematic sample:
+    * `((doc_id % IdMod) * Mix) % 100 < pct`. All-integer, engine-portable. */
   def systematicSample(s: SparkSession, dir: String, pct: Int = 10): DataFrame =
     docs(s, dir)
-      .filter(pmod(col("doc_id") * lit(Mix), lit(100L)) < pct)
+      .filter(pmod(pmod(col("doc_id"), lit(IdMod)) * lit(Mix), lit(100L)) < pct)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
 
   def systematicSampleSql(pct: Int = 10): String =
     s"""SELECT doc_id, lang, source, n_chars FROM documents
-      |WHERE (doc_id * 2654435761) % 100 < $pct""".stripMargin
+      |WHERE ((doc_id % $IdMod) * $Mix) % 100 < $pct""".stripMargin
 
   /** Per-language stratified sample: `fractions` maps lang → keep
     * probability (missing langs keep 0). Seeded, reproducible. */

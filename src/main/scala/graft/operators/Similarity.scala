@@ -129,7 +129,10 @@ object Similarity {
     val cents = learnCentroids(s, e, nCentroids, iters)
     val assigned = assignCid(e, cents)
     val centDf = cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cid", "centroid")
-    val queries = assigned.filter(col("vec_id") < QueryCount)
+    // queries come from the UNassigned table — their cid is never used, and
+    // deriving them from `assigned` would run the k-cosine assignment pass
+    // over the whole corpus a second time
+    val queries = e.filter(col("vec_id") < QueryCount)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("norm").as("qn"))
     // probe: nProbe nearest centroids per query
     val probeW = Window.partitionBy(col("query_id")).orderBy(col("cdist"), col("cid"))

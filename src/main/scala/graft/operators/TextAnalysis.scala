@@ -186,9 +186,12 @@ object TextAnalysis {
   /** GPT-2-family "BPE-ish" pre-tokenizer pattern — contraction suffixes,
     * space-prefixed letter/digit runs, punctuation runs, whitespace.
     * Deliberately restricted to syntax Java regex and RE2 (DuckDB) treat
-    * identically: no lookarounds, no backrefs (RE2 has neither). */
+    * identically: no lookarounds, no backrefs (RE2 has neither), and an
+    * EXPLICIT whitespace class instead of `\s` — Java's `\s` includes
+    * vertical tab (\x0B), RE2's does not, so `\s` would diverge on
+    * exactly one control character. */
   val BpePattern: String =
-    """'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""
+    """'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^ \t\n\r\f\x0B\p{L}\p{N}]+|[ \t\n\r\f\x0B]+"""
 
   /** Token counting, BPE-ish tier: the subword-style pre-tokenization used
     * by LLM training pipelines for budget estimates — counts per doc plus

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.time.{LocalDateTime, ZoneOffset}
+import java.time.{Instant, ZoneId, ZoneOffset}
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -40,20 +40,28 @@ object CalendarAppendWindows {
 
   /** Calendar end (epoch seconds) of the bucket starting at `bucketStart`.
     * Calendar-true for month/year (java.time clamping is irrelevant here:
-    * `date_trunc` starts are always day 1 / Jan 1). */
-  def bucketEnd(granularity: String, bucketStart: Long): Long = {
-    val dt = LocalDateTime.ofEpochSecond(bucketStart, 0, ZoneOffset.UTC)
+    * `date_trunc` starts are always day 1 / Jan 1).
+    *
+    * `zone` MUST be the session time zone that produced the `date_trunc`
+    * bucket starts — calendar arithmetic in a different zone mis-places
+    * month boundaries by the zone offset (and DST-transition days are 23
+    * or 25 hours long, which `ZonedDateTime.plusDays` handles and fixed
+    * UTC arithmetic does not). A premature bucket end would let a sealed
+    * bucket re-emit or make the event-time timeout non-monotonic. */
+  def bucketEnd(granularity: String, bucketStart: Long,
+                zone: ZoneId = ZoneOffset.UTC): Long = {
+    val zdt = Instant.ofEpochSecond(bucketStart).atZone(zone)
     (granularity match {
-      case "minute" => dt.plusMinutes(1)
-      case "day"    => dt.plusDays(1)
-      case "week"   => dt.plusDays(7)
-      case "month"  => dt.plusMonths(1)
-      case "year"   => dt.plusYears(1)
+      case "minute" => zdt.plusMinutes(1)
+      case "day"    => zdt.plusDays(1)
+      case "week"   => zdt.plusDays(7)
+      case "month"  => zdt.plusMonths(1)
+      case "year"   => zdt.plusYears(1)
       case other    => throw new IllegalArgumentException(other)
-    }).toEpochSecond(ZoneOffset.UTC)
+    }).toInstant.getEpochSecond
   }
 
-  private def update(granularity: String)(
+  private def update(granularity: String, zoneId: String)(
       key: Long, rows: Iterator[(Long, String, java.sql.Timestamp)],
       state: GroupState[BucketState]): Iterator[StatMsg] =
     if (state.hasTimedOut) {
@@ -68,7 +76,7 @@ object CalendarAppendWindows {
       var sketch = state.getOption.map(_.registers).getOrElse(SparseHll.empty())
       rows.foreach(r => sketch = SparseHll.add(sketch, Hll.hash(r._2)))
       state.update(BucketState(sketch))
-      state.setTimeoutTimestamp(bucketEnd(granularity, key) * 1000L)
+      state.setTimeoutTimestamp(bucketEnd(granularity, key, ZoneId.of(zoneId)) * 1000L)
       Iterator.empty
     }
 
@@ -77,6 +85,9 @@ object CalendarAppendWindows {
   def aggregated(spark: SparkSession, parsed: DataFrame, granularity: String,
                  watermark: String = "10 minutes"): Dataset[StatMsg] = {
     import spark.implicits._
+    // date_trunc buckets in the SESSION time zone — bucket ends must be
+    // computed in the same zone (captured here, shipped to executors)
+    val zoneId = spark.sessionState.conf.sessionLocalTimeZone
     parsed.withWatermark("event_time", watermark)
       .select(
         unix_timestamp(date_trunc(granularity, col("event_time"))).as("bucket_start"),
@@ -84,7 +95,7 @@ object CalendarAppendWindows {
       .as[(Long, String, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        update(granularity))
+        update(granularity, zoneId))
   }
 
   /** All five granularities, one append-mode stream in the reference

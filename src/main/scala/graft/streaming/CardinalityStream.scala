@@ -35,9 +35,13 @@ object CardinalityStream {
     * `referenceParity = true` replicates jsoniter's default decode for the
     * uid field (`processor.go:87` via `kafkaio.go:77`): a missing/null
     * `uid` decodes as `""` and IS counted as a distinct user, instead of
-    * being dropped. Remaining documented divergence: jsoniter matches JSON
-    * keys case-insensitively as a fallback; `from_json` is case-sensitive,
-    * so `{"UID":…}` parses as a missing uid here (= `""` in parity mode). */
+    * being dropped. Remaining documented divergences: (1) jsoniter matches
+    * JSON keys case-insensitively as a fallback; `from_json` is
+    * case-sensitive, so `{"UID":…}` parses as a missing uid here (= `""`
+    * in parity mode); (2) a NON-STRING uid scalar (`{"uid":123,…}`) is
+    * coerced to the string `"123"` by Spark's Jackson parser and counted,
+    * while jsoniter errors on the type mismatch and the reference drops
+    * the whole message. */
   def parse(raw: DataFrame, referenceParity: Boolean = false): DataFrame = {
     val parsed = raw
       .select(from_json(col("value").cast("string"), userSchema).as("m"))

@@ -88,6 +88,23 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("bucketEnd honors non-UTC session zones, including DST-transition days") {
+    import java.time.{ZonedDateTime, ZoneId}
+    import graft.streaming.CalendarAppendWindows.bucketEnd
+    // IST (+05:30, no DST): July bucket must end exactly at Aug 1 00:00 IST
+    val ist = ZoneId.of("Asia/Kolkata")
+    val julStartIst = ZonedDateTime.of(2016, 7, 1, 0, 0, 0, 0, ist).toEpochSecond
+    val augStartIst = ZonedDateTime.of(2016, 8, 1, 0, 0, 0, 0, ist).toEpochSecond
+    assert(bucketEnd("month", julStartIst, ist) == augStartIst)
+    // UTC arithmetic on the same start would misplace the boundary by 0 only
+    // if the offset were 0 — assert the bug class is actually exercised
+    assert(bucketEnd("month", julStartIst) != augStartIst)
+    // America/New_York DST end (2025-11-02): that calendar day is 25 hours
+    val ny = ZoneId.of("America/New_York")
+    val dstDay = ZonedDateTime.of(2025, 11, 2, 0, 0, 0, 0, ny).toEpochSecond
+    assert(bucketEnd("day", dstDay, ny) - dstDay == 25 * 3600)
+  }
+
   test("goAddDate(+1 month) is 28-35 days ahead and preserves clock time") {
     check(Prop.forAll(Gen.chooseNum(0L, 4102444800L)) { ts => // 1970..2100
       val next = DataDrivenWindows.goAddDate(ts, 0, 1)
