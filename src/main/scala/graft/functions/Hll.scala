@@ -38,6 +38,8 @@ object Hll {
     if (rank > regs(idx)) regs(idx) = rank.toByte
   }
 
+  /** Union. CONSUMES `a` (mutated in place and returned) — aggregation-
+    * buffer semantics; use only the returned array. */
   def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
     var i = 0
     while (i < M) { if (b(i) > a(i)) a(i) = b(i); i += 1 }

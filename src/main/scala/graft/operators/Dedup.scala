@@ -75,17 +75,29 @@ object Dedup {
     posting.join(broadcast(hot), Seq("sh_hash"), "left_anti")
   }
 
-  /** Candidate pairs from a banded key table `(idCol, band, bkey)`: self-
-    * join on the band key, ordered ids, deduped — the shared LSH banding
-    * core of MinHash-LSH, SimHash, and embedding-LSH (and the single place
-    * a per-bucket skew cap would go). */
+  /** A single LSH band-bucket holding more than this many items is a skew
+    * hazard (k members ⇒ O(k²) candidate pairs) and carries little signal
+    * — members that similar collide in other buckets too. Same trick as
+    * [[HotShingleCap]]. */
+  val HotBucketCap = 1000
+
+  /** Candidate pairs from a banded key table `(idCol, band, bkey)`: drop
+    * hot buckets (skew guard), self-join on the band key, ordered ids,
+    * deduped — the shared LSH banding core of MinHash-LSH, SimHash, and
+    * embedding-LSH. */
   private def bandedCandidatePairs(banded: DataFrame, idCol: String,
-                                   outA: String, outB: String): DataFrame =
-    banded.as("x").join(banded.as("y"),
+                                   outA: String, outB: String,
+                                   bucketCap: Int = HotBucketCap): DataFrame = {
+    val hot = banded.groupBy(col("band"), col("bkey"))
+      .count().filter(col("count") > bucketCap)
+      .select(col("band"), col("bkey"))
+    val trimmed = banded.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
+    trimmed.as("x").join(trimmed.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
         col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as(outA), col(s"y.$idCol").as(outB))
       .distinct()
+  }
 
   // -----------------------------------------------------------------
   // Exact dedup

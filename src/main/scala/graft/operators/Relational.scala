@@ -328,6 +328,42 @@ object Relational {
       |FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
       |GROUP BY word""".stripMargin
 
+  /** Exact per-group quantiles: Spark's `percentile` and DuckDB's
+    * `quantile_cont` share the definition (index = p·(n−1), linear
+    * interpolation `lo + (hi−lo)·frac` in double) — hash-parity holds.
+    * Exact percentile buffers each group's values (fine per returnflag);
+    * the 100 TB path is the approx twin below. */
+  def quantiles(s: SparkSession, dir: String): DataFrame = {
+    val ps = array(lit(0.25), lit(0.5), lit(0.75), lit(0.99))
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(percentile(col("l_extendedprice"), ps).as("qs"))
+      .select(col("l_returnflag"),
+        col("qs")(0).as("q25"), col("qs")(1).as("q50"),
+        col("qs")(2).as("q75"), col("qs")(3).as("q99"))
+  }
+
+  val quantilesSql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_extendedprice, 0.25) AS q25,
+      |  quantile_cont(l_extendedprice, 0.5) AS q50,
+      |  quantile_cont(l_extendedprice, 0.75) AS q75,
+      |  quantile_cont(l_extendedprice, 0.99) AS q99
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** Approximate twin (`percentile_approx`, bounded-memory — the
+    * per-group sketch that replaces full-group buffering at scale).
+    * Rows-only: approximation is engine-specific by construction. */
+  def quantilesApprox(s: SparkSession, dir: String): DataFrame = {
+    val ps = array(lit(0.25), lit(0.5), lit(0.75), lit(0.99))
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(percentile_approx(col("l_extendedprice"), ps, lit(10000)).as("qs"))
+      .select(col("l_returnflag"),
+        col("qs")(0).as("q25"), col("qs")(1).as("q50"),
+        col("qs")(2).as("q75"), col("qs")(3).as("q99"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rel_pivot" -> (pivotEvents _),
     "q_rel_explode" -> (explodeWords _),
@@ -343,6 +379,8 @@ object Relational {
     "q_rel_scalar_funcs" -> (scalarFunctions _),
     "q_rel_date_funcs" -> (dateFunctions _),
     "q_rel_stats_agg" -> (statsAgg _),
+    "q_rel_quantiles" -> (quantiles _),
+    "q_rel_quantiles_approx" -> (quantilesApprox _),
     "q_rel_json_extract" -> (jsonExtract _))
 
   val oracles: Map[String, String] = Map(
@@ -360,5 +398,6 @@ object Relational {
     "q_rel_scalar_funcs" -> scalarFunctionsSql,
     "q_rel_date_funcs" -> dateFunctionsSql,
     "q_rel_stats_agg" -> statsAggSql,
+    "q_rel_quantiles" -> quantilesSql,
     "q_rel_json_extract" -> jsonExtractSql)
 }
