@@ -75,23 +75,32 @@ object Dedup {
     posting.join(broadcast(hot), Seq("sh_hash"), "left_anti")
   }
 
-  /** A single LSH band-bucket holding more than this many items is a skew
-    * hazard (k members ⇒ O(k²) candidate pairs) and carries little signal
-    * — members that similar collide in other buckets too. Same trick as
-    * [[HotShingleCap]]. */
+  /** A single MinHash band-bucket holding more than this many items is a
+    * skew hazard (k members ⇒ O(k²) candidate pairs). Applicable ONLY to
+    * wide (64-bit) bucket keys, where a hot bucket genuinely means a
+    * near-identical cluster: run [[exactDedup]] first to collapse those.
+    * NOT applied to SimHash (would void its pigeonhole exact-recall
+    * guarantee) or embedding SRP banding (2^bandBits buckets total — every
+    * bucket is "hot" by population at scale; `bandBits` is the dial
+    * there). */
   val HotBucketCap = 1000
 
-  /** Candidate pairs from a banded key table `(idCol, band, bkey)`: drop
-    * hot buckets (skew guard), self-join on the band key, ordered ids,
-    * deduped — the shared LSH banding core of MinHash-LSH, SimHash, and
-    * embedding-LSH. */
+  /** Candidate pairs from a banded key table `(idCol, band, bkey)`: self-
+    * join on the band key, ordered ids, deduped — the shared LSH banding
+    * core of MinHash-LSH, SimHash, and embedding-LSH. `bucketCap` is each
+    * call site's explicit skew policy (see [[HotBucketCap]] for when a cap
+    * is sound). */
   private def bandedCandidatePairs(banded: DataFrame, idCol: String,
                                    outA: String, outB: String,
-                                   bucketCap: Int = HotBucketCap): DataFrame = {
-    val hot = banded.groupBy(col("band"), col("bkey"))
-      .count().filter(col("count") > bucketCap)
-      .select(col("band"), col("bkey"))
-    val trimmed = banded.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
+                                   bucketCap: Int): DataFrame = {
+    val trimmed =
+      if (bucketCap == Int.MaxValue) banded
+      else {
+        val hot = banded.groupBy(col("band"), col("bkey"))
+          .count().filter(col("count") > bucketCap)
+          .select(col("band"), col("bkey"))
+        banded.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
+      }
     trimmed.as("x").join(trimmed.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
         col(s"x.$idCol") < col(s"y.$idCol"))
@@ -193,7 +202,7 @@ object Dedup {
     }: _*)
     val banded = sigs.select(col("doc_id"), explode(bandStructs).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
-    val cands = bandedCandidatePairs(banded, "doc_id", "doc_a", "doc_b")
+    val cands = bandedCandidatePairs(banded, "doc_id", "doc_a", "doc_b", HotBucketCap)
     val withSigs = cands
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
@@ -238,7 +247,9 @@ object Dedup {
     }: _*)
     val banded = fps.select(col("doc_id"), explode(bands).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
-    bandedCandidatePairs(banded, "doc_id", "doc_a", "doc_b")
+    // NO bucket cap: the pigeonhole exact-recall contract admits no
+    // dropped buckets (and bkeys span only 256 values per band)
+    bandedCandidatePairs(banded, "doc_id", "doc_a", "doc_b", Int.MaxValue)
       .join(fps.select(col("doc_id").as("doc_a"), col("simhash").as("fp_a")), "doc_a")
       .join(fps.select(col("doc_id").as("doc_b"), col("simhash").as("fp_b")), "doc_b")
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
@@ -290,7 +301,9 @@ object Dedup {
     val banded = e.select(col("vec_id"), explode(bandArr).as("bb"))
       .select(col("vec_id"), col("bb.band"), col("bb.bkey"))
       .cache()
-    val cands = bandedCandidatePairs(banded, "vec_id", "id_a", "id_b")
+    // NO bucket cap: 2^bandBits buckets per band means bucket size tracks
+    // population, not similarity — widen bandBits at scale instead
+    val cands = bandedCandidatePairs(banded, "vec_id", "id_a", "id_b", Int.MaxValue)
     cands
       .join(e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"), col("norm").as("n_a")), "id_a")
       .join(e.select(col("vec_id").as("id_b"), col("embedding").as("v_b"), col("norm").as("n_b")), "id_b")
@@ -410,8 +423,8 @@ object Dedup {
   }
 
   val crossCorpusNewDocsSql: String =
-    """WITH fp AS (
-      |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5
+    s"""WITH fp AS (
+      |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '${TextAnalysis.WsClass}+', ' ', 'g')) AS fp_md5
       |  FROM documents)
       |SELECT n.doc_id FROM fp n
       |WHERE n.doc_id >= 250

@@ -329,8 +329,10 @@ object Relational {
       |GROUP BY word""".stripMargin
 
   /** Exact per-group quantiles: Spark's `percentile` and DuckDB's
-    * `quantile_cont` share the definition (index = p·(n−1), linear
-    * interpolation `lo + (hi−lo)·frac` in double) — hash-parity holds.
+    * `quantile_cont` share the definition (index = p·(n−1), symmetric
+    * interpolation `(1−frac)·lo + frac·hi` in double — NOT the
+    * `lo + (hi−lo)·frac` form, which differs in the last ulp on real
+    * data) — hash-parity holds.
     * Exact percentile buffers each group's values (fine per returnflag);
     * the 100 TB path is the approx twin below. */
   def quantiles(s: SparkSession, dir: String): DataFrame = {

@@ -21,16 +21,23 @@ object TextAnalysis {
 
   private val tokens: Column = split(col("text"), " ")
 
+  /** Explicit whitespace / non-whitespace classes for ORACLED regexes:
+    * Java's `\s` includes vertical tab (\x0B), RE2's (DuckDB) does not, so
+    * `\s`/`\S` in an oracle-matched pattern diverges on that one control
+    * character. Spelled-out classes parse identically in both engines. */
+  val WsClass = """[ \t\n\r\f\x0B]"""
+  val NonWsClass = """[^ \t\n\r\f\x0B]"""
+
   /** Whitespace-token and character counts. */
   def tokenCounts(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
       col("doc_id"),
-      size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("long").as("n_tokens"),
+      size(regexp_extract_all(col("text"), lit(NonWsClass + "+"), lit(0))).cast("long").as("n_tokens"),
       length(col("text")).cast("long").as("n_chars_actual"))
 
   val tokenCountsSql: String =
-    """SELECT doc_id,
-      |  CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+    s"""SELECT doc_id,
+      |  CAST(length(regexp_extract_all(text, '$NonWsClass+')) AS BIGINT) AS n_tokens,
       |  CAST(length(text) AS BIGINT) AS n_chars_actual
       |FROM documents""".stripMargin
 
@@ -95,7 +102,7 @@ object TextAnalysis {
     * the canonical-form dedup key. Exact twin in DuckDB (note the 'g' flag:
     * DuckDB regexp_replace is first-match by default, Spark is global). */
   def fingerprint(s: SparkSession, dir: String): DataFrame = {
-    val normalized = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    val normalized = regexp_replace(lower(trim(col("text"))), WsClass + "+", " ")
     docs(s, dir).select(
       col("doc_id"),
       md5(normalized).as("fp_md5"),
@@ -103,9 +110,9 @@ object TextAnalysis {
   }
 
   val fingerprintSql: String =
-    """SELECT doc_id,
-      |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5,
-      |  CAST(length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS BIGINT) AS norm_len
+    s"""SELECT doc_id,
+      |  md5(regexp_replace(lower(trim(text)), '$WsClass+', ' ', 'g')) AS fp_md5,
+      |  CAST(length(regexp_replace(lower(trim(text)), '$WsClass+', ' ', 'g')) AS BIGINT) AS norm_len
       |FROM documents""".stripMargin
 
   /** Corpus stats by (lang, source): doc counts and char-length moments.
@@ -201,13 +208,13 @@ object TextAnalysis {
     docs(s, dir).select(
       col("doc_id"),
       size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).cast("long").as("n_bpe_tokens"),
-      size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("long").as("n_ws_tokens"))
+      size(regexp_extract_all(col("text"), lit(NonWsClass + "+"), lit(0))).cast("long").as("n_ws_tokens"))
 
   val bpeTokenCountsSql: String = {
     val sqlPat = BpePattern.replace("'", "''")
     s"""SELECT doc_id,
       |  CAST(len(regexp_extract_all(text, '$sqlPat')) AS BIGINT) AS n_bpe_tokens,
-      |  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_ws_tokens
+      |  CAST(len(regexp_extract_all(text, '$NonWsClass+')) AS BIGINT) AS n_ws_tokens
       |FROM documents""".stripMargin
   }
 

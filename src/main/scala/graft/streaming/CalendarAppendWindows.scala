@@ -61,7 +61,7 @@ object CalendarAppendWindows {
     }).toInstant.getEpochSecond
   }
 
-  private def update(granularity: String, zoneId: String)(
+  private def update(granularity: String, zone: ZoneId)(
       key: Long, rows: Iterator[(Long, String, java.sql.Timestamp)],
       state: GroupState[BucketState]): Iterator[StatMsg] =
     if (state.hasTimedOut) {
@@ -76,7 +76,7 @@ object CalendarAppendWindows {
       var sketch = state.getOption.map(_.registers).getOrElse(SparseHll.empty())
       rows.foreach(r => sketch = SparseHll.add(sketch, Hll.hash(r._2)))
       state.update(BucketState(sketch))
-      state.setTimeoutTimestamp(bucketEnd(granularity, key, ZoneId.of(zoneId)) * 1000L)
+      state.setTimeoutTimestamp(bucketEnd(granularity, key, zone) * 1000L)
       Iterator.empty
     }
 
@@ -86,8 +86,10 @@ object CalendarAppendWindows {
                  watermark: String = "10 minutes"): Dataset[StatMsg] = {
     import spark.implicits._
     // date_trunc buckets in the SESSION time zone — bucket ends must be
-    // computed in the same zone (captured here, shipped to executors)
-    val zoneId = spark.sessionState.conf.sessionLocalTimeZone
+    // computed in the same zone. Parsed ONCE here (ZoneId serializes into
+    // the closure); SHORT_IDS because Spark accepts three-letter session
+    // zones ("PST") that plain ZoneId.of rejects
+    val zone = ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone, ZoneId.SHORT_IDS)
     parsed.withWatermark("event_time", watermark)
       .select(
         unix_timestamp(date_trunc(granularity, col("event_time"))).as("bucket_start"),
@@ -95,7 +97,7 @@ object CalendarAppendWindows {
       .as[(Long, String, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        update(granularity, zoneId))
+        update(granularity, zone))
   }
 
   /** All five granularities, one append-mode stream in the reference
