@@ -268,6 +268,35 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("append-mode month bucket seals correctly in a non-UTC session zone") {
+    import spark.implicits._
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata") // +05:30
+    try {
+      val input = MemoryStream[String](spark)
+      val ist = java.time.ZoneId.of("Asia/Kolkata")
+      val julStart = java.time.ZonedDateTime.of(2016, 7, 1, 0, 0, 0, 0, ist).toEpochSecond
+      // late July IST — would fall in the WRONG bucket if ends were UTC math
+      val jul31 = java.time.ZonedDateTime.of(2016, 7, 31, 12, 0, 0, 0, ist).toEpochSecond
+      val sep1 = java.time.ZonedDateTime.of(2016, 9, 1, 0, 0, 0, 0, ist).toEpochSecond
+      val agg = graft.streaming.CalendarAppendWindows.aggregated(
+        spark, CardinalityStream.parse(input.toDF()), "month", watermark = "10 minutes")
+      val q = agg.writeStream.format("memory").queryName("istm").outputMode("append").start()
+      try {
+        input.addData(s"""{"uid":"a","ts":${julStart + 3600}}""",
+                      s"""{"uid":"b","ts":$jul31}""")
+        q.processAllAvailable()
+        input.addData(s"""{"uid":"c","ts":$sep1}""")
+        q.processAllAvailable()
+        input.addData(s"""{"uid":"d","ts":${sep1 + 60}}""")
+        q.processAllAvailable()
+        val sealedRows = spark.table("istm").as[StatMsg].collect().filter(_.Timestamp == julStart)
+        assert(sealedRows.toSeq == Seq(StatMsg("month_count", julStart, 2L)),
+          s"IST July bucket wrong: ${spark.table("istm").as[StatMsg].collect().toSeq}")
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
   test("intervalFrom matches the reference's epoch-0 initial intervals") {
     assert(DataDrivenWindows.intervalFrom("minute_count", 0) == 60L)
     assert(DataDrivenWindows.intervalFrom("day_count", 0) == 86400L)
