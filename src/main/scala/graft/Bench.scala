@@ -9,11 +9,17 @@ import org.apache.spark.sql.SparkSession
   * Queries are forced through the `noop` sink — a bare `.count()` lets
   * Catalyst prune every computed column out of map-only queries, which
   * would benchmark the parquet scan instead of the operator.
+  *
+  * Each query runs SPARK_GRAFT_BENCH_RUNS times (default 3) and reports
+  * the per-query MEDIAN; total = sum of medians. Single runs on this host
+  * swing 58–106 s with identical code, so round-over-round comparisons of
+  * single samples chase noise, not plans.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -25,18 +31,25 @@ object Bench {
     // untimed warmup: JVM/codegen/session init and parquet footer reads
     // should not be billed to whichever query sorts first
     Tables.all.foreach(t => Tables(spark, sfDir, t).write.format("noop").mode("overwrite").save())
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val samples = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // release any blocks a query cached (minhash sigs, postings, minute
+        // sketches) so later queries aren't timed against pinned storage;
+        // teardown cost stays OUTSIDE the timed region
+        spark.catalog.clearCache()
+        elapsed
       }
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      // release any blocks a query cached (minhash sigs, postings, minute
-      // sketches) so later queries aren't timed against pinned storage;
-      // teardown cost stays OUTSIDE the timed region
-      spark.catalog.clearCache()
-      name -> elapsed
+      name -> median(samples)
     }
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
     def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

@@ -104,7 +104,13 @@ object Multimodal {
     * target pixel budget, partition-wise (per-partition codec state, like
     * [[decodeMeta]]). The thumbnail binary stays with its row — never
     * shuffled (the query projection reduces it to a checksum before any
-    * exchange). */
+    * exchange).
+    *
+    * `thumb_width`/`thumb_height` describe the ACTUAL thumb payload: when
+    * the source already fits the pixel budget the codec passes it through
+    * unresized, and the row reports the source dims with
+    * `resized = false` — not the requested target dims, which would
+    * misdescribe the bytes. */
   def resizeMedia(s: SparkSession, dir: String,
                   targetW: Int = 64, targetH: Int = 64): DataFrame = {
     import s.implicits._
@@ -113,11 +119,13 @@ object Multimodal {
         it.map { case (id, kind, bytes) =>
           val meta = FakeCodec.probe(id, kind, bytes)
           val thumb = FakeCodec.resize(bytes, targetW, targetH)
-          (id, kind, meta.width, meta.height, targetW, targetH, thumb)
+          val resized = !(thumb eq bytes)
+          val (tw, th) = if (resized) (targetW, targetH) else (meta.width, meta.height)
+          (id, kind, meta.width, meta.height, tw, th, resized, thumb)
         }
       }
       .toDF("media_id", "kind", "src_width", "src_height",
-            "thumb_width", "thumb_height", "thumb")
+            "thumb_width", "thumb_height", "resized", "thumb")
   }
 
   /** Frame sampling: slice the binary payload into fixed-length frames
@@ -153,6 +161,7 @@ object Multimodal {
     "q_mm_resize" -> ((s: SparkSession, d: String) =>
       resizeMedia(s, d).select(
         col("media_id"), col("kind"), col("src_width"), col("src_height"),
+        col("thumb_width"), col("thumb_height"), col("resized"),
         length(col("thumb")).cast("long").as("thumb_bytes"),
         md5(col("thumb")).as("thumb_md5"))))
 

@@ -85,11 +85,25 @@ object Dedup {
     * there). */
   val HotBucketCap = 1000
 
+  /** Monotone suffix making LSH-trim observation names unique when several
+    * banded operators compose into one plan (Spark rejects duplicate
+    * observation names over different subtrees). */
+  private val lshTrimSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Candidate pairs from a banded key table `(idCol, band, bkey)`: self-
     * join on the band key, ordered ids, deduped — the shared LSH banding
     * core of MinHash-LSH, SimHash, and embedding-LSH. `bucketCap` is each
     * call site's explicit skew policy (see [[HotBucketCap]] for when a cap
-    * is sound). */
+    * is sound).
+    *
+    * Recall loss from the cap is OBSERVABLE, not silent: the trim plan
+    * carries a `graft_lsh_trim_<n>` observation (`n_hot_buckets`,
+    * `n_trimmed_rows`) readable per execution via [[graft.Observed]]
+    * (asserted in DedupSpec) — a skewed corpus that sheds buckets shows up
+    * in metrics instead of quietly returning fewer pairs. When NO bucket
+    * exceeds the cap, AQE's empty-relation propagation may prune the
+    * anti-join (and the observation node with it): metric present ⇒ its
+    * counts are the recall loss; metric absent ⇒ nothing was trimmed. */
   private def bandedCandidatePairs(banded: DataFrame, idCol: String,
                                    outA: String, outB: String,
                                    bucketCap: Int): DataFrame = {
@@ -98,6 +112,9 @@ object Dedup {
       else {
         val hot = banded.groupBy(col("band"), col("bkey"))
           .count().filter(col("count") > bucketCap)
+          .observe(s"graft_lsh_trim_${lshTrimSeq.incrementAndGet()}",
+            count(lit(1)).as("n_hot_buckets"),
+            coalesce(sum(col("count")), lit(0L)).as("n_trimmed_rows"))
           .select(col("band"), col("bkey"))
         banded.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
       }
@@ -194,7 +211,8 @@ object Dedup {
     * band become candidates; candidates are verified on the SIGNATURES
     * (estimated Jaccard = matching fraction), never on raw text — at scale
     * the text never re-enters the pipeline after signature computation. */
-  def minhashLshPairs(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+  def minhashLshPairs(s: SparkSession, dir: String, threshold: Double = 0.5,
+                      bucketCap: Int = HotBucketCap): DataFrame = {
     val sigs = minhashSignatures(s, dir).cache()
     val bandStructs = array((0 until MinhashBands).map { b =>
       struct(lit(b).as("band"),
@@ -202,7 +220,7 @@ object Dedup {
     }: _*)
     val banded = sigs.select(col("doc_id"), explode(bandStructs).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
-    val cands = bandedCandidatePairs(banded, "doc_id", "doc_a", "doc_b", HotBucketCap)
+    val cands = bandedCandidatePairs(banded, "doc_id", "doc_a", "doc_b", bucketCap)
     val withSigs = cands
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
@@ -302,8 +320,14 @@ object Dedup {
       .select(col("vec_id"), col("bb.band"), col("bb.bkey"))
       .cache()
     // NO bucket cap: 2^bandBits buckets per band means bucket size tracks
-    // population, not similarity — widen bandBits at scale instead
+    // population, not similarity — widen bandBits at scale instead.
+    // Candidate ids are materialized eagerly (localCheckpoint) so `banded`
+    // can be unpersisted HERE instead of leaking pinned blocks to the
+    // caller; only the far smaller id-pair table stays resident for the
+    // result's lifetime.
     val cands = bandedCandidatePairs(banded, "vec_id", "id_a", "id_b", Int.MaxValue)
+      .localCheckpoint()
+    banded.unpersist()
     cands
       .join(e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"), col("norm").as("n_a")), "id_a")
       .join(e.select(col("vec_id").as("id_b"), col("embedding").as("v_b"), col("norm").as("n_b")), "id_b")
@@ -328,6 +352,18 @@ object Dedup {
     *
     * Returns `(doc_id, cluster_id)` where `cluster_id` is the component's
     * minimum doc_id — the canonical "keep" representative. */
+  /** Release the pinned blocks behind a `localCheckpoint`'d DataFrame.
+    * `Dataset.localCheckpoint` persists its internal RDD and nothing ever
+    * frees it (`catalog.clearCache` only drops the relation cache) — an
+    * iterative loop that checkpoints every round must unpersist round N−1
+    * once round N is materialized, or pinned storage grows linearly with
+    * iterations for every library caller. */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+
   def clusterPairs(pairs: DataFrame): DataFrame = {
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -336,6 +372,7 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("cluster_id"))
       .localCheckpoint()
+    var prevCheckpoint = labels
     var changed = 1L
     while (changed > 0) {
       val nbrMin = edges
@@ -348,10 +385,16 @@ object Dedup {
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"),
           (coalesce(col("nbr_min"), col("cluster_id")) < col("cluster_id")).as("chg"))
         .localCheckpoint() // truncate lineage; also makes the count cheap
+      // stepped is materialized (eager checkpoint), so the previous round's
+      // blocks are dead weight from here — free them before the next round
+      unpersistCheckpoint(prevCheckpoint)
+      prevCheckpoint = stepped
       changed = stepped.filter(col("chg")).count()
       labels = stepped.select(col("id"), col("cluster_id"))
     }
     edges.unpersist()
+    // only the FINAL round's checkpoint (the result's backing data) stays
+    // resident — constant, not per-iteration, storage
     labels.select(col("id").as("doc_id"), col("cluster_id"))
   }
 

@@ -92,28 +92,39 @@ object Similarity {
     e.withColumn("cid", greatest(scored: _*).getField("cid"))
   }
 
-  /** Lloyd's k-means coarse quantizer in DataFrame ops: deterministic init
-    * (k lowest-hash vectors), then `iters` rounds of
-    * assign-via-broadcast-literals → per-dimension mean re-centering. Only
-    * the k×dim centroid model crosses to the driver each round (the MLlib
-    * KMeans pattern) — the corpus never leaves the executors, each round is
-    * one map-only assignment plus one k-group aggregation. Empty clusters
-    * keep their previous centroid. */
+  /** Lloyd's k-means coarse quantizer in DataFrame ops, trained on a
+    * deterministic hash-mod SAMPLE of the corpus (same integer-mod
+    * discipline as [[Sampling.systematicSample]]): a coarse quantizer only
+    * needs the density shape, not every point, so at 100 TB the training
+    * loop touches ~`samplePct`% of rows once (cached — iterations never
+    * re-scan the corpus) while the full corpus is scanned exactly once for
+    * the final assignment. Deterministic init (k lowest-hash sample
+    * vectors), then `iters` rounds of assign-via-broadcast-literals →
+    * per-dimension mean re-centering. Only the k×dim centroid model crosses
+    * to the driver each round (the MLlib KMeans pattern). Empty clusters
+    * keep their previous centroid. If the sample is thinner than 16×k the
+    * full corpus trains instead (tiny-input safety, e.g. sf0.001 specs). */
   def learnCentroids(s: SparkSession, e: DataFrame, k: Int = 8, iters: Int = 4,
-                     dim: Int = 64): Seq[Seq[Double]] = {
-    var cents: Seq[Seq[Double]] = e
-      .select(col("vec_id"), col("embedding"))
-      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
-      .collect().toSeq.map(_.getSeq[Float](1).toSeq.map(_.toDouble))
-    for (_ <- 0 until iters) {
-      val recentered = assignCid(e, cents)
-        .groupBy(col("cid"))
-        .agg(array((0 until dim).map(j =>
-          avg(element_at(col("embedding"), j + 1))): _*).as("centroid"))
-        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
-      cents = cents.indices.map(i => recentered.getOrElse(i, cents(i)))
-    }
-    cents
+                     dim: Int = 64, samplePct: Int = 10): Seq[Seq[Double]] = {
+    val sampled = e.select(col("vec_id"), col("embedding"))
+      .filter(pmod(pmod(col("vec_id"), lit(Sampling.IdMod)) * lit(Sampling.Mix), lit(100L)) < samplePct)
+      .cache()
+    val train = if (sampled.count() >= 16L * k) sampled
+                else e.select(col("vec_id"), col("embedding"))
+    try {
+      var cents: Seq[Seq[Double]] = train
+        .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
+        .collect().toSeq.map(_.getSeq[Float](1).toSeq.map(_.toDouble))
+      for (_ <- 0 until iters) {
+        val recentered = assignCid(train, cents)
+          .groupBy(col("cid"))
+          .agg(array((0 until dim).map(j =>
+            avg(element_at(col("embedding"), j + 1))): _*).as("centroid"))
+          .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+        cents = cents.indices.map(i => recentered.getOrElse(i, cents(i)))
+      }
+      cents
+    } finally sampled.unpersist()
   }
 
   /** IVF ANN with a LEARNED coarse quantizer: k-means centroids

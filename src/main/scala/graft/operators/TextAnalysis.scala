@@ -73,7 +73,12 @@ object TextAnalysis {
     * profile; argmax with deterministic tie-break. The profile table is a
     * literal broadcast dim; the aggregation shuffles only (doc_id, lang)
     * partial counts. Rows-only checked (heuristic — no SQL oracle). */
-  def languageId(s: SparkSession, dir: String): DataFrame = {
+  def languageId(s: SparkSession, dir: String): DataFrame =
+    languageIdOn(s, docs(s, dir))
+
+  /** [[languageId]] over any `(doc_id, text)` DataFrame (spec harness for
+    * head-to-head accuracy against [[languageIdTrigram]]). */
+  def languageIdOn(s: SparkSession, documents: DataFrame): DataFrame = {
     val profiles = Seq(
       ("en", Seq("the", "a", "and", "of", "to", "in", "is")),
       ("de", Seq("der", "die", "das", "und", "ist", "ein")),
@@ -83,7 +88,7 @@ object TextAnalysis {
     val profRows = profiles.flatMap { case (l, ws) => ws.map(w => (l, w)) }
     val prof = s.createDataFrame(profRows).toDF("cand_lang", "tok")
 
-    val tok = docs(s, dir)
+    val tok = documents
       .select(col("doc_id"), size(tokens).as("n_tok"), explode(tokens).as("tok"))
     val best = tok.join(broadcast(prof), Seq("tok"))
       .groupBy(col("doc_id"), col("cand_lang"), col("n_tok"))
@@ -92,11 +97,134 @@ object TextAnalysis {
       .agg(max(struct((col("hits") / col("n_tok")).as("score"), col("cand_lang").as("lang"))).as("best"))
     // Docs with zero profile hits must still classify (as undetermined),
     // not silently drop out of the inner join.
-    docs(s, dir).select(col("doc_id")).join(best, Seq("doc_id"), "left")
+    documents.select(col("doc_id")).join(best, Seq("doc_id"), "left")
       .select(col("doc_id"),
               coalesce(col("best.lang"), lit("und")).as("detected_lang"),
               round(coalesce(col("best.score"), lit(0.0)), 4).as("lang_score"))
   }
+
+  /** Character-trigram language model for language ID — the n-gram text
+    * categorization family (Cavnar & Trenkle, "N-Gram-Based Text
+    * Categorization", SDAIR'94), scored as an add-one-smoothed trigram
+    * unigram-LM instead of rank distance (same DataFrame shape either
+    * way). Profiles are TRAINED at class-init from the small embedded
+    * literal corpora below — no external files, no network. */
+  object TrigramLangId {
+    /** Tiny per-language training corpora (original sample sentences in
+      * each language's everyday vocabulary; `zh` is pinyin to match the
+      * latin-script synthetic corpus). Held-out spec sentences in
+      * LangIdSpec deliberately share no sentence with these. */
+    val TrainCorpus: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq(
+        "the quick brown fox jumps over the lazy dog",
+        "she said that the weather would be fine this afternoon",
+        "a long time ago people traveled across the sea in wooden ships",
+        "the children were playing in the garden behind the old house",
+        "we should think about what this means for the future of the city",
+        "most of the books on that shelf have never been read by anyone",
+        "please put the data from the first column into a new table",
+        "a fast train passed the small station without stopping at all",
+        "the value of each order depends on the size of the batch",
+        "draw a line from the first row down to the last column",
+        "the stream runs past the mill and joins the big river",
+        "sort the cards by color and keep the key on the table"),
+      "de" -> Seq(
+        "der schnelle braune fuchs springt ueber den faulen hund",
+        "sie sagte dass das wetter heute nachmittag schoen werden wuerde",
+        "vor langer zeit reisten die menschen in hoelzernen schiffen ueber das meer",
+        "die kinder spielten im garten hinter dem alten haus",
+        "wir sollten darueber nachdenken was das fuer die zukunft der stadt bedeutet",
+        "die meisten buecher in diesem regal wurden noch nie von jemandem gelesen"),
+      "fr" -> Seq(
+        "le renard brun rapide saute par dessus le chien paresseux",
+        "elle a dit que le temps serait beau cet apres midi",
+        "il y a longtemps les gens traversaient la mer dans des navires en bois",
+        "les enfants jouaient dans le jardin derriere la vieille maison",
+        "nous devrions penser a ce que cela signifie pour avenir de la ville",
+        "la plupart des livres sur cette etagere ont jamais ete lus par personne"),
+      "es" -> Seq(
+        "el rapido zorro marron salta sobre el perro perezoso",
+        "ella dijo que el tiempo estaria bueno esta tarde",
+        "hace mucho tiempo la gente cruzaba el mar en barcos de madera",
+        "los ninos jugaban en el jardin detras de la casa vieja",
+        "deberiamos pensar en lo que esto significa para el futuro de la ciudad",
+        "la mayoria de los libros en ese estante nunca han sido leidos por nadie"),
+      "zh" -> Seq(
+        "wo men jin tian xia wu qu gong yuan san bu",
+        "ta shuo jin tian xia wu tian qi hui hen hao",
+        "hen jiu yi qian ren men zuo mu chuan guo hai",
+        "hai zi men zai lao fang zi hou mian de hua yuan li wan",
+        "wo men ying gai xiang xiang zhe dui cheng shi de wei lai yi wei zhe shen me",
+        "na ge shu jia shang de da duo shu shu cong lai mei you ren du guo"))
+
+    /** Lowercase, strip non-letters, collapse runs, pad — identical on the
+      * training (driver) and scoring (executor) paths. */
+    def normalize(t: String): String =
+      " " + t.toLowerCase.replaceAll("[^\\p{L}]+", " ").trim + " "
+
+    def trigrams(normalized: String): Iterator[String] =
+      if (normalized.length < 3) Iterator.empty
+      else (0 to normalized.length - 3).iterator.map(i => normalized.substring(i, i + 3))
+
+    /** `(lang, trigram, logp)` rows with add-one smoothing, plus the
+      * unseen-trigram floor. Vocabulary = union of trigrams across all
+      * languages. The floor is SHARED across languages (computed from the
+      * largest corpus so it sits below every seen log-prob): a per-language
+      * `log(1/(total_l + V))` floor penalizes the language with the LARGEST
+      * training corpus hardest on out-of-vocabulary text, which anti-biases
+      * exactly the best-trained profile; a shared floor makes unseen
+      * trigrams argmax-neutral so only seen evidence discriminates. */
+    lazy val (profileRows, floorRows): (Seq[(String, String, Double)], Seq[(String, Double)]) = {
+      val counts: Seq[(String, Map[String, Long])] = TrainCorpus.map { case (lang, sents) =>
+        lang -> sents.flatMap(s => trigrams(normalize(s)))
+          .groupBy(identity).map { case (g, gs) => g -> gs.size.toLong }
+      }
+      val vocabSize = counts.flatMap(_._2.keys).distinct.size
+      val profs = counts.flatMap { case (lang, c) =>
+        val total = c.values.sum
+        c.toSeq.map { case (g, n) =>
+          (lang, g, math.log((n + 1).toDouble / (total + vocabSize + 1)))
+        }
+      }
+      val sharedFloor = math.log(1.0 / (counts.map(_._2.values.sum).max + vocabSize + 1))
+      val floors = counts.map { case (lang, _) => (lang, sharedFloor) }
+      (profs, floors)
+    }
+  }
+
+  /** Trigram-LM language ID: per doc, mean trigram log-probability under
+    * each candidate language's profile; argmax with deterministic
+    * tie-break. The profile (~1–2k rows) and the per-language floor are
+    * broadcast dims; the only shuffle carries `(doc_id, cand_lang)`
+    * partial sums — at 100 TB this is a map-side-combined aggregation over
+    * 5× the trigram stream, no text shuffle. Trigram extraction is a typed
+    * flatMap (HOF lambdas evaluate interpreted — same tier-(d) call as
+    * [[winnowFingerprints]]). */
+  def languageIdTrigramOn(s: SparkSession, documents: DataFrame): DataFrame = {
+    import s.implicits._
+    val prof = s.createDataFrame(TrigramLangId.profileRows).toDF("cand_lang", "tri", "logp")
+    val floors = s.createDataFrame(TrigramLangId.floorRows).toDF("cand_lang", "floor_logp")
+    val tris = documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        TrigramLangId.trigrams(TrigramLangId.normalize(t)).map(g => (id, g))
+      }.toDF("doc_id", "tri")
+    val scored = tris
+      .crossJoin(broadcast(floors)) // 5 candidate langs per trigram
+      .join(broadcast(prof), Seq("cand_lang", "tri"), "left")
+      .select(col("doc_id"), col("cand_lang"),
+              coalesce(col("logp"), col("floor_logp")).as("lp"))
+      .groupBy(col("doc_id"), col("cand_lang"))
+      .agg(avg(col("lp")).as("mean_lp"))
+    val best = scored.groupBy(col("doc_id"))
+      .agg(max(struct(col("mean_lp").as("score"), col("cand_lang").as("lang"))).as("best"))
+    documents.select(col("doc_id")).join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+              coalesce(col("best.lang"), lit("und")).as("detected_lang"),
+              round(coalesce(col("best.score"), lit(0.0)), 4).as("lang_score"))
+  }
+
+  def languageIdTrigram(s: SparkSession, dir: String): DataFrame =
+    languageIdTrigramOn(s, docs(s, dir))
 
   /** Content fingerprint: md5 over whitespace-normalized lowercase text —
     * the canonical-form dedup key. Exact twin in DuckDB (note the 'g' flag:
@@ -127,10 +255,13 @@ object TextAnalysis {
               OracleSafe.avgRound4(col("total_chars"), col("n_docs")).as("avg_chars"),
               col("total_chars"))
 
+  // CAST is load-bearing: DuckDB widens sum(BIGINT) to HUGEINT, which the
+  // driver's pandas bridge materializes as float64 (662.0 vs Spark's int64
+  // 662) — rows/schema match but the value hash diverges on every row.
   val corpusStatsSql: String =
     s"""SELECT lang, source, count(*) AS n_docs,
-      |  ${OracleSafe.avgRound4Sql("sum(n_chars)", "count(*)")} AS avg_chars,
-      |  sum(n_chars) AS total_chars
+      |  ${OracleSafe.avgRound4Sql("CAST(sum(n_chars) AS BIGINT)", "count(*)")} AS avg_chars,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
       |FROM documents GROUP BY lang, source""".stripMargin
 
   /** Repetition ratio: frequency of the most common token over total
@@ -319,6 +450,7 @@ object TextAnalysis {
     "q_text_winnow" -> ((s: SparkSession, d: String) => winnowFingerprints(s, d)),
     "q_text_quality" -> (qualityScore _),
     "q_text_langid" -> (languageId _),
+    "q_text_langid_trigram" -> (languageIdTrigram _),
     "q_text_fingerprint" -> (fingerprint _),
     "q_text_corpus_stats" -> (corpusStats _),
     "q_text_vocab" -> ((s: SparkSession, d: String) => vocab(s, d)),

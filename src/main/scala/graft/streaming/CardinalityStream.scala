@@ -35,23 +35,48 @@ object CardinalityStream {
     * `referenceParity = true` replicates jsoniter's default decode for the
     * uid field (`processor.go:87` via `kafkaio.go:77`): a missing/null
     * `uid` decodes as `""` and IS counted as a distinct user, instead of
-    * being dropped. Remaining documented divergences: (1) jsoniter matches
-    * JSON keys case-insensitively as a fallback; `from_json` is
-    * case-sensitive, so `{"UID":…}` parses as a missing uid here (= `""`
-    * in parity mode); (2) a NON-STRING uid scalar (`{"uid":123,…}`) is
-    * coerced to the string `"123"` by Spark's Jackson parser and counted,
-    * while jsoniter errors on the type mismatch and the reference drops
-    * the whole message. */
+    * being dropped, and a NON-STRING uid value (`{"uid":123,…}`, booleans,
+    * objects, arrays) drops the whole message — jsoniter raises a type
+    * error where Spark's Jackson parser would coerce `123` → `"123"` and
+    * count it. Non-string detection reads the first character of the raw
+    * uid value (JSON values can only open with `"` string, `n` null,
+    * digit/`-`/`t`/`f`/`{`/`[` — only string/null/absent survive jsoniter).
+    * Remaining documented divergence: jsoniter matches JSON keys
+    * case-insensitively as a fallback; `from_json` is case-sensitive, so
+    * `{"UID":…}` parses as a missing uid here (= `""` in parity mode). The
+    * first-char regex also assumes `"uid"` does not appear earlier inside
+    * another field's string value — acceptable for the parity-test tier,
+    * which feeds the reference's `{uid,ts}` shape.
+    *
+    * Rows dropped on any path are counted via `Dataset.observe` under the
+    * observation name `graft_parse` (`n_in`, `n_bad_uid`, `n_malformed`,
+    * `n_nonpos_ts`) — the "drop them with a metric" discipline of
+    * SURVEY.md §7.4; surfaced per micro-batch through
+    * `QueryProgressEvent.progress.observedMetrics` (asserted in
+    * StreamingSpec). */
   def parse(raw: DataFrame, referenceParity: Boolean = false): DataFrame = {
     val parsed = raw
-      .select(from_json(col("value").cast("string"), userSchema).as("m"))
-      .select(col("m.uid").as("uid"), col("m.ts").as("ts"))
-    val withUid =
-      if (referenceParity) parsed.select(coalesce(col("uid"), lit("")).as("uid"), col("ts"))
-      else parsed.filter(col("uid").isNotNull)
-    withUid
-      .filter(col("ts").isNotNull && col("ts") > 0)
-      .select(col("uid"), timestamp_seconds(col("ts")).as("event_time"))
+      .select(col("value").cast("string").as("raw"))
+      .select(col("raw"), from_json(col("raw"), userSchema).as("m"))
+      .select(col("raw"), col("m.uid").as("uid"), col("m.ts").as("ts"))
+    val uidOk =
+      if (referenceParity)
+        regexp_extract(col("raw"), "\"uid\"[ \\t\\r\\n]*:[ \\t\\r\\n]*(.)", 1).isin("", "\"", "n")
+      else col("uid").isNotNull
+    val flagged = parsed
+      .withColumn("ok_uid", uidOk)
+      .withColumn("malformed", col("ts").isNull) // unparseable JSON or absent/null ts
+      .withColumn("nonpos_ts", col("ts").isNotNull && col("ts") <= 0)
+      .observe("graft_parse",
+        count(lit(1)).as("n_in"),
+        count_if(!col("ok_uid")).as("n_bad_uid"),
+        count_if(col("malformed")).as("n_malformed"),
+        count_if(col("nonpos_ts")).as("n_nonpos_ts"))
+    flagged
+      .filter(col("ok_uid") && !col("malformed") && !col("nonpos_ts"))
+      .select(
+        (if (referenceParity) coalesce(col("uid"), lit("")) else col("uid")).as("uid"),
+        timestamp_seconds(col("ts")).as("event_time"))
   }
 
   /** One granularity's windowed approximate distinct count.

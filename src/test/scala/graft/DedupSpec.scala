@@ -29,6 +29,31 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("hot-bucket trimming is observable via graft_lsh_trim metrics") {
+    // default cap: nothing trims at this scale — AQE prunes the empty trim
+    // anti-join, so the metric is either absent or all-zero (both mean
+    // "no recall loss"; documented contract on bandedCandidatePairs)
+    val calm = Dedup.minhashLshPairs(spark, sf, threshold = 0.5)
+    calm.collect()
+    Observed.metrics(calm).collectFirst {
+      case (name, row) if name.startsWith("graft_lsh_trim_") => row
+    }.foreach { m =>
+      assert(m.getAs[Long]("n_hot_buckets") == 0L)
+      assert(m.getAs[Long]("n_trimmed_rows") == 0L)
+    }
+    // cap=1: every multi-member bucket trims; the loss is REPORTED, and the
+    // trimmed run can only shrink the pair set (never invent pairs)
+    val trimmed = Dedup.minhashLshPairs(spark, sf, threshold = 0.5, bucketCap = 1)
+    val trimmedPairs = trimmed.collect().length
+    val trimMetrics = Observed.metrics(trimmed).collectFirst {
+      case (name, row) if name.startsWith("graft_lsh_trim_") => row
+    }.getOrElse(fail("trimming happened but no graft_lsh_trim observation reported"))
+    assert(trimMetrics.getAs[Long]("n_hot_buckets") > 0L)
+    assert(trimMetrics.getAs[Long]("n_trimmed_rows") >
+           trimMetrics.getAs[Long]("n_hot_buckets")) // each hot bucket had >1 member
+    assert(trimmedPairs <= calm.collect().length)
+  }
+
   test("simhash banding is EXACT for hamming <= 7 (pigeonhole law) vs brute force") {
     val fps = Dedup.simhashFingerprints(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1))

@@ -31,8 +31,17 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     rows.foreach { r =>
       val thumb = r.getAs[Array[Byte]]("thumb")
       assert(thumb.length <= budget, s"media ${r.getLong(0)} over budget")
-      assert(r.getAs[Int]("thumb_width") == 64 && r.getAs[Int]("thumb_height") == 64)
+      // reported dims describe the actual payload: target dims only when the
+      // codec really downsampled; pass-through rows keep their source dims
+      if (r.getAs[Boolean]("resized")) {
+        assert(thumb.length == budget)
+        assert(r.getAs[Int]("thumb_width") == 64 && r.getAs[Int]("thumb_height") == 64)
+      } else {
+        assert(r.getAs[Int]("thumb_width") == r.getAs[Int]("src_width"))
+        assert(r.getAs[Int]("thumb_height") == r.getAs[Int]("src_height"))
+      }
     }
+    assert(rows.exists(_.getAs[Boolean]("resized")), "expected at least one real downsample")
     val again = Multimodal.resizeMedia(spark, sf, targetW = 64, targetH = 64).collect()
     assert(rows.map(_.getAs[Array[Byte]]("thumb").toSeq).toSeq ==
            again.map(_.getAs[Array[Byte]]("thumb").toSeq).toSeq)

@@ -46,6 +46,68 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("reference-parity parse drops non-string uid values (jsoniter type error)") {
+    import spark.implicits._
+    // jsoniter errors on {"uid":123} (type mismatch) and the reference drops
+    // the whole message (kafkaio.go:78-81); Spark's Jackson parser would
+    // coerce 123 -> "123" and count it. Parity mode must drop; default mode
+    // keeps the coerced string (documented divergence, now flag-gated).
+    val dirty = Seq(
+      """{"uid":"alice","ts":1468244384}""",
+      """{"uid":123,"ts":1468244385}""", // number -> jsoniter type error
+      """{"uid":true,"ts":1468244386}""", // bool -> type error
+      """{"uid":["x"],"ts":1468244387}""", // array -> type error
+      """{"uid":{"a":1},"ts":1468244388}""", // object -> type error
+      """{"uid": "spaced","ts":1468244389}""", // whitespace before quote: kept
+      """{"uid":null,"ts":1468244390}""") // null -> "" (no error in Go)
+    val parityIn = MemoryStream[String](spark)
+    parityIn.addData(dirty: _*)
+    val qp = CardinalityStream.parse(parityIn.toDF(), referenceParity = true)
+      .writeStream.format("memory").queryName("parity_nonstr").outputMode("append").start()
+    val defaultIn = MemoryStream[String](spark)
+    defaultIn.addData(dirty: _*)
+    val qd = CardinalityStream.parse(defaultIn.toDF())
+      .writeStream.format("memory").queryName("default_nonstr").outputMode("append").start()
+    try {
+      qp.processAllAvailable()
+      qd.processAllAvailable()
+      val parity = spark.table("parity_nonstr").collect().map(_.getString(0)).sorted.toSeq
+      assert(parity == Seq("", "alice", "spaced"))
+      val dflt = spark.table("default_nonstr").collect().map(_.getString(0)).sorted.toSeq
+      // default mode: Jackson coerces the number to "123"; true/array/object
+      // fail Jackson's string read -> null uid -> dropped; null uid dropped
+      assert(dflt.contains("123") && dflt.contains("alice") && dflt.contains("spaced"))
+      assert(!dflt.contains(""))
+    } finally { qp.stop(); qd.stop() }
+  }
+
+  test("parse surfaces drop counters through Dataset.observe (graft_parse metrics)") {
+    import spark.implicits._
+    val input = MemoryStream[String](spark)
+    input.addData(
+      """{"uid":"alice","ts":1468244384}""", // kept
+      """not json at all""", // malformed
+      """{"uid":"carol"}""", // missing ts -> malformed bucket
+      """{"uid":"dave","ts":0}""", // non-positive ts
+      """{"uid":"eve","ts":-5}""", // non-positive ts
+      """{"ts":1468244395}""") // null uid (default mode: bad uid)
+    val q = CardinalityStream.parse(input.toDF())
+      .writeStream.format("memory").queryName("observed_parse").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val metrics = q.recentProgress
+        .flatMap(p => Option(p.observedMetrics.get("graft_parse")))
+        .find(r => r.getAs[Long]("n_in") > 0)
+        .getOrElse(fail("no graft_parse observation with rows reported"))
+      assert(metrics.getAs[Long]("n_in") == 6)
+      // "not json" parses to all-null: counted in BOTH bad_uid and malformed
+      assert(metrics.getAs[Long]("n_bad_uid") == 2)
+      assert(metrics.getAs[Long]("n_malformed") == 2)
+      assert(metrics.getAs[Long]("n_nonpos_ts") == 2)
+      assert(spark.table("observed_parse").count() == 1)
+    } finally q.stop()
+  }
+
   test("minute-granularity streaming agg counts distinct users per aligned window") {
     import spark.implicits._
     val input = MemoryStream[String](spark)

@@ -64,8 +64,19 @@ def main(sf_dir, out_dir):
             print(f"{'FAIL-ROWS':18s} {name:28s} spark={len(g)} duck={len(e)}")
             n_fail += 1
             continue
+        # The driver's value hash is dtype-sensitive: DuckDB HUGEINT (e.g. a
+        # bare sum over BIGINT) reaches pandas as float64 while Spark ships
+        # int64 — identical values, different hash. The mirror must be at
+        # least as strict as the driver, so dtype mismatch after canon() is
+        # a hard failure here too.
+        dt_mism = [c for c in g.columns if g[c].dtype != e[c].dtype]
+        if dt_mism:
+            detail = "; ".join(f"{c}: spark={g[c].dtype} duck={e[c].dtype}" for c in dt_mism)
+            print(f"{'FAIL-DTYPE':18s} {name:28s} {detail}")
+            n_fail += 1
+            continue
         try:
-            pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
+            pd.testing.assert_frame_equal(g, e, check_dtype=True, check_exact=True)
             print(f"{'PASS':18s} {name:28s} rows={len(g)}")
             n_pass += 1
         except AssertionError as ex:
