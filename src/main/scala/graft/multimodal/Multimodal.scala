@@ -165,5 +165,26 @@ object Multimodal {
         length(col("thumb")).cast("long").as("thumb_bytes"),
         md5(col("thumb")).as("thumb_md5"))))
 
-  val oracles: Map[String, String] = Map.empty
+  /** DuckDB twin of `q_mm_frame_sample` — the slicing arithmetic is pure
+    * SQL (no codec), so it IS oracle-able. The corpus is ASCII (verified:
+    * zero docs where octet_length ≠ char length), so DuckDB's char-indexed
+    * substr/length on the VARCHAR equals Spark's byte-indexed substr on
+    * the UTF-8 binary. Stride = FrameLen × 4 = 128. */
+  val frameSampleSql: String =
+    """WITH media AS (
+      |  SELECT doc_id AS media_id,
+      |    (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+      |    text AS content
+      |  FROM documents),
+      |f AS (
+      |  SELECT media_id, kind, CAST(length(content) AS BIGINT) AS total_bytes,
+      |    unnest(range(0, greatest(length(content) // 128, 1))) AS frame_idx, content
+      |  FROM media)
+      |SELECT media_id, kind, total_bytes,
+      |  count(*) AS n_frames,
+      |  CAST(sum(length(substr(content, CAST(frame_idx * 128 + 1 AS INT), 32))) AS BIGINT) AS sampled_bytes
+      |FROM f GROUP BY 1, 2, 3""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_mm_frame_sample" -> frameSampleSql)
 }

@@ -473,6 +473,56 @@ object Dedup {
       |WHERE n.doc_id >= 250
       |  AND n.fp_md5 NOT IN (SELECT fp_md5 FROM fp WHERE doc_id < 250)""".stripMargin
 
+  /** Benchmark-contamination check (train–test overlap): for each
+    * benchmark document (`doc_id < benchBelow`), the fraction of its
+    * distinct 3-gram shingles that appear ANYWHERE in the training corpus
+    * (`doc_id >= benchBelow`) — the decontamination pass run before
+    * training to keep eval sets honest. One keyed join against the
+    * distinct training-shingle set; no pair explosion (per-benchmark-doc
+    * aggregation, not per-pair). At 100 TB the training shingle set is an
+    * index you build once; a bloom over it pre-filters the probe the same
+    * way [[crossCorpusNewDocs]] pre-filters its anti-join. Docs shorter
+    * than one shingle report 0/0 → contamination 0. */
+  def contamination(s: SparkSession, dir: String, benchBelow: Long = 50L): DataFrame = {
+    // cached: the bench and train branches both read the shingling pass
+    val post = postings(s, dir).cache()
+    val bench = post.filter(col("doc_id") < benchBelow)
+    val train = post.filter(col("doc_id") >= benchBelow).select(col("sh_hash"))
+    // LEFT SEMI instead of distinct-then-inner-join: membership is the
+    // question, so the train side needs no dedup aggregation — one shuffle
+    // per side on sh_hash and the semi probe short-circuits on first match
+    val hits = bench.join(train, Seq("sh_hash"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    val sizes = bench.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    docs(s, dir).select(col("doc_id")).filter(col("doc_id") < benchBelow)
+      .join(sizes, Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_sh"), lit(0L)).as("n_sh"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)) /
+              greatest(coalesce(col("n_sh"), lit(0L)), lit(1L)), 4).as("contamination"))
+  }
+
+  def contaminationSql(benchBelow: Long = 50L): String =
+    s"""WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+      |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS sh
+      |  FROM documents),
+      |train AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id >= $benchBelow),
+      |bench AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id < $benchBelow),
+      |hit AS (SELECT doc_id, count(*) AS n_hit FROM bench JOIN train USING (g) GROUP BY doc_id),
+      |sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh FROM sh WHERE doc_id < $benchBelow)
+      |SELECT d.doc_id,
+      |  coalesce(s.n_sh, 0) AS n_sh,
+      |  coalesce(h.n_hit, 0) AS n_hit,
+      |  round(coalesce(h.n_hit, 0) * 1.0 / greatest(coalesce(s.n_sh, 0), 1), 4) AS contamination
+      |FROM documents d
+      |LEFT JOIN sz s USING (doc_id)
+      |LEFT JOIN hit h USING (doc_id)
+      |WHERE d.doc_id < $benchBelow""".stripMargin
+
   /** End-to-end dedup pipeline: exact dedup PLUS near-dup clustering, keep
     * each group's minimum doc_id, anti-join the rest away. The exact stage
     * is composed explicitly — near-dup clustering covers identical docs of
@@ -510,12 +560,14 @@ object Dedup {
     "q_dedup_embedding" -> ((s: SparkSession, d: String) => embeddingNearDupPairs(s, d)),
     "q_dedup_clusters" -> (nearDupClusters _),
     "q_dedup_pipeline" -> (dedupPipeline _),
-    "q_dedup_cross_corpus" -> ((s: SparkSession, d: String) => crossCorpusNewDocs(s, d)))
+    "q_dedup_cross_corpus" -> ((s: SparkSession, d: String) => crossCorpusNewDocs(s, d)),
+    "q_dedup_contamination" -> ((s: SparkSession, d: String) => contamination(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> exactDedupSql,
     "q_dedup_ngram_jaccard" -> ngramJaccardPairsSql,
     "q_dedup_clusters" -> nearDupClustersSql,
     "q_dedup_pipeline" -> dedupPipelineSql,
-    "q_dedup_cross_corpus" -> crossCorpusNewDocsSql)
+    "q_dedup_cross_corpus" -> crossCorpusNewDocsSql,
+    "q_dedup_contamination" -> contaminationSql())
 }

@@ -442,6 +442,164 @@ object TextAnalysis {
       .toDF("tok", "tf_exact", "tf_cms")
   }
 
+  // -----------------------------------------------------------------
+  // PII scrubbing
+  // -----------------------------------------------------------------
+
+  /** PII patterns restricted to syntax Java regex and RE2 (DuckDB) treat
+    * identically — no lookarounds/backrefs, explicit classes. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val PhoneRe = "[0-9]{3}-[0-9]{4}"
+
+  /** PII scrubbing (emails / IPv4s / phone-shaped numbers → typed mask
+    * tokens) — the redaction pass a training pipeline runs before
+    * tokenization. Map-only codegen'd `regexp_replace` chain; order
+    * matters (emails first: their domains would otherwise half-match the
+    * looser patterns). The synthetic corpus carries no PII, so the query
+    * AUGMENTS each doc with deterministic doc_id-derived PII first and
+    * both oracle sides scrub the same augmented text — what's verified is
+    * the scrubber, not the augmentation. Output is the scrubbed text's
+    * fingerprint plus per-kind redaction counts (counted pre-scrub). */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val aug = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"), lit("@mail.example.com"),
+      lit(" from 10."), pmod(col("doc_id"), lit(200L)).cast("string"),
+      lit(".0."), pmod(col("doc_id"), lit(250L)).cast("string"),
+      lit(" call 555-"), lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"))
+    val scrubbed =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(aug, EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        PhoneRe, "<PHONE>")
+    docs(s, dir).select(
+      col("doc_id"),
+      size(regexp_extract_all(aug, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(aug, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+      size(regexp_extract_all(aug, lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+      md5(scrubbed).as("scrub_md5"),
+      length(scrubbed).cast("long").as("scrub_len"))
+  }
+
+  val piiScrubSql: String = {
+    val aug = "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'" +
+      " || ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR)" +
+      " || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    val scrub = s"regexp_replace(regexp_replace(regexp_replace($aug," +
+      s" '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g'), '$PhoneRe', '<PHONE>', 'g')"
+    s"""SELECT doc_id,
+      |  CAST(len(regexp_extract_all($aug, '$EmailRe')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all($aug, '$Ipv4Re')) AS BIGINT) AS n_ips,
+      |  CAST(len(regexp_extract_all($aug, '$PhoneRe')) AS BIGINT) AS n_phones,
+      |  md5($scrub) AS scrub_md5,
+      |  CAST(length($scrub) AS BIGINT) AS scrub_len
+      |FROM documents""".stripMargin
+  }
+
+  // -----------------------------------------------------------------
+  // Sequence packing
+  // -----------------------------------------------------------------
+
+  /** Sequence packing for LLM pretraining: concatenate documents in a
+    * deterministic order and cut fixed `budget`-token sequences — a doc's
+    * pack is wherever its first token lands (the standard concat-and-chunk
+    * pretraining layout). Sharded by `doc_id % nShards` so the running sum
+    * is a PARTITIONED window: each shard packs independently in parallel.
+    * The unpartitioned variant (one global running sum) is the classic
+    * single-task straggler at 100 TB — shard count is the parallelism
+    * dial, and pack ids are (shard, pack_id) pairs. */
+  def seqPack(s: SparkSession, dir: String, budget: Int = 512, nShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs(s, dir)
+      .select(col("doc_id"), pmod(col("doc_id"), lit(nShards.toLong)).as("shard"),
+              size(tokens).cast("long").as("n_tok"))
+      .withColumn("tok_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tok"),
+              (col("tok_before") / budget).cast("long").as("pack_id"),
+              pmod(col("tok_before"), lit(budget.toLong)).as("pack_offset"))
+  }
+
+  def seqPackSql(budget: Int = 512, nShards: Int = 8): String =
+    s"""WITH t AS (
+      |  SELECT doc_id, doc_id % $nShards AS shard,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, shard, n_tok,
+      |    coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+      |  FROM t)
+      |SELECT doc_id, shard, n_tok,
+      |  CAST(tok_before // $budget AS BIGINT) AS pack_id,
+      |  CAST(tok_before % $budget AS BIGINT) AS pack_offset
+      |FROM c""".stripMargin
+
+  // -----------------------------------------------------------------
+  // Token-length histogram
+  // -----------------------------------------------------------------
+
+  /** Token-count histogram (fixed-width buckets, top bucket open-ended) —
+    * the sequence-length profile that sizes packing budgets and truncation
+    * policy. One partial+final aggregation. */
+  def tokenLengthHistogram(s: SparkSession, dir: String,
+                           bucketWidth: Int = 16, maxBucket: Int = 31): DataFrame =
+    docs(s, dir)
+      .select(size(tokens).cast("long").as("n_tok"))
+      .select(least((col("n_tok") / bucketWidth).cast("long"), lit(maxBucket.toLong)).as("bucket"),
+              col("n_tok"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
+
+  def tokenLengthHistogramSql(bucketWidth: Int = 16, maxBucket: Int = 31): String =
+    s"""WITH t AS (
+      |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents)
+      |SELECT least(n_tok // $bucketWidth, $maxBucket) AS bucket,
+      |  count(*) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS total_tokens
+      |FROM t GROUP BY 1""".stripMargin
+
+  // -----------------------------------------------------------------
+  // TF-IDF
+  // -----------------------------------------------------------------
+
+  /** Per-document top-k TF-IDF terms: tf from one (doc, tok) aggregation,
+    * df from one (tok) aggregation joined back (broadcast — vocabularies
+    * are small relative to corpora; at larger vocabularies this becomes a
+    * shuffled join on tok), corpus size as a broadcast 1-row aggregate
+    * (same no-unpartitioned-window discipline as [[unigramLogProb]]).
+    * Deterministic tie-break (score desc, token asc). */
+  def tfidfTopTerms(s: SparkSession, dir: String, topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs(s, dir).select(col("doc_id"), explode(tokens).as("tok"))
+    val tf = tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(dfreq), Seq("tok")).crossJoin(broadcast(n))
+      .withColumn("tfidf", col("tf") * log(col("n_docs") / col("df")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("tok"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("doc_id"), col("tok"), col("tf"),
+              round(col("tfidf"), 4).as("tfidf"), col("rnk").cast("long").as("rnk"))
+  }
+
+  def tfidfTopTermsSql(topK: Int = 5): String =
+    s"""WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+      |scored AS (
+      |  SELECT t.doc_id, t.tok, t.tf,
+      |    t.tf * ln((SELECT count(*) FROM documents) * 1.0 / d.df) AS tfidf
+      |  FROM tf t JOIN dfreq d USING (tok))
+      |SELECT doc_id, tok, tf, round(tfidf, 4) AS tfidf,
+      |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS BIGINT) AS rnk
+      |FROM scored
+      |QUALIFY rnk <= $topK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_unigram_logprob" -> (unigramLogProb _),
     "q_text_repetition" -> (repetitionRatio _),
@@ -454,7 +612,11 @@ object TextAnalysis {
     "q_text_fingerprint" -> (fingerprint _),
     "q_text_corpus_stats" -> (corpusStats _),
     "q_text_vocab" -> ((s: SparkSession, d: String) => vocab(s, d)),
-    "q_text_cms_freq" -> ((s: SparkSession, d: String) => tokenFreqCms(s, d)))
+    "q_text_cms_freq" -> ((s: SparkSession, d: String) => tokenFreqCms(s, d)),
+    "q_text_pii_scrub" -> (piiScrub _),
+    "q_text_seq_pack" -> ((s: SparkSession, d: String) => seqPack(s, d)),
+    "q_text_len_hist" -> ((s: SparkSession, d: String) => tokenLengthHistogram(s, d)),
+    "q_text_tfidf" -> ((s: SparkSession, d: String) => tfidfTopTerms(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q_text_unigram_logprob" -> unigramLogProbSql,
@@ -464,5 +626,9 @@ object TextAnalysis {
     "q_text_quality" -> qualityScoreSql,
     "q_text_fingerprint" -> fingerprintSql,
     "q_text_corpus_stats" -> corpusStatsSql,
-    "q_text_vocab" -> vocabSql)
+    "q_text_vocab" -> vocabSql,
+    "q_text_pii_scrub" -> piiScrubSql,
+    "q_text_seq_pack" -> seqPackSql(),
+    "q_text_len_hist" -> tokenLengthHistogramSql(),
+    "q_text_tfidf" -> tfidfTopTermsSql())
 }

@@ -29,6 +29,28 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("contamination matches a local shingle-overlap computation") {
+    val texts = Tables(spark, sf, "documents").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def shingles(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < 3) Set.empty
+      else (0 to w.length - 3).map(i => w(i) + " " + w(i + 1) + " " + w(i + 2)).toSet
+    }
+    val trainSh = texts.filter(_._1 >= 50).values.flatMap(shingles).toSet
+    val got = Dedup.contamination(spark, sf).collect()
+    assert(got.length == 50)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val sh = shingles(texts(id))
+      assert(r.getAs[Long]("n_sh") == sh.size.toLong, s"doc $id n_sh")
+      assert(r.getAs[Long]("n_hit") == sh.count(trainSh.contains).toLong, s"doc $id n_hit")
+    }
+    // the synthetic corpus contains exact duplicates across the split, so
+    // at least one benchmark doc must be fully contaminated
+    assert(got.exists(r => r.getAs[Double]("contamination") == 1.0))
+  }
+
   test("hot-bucket trimming is observable via graft_lsh_trim metrics") {
     // default cap: nothing trims at this scale — AQE prunes the empty trim
     // anti-join, so the metric is either absent or all-zero (both mean

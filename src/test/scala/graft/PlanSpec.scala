@@ -72,4 +72,28 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), "all-pairs BNLJ in the plan")
     assert(!p.contains("CartesianProduct"), "cartesian product in the plan")
   }
+
+  test("sequence packing's running sum is a PARTITIONED window (per-shard)") {
+    val p = plan("q_text_seq_pack")
+    // windowspecdefinition(shard, ...) = partition spec present; an empty
+    // partitionBy would read "windowspecdefinition(doc_id ASC..." only and
+    // move the whole corpus through one task
+    assert(p.contains("windowspecdefinition(shard"), p.take(900))
+  }
+
+  test("tf-idf top-k uses WindowGroupLimit (partial top-k, no full sort of all terms)") {
+    val p = plan("q_text_tfidf")
+    assert(p.contains("WindowGroupLimit"), p.take(900))
+  }
+
+  test("PII scrub is map-only: no exchange anywhere in the plan") {
+    val p = plan("q_text_pii_scrub")
+    assert(!p.contains("Exchange"), "a shuffle appeared in a projection-only scrub")
+  }
+
+  test("contamination aggregates per benchmark doc with partial+final split") {
+    val p = plan("q_dedup_contamination")
+    assert(p.contains("partial_count"), p.take(900))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
 }

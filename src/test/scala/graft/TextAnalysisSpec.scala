@@ -96,4 +96,73 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
       assert(r.getString(1) == localMd5(texts(r.getLong(0))), s"doc ${r.getLong(0)}")
     }
   }
+
+  test("PII scrub removes every email/ip/phone occurrence it counted") {
+    val rows = TextAnalysis.piiScrub(spark, sf).collect()
+    assert(rows.length == Tables(spark, sf, "documents").count())
+    rows.foreach { r =>
+      // the deterministic augmentation plants at least one of each kind
+      assert(r.getAs[Long]("n_emails") >= 1 && r.getAs[Long]("n_ips") >= 1 &&
+             r.getAs[Long]("n_phones") >= 1, s"doc ${r.getLong(0)} missing planted PII")
+    }
+    // re-scan the scrubbed text for residual PII: scrub the augmented text
+    // locally with the same patterns and check nothing matches afterwards
+    val texts = Tables(spark, sf, "documents").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.take(50).foreach { r =>
+      val id = r.getLong(0)
+      val aug = texts(id) + " contact user" + id + "@mail.example.com" +
+        " from 10." + (id % 200) + ".0." + (id % 250) +
+        " call 555-" + "%04d".format(id % 10000)
+      val scrubbed = aug.replaceAll(TextAnalysis.EmailRe, "<EMAIL>")
+        .replaceAll(TextAnalysis.Ipv4Re, "<IP>")
+        .replaceAll(TextAnalysis.PhoneRe, "<PHONE>")
+      assert(!TextAnalysis.EmailRe.r.findFirstIn(scrubbed).isDefined)
+      assert(!TextAnalysis.PhoneRe.r.findFirstIn(scrubbed).isDefined)
+      assert(r.getAs[Long]("scrub_len") == scrubbed.length.toLong, s"doc $id scrub diverges")
+    }
+  }
+
+  test("sequence packing: offsets stay under budget and packs fill contiguously per shard") {
+    val budget = 512L
+    val rows = TextAnalysis.seqPack(spark, sf).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getLong(0), r.getAs[Long]("n_tok"),
+                 r.getAs[Long]("pack_id"), r.getAs[Long]("pack_offset")))
+    assert(rows.length == Tables(spark, sf, "documents").count())
+    rows.groupBy(_._1).foreach { case (shard, docs) =>
+      var cum = 0L
+      docs.sortBy(_._2).foreach { case (_, id, nTok, packId, offset) =>
+        assert(offset >= 0 && offset < budget, s"doc $id offset $offset out of range")
+        assert(packId == cum / budget, s"doc $id in shard $shard: pack $packId != ${cum / budget}")
+        assert(offset == cum % budget, s"doc $id offset mismatch")
+        cum += nTok
+      }
+    }
+  }
+
+  test("token-length histogram partitions the corpus and respects the top bucket") {
+    val rows = TextAnalysis.tokenLengthHistogram(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == Tables(spark, sf, "documents").count())
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(b >= 0 && b <= 31)
+      assert(r.getAs[Long]("total_tokens") >= r.getAs[Long]("n_docs") * (b * 16).max(1))
+    }
+  }
+
+  test("tf-idf top terms: k per doc, non-negative scores, rank ordered") {
+    val byDoc = TextAnalysis.tfidfTopTerms(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (id, rs) =>
+      assert(rs.length <= 5, s"doc $id has ${rs.length} terms")
+      val ordered = rs.sortBy(_.getAs[Long]("rnk"))
+      assert(ordered.map(_.getAs[Long]("rnk")).toSeq == (1L to rs.length).toSeq)
+      ordered.foreach(r => assert(r.getAs[Double]("tfidf") >= 0.0, s"doc $id negative tfidf"))
+      // scores are non-increasing down the ranks
+      ordered.map(_.getAs[Double]("tfidf")).toSeq.sliding(2).foreach { pair =>
+        if (pair.length == 2) assert(pair(0) >= pair(1))
+      }
+    }
+  }
 }
