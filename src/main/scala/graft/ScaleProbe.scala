@@ -38,9 +38,17 @@ object ScaleProbe {
       val t0 = System.nanoTime(); f
       println(f"SCALE10X $name: ${(System.nanoTime()-t0)/1e9}%.2f s")
     }
+    // q_dedup_embedding is deliberately ABSENT: on a k×-replicated corpus
+    // every replica pair is a TRUE near-dup (cos = 1), so the correct
+    // output is Θ(k²·n) pairs — output-bound, not plan-bound (same law as
+    // exact jaccard/simhash on duplicated corpora; run exactDedup first).
     for (q <- Seq("q_card_stats_all", "q_card_sketch_rollup", "q_card_minute_approx",
                   "q_dedup_minhash_lsh", "q_dedup_ngram_jaccard", "q_dedup_simhash",
-                  "q_text_langid", "q_stream_data_driven"))
+                  "q_text_langid", "q_stream_data_driven",
+                  // round-3 additions
+                  "q_dedup_contamination", "q_text_tfidf",
+                  "q_text_seq_pack", "q_text_pii_scrub", "q_text_langid_trigram",
+                  "q_sim_ann_ivf"))
       time(q)(SparkEntry.queries(q)(spark, dst).write.format("noop").mode("overwrite").save())
     spark.stop()
   }

@@ -226,6 +226,12 @@ object TextAnalysis {
   def languageIdTrigram(s: SparkSession, dir: String): DataFrame =
     languageIdTrigramOn(s, docs(s, dir))
 
+  /** md5 over whitespace-normalized lowercase text — the canonical-form
+    * dedup key, reusable on any text column (batch fingerprinting here,
+    * stream-side fingerprinting in `StreamDedup.againstCorpus`). */
+  def fpMd5(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), WsClass + "+", " "))
+
   /** Content fingerprint: md5 over whitespace-normalized lowercase text —
     * the canonical-form dedup key. Exact twin in DuckDB (note the 'g' flag:
     * DuckDB regexp_replace is first-match by default, Spark is global). */
@@ -233,7 +239,7 @@ object TextAnalysis {
     val normalized = regexp_replace(lower(trim(col("text"))), WsClass + "+", " ")
     docs(s, dir).select(
       col("doc_id"),
-      md5(normalized).as("fp_md5"),
+      fpMd5(col("text")).as("fp_md5"),
       length(normalized).cast("long").as("norm_len"))
   }
 

@@ -32,21 +32,29 @@ object CardinalityStream {
     * (`kafkaio.go:78-81`). Also drops `ts <= 0` rows, which the reference
     * would mishandle via u64 underflow (SURVEY.md §2.1.3).
     *
-    * `referenceParity = true` replicates jsoniter's default decode for the
-    * uid field (`processor.go:87` via `kafkaio.go:77`): a missing/null
-    * `uid` decodes as `""` and IS counted as a distinct user, instead of
-    * being dropped, and a NON-STRING uid value (`{"uid":123,…}`, booleans,
-    * objects, arrays) drops the whole message — jsoniter raises a type
-    * error where Spark's Jackson parser would coerce `123` → `"123"` and
-    * count it. Non-string detection reads the first character of the raw
-    * uid value (JSON values can only open with `"` string, `n` null,
-    * digit/`-`/`t`/`f`/`{`/`[` — only string/null/absent survive jsoniter).
-    * Remaining documented divergence: jsoniter matches JSON keys
-    * case-insensitively as a fallback; `from_json` is case-sensitive, so
-    * `{"UID":…}` parses as a missing uid here (= `""` in parity mode). The
-    * first-char regex also assumes `"uid"` does not appear earlier inside
-    * another field's string value — acceptable for the parity-test tier,
-    * which feeds the reference's `{uid,ts}` shape.
+    * `referenceParity = true` replicates jsoniter's default decode
+    * (`processor.go:87` via `kafkaio.go:77`), closing ALL previously
+    * documented decode divergences:
+    *  - missing/null `uid` decodes as `""` and IS counted as a distinct
+    *    user instead of being dropped;
+    *  - JSON keys match case-insensitively (`{"UID":…}` fills uid) — the
+    *    parity path parses into `map<string,string>` and lowers the keys,
+    *    since `from_json` struct fields are case-sensitive;
+    *  - a NON-STRING uid value (`{"uid":123,…}`, booleans, objects,
+    *    arrays) drops the whole message — jsoniter raises a type error
+    *    where Jackson would coerce `123` → `"123"` and count it. Detection
+    *    reads the first character of the raw uid value (JSON values can
+    *    only open with `"` string / `n` null / digit / `-` / `t` / `f` /
+    *    `{` / `[`; only string/null/absent survive jsoniter);
+    *  - a STRING or float `ts` (`{"ts":"123"}`, `{"ts":1.5}`) likewise
+    *    drops: the raw ts value must open with a digit (Go uint64 also
+    *    rejects `-`), and fractional/exponent forms fail the string→long
+    *    cast → null → dropped, matching Go's strict-integer error path.
+    * Residual edges, documented not replicated: a doc carrying BOTH
+    * `"uid"` and `"UID"` keys (jsoniter prefers the exact key; last-key
+    * wins here), and `"uid"`/`"ts"` appearing verbatim inside an EARLIER
+    * field's string value (first-char regex misreads) — neither occurs in
+    * the reference's `{uid,ts}` wire shape.
     *
     * Rows dropped on any path are counted via `Dataset.observe` under the
     * observation name `graft_parse` (`n_in`, `n_bad_uid`, `n_malformed`,
@@ -55,17 +63,40 @@ object CardinalityStream {
     * `QueryProgressEvent.progress.observedMetrics` (asserted in
     * StreamingSpec). */
   def parse(raw: DataFrame, referenceParity: Boolean = false): DataFrame = {
-    val parsed = raw
-      .select(col("value").cast("string").as("raw"))
-      .select(col("raw"), from_json(col("raw"), userSchema).as("m"))
-      .select(col("raw"), col("m.uid").as("uid"), col("m.ts").as("ts"))
+    val ws = "[ \\t\\r\\n]*"
+    val parsed =
+      if (referenceParity)
+        raw.select(col("value").cast("string").as("raw"))
+          .select(col("raw"),
+            transform_keys(
+              from_json(col("raw"),
+                org.apache.spark.sql.types.MapType(StringType, StringType)),
+              (k, _) => lower(k)).as("m"))
+          .select(col("raw"),
+            element_at(col("m"), "uid").as("uid"),
+            // try_cast, not cast: ANSI mode errors the whole batch on
+            // "1.5"/"15e2"; jsoniter just drops that one message
+            element_at(col("m"), "ts").try_cast("long").as("ts"),
+            col("m").isNotNull.as("json_ok"))
+      else
+        raw.select(col("value").cast("string").as("raw"))
+          .select(col("raw"), from_json(col("raw"), userSchema).as("m"))
+          .select(col("raw"), col("m.uid").as("uid"), col("m.ts").as("ts"),
+                  lit(true).as("json_ok"))
     val uidOk =
       if (referenceParity)
-        regexp_extract(col("raw"), "\"uid\"[ \\t\\r\\n]*:[ \\t\\r\\n]*(.)", 1).isin("", "\"", "n")
+        regexp_extract(col("raw"), s""""[uU][iI][dD]"$ws:$ws(.)""", 1).isin("", "\"", "n")
       else col("uid").isNotNull
+    val tsOk =
+      if (referenceParity)
+        // Go decodes ts as uint64: the raw value must be a bare integer
+        // (opens with a digit; the long cast above nulls fractions/exponents)
+        regexp_extract(col("raw"), s""""[tT][sS]"$ws:$ws(.)""", 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7", "8", "9")
+      else lit(true)
     val flagged = parsed
       .withColumn("ok_uid", uidOk)
-      .withColumn("malformed", col("ts").isNull) // unparseable JSON or absent/null ts
+      .withColumn("malformed", col("ts").isNull || !col("json_ok") || !tsOk)
       .withColumn("nonpos_ts", col("ts").isNotNull && col("ts") <= 0)
       .observe("graft_parse",
         count(lit(1)).as("n_in"),

@@ -23,4 +23,20 @@ object StreamDedup {
                       keys: Seq[String] = Seq("uid")): DataFrame =
     parsed.withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** Cross-corpus STREAMING dedup: drop incoming documents whose
+    * fingerprint already exists in a STATIC base-corpus fingerprint table —
+    * a stream–static left-anti join, the streaming twin of
+    * [[graft.operators.Dedup.crossCorpusNewDocs]] ("dedupe the incoming
+    * crawl against the existing corpus, at ingest").
+    *
+    * Stream–static joins keep NO stream state: each micro-batch probes the
+    * static side as-of that batch (broadcast when small, shuffled
+    * otherwise). At 100 TB the static side is the persisted fingerprint
+    * index; for a first-pass pre-filter at that scale, swap in a bloom of
+    * the index (the [[graft.operators.Dedup.crossCorpusNewDocs]] layout)
+    * and let the exactness re-check run downstream in batch. */
+  def againstCorpus(stream: DataFrame, corpusFps: DataFrame,
+                    fpCol: String = "fp_md5"): DataFrame =
+    stream.join(corpusFps.select(fpCol), Seq(fpCol), "left_anti")
 }

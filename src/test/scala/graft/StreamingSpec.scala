@@ -81,6 +81,36 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally { qp.stop(); qd.stop() }
   }
 
+  test("reference-parity parse matches jsoniter case-insensitive keys and strict-integer ts") {
+    import spark.implicits._
+    val rows = Seq(
+      """{"UID":"carol","ts":1468244384}""", // case-insensitive key fallback -> counted
+      """{"Uid":"dan","Ts":1468244385}""", // both keys case-folded -> counted
+      """{"uid":"eve","ts":"1468244386"}""", // STRING ts -> uint64 type error -> drop
+      """{"uid":"frank","ts":1468244387.5}""", // float ts -> type error -> drop
+      """{"uid":"gina","ts":15e2}""", // exponent form -> type error -> drop
+      """{"uid":"hank","ts":1468244388}""") // plain -> counted
+    val parityIn = MemoryStream[String](spark)
+    parityIn.addData(rows: _*)
+    val qp = CardinalityStream.parse(parityIn.toDF(), referenceParity = true)
+      .writeStream.format("memory").queryName("parity_keys").outputMode("append").start()
+    val defaultIn = MemoryStream[String](spark)
+    defaultIn.addData(rows: _*)
+    val qd = CardinalityStream.parse(defaultIn.toDF())
+      .writeStream.format("memory").queryName("default_keys").outputMode("append").start()
+    try {
+      qp.processAllAvailable()
+      qd.processAllAvailable()
+      val parity = spark.table("parity_keys").collect().map(_.getString(0)).sorted.toSeq
+      assert(parity == Seq("carol", "dan", "hank"), parity.mkString(","))
+      // default (case-sensitive struct) mode: UID/Uid rows lose their uid
+      // and drop; the struct parser also rejects string/float ts tokens
+      // outright, so only the clean row survives
+      val dflt = spark.table("default_keys").collect().map(_.getString(0)).sorted.toSeq
+      assert(dflt == Seq("hank"), dflt.mkString(","))
+    } finally { qp.stop(); qd.stop() }
+  }
+
   test("parse surfaces drop counters through Dataset.observe (graft_parse metrics)") {
     import spark.implicits._
     val input = MemoryStream[String](spark)
@@ -327,6 +357,33 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       q.processAllAvailable()
       val u1Count = spark.table("sdedup").collect().count(_.getString(0) == "u1")
       assert(u1Count == 2, s"expected expired-key re-emission, got $u1Count")
+    } finally q.stop()
+  }
+
+  test("stream-static anti-join drops incoming docs already fingerprinted in the corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    // static side: the sf corpus fingerprint index
+    val corpusFps = graft.operators.TextAnalysis.fingerprint(spark, sf)
+      .select(col("fp_md5"))
+    val knownText = Tables(spark, sf, "documents")
+      .select(col("text")).head().getString(0)
+    val input = MemoryStream[String](spark)
+    val stream = input.toDF()
+      .select(col("value").as("text"),
+              graft.operators.TextAnalysis.fpMd5(col("value")).as("fp_md5"))
+    val out = graft.streaming.StreamDedup.againstCorpus(stream, corpusFps)
+    val q = out.writeStream.format("memory").queryName("ccstream").outputMode("append").start()
+    try {
+      input.addData(
+        knownText, // exact duplicate of a corpus doc -> dropped
+        "  " + knownText.toUpperCase + "  ", // normalized duplicate -> dropped too
+        "a genuinely novel crawl document about nothing in particular")
+      q.processAllAvailable()
+      // NB using-column join reorders output to (fp_md5, text) — select by name
+      val kept = spark.table("ccstream").select("text").collect().map(_.getString(0))
+      assert(kept.toSeq == Seq("a genuinely novel crawl document about nothing in particular"),
+        s"kept: ${kept.mkString("; ").take(200)}")
     } finally q.stop()
   }
 
