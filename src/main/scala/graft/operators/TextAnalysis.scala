@@ -194,27 +194,38 @@ object TextAnalysis {
 
   /** Trigram-LM language ID: per doc, mean trigram log-probability under
     * each candidate language's profile; argmax with deterministic
-    * tie-break. The profile (~1–2k rows) and the per-language floor are
-    * broadcast dims; the only shuffle carries `(doc_id, cand_lang)`
-    * partial sums — at 100 TB this is a map-side-combined aggregation over
-    * 5× the trigram stream, no text shuffle. Trigram extraction is a typed
-    * flatMap (HOF lambdas evaluate interpreted — same tier-(d) call as
+    * tie-break.
+    *
+    * Shape: the trigram stream inner-joins the broadcast profile ONCE
+    * (matched trigrams only); the unseen-floor mass is reconstructed
+    * arithmetically as `floor × (n_tri − n_matched)` — the floor is shared
+    * across languages, so unmatched trigrams never need to be enumerated
+    * per language. The naive formulation (cross every trigram occurrence
+    * with every language, left-join, average) processes |langs|× the
+    * trigram stream; this one touches each trigram once and only crosses
+    * at per-DOC granularity (docs × langs rows). The only shuffles carry
+    * `(doc_id, cand_lang)` partial sums and per-doc counts — map-side
+    * combined, no text shuffle. Trigram extraction is a typed flatMap (HOF
+    * lambdas evaluate interpreted — same tier-(d) call as
     * [[winnowFingerprints]]). */
   def languageIdTrigramOn(s: SparkSession, documents: DataFrame): DataFrame = {
     import s.implicits._
     val prof = s.createDataFrame(TrigramLangId.profileRows).toDF("cand_lang", "tri", "logp")
-    val floors = s.createDataFrame(TrigramLangId.floorRows).toDF("cand_lang", "floor_logp")
+    val langs = s.createDataFrame(TrigramLangId.floorRows).toDF("cand_lang", "floor_logp")
     val tris = documents.select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, t) =>
         TrigramLangId.trigrams(TrigramLangId.normalize(t)).map(g => (id, g))
       }.toDF("doc_id", "tri")
-    val scored = tris
-      .crossJoin(broadcast(floors)) // 5 candidate langs per trigram
-      .join(broadcast(prof), Seq("cand_lang", "tri"), "left")
-      .select(col("doc_id"), col("cand_lang"),
-              coalesce(col("logp"), col("floor_logp")).as("lp"))
+    val counts = tris.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tri"))
+    val matched = tris.join(broadcast(prof), Seq("tri"))
       .groupBy(col("doc_id"), col("cand_lang"))
-      .agg(avg(col("lp")).as("mean_lp"))
+      .agg(sum(col("logp")).as("sum_lp"), count(lit(1)).as("n_matched"))
+    val scored = counts.crossJoin(broadcast(langs)) // docs × |langs| rows
+      .join(matched, Seq("doc_id", "cand_lang"), "left")
+      .select(col("doc_id"), col("cand_lang"),
+        ((coalesce(col("sum_lp"), lit(0.0)) +
+          col("floor_logp") * (col("n_tri") - coalesce(col("n_matched"), lit(0L))))
+          / col("n_tri")).as("mean_lp"))
     val best = scored.groupBy(col("doc_id"))
       .agg(max(struct(col("mean_lp").as("score"), col("cand_lang").as("lang"))).as("best"))
     documents.select(col("doc_id")).join(best, Seq("doc_id"), "left")
