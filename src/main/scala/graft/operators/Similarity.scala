@@ -159,10 +159,72 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  // -----------------------------------------------------------------
+  // Embedding storage/transport utilities
+  // -----------------------------------------------------------------
+
+  /** Int8 symmetric quantization (per-vector absmax scaling) — the
+    * standard 4× embedding-storage compressor. Exploded to scalar rows and
+    * computed in codegen'd scalar ops (no interpreted array lambdas):
+    * `scale = 127/max|x|` per vector, `q = floor(x·scale + 0.5)` —
+    * floor(+0.5), NOT round(): Spark `round` is HALF_UP while DuckDB's is
+    * HALF_EVEN, so round() could not be oracle-matched; floor is identical
+    * in both engines for both signs. All arithmetic is float→double
+    * widening (exact) then double ops (IEEE-identical), so the integer
+    * output hash-matches DuckDB. Map-side explode + one keyed agg. */
+  def quantizeInt8(s: SparkSession, dir: String): DataFrame = {
+    val x = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").cast("long").as("dim_idx"),
+              col("col").cast("double").as("val"))
+    val scales = x.groupBy(col("vec_id"))
+      .agg((lit(127.0) / greatest(max(abs(col("val"))), lit(1e-12))).as("scale"))
+    x.join(scales, Seq("vec_id"))
+      .select(col("vec_id"), col("dim_idx"),
+              floor(col("val") * col("scale") + lit(0.5)).cast("long").as("q"))
+  }
+
+  val quantizeInt8Sql: String =
+    """WITH x AS (
+      |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS dim1, embedding
+      |  FROM embeddings),
+      |v AS (
+      |  SELECT vec_id, CAST(dim1 - 1 AS BIGINT) AS dim_idx,
+      |         CAST(embedding[CAST(dim1 AS INT)] AS DOUBLE) AS val
+      |  FROM x),
+      |s AS (
+      |  SELECT vec_id, 127.0 / greatest(max(abs(val)), 1e-12) AS scale
+      |  FROM v GROUP BY vec_id)
+      |SELECT v.vec_id, v.dim_idx,
+      |  CAST(floor(v.val * s.scale + 0.5) AS BIGINT) AS q
+      |FROM v JOIN s USING (vec_id)""".stripMargin
+
+  /** Johnson–Lindenstrauss random projection 64 → `outDim` dims (seeded
+    * Gaussian planes, 1/√outDim scaling) — the dimensionality reducer that
+    * runs before ANN indexing to cut index size and probe cost. Map-only:
+    * the projection matrix is a literal; each output dim is one
+    * codegen'd [[VectorOps.dot]]. Distance preservation is probabilistic
+    * (ε ~ 1/√outDim) — property-tested, not oracled. */
+  def jlProject(s: SparkSession, dir: String, outDim: Int = 16, dim: Int = 64): DataFrame = {
+    val planes = VectorOps.hyperplanes(outDim, dim, seed = 7L)
+    val scale = 1.0 / math.sqrt(outDim)
+    val projected = array(planes.map { p =>
+      (VectorOps.dot(col("embedding"), array(p.map(lit): _*)) * scale).cast("float")
+    }: _*)
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"), projected.as("proj"))
+      .select(col("vec_id"), posexplode(col("proj")))
+      .select(col("vec_id"), col("pos").cast("long").as("dim_idx"),
+              round(col("col").cast("double"), 5).as("val"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_topk_brute" -> ((s: SparkSession, d: String) => bruteForceTopK(s, d)),
     "q_sim_ann_lsh" -> ((s: SparkSession, d: String) => annLsh(s, d)),
-    "q_sim_ann_ivf" -> ((s: SparkSession, d: String) => annIvf(s, d)))
+    "q_sim_ann_ivf" -> ((s: SparkSession, d: String) => annIvf(s, d)),
+    "q_emb_quantize_int8" -> (quantizeInt8 _),
+    "q_emb_jl_project" -> ((s: SparkSession, d: String) => jlProject(s, d)))
 
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    "q_emb_quantize_int8" -> quantizeInt8Sql)
 }
