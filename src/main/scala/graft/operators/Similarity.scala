@@ -164,24 +164,27 @@ object Similarity {
   // -----------------------------------------------------------------
 
   /** Int8 symmetric quantization (per-vector absmax scaling) — the
-    * standard 4× embedding-storage compressor. Exploded to scalar rows and
-    * computed in codegen'd scalar ops (no interpreted array lambdas):
-    * `scale = 127/max|x|` per vector, `q = floor(x·scale + 0.5)` —
-    * floor(+0.5), NOT round(): Spark `round` is HALF_UP while DuckDB's is
-    * HALF_EVEN, so round() could not be oracle-matched; floor is identical
-    * in both engines for both signs. All arithmetic is float→double
-    * widening (exact) then double ops (IEEE-identical), so the integer
-    * output hash-matches DuckDB. Map-side explode + one keyed agg. */
-  def quantizeInt8(s: SparkSession, dir: String): DataFrame = {
-    val x = Tables(s, dir, "embeddings")
-      .select(col("vec_id"), posexplode(col("embedding")))
+    * standard 4× embedding-storage compressor. `scale = 127/max|x|` per
+    * vector, `q = floor(x·scale + 0.5)` — floor(+0.5), NOT round(): Spark
+    * `round` is HALF_UP while DuckDB's is HALF_EVEN, so round() could not
+    * be oracle-matched; floor is identical in both engines for both signs.
+    * All arithmetic is float→double widening (exact) then double ops
+    * (IEEE-identical), so the integer output hash-matches DuckDB.
+    *
+    * ZERO-shuffle formulation: the absmax is a codegen'd 64-arg
+    * `greatest(abs(element_at(…)))` computed BEFORE the explode (no
+    * interpreted array lambda, no groupBy-and-join-back — the
+    * explode/agg/self-join alternative shuffles 64n rows for what is
+    * per-row arithmetic). PlanSpec pins the exchange-free plan. */
+  def quantizeInt8(s: SparkSession, dir: String, dim: Int = 64): DataFrame = {
+    val maxAbs = greatest(
+      (1 to dim).map(i => abs(element_at(col("embedding"), i).cast("double"))) :+
+        lit(1e-12): _*)
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), (lit(127.0) / maxAbs).as("scale"))
+      .select(col("vec_id"), col("scale"), posexplode(col("embedding")))
       .select(col("vec_id"), col("pos").cast("long").as("dim_idx"),
-              col("col").cast("double").as("val"))
-    val scales = x.groupBy(col("vec_id"))
-      .agg((lit(127.0) / greatest(max(abs(col("val"))), lit(1e-12))).as("scale"))
-    x.join(scales, Seq("vec_id"))
-      .select(col("vec_id"), col("dim_idx"),
-              floor(col("val") * col("scale") + lit(0.5)).cast("long").as("q"))
+              floor(col("col").cast("double") * col("scale") + lit(0.5)).cast("long").as("q"))
   }
 
   val quantizeInt8Sql: String =
@@ -222,7 +225,7 @@ object Similarity {
     "q_sim_topk_brute" -> ((s: SparkSession, d: String) => bruteForceTopK(s, d)),
     "q_sim_ann_lsh" -> ((s: SparkSession, d: String) => annLsh(s, d)),
     "q_sim_ann_ivf" -> ((s: SparkSession, d: String) => annIvf(s, d)),
-    "q_emb_quantize_int8" -> (quantizeInt8 _),
+    "q_emb_quantize_int8" -> ((s: SparkSession, d: String) => quantizeInt8(s, d)),
     "q_emb_jl_project" -> ((s: SparkSession, d: String) => jlProject(s, d)))
 
   val oracles: Map[String, String] = Map(

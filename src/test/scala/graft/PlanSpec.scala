@@ -91,6 +91,12 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("Exchange"), "a shuffle appeared in a projection-only scrub")
   }
 
+  test("int8 quantization is map-only: no exchange, no join") {
+    val p = plan("q_emb_quantize_int8")
+    assert(!p.contains("Exchange"), "quantization shuffled per-row arithmetic")
+    assert(!p.contains("Join"), "scale join-back crept in")
+  }
+
   test("contamination aggregates per benchmark doc with partial+final split") {
     val p = plan("q_dedup_contamination")
     assert(p.contains("partial_count"), p.take(900))
