@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -51,12 +51,59 @@ object Sampling {
       .stat.sampleBy("lang", fractions, seed)
       .select(col("doc_id"), col("lang"))
 
+  /** Deterministic pseudo-random total order: the hash-mod key with a
+    * doc_id tie-break — the engine-portable stand-in for `rand()` ordering
+    * (same overflow-free integer discipline as [[systematicSample]]). */
+  private def hashOrder: Column =
+    pmod(pmod(col("doc_id"), lit(IdMod)) * lit(Mix), lit(IdMod))
+
+  private val hashOrderSql = s"(doc_id % $IdMod) * $Mix % $IdMod"
+
+  /** Exact-K uniform sample: "give me exactly K documents, uniformly,
+    * reproducibly" — ORDER BY deterministic hash LIMIT K, which Spark
+    * plans as `TakeOrderedAndProject` (per-partition heaps of size K, no
+    * global sort; pinned in PlanSpec). The exact-count complement to
+    * [[systematicSample]]'s fixed-percentage slice. */
+  def exactKSample(s: SparkSession, dir: String, k: Int = 100): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(hashOrder, col("doc_id"))
+      .limit(k)
+
+  def exactKSampleSql(k: Int = 100): String =
+    s"""SELECT doc_id, lang, source FROM documents
+      |ORDER BY $hashOrderSql, doc_id LIMIT $k""".stripMargin
+
+  /** Per-domain cap: keep at most `cap` docs per `source`, chosen in the
+    * deterministic hash order — "no single domain dominates the training
+    * mix", the anti-boilerplate quota every web-corpus pipeline applies.
+    * Partitioned window (per-source ranking parallelizes; no global
+    * state). */
+  def domainCapSample(s: SparkSession, dir: String, cap: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(hashOrder, col("doc_id"))
+    docs(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= cap)
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  def domainCapSampleSql(cap: Int = 50): String =
+    s"""SELECT doc_id, lang, source FROM documents
+      |QUALIFY row_number() OVER (PARTITION BY source
+      |  ORDER BY $hashOrderSql, doc_id) <= $cap""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_systematic" -> ((s: SparkSession, d: String) => systematicSample(s, d)),
     "q_sample_stratified" -> ((s: SparkSession, d: String) =>
       stratifiedSample(s, d,
-        Map("en" -> 0.5, "de" -> 1.0, "fr" -> 1.0, "es" -> 0.25, "zh" -> 1.0))))
+        Map("en" -> 0.5, "de" -> 1.0, "fr" -> 1.0, "es" -> 0.25, "zh" -> 1.0))),
+    "q_sample_exact_k" -> ((s: SparkSession, d: String) => exactKSample(s, d)),
+    "q_sample_domain_cap" -> ((s: SparkSession, d: String) => domainCapSample(s, d)))
 
   val oracles: Map[String, String] = Map(
-    "q_sample_systematic" -> systematicSampleSql())
+    "q_sample_systematic" -> systematicSampleSql(),
+    "q_sample_exact_k" -> exactKSampleSql(),
+    "q_sample_domain_cap" -> domainCapSampleSql())
 }

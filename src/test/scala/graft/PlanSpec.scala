@@ -91,6 +91,16 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("Exchange"), "a shuffle appeared in a projection-only scrub")
   }
 
+  test("exact-K sample plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan("q_sample_exact_k")
+    assert(p.contains("TakeOrderedAndProject"), p.take(500))
+  }
+
+  test("domain cap ranks inside a PARTITIONED window (per-source)") {
+    val p = plan("q_sample_domain_cap")
+    assert(p.contains("windowspecdefinition(source"), p.take(900))
+  }
+
   test("int8 quantization is map-only: no exchange, no join") {
     val p = plan("q_emb_quantize_int8")
     assert(!p.contains("Exchange"), "quantization shuffled per-row arithmetic")

@@ -42,4 +42,27 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
       .map(_.getLong(0)).sorted.toSeq
     assert(again == first)
   }
+
+  test("exact-K sample returns exactly K reproducible rows") {
+    val a = Sampling.exactKSample(spark, sf, k = 100).collect().map(_.getLong(0)).toSeq
+    assert(a.length == 100)
+    assert(a.distinct.length == 100)
+    val b = Sampling.exactKSample(spark, sf, k = 100).collect().map(_.getLong(0)).toSeq
+    assert(a.sorted == b.sorted, "hash-ordered sample must be reproducible")
+    // growing K extends the same prefix order (monotone sample family)
+    val bigger = Sampling.exactKSample(spark, sf, k = 150).collect().map(_.getLong(0)).toSet
+    assert(a.toSet.subsetOf(bigger))
+  }
+
+  test("domain cap keeps at most `cap` docs per source and fills small sources fully") {
+    val cap = 50
+    val bySource = Tables(spark, sf, "documents").groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = Sampling.domainCapSample(spark, sf, cap).collect()
+      .groupBy(_.getString(2)).view.mapValues(_.length.toLong).toMap
+    bySource.foreach { case (src, n) =>
+      assert(sampled.getOrElse(src, 0L) == math.min(n, cap.toLong),
+        s"source $src: got ${sampled.getOrElse(src, 0L)} of $n at cap $cap")
+    }
+  }
 }
