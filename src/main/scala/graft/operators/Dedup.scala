@@ -484,7 +484,10 @@ object Dedup {
     * way [[crossCorpusNewDocs]] pre-filters its anti-join. Docs shorter
     * than one shingle report 0/0 → contamination 0. */
   def contamination(s: SparkSession, dir: String, benchBelow: Long = 50L): DataFrame = {
-    // cached: the bench and train branches both read the shingling pass
+    // cached: the bench and train branches both read the shingling pass —
+    // and RELEASED below once the tiny per-doc aggregates are materialized
+    // (same leak discipline as embeddingNearDupPairs: the big intermediate
+    // must not stay pinned for the result's lifetime)
     val post = postings(s, dir).cache()
     val bench = post.filter(col("doc_id") < benchBelow)
     val train = post.filter(col("doc_id") >= benchBelow).select(col("sh_hash"))
@@ -493,7 +496,10 @@ object Dedup {
     // per side on sh_hash and the semi probe short-circuits on first match
     val hits = bench.join(train, Seq("sh_hash"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+      .localCheckpoint() // ≤ benchBelow rows — eager, frees `post` below
     val sizes = bench.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      .localCheckpoint()
+    post.unpersist()
     docs(s, dir).select(col("doc_id")).filter(col("doc_id") < benchBelow)
       .join(sizes, Seq("doc_id"), "left")
       .join(hits, Seq("doc_id"), "left")

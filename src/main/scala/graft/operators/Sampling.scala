@@ -32,11 +32,19 @@ object Sampling {
     * overflow; a 100 TB corpus has ~1e10 ids, well past 2^63 / Mix). */
   val IdMod = 1000000007L
 
+  /** The `((id % IdMod) * Mix) % 100 < pct` membership predicate — the ONE
+    * home of the overflow-discipline idiom (mod before multiply, see
+    * [[IdMod]]), shared by [[systematicSample]] and
+    * [[Similarity.learnCentroids]]'s training sample so the sampling
+    * universes cannot silently desynchronize. */
+  def hashPct(idCol: Column, pct: Int): Column =
+    pmod(pmod(idCol, lit(IdMod)) * lit(Mix), lit(100L)) < pct
+
   /** Deterministic ~`pct`% systematic sample:
     * `((doc_id % IdMod) * Mix) % 100 < pct`. All-integer, engine-portable. */
   def systematicSample(s: SparkSession, dir: String, pct: Int = 10): DataFrame =
     docs(s, dir)
-      .filter(pmod(pmod(col("doc_id"), lit(IdMod)) * lit(Mix), lit(100L)) < pct)
+      .filter(hashPct(col("doc_id"), pct))
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
 
   def systematicSampleSql(pct: Int = 10): String =

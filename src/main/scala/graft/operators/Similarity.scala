@@ -107,7 +107,7 @@ object Similarity {
   def learnCentroids(s: SparkSession, e: DataFrame, k: Int = 8, iters: Int = 4,
                      dim: Int = 64, samplePct: Int = 10): Seq[Seq[Double]] = {
     val sampled = e.select(col("vec_id"), col("embedding"))
-      .filter(pmod(pmod(col("vec_id"), lit(Sampling.IdMod)) * lit(Sampling.Mix), lit(100L)) < samplePct)
+      .filter(Sampling.hashPct(col("vec_id"), samplePct))
       .cache()
     val train = if (sampled.count() >= 16L * k) sampled
                 else e.select(col("vec_id"), col("embedding"))

@@ -223,15 +223,23 @@ object TextAnalysis {
     val scored = counts.crossJoin(broadcast(langs)) // docs × |langs| rows
       .join(matched, Seq("doc_id", "cand_lang"), "left")
       .select(col("doc_id"), col("cand_lang"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
         ((coalesce(col("sum_lp"), lit(0.0)) +
           col("floor_logp") * (col("n_tri") - coalesce(col("n_matched"), lit(0L))))
           / col("n_tri")).as("mean_lp"))
+    // n_matched_total = 0 means NO trigram matched ANY profile (e.g. a
+    // non-Latin script): all five languages tie at the shared floor and the
+    // struct-max would arbitrarily report the alphabetically-last language
+    // with a confident-looking score — classify as "und" instead, like the
+    // stopword heuristic's zero-evidence fallback
     val best = scored.groupBy(col("doc_id"))
-      .agg(max(struct(col("mean_lp").as("score"), col("cand_lang").as("lang"))).as("best"))
+      .agg(max(struct(col("mean_lp").as("score"), col("cand_lang").as("lang"))).as("best"),
+           sum(col("n_matched")).as("n_matched_total"))
+    val hasEvidence = coalesce(col("n_matched_total"), lit(0L)) > 0
     documents.select(col("doc_id")).join(best, Seq("doc_id"), "left")
       .select(col("doc_id"),
-              coalesce(col("best.lang"), lit("und")).as("detected_lang"),
-              round(coalesce(col("best.score"), lit(0.0)), 4).as("lang_score"))
+              when(hasEvidence, col("best.lang")).otherwise(lit("und")).as("detected_lang"),
+              when(hasEvidence, round(col("best.score"), 4)).otherwise(lit(0.0)).as("lang_score"))
   }
 
   def languageIdTrigram(s: SparkSession, dir: String): DataFrame =

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
@@ -37,9 +37,18 @@ object CardinalityStream {
     * documented decode divergences:
     *  - missing/null `uid` decodes as `""` and IS counted as a distinct
     *    user instead of being dropped;
-    *  - JSON keys match case-insensitively (`{"UID":…}` fills uid) — the
-    *    parity path parses into `map<string,string>` and lowers the keys,
-    *    since `from_json` struct fields are case-sensitive;
+    *  - JSON keys match case-insensitively with Go's sequential-overwrite
+    *    semantics: fields are processed in document order, every
+    *    case-insensitive match overwrites the struct field, and a JSON
+    *    null assignment is a no-op — so the decoded value is the LAST
+    *    non-null case-insensitive match (`{"UID":…}` fills uid;
+    *    `{"uid":"a","UID":"b"}` decodes `"b"`; `{"uid":"a","uid":null}`
+    *    keeps `"a"`). The parity path parses into `map<string,string>` and
+    *    resolves fields over `map_entries` (which preserves document order
+    *    and keeps duplicate keys), NOT by lowering the map keys — a
+    *    lowered map hits Spark's DUPLICATED_MAP_KEY error on
+    *    case-colliding keys and one poison message would kill the
+    *    streaming query;
     *  - a NON-STRING uid value (`{"uid":123,…}`, booleans, objects,
     *    arrays) drops the whole message — jsoniter raises a type error
     *    where Jackson would coerce `123` → `"123"` and count it. Detection
@@ -50,11 +59,13 @@ object CardinalityStream {
     *    drops: the raw ts value must open with a digit (Go uint64 also
     *    rejects `-`), and fractional/exponent forms fail the string→long
     *    cast → null → dropped, matching Go's strict-integer error path.
-    * Residual edges, documented not replicated: a doc carrying BOTH
-    * `"uid"` and `"UID"` keys (jsoniter prefers the exact key; last-key
-    * wins here), and `"uid"`/`"ts"` appearing verbatim inside an EARLIER
-    * field's string value (first-char regex misreads) — neither occurs in
-    * the reference's `{uid,ts}` wire shape.
+    * Residual edges, documented not replicated: the uid/ts TYPE guards
+    * read only the FIRST occurrence of each key in the raw text, so a
+    * duplicate key whose SECOND occurrence is type-invalid
+    * (`{"uid":"a","UID":123}` — jsoniter errors and drops) is kept here;
+    * and `"uid"`/`"ts"` appearing verbatim inside an EARLIER field's
+    * string value misreads the first-char guard. Neither occurs in the
+    * reference's `{uid,ts}` wire shape.
     *
     * Rows dropped on any path are counted via `Dataset.observe` under the
     * observation name `graft_parse` (`n_in`, `n_bad_uid`, `n_malformed`,
@@ -64,19 +75,29 @@ object CardinalityStream {
     * StreamingSpec). */
   def parse(raw: DataFrame, referenceParity: Boolean = false): DataFrame = {
     val ws = "[ \\t\\r\\n]*"
+    // LAST non-null case-insensitive match, in document order — Go's
+    // decoder processes fields sequentially, each case-insensitive match
+    // overwrites, and null assignments are no-ops. `map_entries` preserves
+    // parse order and keeps duplicate keys (the parsed map is NOT deduped
+    // internally; element_at would return the FIRST duplicate). `get`
+    // instead of element_at(-1): ANSI mode errors on indexing an empty
+    // array, `get` returns null.
+    def ciField(name: String): Column = {
+      val matches = filter(map_entries(col("m")),
+        e => lower(e.getField("key")) === lit(name) && e.getField("value").isNotNull)
+      get(matches, size(matches) - 1).getField("value")
+    }
     val parsed =
       if (referenceParity)
         raw.select(col("value").cast("string").as("raw"))
           .select(col("raw"),
-            transform_keys(
-              from_json(col("raw"),
-                org.apache.spark.sql.types.MapType(StringType, StringType)),
-              (k, _) => lower(k)).as("m"))
+            from_json(col("raw"),
+              org.apache.spark.sql.types.MapType(StringType, StringType)).as("m"))
           .select(col("raw"),
-            element_at(col("m"), "uid").as("uid"),
+            ciField("uid").as("uid"),
             // try_cast, not cast: ANSI mode errors the whole batch on
             // "1.5"/"15e2"; jsoniter just drops that one message
-            element_at(col("m"), "ts").try_cast("long").as("ts"),
+            ciField("ts").try_cast("long").as("ts"),
             col("m").isNotNull.as("json_ok"))
       else
         raw.select(col("value").cast("string").as("raw"))

@@ -53,6 +53,20 @@ class LangIdSpec extends AnyFunSuite with SparkTestBase {
     assert(triAcc >= stopAcc, s"trigram $triAcc must be >= stopword $stopAcc")
   }
 
+  test("trigram language ID reports 'und', not an arbitrary tie-winner, on out-of-vocabulary scripts") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "αλφα βητα γαμμα δελτα εψιλον ζητα ηλιος θαλασσα"), // Greek
+      (1L, "шапка молоко собака якорь прогулка вечер дорога"), // Cyrillic
+      (2L, "a plain english sentence about the weather today")) // in-vocab control
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.languageIdTrigramOn(spark, df).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(got(0L) == ("und", 0.0), s"Greek doc: ${got(0L)}")
+    assert(got(1L) == ("und", 0.0), s"Cyrillic doc: ${got(1L)}")
+    assert(got(2L)._1 == "en", s"control doc: ${got(2L)}")
+  }
+
   test("trigram language ID matches the stopword heuristic on synthetic corpus docs") {
     // every synthetic doc's TEXT is English-vocabulary regardless of its
     // lang label, so text-truth here is "en" for both classifiers

@@ -89,6 +89,17 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       """{"uid":"eve","ts":"1468244386"}""", // STRING ts -> uint64 type error -> drop
       """{"uid":"frank","ts":1468244387.5}""", // float ts -> type error -> drop
       """{"uid":"gina","ts":15e2}""", // exponent form -> type error -> drop
+      // poison regression: case-colliding keys must NOT kill the query (a
+      // lowered-key map would throw DUPLICATED_MAP_KEY); Go processes
+      // fields in order and every case-insensitive match overwrites, so
+      // the LAST one wins
+      """{"uid":"ivy","UID":"shadow","ts":1468244389}""", // -> shadow
+      // duplicate EXACT keys: last value wins too
+      """{"uid":"junk","uid":"kara","ts":1468244390}""", // -> kara
+      // a trailing null assignment is a NO-OP in Go's decoder, not a wipe
+      """{"uid":"mona","uid":null,"ts":1468244392}""", // -> mona
+      // unrelated case-colliding keys parse fine
+      """{"x":1,"X":2,"uid":"liam","ts":1468244391}""", // -> liam
       """{"uid":"hank","ts":1468244388}""") // plain -> counted
     val parityIn = MemoryStream[String](spark)
     parityIn.addData(rows: _*)
@@ -102,12 +113,15 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       qp.processAllAvailable()
       qd.processAllAvailable()
       val parity = spark.table("parity_keys").collect().map(_.getString(0)).sorted.toSeq
-      assert(parity == Seq("carol", "dan", "hank"), parity.mkString(","))
-      // default (case-sensitive struct) mode: UID/Uid rows lose their uid
-      // and drop; the struct parser also rejects string/float ts tokens
-      // outright, so only the clean row survives
-      val dflt = spark.table("default_keys").collect().map(_.getString(0)).sorted.toSeq
-      assert(dflt == Seq("hank"), dflt.mkString(","))
+      assert(parity == Seq("carol", "dan", "hank", "kara", "liam", "mona", "shadow"),
+        parity.mkString(","))
+      // default (case-sensitive struct) mode: UID/Uid-only rows lose their
+      // uid and drop; the struct parser also rejects string/float ts tokens
+      // outright; rows with an exact-case "uid" key survive (duplicate-key
+      // resolution inside the struct parser is left unpinned here)
+      val dflt = spark.table("default_keys").collect().map(_.getString(0)).toSet
+      assert(dflt.contains("hank") && dflt.contains("ivy") && dflt.contains("liam"))
+      assert(!dflt.contains("carol") && !dflt.contains("dan") && !dflt.contains("shadow"))
     } finally { qp.stop(); qd.stop() }
   }
 
