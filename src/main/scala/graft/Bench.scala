@@ -36,26 +36,35 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val samples = (1 to runs).map { _ =>
+      val samples: Seq[Option[Double]] = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
         val elapsed = (System.nanoTime() - t0) / 1e9
-        // release any blocks a query cached (minhash sigs, postings, minute
-        // sketches) so later queries aren't timed against pinned storage;
-        // teardown cost stays OUTSIDE the timed region
+        // release any blocks a query cached or checkpointed (minhash sigs,
+        // postings, LSH candidate tables) so later queries aren't timed
+        // against pinned storage; teardown cost stays OUTSIDE the timed
+        // region. clearCache covers cache()d relations; releaseAll covers
+        // localCheckpoint RDDs, which the catalog cannot see.
         spark.catalog.clearCache()
-        elapsed
+        Checkpoints.releaseAll()
+        if (ok) Some(elapsed) else None
       }
-      name -> median(samples)
+      // a run that THREW is not a timing sample — a failure's near-zero
+      // elapsed would otherwise drag the median down and hide the breakage;
+      // a query with no successful run reports null in the JSON instead
+      val good = samples.flatten
+      name -> (if (good.isEmpty) None else Some(median(good)))
     }
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
     def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => s""""$k":${f3(v)}""" }
+    val qs = results.map { case (k, v) => s""""$k":${v.map(f3).getOrElse("null")}""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.flatMap(_._2).sum
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -21,9 +21,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // drop any blocks the query cached so the session doesn't accumulate
-      // pinned storage across all ~50 queries
+      // drop any blocks the query cached or checkpointed so the session
+      // doesn't accumulate pinned storage across all the queries
       spark.catalog.clearCache()
+      Checkpoints.releaseAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

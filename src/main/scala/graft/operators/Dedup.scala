@@ -324,9 +324,10 @@ object Dedup {
     // Candidate ids are materialized eagerly (localCheckpoint) so `banded`
     // can be unpersisted HERE instead of leaking pinned blocks to the
     // caller; only the far smaller id-pair table stays resident for the
-    // result's lifetime.
-    val cands = bandedCandidatePairs(banded, "vec_id", "id_a", "id_b", Int.MaxValue)
-      .localCheckpoint()
+    // result's lifetime (freed by `graft.Checkpoints.releaseAll` once the
+    // caller has consumed the result).
+    val cands = graft.Checkpoints.local(
+      bandedCandidatePairs(banded, "vec_id", "id_a", "id_b", Int.MaxValue))
     banded.unpersist()
     cands
       .join(e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"), col("norm").as("n_a")), "id_a")
@@ -352,26 +353,14 @@ object Dedup {
     *
     * Returns `(doc_id, cluster_id)` where `cluster_id` is the component's
     * minimum doc_id — the canonical "keep" representative. */
-  /** Release the pinned blocks behind a `localCheckpoint`'d DataFrame.
-    * `Dataset.localCheckpoint` persists its internal RDD and nothing ever
-    * frees it (`catalog.clearCache` only drops the relation cache) — an
-    * iterative loop that checkpoints every round must unpersist round N−1
-    * once round N is materialized, or pinned storage grows linearly with
-    * iterations for every library caller. */
-  private def unpersistCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.logical match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
-      case _ => ()
-    }
-
   def clusterPairs(pairs: DataFrame): DataFrame = {
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().cache()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("cluster_id"))
-      .localCheckpoint()
+    var labels = graft.Checkpoints.local(
+      edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("cluster_id")))
     var prevCheckpoint = labels
     var changed = 1L
     while (changed > 0) {
@@ -380,21 +369,22 @@ object Dedup {
         .groupBy(col("src"))
         .agg(min(col("nbr")).as("nbr_min"))
         .select(col("src").as("id"), col("nbr_min"))
-      val stepped = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"),
-          (coalesce(col("nbr_min"), col("cluster_id")) < col("cluster_id")).as("chg"))
-        .localCheckpoint() // truncate lineage; also makes the count cheap
+      val stepped = graft.Checkpoints.local( // truncate lineage; cheap count
+        labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"),
+            (coalesce(col("nbr_min"), col("cluster_id")) < col("cluster_id")).as("chg")))
       // stepped is materialized (eager checkpoint), so the previous round's
       // blocks are dead weight from here — free them before the next round
-      unpersistCheckpoint(prevCheckpoint)
+      graft.Checkpoints.release(prevCheckpoint)
       prevCheckpoint = stepped
       changed = stepped.filter(col("chg")).count()
       labels = stepped.select(col("id"), col("cluster_id"))
     }
     edges.unpersist()
     // only the FINAL round's checkpoint (the result's backing data) stays
-    // resident — constant, not per-iteration, storage
+    // resident — constant, not per-iteration, storage; the caller frees it
+    // after consumption via graft.Checkpoints.releaseAll
     labels.select(col("id").as("doc_id"), col("cluster_id"))
   }
 
@@ -494,11 +484,11 @@ object Dedup {
     // LEFT SEMI instead of distinct-then-inner-join: membership is the
     // question, so the train side needs no dedup aggregation — one shuffle
     // per side on sh_hash and the semi probe short-circuits on first match
-    val hits = bench.join(train, Seq("sh_hash"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
-      .localCheckpoint() // ≤ benchBelow rows — eager, frees `post` below
-    val sizes = bench.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      .localCheckpoint()
+    val hits = graft.Checkpoints.local( // ≤ benchBelow rows — eager, frees `post` below
+      bench.join(train, Seq("sh_hash"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit")))
+    val sizes = graft.Checkpoints.local(
+      bench.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh")))
     post.unpersist()
     docs(s, dir).select(col("doc_id")).filter(col("doc_id") < benchBelow)
       .join(sizes, Seq("doc_id"), "left")

@@ -543,7 +543,10 @@ object TextAnalysis {
               size(tokens).cast("long").as("n_tok"))
       .withColumn("tok_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
       .select(col("doc_id"), col("shard"), col("n_tok"),
-              (col("tok_before") / budget).cast("long").as("pack_id"),
+              // integral `div`, matching the oracle's `//` for ANY budget:
+              // double division + cast can round a huge quotient up across
+              // an integer boundary when budget isn't a power of two
+              call_function("div", col("tok_before"), lit(budget.toLong)).as("pack_id"),
               pmod(col("tok_before"), lit(budget.toLong)).as("pack_offset"))
   }
 
@@ -573,7 +576,8 @@ object TextAnalysis {
                            bucketWidth: Int = 16, maxBucket: Int = 31): DataFrame =
     docs(s, dir)
       .select(size(tokens).cast("long").as("n_tok"))
-      .select(least((col("n_tok") / bucketWidth).cast("long"), lit(maxBucket.toLong)).as("bucket"),
+      .select(least(call_function("div", col("n_tok"), lit(bucketWidth.toLong)),
+                    lit(maxBucket.toLong)).as("bucket"),
               col("n_tok"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
@@ -595,7 +599,16 @@ object TextAnalysis {
     * are small relative to corpora; at larger vocabularies this becomes a
     * shuffled join on tok), corpus size as a broadcast 1-row aggregate
     * (same no-unpartitioned-window discipline as [[unigramLogProb]]).
-    * Deterministic tie-break (score desc, token asc). */
+    * Deterministic tie-break (score desc, token asc).
+    *
+    * The ORACLED score is `tfidf_e4 = floor(tf·ln(N/df)·10⁴ + 0.5)` as a
+    * BIGINT — `round(x, 4)` is not parity-safe (Spark rounds HALF_UP,
+    * DuckDB half-even, and they disagree at representable midpoints),
+    * while `floor(x + 0.5)` is the same operation in both engines and a
+    * transcendental score never lands exactly on a .5 boundary (ln(1)=0,
+    * the one exact case, floors identically). Ranking orders by the SAME
+    * integer (then token), so rank ties can't flip on a last-ulp ln
+    * divergence either. */
   def tfidfTopTerms(s: SparkSession, dir: String, topK: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tok = docs(s, dir).select(col("doc_id"), explode(tokens).as("tok"))
@@ -603,12 +616,13 @@ object TextAnalysis {
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(broadcast(dfreq), Seq("tok")).crossJoin(broadcast(n))
-      .withColumn("tfidf", col("tf") * log(col("n_docs") / col("df")))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("tok"))
+      .withColumn("tfidf_e4",
+        floor(col("tf") * log(col("n_docs") / col("df")) * lit(10000.0) + lit(0.5)).cast("long"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf_e4").desc, col("tok"))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= topK)
       .select(col("doc_id"), col("tok"), col("tf"),
-              round(col("tfidf"), 4).as("tfidf"), col("rnk").cast("long").as("rnk"))
+              col("tfidf_e4"), col("rnk").cast("long").as("rnk"))
   }
 
   def tfidfTopTermsSql(topK: Int = 5): String =
@@ -618,10 +632,10 @@ object TextAnalysis {
       |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
       |scored AS (
       |  SELECT t.doc_id, t.tok, t.tf,
-      |    t.tf * ln((SELECT count(*) FROM documents) * 1.0 / d.df) AS tfidf
+      |    CAST(floor(t.tf * ln((SELECT count(*) FROM documents) * 1.0 / d.df) * 10000 + 0.5) AS BIGINT) AS tfidf_e4
       |  FROM tf t JOIN dfreq d USING (tok))
-      |SELECT doc_id, tok, tf, round(tfidf, 4) AS tfidf,
-      |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS BIGINT) AS rnk
+      |SELECT doc_id, tok, tf, tfidf_e4,
+      |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_e4 DESC, tok) AS BIGINT) AS rnk
       |FROM scored
       |QUALIFY rnk <= $topK""".stripMargin
 

@@ -63,9 +63,12 @@ object CardinalityStream {
     * read only the FIRST occurrence of each key in the raw text, so a
     * duplicate key whose SECOND occurrence is type-invalid
     * (`{"uid":"a","UID":123}` — jsoniter errors and drops) is kept here;
-    * and `"uid"`/`"ts"` appearing verbatim inside an EARLIER field's
-    * string value misreads the first-char guard. Neither occurs in the
-    * reference's `{uid,ts}` wire shape.
+    * `"uid"`/`"ts"` appearing verbatim inside an EARLIER field's
+    * string value misreads the first-char guard; and a `ts` in
+    * (2⁶³, 2⁶⁴) — decodable by Go's uint64 — overflows the signed long
+    * (`try_cast` nulls it) and drops here where the reference counts it.
+    * None occurs in the reference's `{uid,ts}` wire shape / realistic
+    * epoch timestamps.
     *
     * Rows dropped on any path are counted via `Dataset.observe` under the
     * observation name `graft_parse` (`n_in`, `n_bad_uid`, `n_malformed`,

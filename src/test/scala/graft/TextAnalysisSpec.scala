@@ -158,9 +158,9 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
       assert(rs.length <= 5, s"doc $id has ${rs.length} terms")
       val ordered = rs.sortBy(_.getAs[Long]("rnk"))
       assert(ordered.map(_.getAs[Long]("rnk")).toSeq == (1L to rs.length).toSeq)
-      ordered.foreach(r => assert(r.getAs[Double]("tfidf") >= 0.0, s"doc $id negative tfidf"))
+      ordered.foreach(r => assert(r.getAs[Long]("tfidf_e4") >= 0L, s"doc $id negative tfidf"))
       // scores are non-increasing down the ranks
-      ordered.map(_.getAs[Double]("tfidf")).toSeq.sliding(2).foreach { pair =>
+      ordered.map(_.getAs[Long]("tfidf_e4")).toSeq.sliding(2).foreach { pair =>
         if (pair.length == 2) assert(pair(0) >= pair(1))
       }
     }
