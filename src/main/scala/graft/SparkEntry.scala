@@ -68,6 +68,15 @@ object SparkEntry {
           events(s, dir).select(
             col("user_id").cast("string").as("uid"),
             unix_timestamp(col("ts")).as("ts")).as[graft.streaming.UserMsg]).toDF()
+      }),
+      // exact-count twin with deterministic (ts, uid) ordering: the
+      // reference's data-driven flush semantics under the DuckDB hash gate
+      "q_stream_data_driven_exact" -> ((s: SparkSession, dir: String) => {
+        import s.implicits._
+        graft.streaming.DataDrivenWindows.batchExact(s,
+          events(s, dir).select(
+            col("user_id").cast("string").as("uid"),
+            unix_timestamp(col("ts")).as("ts")).as[graft.streaming.UserMsg]).toDF()
       })
     )
 
@@ -78,7 +87,8 @@ object SparkEntry {
     }.toMap ++ Map(
       "q_card_stats_all" -> Buckets.granularities.map { g =>
         s"""SELECT '${Buckets.label(g)}' AS "Type", ${Buckets.bucketStartSql(g, "ts")} AS "Timestamp", count(DISTINCT user_id) AS "Value" FROM events GROUP BY 1, 2"""
-      }.mkString(" UNION ALL ")
+      }.mkString(" UNION ALL "),
+      "q_stream_data_driven_exact" -> graft.streaming.DataDrivenWindows.batchExactSql
     )
 
   // ---------------------------------------------------------------------

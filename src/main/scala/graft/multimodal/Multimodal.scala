@@ -33,15 +33,24 @@ object Multimodal {
   final case class MediaFeatures(media_id: Long, feature: Array[Float])
 
   /** STUB — deterministic fake codec. A real implementation would wrap
-    * libjpeg/ffmpeg here; the call sites and shapes would not change. */
+    * libjpeg/ffmpeg here; the call sites and shapes would not change.
+    *
+    * The fake math is deliberately SQL-PORTABLE (payload length + a few
+    * probed bytes, small-integer arithmetic — no wrapping fold hash, which
+    * DuckDB's overflow-checked BIGINT multiply cannot express): the DuckDB
+    * oracle recomputes every derived value, so the correctness gate
+    * verifies the surrounding Spark plumbing (schema, mapPartitions batch
+    * shape, binary handling) end-to-end rather than rows-only. */
   object FakeCodec {
-    /** "Decode" a header: all values derived deterministically from bytes. */
+    /** "Decode" a header: dims/duration derived from the length and the
+      * first/middle/last payload bytes. */
     def probe(id: Long, kind: String, bytes: Array[Byte]): MediaMeta = {
-      val h = bytes.foldLeft(1125899906842597L)((acc, b) => 31 * acc + b)
-      MediaMeta(id, kind, bytes.length.toLong,
-        width = 16 + (math.abs(h) % 1024).toInt,
-        height = 16 + (math.abs(h >> 10) % 1024).toInt,
-        duration_ms = math.abs(h >> 20) % 600000)
+      val n = bytes.length
+      def at(i: Int): Long = if (n == 0) 0L else (bytes(i) & 0xFF).toLong
+      MediaMeta(id, kind, n.toLong,
+        width = (16 + (n.toLong * 31 + at(0) * 7) % 1024).toInt,
+        height = (16 + (n.toLong * 17 + at(n / 2) * 11) % 1024).toInt,
+        duration_ms = (n.toLong * 1009 + at(math.max(n - 1, 0)) * 101) % 600000)
     }
 
     /** "Resize" to a target pixel budget: deterministic stride-sampling of
@@ -61,15 +70,18 @@ object Multimodal {
       }
     }
 
-    /** "Extract" a fixed-dim feature vector (stand-in for an embedding). */
+    /** "Extract" a fixed-dim feature vector (stand-in for an embedding):
+      * dimension j accumulates the byte values at positions ≡ j mod
+      * [[FeatureDim]]. Integer sums — exact in Float far below 2²⁴, so the
+      * SQL oracle reproduces them bit-for-bit. */
     def features(id: Long, bytes: Array[Byte]): MediaFeatures = {
       val f = new Array[Float](FeatureDim)
       var i = 0
       while (i < bytes.length) {
-        f(i % FeatureDim) += bytes(i) / 128.0f
+        f(i % FeatureDim) += (bytes(i) & 0xFF)
         i += 1
       }
-      MediaFeatures(id, f.map(x => x / math.max(1, bytes.length / FeatureDim)))
+      MediaFeatures(id, f)
     }
   }
 
@@ -143,15 +155,23 @@ object Multimodal {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_mm_decode_meta" -> ((s: SparkSession, d: String) => decodeMeta(s, d).toDF()),
-    // posexplode to scalar (media_id, dim_idx, value) rows: the driver's
+    // BIGINT casts: the oracle emits BIGINT, and int32-vs-int64 dtype skew
+    // is a driver-hash failure even when values agree
+    "q_mm_decode_meta" -> ((s: SparkSession, d: String) =>
+      decodeMeta(s, d).toDF().select(
+        col("media_id"), col("kind"), col("n_bytes"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("duration_ms"))),
+    // posexplode to scalar (media_id, dim_idx, byte_sum) rows: the driver's
     // correctness gate sorts rows via pandas, which cannot canonicalize a
     // raw array<float> column. Library callers use extractFeatures directly.
+    // The float→long cast is exact: features are integer byte-sums.
     "q_mm_features" -> ((s: SparkSession, d: String) =>
       extractFeatures(s, d).toDF()
         .select(col("media_id"), posexplode(col("feature")))
         .select(col("media_id"), col("pos").cast("long").as("dim_idx"),
-                round(col("col").cast("double"), 5).as("value"))),
+                col("col").cast("long").as("byte_sum"))),
     "q_mm_frame_sample" -> ((s: SparkSession, d: String) =>
       sampleFrames(s, d)
         .groupBy("media_id", "kind", "total_bytes")
@@ -160,8 +180,12 @@ object Multimodal {
     // scalar projection (checksum, not the binary) for driver sortability
     "q_mm_resize" -> ((s: SparkSession, d: String) =>
       resizeMedia(s, d).select(
-        col("media_id"), col("kind"), col("src_width"), col("src_height"),
-        col("thumb_width"), col("thumb_height"), col("resized"),
+        col("media_id"), col("kind"),
+        col("src_width").cast("long").as("src_width"),
+        col("src_height").cast("long").as("src_height"),
+        col("thumb_width").cast("long").as("thumb_width"),
+        col("thumb_height").cast("long").as("thumb_height"),
+        col("resized"),
         length(col("thumb")).cast("long").as("thumb_bytes"),
         md5(col("thumb")).as("thumb_md5"))))
 
@@ -185,6 +209,73 @@ object Multimodal {
       |  CAST(sum(length(substr(content, CAST(frame_idx * 128 + 1 AS INT), 32))) AS BIGINT) AS sampled_bytes
       |FROM f GROUP BY 1, 2, 3""".stripMargin
 
+  /** Shared oracle CTE: the media table synthesized from `documents`. The
+    * corpus is ASCII (verified: zero docs where octet_length ≠ char
+    * length), so DuckDB's char-indexed substr/ascii on the VARCHAR equals
+    * byte indexing on the UTF-8 binary, and `ascii('')` = 0 matches the
+    * codec's empty-payload guard. */
+  private val mediaCte: String =
+    """media AS (
+      |  SELECT doc_id AS media_id,
+      |    (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+      |    text AS content
+      |  FROM documents)""".stripMargin
+
+  /** DuckDB twins of the probe's width/height/duration math (`n` = payload
+    * length; bytes probed at first / middle / last positions, 1-indexed). */
+  private def widthSql(c: String) =
+    s"16 + (length($c) * 31 + ascii(substr($c, 1, 1)) * 7) % 1024"
+  private def heightSql(c: String) =
+    s"16 + (length($c) * 17 + ascii(substr($c, length($c) // 2 + 1, 1)) * 11) % 1024"
+  private def durationSql(c: String) =
+    s"(length($c) * 1009 + ascii(substr($c, greatest(length($c), 1), 1)) * 101) % 600000"
+
+  val decodeMetaSql: String =
+    s"""WITH $mediaCte
+      |SELECT media_id, kind,
+      |  CAST(length(content) AS BIGINT) AS n_bytes,
+      |  CAST(${widthSql("content")} AS BIGINT) AS width,
+      |  CAST(${heightSql("content")} AS BIGINT) AS height,
+      |  CAST(${durationSql("content")} AS BIGINT) AS duration_ms
+      |FROM media""".stripMargin
+
+  val featuresSql: String =
+    s"""WITH $mediaCte,
+      |d AS (SELECT media_id, content, unnest(range(0, $FeatureDim)) AS dim_idx FROM media)
+      |SELECT media_id, CAST(dim_idx AS BIGINT) AS dim_idx,
+      |  CAST(coalesce(list_sum(list_transform(
+      |    range(dim_idx + 1, CAST(length(content) + 1 AS BIGINT), $FeatureDim),
+      |    i -> ascii(substr(content, CAST(i AS INT), 1)))), 0) AS BIGINT) AS byte_sum
+      |FROM d""".stripMargin
+
+  /** Resize oracle: budget = 64·64/8 = 512 bytes; the stride-sampled thumb
+    * is rebuilt char-by-char (positions `(i·n)//512`, 0-indexed) and
+    * md5-checksummed like the Spark side. */
+  val resizeSql: String =
+    s"""WITH $mediaCte,
+      |m AS (
+      |  SELECT media_id, kind, content, length(content) AS n,
+      |    ${widthSql("content")} AS w, ${heightSql("content")} AS h
+      |  FROM media),
+      |t AS (
+      |  SELECT media_id, kind, n, w, h,
+      |    CASE WHEN n <= 512 THEN content
+      |         ELSE list_aggregate(list_transform(range(0, 512),
+      |                i -> substr(content, CAST((i * n) // 512 + 1 AS INT), 1)),
+      |              'string_agg', '') END AS thumb
+      |  FROM m)
+      |SELECT media_id, kind,
+      |  CAST(w AS BIGINT) AS src_width, CAST(h AS BIGINT) AS src_height,
+      |  CAST(CASE WHEN n <= 512 THEN w ELSE 64 END AS BIGINT) AS thumb_width,
+      |  CAST(CASE WHEN n <= 512 THEN h ELSE 64 END AS BIGINT) AS thumb_height,
+      |  n > 512 AS resized,
+      |  CAST(length(thumb) AS BIGINT) AS thumb_bytes,
+      |  md5(thumb) AS thumb_md5
+      |FROM t""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_mm_decode_meta" -> decodeMetaSql,
+    "q_mm_features" -> featuresSql,
+    "q_mm_resize" -> resizeSql,
     "q_mm_frame_sample" -> frameSampleSql)
 }

@@ -32,11 +32,18 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("label"),
               VectorOps.l2Norm(col("embedding")).as("norm"))
 
+  /** Scores exported as `cos_e4 = floor(cos·10⁴ + 0.5)` BIGINT (the
+    * [[quantizeInt8]]/tfidf parity discipline — `round` diverges between
+    * engines at midpoints, floor does not; floor is also sign-correct for
+    * negative cosines in both). Ranking stays on the RAW double — the
+    * DuckDB twin reproduces the dot/norm doubles bit-exactly (sequential
+    * double accumulation both sides, verified), so order matches. */
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), round(col("cos_sim"), 4).as("cos_sim"),
+      .select(col("query_id"), col("vec_id"),
+              floor(col("cos_sim") * lit(10000.0) + lit(0.5)).cast("long").as("cos_e4"),
               col("rank").cast("long").as("rank"))
   }
 
@@ -221,6 +228,30 @@ object Similarity {
               round(col("col").cast("double"), 5).as("val"))
   }
 
+  /** DuckDB twin of [[bruteForceTopK]] — oracle-able because every double
+    * op matches the Spark plan bit-for-bit: float→double casts are exact,
+    * `list_sum(list_transform(...))` accumulates sequentially in double
+    * exactly like [[graft.functions.expressions.DotProduct]]'s loop
+    * (verified bitwise on this corpus), and norm/cosine division order is
+    * identical. Ranking ties break on vec_id in both engines. */
+  val bruteForceTopKSql: String =
+    s"""WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+      |q AS (
+      |  SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < $QueryCount),
+      |scored AS (
+      |  SELECT q.query_id, n.vec_id,
+      |    list_sum(list_transform(range(1, len(n.v) + 1),
+      |      i -> q.qv[CAST(i AS INT)] * n.v[CAST(i AS INT)])) / (q.qn * n.nrm) AS cos
+      |  FROM n, q WHERE n.vec_id <> q.query_id)
+      |SELECT query_id, vec_id,
+      |  CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_e4,
+      |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+      |FROM scored
+      |QUALIFY rank <= $DefaultK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_topk_brute" -> ((s: SparkSession, d: String) => bruteForceTopK(s, d)),
     "q_sim_ann_lsh" -> ((s: SparkSession, d: String) => annLsh(s, d)),
@@ -229,5 +260,6 @@ object Similarity {
     "q_emb_jl_project" -> ((s: SparkSession, d: String) => jlProject(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "q_sim_topk_brute" -> bruteForceTopKSql,
     "q_emb_quantize_int8" -> quantizeInt8Sql)
 }

@@ -85,10 +85,10 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     val got = Similarity.annLsh(spark, sf).collect()
     assert(got.nonEmpty)
     // every returned similarity must equal the true cosine (LSH only prunes
-    // candidates, never alters scores)
+    // candidates, never alters scores); scores export as e4 integers
     got.foreach { r =>
       val truth = localTopK(r.getLong(0)).toMap.get(r.getLong(1))
-      truth.foreach(t => assert(math.abs(r.getDouble(2) - t) < 1e-3))
+      truth.foreach(t => assert(math.abs(r.getAs[Long]("cos_e4") / 10000.0 - t) < 1e-3))
     }
   }
 

@@ -261,6 +261,34 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("exact data-driven tier matches the reference simulation bit-for-bit, ties included") {
+    import spark.implicits._
+    var ts = 1468244384L
+    var seed = 99L
+    val base = (0 until 400).map { i =>
+      seed = (seed * 6364136223846793005L + 1442695040888963407L) & Long.MaxValue
+      ts += seed % 120 // short gaps → many minute windows, frequent boundary ties
+      if (i % 97 == 96) ts += 400000 // occasional jumps → day/week flushes too
+      UserMsg(s"user${seed % 50}", ts)
+    }
+    // duplicate-ts rows — same ts with a different uid, and exact (ts, uid)
+    // duplicates — to exercise the one-trigger-per-flush tie rule (the
+    // FIRST message in (ts, uid) order closes the old window; later ties,
+    // including other copies of the trigger uid, open the new one)
+    val msgs = base ++
+      base.grouped(7).map(_.head).map(m => m.copy(uid = "zz" + m.uid)).toSeq ++
+      base.grouped(11).map(_.head).toSeq
+    val sorted = msgs.sortBy(m => (m.ts, m.uid))
+    val got = DataDrivenWindows.batchExact(spark, spark.createDataset(msgs)).collect()
+      .groupBy(_.Type).view
+      .mapValues(_.sortBy(_.Timestamp).toSeq.map(s => (s.Timestamp, s.Value))).toMap
+    graft.core.Buckets.granularities.map(g => s"${g}_count").foreach { st =>
+      val sim = simulate(sorted, st).map { case (t, v) => (t, v.toLong) }
+      assert(got.getOrElse(st, Seq.empty) == sim, s"$st diverges from the simulation")
+      assert(sim.nonEmpty && sim.head._1 == 0L) // degenerate first window present
+    }
+  }
+
   test("watermark bounds state: events later than the watermark do not resurrect closed windows") {
     import spark.implicits._
     val input = MemoryStream[String](spark)
