@@ -519,6 +519,55 @@ object Dedup {
       |LEFT JOIN hit h USING (doc_id)
       |WHERE d.doc_id < $benchBelow""".stripMargin
 
+  /** Span-level duplicate analysis — the line-/paragraph-dedup family
+    * (C4 drops repeated lines; RefinedWeb dedups at line scope) adapted to
+    * a corpus without line structure: each doc splits into consecutive
+    * `spanLen`-word spans, and a span is "duplicated" when it occurs in
+    * MORE THAN ONE distinct document (within-doc repeats are repetition,
+    * not boilerplate — [[TextAnalysis.repetitionRatio]] covers those).
+    * Returns per-doc span counts and the duplicated-span ratio — the
+    * boilerplate gate a training pipeline applies before doc-level dedup.
+    *
+    * Scale shape: one typed flatMap (same JIT'd hot path as [[postings]]),
+    * one distinct + count per span (shuffles (span-hash, doc) pairs), one
+    * join back keyed by span, one per-doc aggregation. Spans are hashed
+    * to 64-bit keys before shuffling (like [[postings]]) so exchange rows
+    * stay fixed-width; the oracle recomputes the same spans as strings —
+    * duplication is decided by grouping, which hash collisions
+    * (~n²/2⁶⁵) do not realistically perturb at verification scale. */
+  def spanDupStats(s: SparkSession, dir: String, spanLen: Int = 10): DataFrame = {
+    import s.implicits._
+    val spans = docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        text.split(" ", -1).grouped(spanLen)
+          .map(g => (id, graft.functions.Hll.hash(g.mkString(" "))))
+      }.toDF("doc_id", "span_h")
+    val docsPerSpan = spans.distinct()
+      .groupBy(col("span_h")).agg(count(lit(1)).as("n_docs_span"))
+    spans.join(docsPerSpan, Seq("span_h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+           count_if(col("n_docs_span") > 1).as("n_dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+              OracleSafe.avgRound4(col("n_dup_spans"), col("n_spans")).as("dup_ratio"))
+  }
+
+  def spanDupStatsSql(spanLen: Int = 10): String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |spans AS (
+      |  SELECT doc_id,
+      |    array_to_string(w[(i * $spanLen + 1):((i + 1) * $spanLen)], ' ') AS span
+      |  FROM (SELECT doc_id, w, unnest(range(0, (len(w) + ${spanLen - 1}) // $spanLen)) AS i
+      |        FROM toks)),
+      |dps AS (
+      |  SELECT span, count(DISTINCT doc_id) AS n_docs_span FROM spans GROUP BY 1)
+      |SELECT doc_id, count(*) AS n_spans,
+      |  CAST(count(*) FILTER (WHERE n_docs_span > 1) AS BIGINT) AS n_dup_spans,
+      |  ${OracleSafe.avgRound4Sql("CAST(count(*) FILTER (WHERE n_docs_span > 1) AS BIGINT)", "count(*)")} AS dup_ratio
+      |FROM spans JOIN dps USING (span)
+      |GROUP BY doc_id""".stripMargin
+
   /** End-to-end dedup pipeline: exact dedup PLUS near-dup clustering, keep
     * each group's minimum doc_id, anti-join the rest away. The exact stage
     * is composed explicitly — near-dup clustering covers identical docs of
@@ -557,7 +606,8 @@ object Dedup {
     "q_dedup_clusters" -> (nearDupClusters _),
     "q_dedup_pipeline" -> (dedupPipeline _),
     "q_dedup_cross_corpus" -> ((s: SparkSession, d: String) => crossCorpusNewDocs(s, d)),
-    "q_dedup_contamination" -> ((s: SparkSession, d: String) => contamination(s, d)))
+    "q_dedup_contamination" -> ((s: SparkSession, d: String) => contamination(s, d)),
+    "q_dedup_spans" -> ((s: SparkSession, d: String) => spanDupStats(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> exactDedupSql,
@@ -565,5 +615,6 @@ object Dedup {
     "q_dedup_clusters" -> nearDupClustersSql,
     "q_dedup_pipeline" -> dedupPipelineSql,
     "q_dedup_cross_corpus" -> crossCorpusNewDocsSql,
-    "q_dedup_contamination" -> contaminationSql())
+    "q_dedup_contamination" -> contaminationSql(),
+    "q_dedup_spans" -> spanDupStatsSql())
 }

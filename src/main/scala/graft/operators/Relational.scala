@@ -366,7 +366,47 @@ object Relational {
         col("qs")(2).as("q75"), col("qs")(3).as("q99"))
   }
 
+  /** TPC-H Q17-family correlated-aggregate query: lineitem rows whose
+    * quantity falls below 20 % of their part's average quantity (the
+    * "small-order revenue" probe), rolled up by brand. The correlated
+    * `avg` subquery decorrelates into one per-part aggregation joined
+    * back to the fact table — lineitem shuffles once on l_partkey for the
+    * aggregate and reuses that partitioning for the join; the part dim
+    * broadcasts.
+    *
+    * The threshold predicate is EXACT integer math:
+    * `qty < 0.2·avg ⇔ 5·qty·cnt < sum` (quantities are integral) — a
+    * double `0.2·(sum/cnt)` comparison diverges between engines in the
+    * last ulp on boundary rows. */
+  def smallQuantityRevenue(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    val perPart = l.groupBy(col("l_partkey")).agg(
+      count(lit(1)).as("cnt_l"),
+      sum(col("l_quantity").cast("long")).as("sum_qty"))
+    l.join(perPart, Seq("l_partkey"))
+      .filter(col("l_quantity").cast("long") * lit(5L) * col("cnt_l") < col("sum_qty"))
+      .join(broadcast(t(s, dir, "part").select(col("p_partkey").as("l_partkey"), col("p_brand"))),
+            Seq("l_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_small"),
+           moneySum(col("l_extendedprice")).as("small_revenue"))
+  }
+
+  val smallQuantityRevenueSql: String =
+    s"""WITH pp AS (
+      |  SELECT l_partkey, count(*) AS cnt_l,
+      |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |  FROM lineitem GROUP BY 1)
+      |SELECT p.p_brand, count(*) AS n_small,
+      |  ${OracleSafe.moneySumSql("l.l_extendedprice")} AS small_revenue
+      |FROM lineitem l
+      |JOIN pp USING (l_partkey)
+      |JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE CAST(l.l_quantity AS BIGINT) * 5 * pp.cnt_l < pp.sum_qty
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rel_avg_subquery" -> (smallQuantityRevenue _),
     "q_rel_pivot" -> (pivotEvents _),
     "q_rel_explode" -> (explodeWords _),
     "q_rel_pricing_summary" -> (pricingSummary _),
@@ -386,6 +426,7 @@ object Relational {
     "q_rel_json_extract" -> (jsonExtract _))
 
   val oracles: Map[String, String] = Map(
+    "q_rel_avg_subquery" -> smallQuantityRevenueSql,
     "q_rel_pivot" -> pivotEventsSql,
     "q_rel_explode" -> explodeWordsSql,
     "q_rel_pricing_summary" -> pricingSummarySql,

@@ -68,24 +68,32 @@ object TextAnalysis {
       |               / len(string_split(text, ' '))), 4) AS quality
       |FROM documents""".stripMargin
 
+  /** Stopword profiles for [[languageId]] — shared with the DuckDB oracle
+    * builder so both engines score the identical literal table. */
+  val StopwordProfiles: Seq[(String, Seq[String])] = Seq(
+    ("en", Seq("the", "a", "and", "of", "to", "in", "is")),
+    ("de", Seq("der", "die", "das", "und", "ist", "ein")),
+    ("fr", Seq("le", "la", "les", "et", "est", "un")),
+    ("es", Seq("el", "la", "los", "y", "es", "un")),
+    ("zh", Seq("de", "shi", "le", "zai", "he")))
+
   /** Stopword-profile language ID (n-gram-heuristic family): score each
     * candidate language by the fraction of document tokens found in its
     * profile; argmax with deterministic tie-break. The profile table is a
     * literal broadcast dim; the aggregation shuffles only (doc_id, lang)
-    * partial counts. Rows-only checked (heuristic — no SQL oracle). */
+    * partial counts.
+    *
+    * ORACLE-SAFE by pure integer math: every language shares a doc's
+    * `n_tok`, so the argmax orders by integer `hits` (then lang, both
+    * engines identically), and the exported score goes through
+    * [[OracleSafe.avgRound4]] — no float comparison anywhere. */
   def languageId(s: SparkSession, dir: String): DataFrame =
     languageIdOn(s, docs(s, dir))
 
   /** [[languageId]] over any `(doc_id, text)` DataFrame (spec harness for
     * head-to-head accuracy against [[languageIdTrigram]]). */
   def languageIdOn(s: SparkSession, documents: DataFrame): DataFrame = {
-    val profiles = Seq(
-      ("en", Seq("the", "a", "and", "of", "to", "in", "is")),
-      ("de", Seq("der", "die", "das", "und", "ist", "ein")),
-      ("fr", Seq("le", "la", "les", "et", "est", "un")),
-      ("es", Seq("el", "la", "los", "y", "es", "un")),
-      ("zh", Seq("de", "shi", "le", "zai", "he")))
-    val profRows = profiles.flatMap { case (l, ws) => ws.map(w => (l, w)) }
+    val profRows = StopwordProfiles.flatMap { case (l, ws) => ws.map(w => (l, w)) }
     val prof = s.createDataFrame(profRows).toDF("cand_lang", "tok")
 
     val tok = documents
@@ -94,13 +102,43 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("cand_lang"), col("n_tok"))
       .agg(count(lit(1)).as("hits"))
       .groupBy(col("doc_id"))
-      .agg(max(struct((col("hits") / col("n_tok")).as("score"), col("cand_lang").as("lang"))).as("best"))
+      // same n_tok across languages per doc ⇒ hits alone decides; struct
+      // max ties toward the lexicographically-largest language
+      .agg(max(struct(col("hits"), col("cand_lang").as("lang"))).as("best"),
+           first(col("n_tok")).as("n_tok"))
     // Docs with zero profile hits must still classify (as undetermined),
     // not silently drop out of the inner join.
     documents.select(col("doc_id")).join(best, Seq("doc_id"), "left")
       .select(col("doc_id"),
               coalesce(col("best.lang"), lit("und")).as("detected_lang"),
-              round(coalesce(col("best.score"), lit(0.0)), 4).as("lang_score"))
+              when(col("best.hits").isNull, lit(0.0))
+                .otherwise(OracleSafe.avgRound4(col("best.hits"), col("n_tok")))
+                .as("lang_score"))
+  }
+
+  /** DuckDB twin of [[languageId]] (profiles embedded as a VALUES list). */
+  val languageIdSql: String = {
+    val values = StopwordProfiles
+      .flatMap { case (l, ws) => ws.map(w => s"('$l', '$w')") }.mkString(", ")
+    s"""WITH prof(cand_lang, tok) AS (VALUES $values),
+      |tok AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+      |         unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |hits AS (
+      |  SELECT doc_id, cand_lang, n_tok, count(*) AS hits
+      |  FROM tok JOIN prof USING (tok)
+      |  GROUP BY 1, 2, 3),
+      |best AS (
+      |  SELECT doc_id, cand_lang, n_tok, hits,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand_lang DESC) AS rn
+      |  FROM hits)
+      |SELECT d.doc_id,
+      |  coalesce(b.cand_lang, 'und') AS detected_lang,
+      |  CASE WHEN b.hits IS NULL THEN 0.0
+      |       ELSE ${OracleSafe.avgRound4Sql("b.hits", "b.n_tok")} END AS lang_score
+      |FROM documents d
+      |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)""".stripMargin
   }
 
   /** Character-trigram language model for language ID — the n-gram text
@@ -288,6 +326,44 @@ object TextAnalysis {
       |  ${OracleSafe.avgRound4Sql("CAST(sum(n_chars) AS BIGINT)", "count(*)")} AS avg_chars,
       |  CAST(sum(n_chars) AS BIGINT) AS total_chars
       |FROM documents GROUP BY lang, source""".stripMargin
+
+  /** Per-source document-length outliers — the distribution-based quality
+    * gate (docs wildly longer/shorter than their source's norm are
+    * boilerplate/truncation suspects). Flags `|x − μ| > 2σ` per source,
+    * but the test is EXACT integer arithmetic:
+    * `(n·x − S)² > 4·(n·Q − S²)` with `S = Σx, Q = Σx²` — algebraically
+    * `z² > 4` with population variance, and no float mean/stddev ever
+    * materializes (stddev aggregates are accumulation-order-dependent, so
+    * a double formulation can't hash-match across engines). One tiny
+    * per-source stats aggregate broadcast back over the scan.
+    *
+    * Overflow bounds: terms grow as n·max(x)² per group — fine in BIGINT
+    * to ~10⁶-doc groups of ~10⁵-char docs; beyond that widen to
+    * DECIMAL(38,0) on both sides (same [[OracleSafe.moneySum]] move). */
+  def lengthOutliers(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
+    val stats = d.groupBy(col("source")).agg(
+      count(lit(1)).as("n"),
+      sum(col("n_chars")).as("sx"),
+      sum(col("n_chars") * col("n_chars")).as("qx"))
+    val dev = col("n") * col("n_chars") - col("sx")
+    d.join(broadcast(stats), Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+              (dev * dev > lit(4L) * (col("n") * col("qx") - col("sx") * col("sx")))
+                .as("is_outlier"))
+  }
+
+  // HUGEINT widening on the DuckDB side is harmless here: only the BOOLEAN
+  // crosses to the driver, and comparisons are exact in either width
+  val lengthOutliersSql: String =
+    """WITH st AS (
+      |  SELECT source, count(*) AS n, sum(n_chars) AS sx,
+      |         sum(n_chars * n_chars) AS qx
+      |  FROM documents GROUP BY 1)
+      |SELECT d.doc_id, d.source, d.n_chars,
+      |  (st.n * d.n_chars - st.sx) * (st.n * d.n_chars - st.sx)
+      |    > 4 * (st.n * st.qx - st.sx * st.sx) AS is_outlier
+      |FROM documents d JOIN st USING (source)""".stripMargin
 
   /** Repetition ratio: frequency of the most common token over total
     * tokens — high values flag boilerplate/spam docs (a standard pipeline
@@ -642,6 +718,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_unigram_logprob" -> (unigramLogProb _),
     "q_text_repetition" -> (repetitionRatio _),
+    "q_text_outliers" -> (lengthOutliers _),
     "q_text_tokens" -> (tokenCounts _),
     "q_text_bpe_tokens" -> (bpeTokenCounts _),
     "q_text_winnow" -> ((s: SparkSession, d: String) => winnowFingerprints(s, d)),
@@ -658,8 +735,10 @@ object TextAnalysis {
     "q_text_tfidf" -> ((s: SparkSession, d: String) => tfidfTopTerms(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "q_text_langid" -> languageIdSql,
     "q_text_unigram_logprob" -> unigramLogProbSql,
     "q_text_repetition" -> repetitionRatioSql,
+    "q_text_outliers" -> lengthOutliersSql,
     "q_text_tokens" -> tokenCountsSql,
     "q_text_bpe_tokens" -> bpeTokenCountsSql,
     "q_text_quality" -> qualityScoreSql,

@@ -29,6 +29,25 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("span-dup stats match a local span computation") {
+    val texts = Tables(spark, sf, "documents").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def spans(t: String): Seq[String] =
+      t.split(" ", -1).grouped(10).map(_.mkString(" ")).toSeq
+    val docsPerSpan = texts.toSeq
+      .flatMap { case (id, t) => spans(t).distinct.map(sp => (sp, id)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val got = Dedup.spanDupStats(spark, sf).collect()
+    assert(got.length == texts.size)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val sp = spans(texts(id))
+      assert(r.getAs[Long]("n_spans") == sp.size.toLong, s"doc $id n_spans")
+      assert(r.getAs[Long]("n_dup_spans") == sp.count(s0 => docsPerSpan(s0) > 1).toLong,
+        s"doc $id n_dup_spans")
+    }
+  }
+
   test("contamination matches a local shingle-overlap computation") {
     val texts = Tables(spark, sf, "documents").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap

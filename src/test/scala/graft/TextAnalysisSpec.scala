@@ -150,6 +150,21 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("length outliers match the exact integer two-sigma law") {
+    val rows = Tables(spark, sf, "documents").select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySource = rows.groupBy(_._2)
+    val got = TextAnalysis.lengthOutliers(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("is_outlier")).toMap
+    assert(got.size == rows.length)
+    rows.foreach { case (id, src, x) =>
+      val xs = bySource(src).map(_._3)
+      val (n, s, q) = (BigInt(xs.length), BigInt(xs.sum), xs.map(v => BigInt(v) * v).sum)
+      val dev = n * x - s
+      assert(got(id) == (dev * dev > 4 * (n * q - s * s)), s"doc $id outlier flag")
+    }
+  }
+
   test("tf-idf top terms: k per doc, non-negative scores, rank ordered") {
     val byDoc = TextAnalysis.tfidfTopTerms(spark, sf).collect()
       .groupBy(_.getLong(0))
