@@ -388,11 +388,72 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("cluster_id"))
   }
 
+  /** Connected components via alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the adversarial-graph tier of [[clusterPairs]]:
+    * neighbor-min label propagation needs O(component diameter) rounds (a
+    * k-node duplication CHAIN costs k rounds), while star alternation
+    * converges in O(log n) regardless of diameter.
+    *
+    * Per round: large-star hangs every strictly-larger neighbor of each
+    * node onto that node's minimum (one groupBy + one keyed join on the
+    * bidirected edge list); small-star re-hangs the smaller neighbors.
+    * Both are keyed aggregations/joins — no driver-side graph state, same
+    * checkpoint-release loop discipline as [[clusterPairs]]. At the
+    * fixpoint the edge set IS the star forest (u → component minimum).
+    *
+    * `maxRounds` is a convergence guard, not a tuning knob: hitting it
+    * throws rather than silently returning half-merged components. */
+  def clusterPairsStar(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    def canon(e: DataFrame): DataFrame =
+      e.filter(col("u") =!= col("v")).distinct()
+    def largeStar(e: DataFrame): DataFrame = {
+      val bi = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = bi.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      canon(bi.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val or = e.select(greatest(col("u"), col("v")).as("u"),
+                        least(col("u"), col("v")).as("v"))
+      val m = or.groupBy(col("u")).agg(min(col("v")).as("m"))
+      canon(or.join(m, "u").select(col("v").as("u"), col("m").as("v"))
+        .union(m.select(col("u"), col("m").as("v"))))
+    }
+    var edges = graft.Checkpoints.local(
+      canon(pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))))
+    var round = 0
+    var converged = false
+    while (!converged) {
+      round += 1
+      require(round <= maxRounds, s"star alternation did not converge in $maxRounds rounds")
+      val next = graft.Checkpoints.local(smallStar(largeStar(edges)))
+      // set equality: equal cardinality + one-sided difference empty
+      converged = next.count() == edges.count() && next.except(edges).isEmpty
+      graft.Checkpoints.release(edges)
+      edges = next
+    }
+    // fixpoint edges are (node → component min); roots map to themselves
+    val roots = edges.select(col("v").as("doc_id")).distinct()
+      .join(edges.select(col("u").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    edges.select(col("u").as("doc_id"), col("v").as("cluster_id")).union(roots)
+  }
+
   /** Near-dup clusters over the exact Jaccard pairs — the oracle-checkable
     * composition (the MinHash-LSH pairs feed the same `clusterPairs` at
     * scale). */
   def nearDupClusters(s: SparkSession, dir: String): DataFrame =
     clusterPairs(ngramJaccardPairs(s, dir))
+
+  /** [[nearDupClusters]] computed by the star-alternation tier — registered
+    * against the SAME recursive-CTE oracle, so the two independent
+    * connected-components implementations are cross-checked through the
+    * hash gate. */
+  def nearDupClustersStar(s: SparkSession, dir: String): DataFrame =
+    clusterPairsStar(ngramJaccardPairs(s, dir))
 
   val nearDupClustersSql: String = {
     // embed the jaccard-pair oracle as a CTE, then a recursive reachability
@@ -607,7 +668,8 @@ object Dedup {
     "q_dedup_pipeline" -> (dedupPipeline _),
     "q_dedup_cross_corpus" -> ((s: SparkSession, d: String) => crossCorpusNewDocs(s, d)),
     "q_dedup_contamination" -> ((s: SparkSession, d: String) => contamination(s, d)),
-    "q_dedup_spans" -> ((s: SparkSession, d: String) => spanDupStats(s, d)))
+    "q_dedup_spans" -> ((s: SparkSession, d: String) => spanDupStats(s, d)),
+    "q_dedup_clusters_star" -> (nearDupClustersStar _))
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> exactDedupSql,
@@ -616,5 +678,6 @@ object Dedup {
     "q_dedup_pipeline" -> dedupPipelineSql,
     "q_dedup_cross_corpus" -> crossCorpusNewDocsSql,
     "q_dedup_contamination" -> contaminationSql(),
-    "q_dedup_spans" -> spanDupStatsSql())
+    "q_dedup_spans" -> spanDupStatsSql(),
+    "q_dedup_clusters_star" -> nearDupClustersSql)
 }

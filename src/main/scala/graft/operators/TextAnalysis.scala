@@ -41,6 +41,17 @@ object TextAnalysis {
       |  CAST(length(text) AS BIGINT) AS n_chars_actual
       |FROM documents""".stripMargin
 
+  /** The combined [0,1] quality expression over a text column — shared by
+    * the batch [[qualityScore]] query and the streaming ingest pipeline
+    * ([[graft.streaming.DocPipeline]]): length gate × (1 − stopword
+    * ratio). Unrounded; callers round for oracle export. */
+  def qualityCol(text: Column): Column = {
+    val toks = split(text, " ")
+    val nTok = size(toks).cast("double")
+    val stopTok = size(filter(toks, t => t.isin("the", "a"))).cast("double")
+    least(nTok / lit(100.0), lit(1.0)) * (lit(1.0) - stopTok / nTok)
+  }
+
   /** Heuristic quality score: token count, mean token length, stopword
     * ratio, combined into [0,1]. Mirrors the shape of production quality
     * filters (length/stopword gates); deterministic and oracle-matched. */
@@ -53,7 +64,7 @@ object TextAnalysis {
       nTok.cast("long").as("n_tokens"),
       round(sumLen / nTok, 4).as("avg_token_len"),
       round(stopTok / nTok, 4).as("stopword_ratio"),
-      round(least(nTok / lit(100.0), lit(1.0)) * (lit(1.0) - stopTok / nTok), 4).as("quality"))
+      round(qualityCol(col("text")), 4).as("quality"))
   }
 
   val qualityScoreSql: String =

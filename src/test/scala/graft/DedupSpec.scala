@@ -29,6 +29,25 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("star clustering collapses a 512-node chain in logarithmic rounds") {
+    import spark.implicits._
+    // a duplication CHAIN is the adversarial case for neighbor-min label
+    // propagation (O(diameter) = 511 rounds); star alternation must finish
+    // inside the logarithmic budget — maxRounds THROWS on overrun, so this
+    // passing is itself the round-count assertion
+    val chain = (0L until 511L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.clusterPairsStar(chain, maxRounds = 20).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 512)
+    assert(labels.values.forall(_ == 0L), "every chain node must label to the minimum")
+  }
+
+  test("star clustering and neighbor-min produce identical corpus labels") {
+    def lbls(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lbls(Dedup.nearDupClustersStar(spark, sf)) == lbls(Dedup.nearDupClusters(spark, sf)))
+  }
+
   test("span-dup stats match a local span computation") {
     val texts = Tables(spark, sf, "documents").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap

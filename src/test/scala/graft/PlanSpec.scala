@@ -107,6 +107,28 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("Join"), "scale join-back crept in")
   }
 
+  test("length outliers broadcast the per-source stats over a pruned scan") {
+    val p = plan("q_text_outliers")
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+    val readSchema = "FileScan parquet \\[([^\\]]*)\\]".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(!readSchema.contains("text"), s"outlier scan reads the text payload: $readSchema")
+  }
+
+  test("correlated-average subquery broadcasts the part dim, never a cartesian") {
+    val p = plan("q_rel_avg_subquery")
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("span-dup stats combine the distinct map-side before any exchange") {
+    val p = plan("q_dedup_spans")
+    // the (doc_id, span_h) distinct must plan as partial+final HashAggregate
+    // around its exchange — shuffling raw span rows without map-side
+    // combining moves the whole span stream uncompacted
+    assert(p.contains("partial_count"), p.take(900))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("contamination final plan joins tiny checkpointed aggregates, no pair explosion") {
     // the per-doc hits/sizes aggregates are materialized via localCheckpoint
     // (so the big postings cache can be released) — the final plan reads

@@ -429,6 +429,37 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming document pipeline composes gate, in-stream dedup, and corpus anti-join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val corpusFps = graft.operators.TextAnalysis.fingerprint(spark, sf)
+      .select(col("fp_md5"))
+    val knownText = Tables(spark, sf, "documents")
+      .select(col("text")).head().getString(0)
+    val novel = "thirty distinct tokens keep this document comfortably above " +
+      "every gate threshold because each word differs and none repeats " +
+      "anywhere within this short but sufficiently long crawl sample text"
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    val docs = input.toDF().toDF("doc_id", "text", "event_time")
+    val out = graft.streaming.DocPipeline(docs, corpusFps)
+    val q = out.writeStream.format("memory").queryName("docpipe").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, novel, t0),                       // survives
+        (2L, "the the the the the", t0),       // quality 0 -> gated
+        (3L, novel + " ", t0),                 // normalized in-stream duplicate -> dropped
+        (4L, knownText, t0))                   // already in the corpus index -> dropped
+      q.processAllAvailable()
+      val kept = spark.table("docpipe").collect()
+      assert(kept.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L),
+        s"kept: ${kept.map(_.getAs[Long]("doc_id")).mkString(",")}")
+      // enrichment columns ride along with the surviving row
+      assert(kept.head.getAs[Long]("n_tokens") == novel.split(" ").length.toLong)
+      assert(kept.head.getAs[Double]("quality") >= 0.2)
+    } finally q.stop()
+  }
+
   test("append-mode month bucket seals correctly in a non-UTC session zone") {
     import spark.implicits._
     val prevTz = spark.conf.get("spark.sql.session.timeZone")
