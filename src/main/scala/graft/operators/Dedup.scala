@@ -335,7 +335,46 @@ object Dedup {
       .withColumn("cos_sim",
         VectorOps.cosinePrenormed(col("v_a"), col("v_b"), col("n_a"), col("n_b")))
       .filter(col("cos_sim") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_sim"))
+      // e4-floored integer score — the Similarity parity discipline
+      .select(col("id_a"), col("id_b"),
+              floor(col("cos_sim") * lit(10000.0) + lit(0.5)).cast("long").as("cos_e4"))
+  }
+
+  /** DuckDB twin of [[embeddingNearDupPairs]] — the same
+    * literal-hyperplane / bit-exact-double recipe as
+    * [[Similarity.annLshSql]], with a banded SELF-join for candidates and
+    * the exact-cosine threshold verify. The oracle hash gate therefore
+    * covers the LSH bucketing, the candidate join, AND the verification
+    * arithmetic of the embedding near-dup path. */
+  def embeddingNearDupSql(threshold: Double = 0.4,
+                          nBands: Int = 16, bandBits: Int = 4, dim: Int = 64): String = {
+    val planes = VectorOps.hyperplanes(nBands * bandBits, dim)
+    def dotSql(v: String, p: Seq[Double]): String =
+      s"list_sum(list_transform(range(1, ${p.size + 1}), i -> $v[CAST(i AS INT)] * (${p.mkString("[", ", ", "]")})[CAST(i AS INT)]))"
+    def bucketSql(b: Int): String =
+      (0 until bandBits).map { i =>
+        s"(CASE WHEN ${dotSql("v", planes(b * bandBits + i))} >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString("(", "\n   + ", ")")
+    val bandValues = (0 until nBands).map(b => s"($b)").mkString(", ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+      |b AS (SELECT vec_id, [${(0 until nBands).map(bucketSql).mkString(",\n")}] AS bks FROM n),
+      |banded AS (
+      |  SELECT vec_id, t.band, bks[t.band + 1] AS bkey
+      |  FROM b, (VALUES $bandValues) t(band)),
+      |cands AS (
+      |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+      |  FROM banded x JOIN banded y
+      |    ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id),
+      |scored AS (
+      |  SELECT c.id_a, c.id_b,
+      |    list_sum(list_transform(range(1, ${dim + 1}), i -> na.v[CAST(i AS INT)] * nb.v[CAST(i AS INT)]))
+      |      / (na.nrm * nb.nrm) AS cos
+      |  FROM cands c
+      |  JOIN n na ON na.vec_id = c.id_a
+      |  JOIN n nb ON nb.vec_id = c.id_b)
+      |SELECT id_a, id_b, CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_e4
+      |FROM scored WHERE cos >= $threshold""".stripMargin
   }
 
   // -----------------------------------------------------------------
@@ -679,5 +718,6 @@ object Dedup {
     "q_dedup_cross_corpus" -> crossCorpusNewDocsSql,
     "q_dedup_contamination" -> contaminationSql(),
     "q_dedup_spans" -> spanDupStatsSql(),
-    "q_dedup_clusters_star" -> nearDupClustersSql)
+    "q_dedup_clusters_star" -> nearDupClustersSql,
+    "q_dedup_embedding" -> embeddingNearDupSql())
 }

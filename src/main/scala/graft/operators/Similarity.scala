@@ -214,7 +214,12 @@ object Similarity {
     * runs before ANN indexing to cut index size and probe cost. Map-only:
     * the projection matrix is a literal; each output dim is one
     * codegen'd [[VectorOps.dot]]. Distance preservation is probabilistic
-    * (ε ~ 1/√outDim) — property-tested, not oracled. */
+    * (ε ~ 1/√outDim, property-tested); the VALUES are deterministic and
+    * DuckDB-oracled — the plane literals embed in the oracle SQL
+    * verbatim (shortest-roundtrip decimal strings parse back to the
+    * identical double in both engines), dots accumulate bit-identically
+    * ([[bruteForceTopKSql]]), and the float quantization + e5 floor are
+    * engine-identical operations. */
   def jlProject(s: SparkSession, dir: String, outDim: Int = 16, dim: Int = 64): DataFrame = {
     val planes = VectorOps.hyperplanes(outDim, dim, seed = 7L)
     val scale = 1.0 / math.sqrt(outDim)
@@ -225,7 +230,65 @@ object Similarity {
       .select(col("vec_id"), projected.as("proj"))
       .select(col("vec_id"), posexplode(col("proj")))
       .select(col("vec_id"), col("pos").cast("long").as("dim_idx"),
-              round(col("col").cast("double"), 5).as("val"))
+              floor(col("col").cast("double") * lit(100000.0) + lit(0.5)).cast("long").as("val_e5"))
+  }
+
+  /** A 64-float literal list for oracle SQL: `Double.toString` emits the
+    * shortest decimal that round-trips, which DuckDB's parser maps back to
+    * the bit-identical double. */
+  private def planeSql(p: Seq[Double]): String = p.mkString("[", ", ", "]")
+
+  /** `Σ vᵢ·pᵢ` over the DOUBLE[]-cast embedding column `v` — sequential
+    * double accumulation, bit-identical to [[VectorOps.dot]]. */
+  private def dotSql(v: String, p: Seq[Double]): String =
+    s"list_sum(list_transform(range(1, ${p.size + 1}), i -> $v[CAST(i AS INT)] * (${planeSql(p)})[CAST(i AS INT)]))"
+
+  /** DuckDB twin of [[annLsh]] — the ANN tier under the hash gate. The
+    * hyperplanes are deterministic literals; bucket bits are sign tests on
+    * dots that accumulate bit-identically in both engines (see
+    * [[bruteForceTopKSql]]), so the OR-construction candidate sets match
+    * exactly, and scoring/ranking reuses the brute-force parity recipe. */
+  def annLshSql(k: Int = DefaultK, nBits: Int = 8, nTables: Int = 4, dim: Int = 64): String = {
+    val allPlanes = VectorOps.hyperplanes(nBits * nTables, dim)
+    def bucketSql(t: Int): String =
+      (0 until nBits).map { i =>
+        s"(CASE WHEN ${dotSql("v", allPlanes(t * nBits + i))} >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString("(", "\n   + ", ")")
+    val tablesValues = (0 until nTables).map(t => s"($t)").mkString(", ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+      |b AS (SELECT vec_id, [${(0 until nTables).map(bucketSql).mkString(",\n")}] AS bks FROM n),
+      |banded AS (
+      |  SELECT vec_id, t.tbl, bks[t.tbl + 1] AS bucket
+      |  FROM b, (VALUES $tablesValues) t(tbl)),
+      |qb AS (SELECT vec_id AS query_id, tbl, bucket FROM banded WHERE vec_id < $QueryCount),
+      |cands AS (
+      |  SELECT DISTINCT qb.query_id, c.vec_id
+      |  FROM banded c JOIN qb ON c.tbl = qb.tbl AND c.bucket = qb.bucket AND c.vec_id <> qb.query_id),
+      |scored AS (
+      |  SELECT cands.query_id, cands.vec_id,
+      |    list_sum(list_transform(range(1, ${dim + 1}), i -> qn.v[CAST(i AS INT)] * cn.v[CAST(i AS INT)]))
+      |      / (qn.nrm * cn.nrm) AS cos
+      |  FROM cands
+      |  JOIN n qn ON qn.vec_id = cands.query_id
+      |  JOIN n cn ON cn.vec_id = cands.vec_id)
+      |SELECT query_id, vec_id,
+      |  CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_e4,
+      |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+      |FROM scored
+      |QUALIFY rank <= $k""".stripMargin
+  }
+
+  def jlProjectSql(outDim: Int = 16, dim: Int = 64): String = {
+    val planes = VectorOps.hyperplanes(outDim, dim, seed = 7L)
+    val scale = 1.0 / math.sqrt(outDim)
+    val dims = planes.zipWithIndex.map { case (p, j) =>
+      s"""SELECT vec_id, CAST($j AS BIGINT) AS dim_idx,
+        |  CAST(floor(CAST(CAST(${dotSql("v", p)} * $scale AS REAL) AS DOUBLE) * 100000 + 0.5) AS BIGINT) AS val_e5
+        |FROM e""".stripMargin
+    }
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      |${dims.mkString("\nUNION ALL\n")}""".stripMargin
   }
 
   /** DuckDB twin of [[bruteForceTopK]] — oracle-able because every double
@@ -261,5 +324,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "q_sim_topk_brute" -> bruteForceTopKSql,
-    "q_emb_quantize_int8" -> quantizeInt8Sql)
+    "q_sim_ann_lsh" -> annLshSql(),
+    "q_emb_quantize_int8" -> quantizeInt8Sql,
+    "q_emb_jl_project" -> jlProjectSql())
 }

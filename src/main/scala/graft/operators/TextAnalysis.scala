@@ -475,6 +475,17 @@ object TextAnalysis {
   def winnowFingerprints(s: SparkSession, dir: String, k: Int = 5, w: Int = 4): DataFrame =
     winnowFingerprintsOf(s, docs(s, dir), k, w)
 
+  /** Winnow rolling-hash parameters: Rabin-Karp base and a 2³⁰ modulus.
+    * The modulus keeps every intermediate inside overflow-checked BIGINT
+    * arithmetic, which is what lets the DuckDB oracle recompute hashes by
+    * the direct per-position formula — a wrapping 2⁶⁴ hash (the previous
+    * formulation) is inexpressible there. 2³⁰ buckets over ≤ thousands of
+    * k-grams per document keeps within-window collisions negligible, and
+    * the MOSS guarantee is hash-independent anyway (identical strings
+    * hash identically under any function). */
+  val WinnowBase = 1000003L
+  val WinnowMod = 1L << 30
+
   /** Per-document winnowing core (pure — property-tested directly):
     * rolling k-gram hashes, rightmost-min per window of `w`, new selection
     * recorded when the selected POSITION changes (robust winnowing). */
@@ -482,19 +493,20 @@ object TextAnalysis {
     val n = text.length - k + 1
     if (n <= 0) Seq.empty
     else {
-      val B = 1000003L
+      val B = WinnowBase
+      val M = WinnowMod
       var pow = 1L
       var i = 0
-      while (i < k - 1) { pow *= B; i += 1 }
+      while (i < k - 1) { pow = pow * B % M; i += 1 }
       val hs = new Array[Long](n)
       var h = 0L
       i = 0
-      while (i < k) { h = h * B + text.charAt(i); i += 1 }
-      hs(0) = graft.functions.MinHashSigAggregator.mix(h)
+      while (i < k) { h = (h * B + text.charAt(i)) % M; i += 1 }
+      hs(0) = h
       i = 1
       while (i < n) {
-        h = (h - text.charAt(i - 1) * pow) * B + text.charAt(i + k - 1)
-        hs(i) = graft.functions.MinHashSigAggregator.mix(h)
+        h = ((h - text.charAt(i - 1) * pow % M + M) % M * B + text.charAt(i + k - 1)) % M
+        hs(i) = h
         i += 1
       }
       val out = Seq.newBuilder[Long]
@@ -511,6 +523,38 @@ object TextAnalysis {
       }
       out.result()
     }
+  }
+
+  /** DuckDB twin of [[winnowFingerprints]]. The robust-winnowing
+    * position-change suppression only avoids re-emitting the SAME
+    * selection, so the distinct emitted-VALUE set equals the distinct set
+    * of per-window minimum hash values — which SQL computes directly:
+    * per-position k-gram hashes by the direct polynomial formula
+    * (`Σ cⱼ·Bᵏ⁻¹⁻ʲ mod M`, every term bounded far below 2⁶³), then a
+    * sliding `min` window frame, then DISTINCT. The corpus is ASCII, so
+    * `ascii(substr(…))` equals `charAt`. */
+  def winnowSql(k: Int = 5, w: Int = 4): String = {
+    val pows = Seq.iterate(1L, k)(_ * WinnowBase % WinnowMod).reverse // B^{k-1} … B^0 mod M
+    // BIGINT cast before the multiply: ascii() is INT32 and INT32×INT32
+    // overflows DuckDB's checked arithmetic at these power magnitudes
+    val terms = pows.zipWithIndex.map { case (p, j) =>
+      s"CAST(ascii(substr(text, CAST(i + $j AS INT), 1)) AS BIGINT) * $p"
+    }.mkString("\n     + ")
+    s"""WITH pos AS (
+      |  SELECT doc_id, text, CAST(length(text) - $k + 1 AS BIGINT) AS n,
+      |         unnest(range(1, length(text) - ${k - 2})) AS i
+      |  FROM documents WHERE length(text) >= $k),
+      |h AS (
+      |  SELECT doc_id, n, i,
+      |    ($terms) % $WinnowMod AS hv
+      |  FROM pos),
+      |wm AS (
+      |  SELECT doc_id, n, i,
+      |    min(hv) OVER (PARTITION BY doc_id ORDER BY i
+      |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS fp
+      |  FROM h)
+      |SELECT DISTINCT doc_id, fp FROM wm
+      |WHERE i <= greatest(n - $w, 0) + 1""".stripMargin
   }
 
   /** [[winnowFingerprints]] over any `(doc_id, text)` DataFrame. */
@@ -747,6 +791,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "q_text_langid" -> languageIdSql,
+    "q_text_winnow" -> winnowSql(),
     "q_text_unigram_logprob" -> unigramLogProbSql,
     "q_text_repetition" -> repetitionRatioSql,
     "q_text_outliers" -> lengthOutliersSql,

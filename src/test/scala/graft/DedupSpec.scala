@@ -183,7 +183,8 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     val got = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
     pairs.foreach { r =>
       assert(r.getLong(0) < r.getLong(1))
-      assert(r.getDouble(2) >= 0.4 - 1e-9 && r.getDouble(2) <= 1.0 + 1e-9)
+      val e4 = r.getAs[Long]("cos_e4") // e4-floored integer score
+      assert(e4 >= 3999L && e4 <= 10001L)
     }
     // verification is exact cosine => NO false positives, ever
     assert(got.subsetOf(exact), s"false positives: ${got -- exact}")

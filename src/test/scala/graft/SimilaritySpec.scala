@@ -49,8 +49,8 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
     val proj = Similarity.jlProject(spark, sf).collect()
       .groupBy(_.getLong(0))
-      .map { case (id, rs) =>
-        id -> rs.sortBy(_.getLong(1)).map(_.getDouble(2)).toArray
+      .map { case (id, rs) => // values export as e5-floored integers
+        id -> rs.sortBy(_.getLong(1)).map(_.getLong(2) / 100000.0).toArray
       }
     assert(proj.values.forall(_.length == 16))
     def cos(a: Array[Double], b: Array[Double]): Double = {
