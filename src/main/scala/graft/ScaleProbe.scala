@@ -31,6 +31,13 @@ object ScaleProbe {
     val embBig = (0 until k).map(i => emb
       .withColumn("vec_id", col("vec_id") + lit(i * 1000000L))).reduce(_ unionAll _)
     embBig.write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+    // lineitem replicates with shifted orderkeys against the SAME part dim:
+    // per-part groups grow 10x — the correlated-agg scaling shape
+    val li = Tables(spark, src, "lineitem")
+    val liBig = (0 until k).map(i => li
+      .withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L))).reduce(_ unionAll _)
+    liBig.write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+    Tables(spark, src, "part").write.mode("overwrite").parquet(s"$dst/part.parquet")
     println(s"rows: events=${spark.read.parquet(s"$dst/events.parquet").count()}" +
       s" docs=${spark.read.parquet(s"$dst/documents.parquet").count()}" +
       s" emb=${spark.read.parquet(s"$dst/embeddings.parquet").count()}")
@@ -48,8 +55,16 @@ object ScaleProbe {
                   // round-3 additions
                   "q_dedup_contamination", "q_text_tfidf",
                   "q_text_seq_pack", "q_text_pii_scrub", "q_text_langid_trigram",
-                  "q_sim_ann_ivf"))
+                  "q_sim_ann_ivf",
+                  // round-4 additions (clusters/clusters_star run on the
+                  // REPLICATED pair graph — 10x components, same diameter)
+                  "q_dedup_spans", "q_text_outliers", "q_rel_avg_subquery",
+                  "q_stream_data_driven_exact", "q_dedup_clusters", "q_dedup_clusters_star",
+                  "q_sim_ann_lsh", "q_emb_jl_project")) {
       time(q)(SparkEntry.queries(q)(spark, dst).write.format("noop").mode("overwrite").save())
+      spark.catalog.clearCache()
+      Checkpoints.releaseAll()
+    }
     spark.stop()
   }
 }
