@@ -102,7 +102,42 @@ object Sampling {
       |QUALIFY row_number() OVER (PARTITION BY source
       |  ORDER BY $hashOrderSql, doc_id) <= $cap""".stripMargin
 
+  /** Token-budget mixture: per source, take documents in the deterministic
+    * hash order until a per-source TOKEN budget fills — training mixes are
+    * specified in tokens, not documents, so the quota is a running token
+    * sum, not a row count (the token analogue of [[domainCapSample]]). A
+    * doc ships while the budget is not yet exhausted BEFORE it, so the
+    * boundary doc completes its source's quota and every non-empty source
+    * contributes at least one document. Partitioned running-sum window —
+    * per-source prefix sums parallelize like [[TextAnalysis.seqPack]]'s
+    * shards. */
+  def tokenBudgetSample(s: SparkSession, dir: String,
+                        budgetPerSource: Long = 800L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(hashOrder, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs(s, dir)
+      .select(col("doc_id"), col("source"),
+              size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("tok_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .filter(col("tok_before") < budgetPerSource)
+      .select(col("doc_id"), col("source"), col("n_tok"), col("tok_before"))
+  }
+
+  // outer CAST on the window sum: DuckDB widens it to HUGEINT, which lands
+  // as float64 at the driver and fails the dtype-strict hash gate
+  def tokenBudgetSampleSql(budgetPerSource: Long = 800L): String =
+    s"""WITH t AS (
+      |  SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |    CAST(coalesce(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+      |      PARTITION BY source ORDER BY $hashOrderSql, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_before
+      |  FROM documents)
+      |SELECT doc_id, source, n_tok, tok_before FROM t
+      |WHERE tok_before < $budgetPerSource""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_token_budget" -> ((s: SparkSession, d: String) => tokenBudgetSample(s, d)),
     "q_sample_systematic" -> ((s: SparkSession, d: String) => systematicSample(s, d)),
     "q_sample_stratified" -> ((s: SparkSession, d: String) =>
       stratifiedSample(s, d,
@@ -111,6 +146,7 @@ object Sampling {
     "q_sample_domain_cap" -> ((s: SparkSession, d: String) => domainCapSample(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "q_sample_token_budget" -> tokenBudgetSampleSql(),
     "q_sample_systematic" -> systematicSampleSql(),
     "q_sample_exact_k" -> exactKSampleSql(),
     "q_sample_domain_cap" -> domainCapSampleSql())

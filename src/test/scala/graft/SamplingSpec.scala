@@ -65,4 +65,41 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
         s"source $src: got ${sampled.getOrElse(src, 0L)} of $n at cap $cap")
     }
   }
+
+  test("token-budget mixture fills each source's quota and stops at the boundary doc") {
+    val budget = 800L
+    val got = Sampling.tokenBudgetSample(spark, sf, budget).collect()
+    val sources = Tables(spark, sf, "documents").select("source").distinct()
+      .collect().map(_.getString(0)).toSet
+    val bySource = got.groupBy(_.getString(1))
+    // every non-empty source contributes, and every kept doc started
+    // strictly inside the budget
+    assert(bySource.keySet == sources)
+    got.foreach(r => assert(r.getAs[Long]("tok_before") < budget))
+    bySource.foreach { case (src, rows) =>
+      // the kept rows are a PREFIX in token order: sorted by tok_before,
+      // each row's offset is the previous row's offset + its token count
+      val ordered = rows.sortBy(_.getAs[Long]("tok_before"))
+      ordered.foldLeft(0L) { (expected, r) =>
+        assert(r.getAs[Long]("tok_before") == expected, s"gap in $src prefix")
+        expected + r.getAs[Long]("n_tok")
+      }
+    }
+    // sources with at least `budget` corpus tokens must FILL their quota
+    // (the boundary doc ships, so kept tokens reach the budget); smaller
+    // sources ship entirely
+    import org.apache.spark.sql.functions.{col, size, split, sum}
+    val corpusTokens = Tables(spark, sf, "documents")
+      .groupBy("source")
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("tot"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("tot")).toMap
+    bySource.foreach { case (src, rows) =>
+      val kept = rows.map(_.getAs[Long]("n_tok")).sum
+      if (corpusTokens(src) >= budget) assert(kept >= budget, s"$src under-filled: $kept")
+      else assert(kept == corpusTokens(src), s"$src should ship entirely")
+    }
+    // reproducibility
+    val again = Sampling.tokenBudgetSample(spark, sf, budget).collect()
+    assert(got.map(_.getLong(0)).sorted.toSeq == again.map(_.getLong(0)).sorted.toSeq)
+  }
 }
