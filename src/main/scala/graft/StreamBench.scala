@@ -83,12 +83,34 @@ object StreamBench {
       q.processAllAvailable(); q.stop()
     }
 
+    // ingest document pipeline (DocPipeline): quality gate + fingerprint +
+    // watermark dedup + stream-static corpus anti-join, on synthetic docs
+    // shaped like the corpus (~80 tokens) with a 10% duplicate rate
+    val nDocs = n / 10
+    val docRows = (0 until nDocs).map { i =>
+      seed = (seed * 6364136223846793005L + 1442695040888963407L) & Long.MaxValue
+      val base = if (seed % 10 == 0) i - 1 else i // ~10% duplicate of predecessor
+      val words = (0 until 80).map(j => s"w${(base.toLong * 80 + j) % 5000}")
+      (i.toLong, words.mkString(" "), new java.sql.Timestamp((1704067200L + i) * 1000L))
+    }
+    val corpusFps = graft.operators.TextAnalysis
+      .fingerprint(spark, "/root/testdata/sf0.01").select($"fp_md5")
+    val docSec = timed {
+      val in = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+      val docs = in.toDF().toDF("doc_id", "text", "event_time")
+      val q = graft.streaming.DocPipeline(docs, corpusFps).writeStream
+        .format("noop").outputMode("append").start()
+      in.addData(docRows)
+      q.processAllAvailable(); q.stop()
+    }
+
     def f0(v: Double): String = String.format(java.util.Locale.ROOT, "%.0f", Double.box(v))
     println(s"""{"metric":"stream_msgs_per_sec","msgs":$n,""" +
       s""""data_driven":${f0(n / ddSec)},"calendar_append":${f0(n / calSec)},""" +
       s""""windowed_update":${f0(n / idSec)},""" +
       s""""data_driven_sec":${f0(ddSec)},"calendar_append_sec":${f0(calSec)},""" +
-      s""""windowed_update_sec":${f0(idSec)}}""")
+      s""""windowed_update_sec":${f0(idSec)},""" +
+      s""""doc_pipeline_docs":$nDocs,"doc_pipeline_docs_per_sec":${f0(nDocs / docSec)}}""")
     spark.stop()
   }
 }
