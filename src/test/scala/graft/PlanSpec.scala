@@ -129,6 +129,19 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("hot-path scalar queries execute inside WholeStageCodegen") {
+    // the custom DotProduct expression and the quantization arithmetic
+    // must stay codegen'd — a CodegenFallback in these map-only plans
+    // would silently interpret the vector hot path row-by-row
+    // `*(n)` prefixes in the executedPlan string are the codegen-stage
+    // markers (the literal WholeStageCodegenExec node only prints in
+    // formatted mode)
+    for (q <- Seq("q_emb_quantize_int8", "q_emb_jl_project", "q_rel_scalar_funcs")) {
+      val p = plan(q)
+      assert(p.contains("*("), s"$q fell out of codegen: ${p.take(400)}")
+    }
+  }
+
   test("contamination final plan joins tiny checkpointed aggregates, no pair explosion") {
     // the per-doc hits/sizes aggregates are materialized via localCheckpoint
     // (so the big postings cache can be released) — the final plan reads
