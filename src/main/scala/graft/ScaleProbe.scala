@@ -56,8 +56,11 @@ object ScaleProbe {
                   "q_dedup_contamination", "q_text_tfidf",
                   "q_text_seq_pack", "q_text_pii_scrub", "q_text_langid_trigram",
                   "q_sim_ann_ivf",
-                  // round-4 additions (clusters/clusters_star run on the
-                  // REPLICATED pair graph — 10x components, same diameter)
+                  // round-4 additions. NB clusters/clusters_star consume the
+                  // REPLICA-MERGED pair graph: identical replicas join their
+                  // originals' components (jaccard=1 cross-replica pairs), so
+                  // edges grow ~k^2 (the duplication law above), not 10x —
+                  // their timings here are against a ~100x-edge input
                   "q_dedup_spans", "q_text_outliers", "q_rel_avg_subquery",
                   "q_stream_data_driven_exact", "q_dedup_clusters", "q_dedup_clusters_star",
                   "q_sim_ann_lsh", "q_emb_jl_project")) {

@@ -87,11 +87,18 @@ object StreamBench {
     // watermark dedup + stream-static corpus anti-join, on synthetic docs
     // shaped like the corpus (~80 tokens) with a 10% duplicate rate
     val nDocs = n / 10
-    val docRows = (0 until nDocs).map { i =>
+    val docTexts = new Array[String](nDocs)
+    (0 until nDocs).foreach { i =>
       seed = (seed * 6364136223846793005L + 1442695040888963407L) & Long.MaxValue
-      val base = if (seed % 10 == 0) i - 1 else i // ~10% duplicate of predecessor
-      val words = (0 until 80).map(j => s"w${(base.toLong * 80 + j) % 5000}")
-      (i.toLong, words.mkString(" "), new java.sql.Timestamp((1704067200L + i) * 1000L))
+      // ~10% duplicate the PREDECESSOR'S TEXT (copying the index instead
+      // would break dup chains: a dup-of-a-dup would rebuild from the
+      // wrong base and not actually match)
+      docTexts(i) =
+        if (i > 0 && seed % 10 == 0) docTexts(i - 1)
+        else (0 until 80).map(j => s"w${(i.toLong * 80 + j) % 5000}").mkString(" ")
+    }
+    val docRows = (0 until nDocs).map { i =>
+      (i.toLong, docTexts(i), new java.sql.Timestamp((1704067200L + i) * 1000L))
     }
     val corpusFps = graft.operators.TextAnalysis
       .fingerprint(spark, "/root/testdata/sf0.01").select($"fp_md5")

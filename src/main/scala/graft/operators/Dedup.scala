@@ -349,12 +349,7 @@ object Dedup {
   def embeddingNearDupSql(threshold: Double = 0.4,
                           nBands: Int = 16, bandBits: Int = 4, dim: Int = 64): String = {
     val planes = VectorOps.hyperplanes(nBands * bandBits, dim)
-    def dotSql(v: String, p: Seq[Double]): String =
-      s"list_sum(list_transform(range(1, ${p.size + 1}), i -> $v[CAST(i AS INT)] * (${p.mkString("[", ", ", "]")})[CAST(i AS INT)]))"
-    def bucketSql(b: Int): String =
-      (0 until bandBits).map { i =>
-        s"(CASE WHEN ${dotSql("v", planes(b * bandBits + i))} >= 0 THEN ${1L << i} ELSE 0 END)"
-      }.mkString("(", "\n   + ", ")")
+    def bucketSql(b: Int): String = VectorSql.srpBucketSql("v", planes, b * bandBits, bandBits)
     val bandValues = (0 until nBands).map(b => s"($b)").mkString(", ")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
@@ -637,11 +632,14 @@ object Dedup {
     * (~n²/2⁶⁵) do not realistically perturb at verification scale. */
   def spanDupStats(s: SparkSession, dir: String, spanLen: Int = 10): DataFrame = {
     import s.implicits._
+    // cached: the tokenize-and-hash pass feeds BOTH the per-span doc count
+    // and the join probe side (the ngramJaccardPairs postings pattern) —
+    // without it the corpus scans and hashes twice per query
     val spans = docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
         text.split(" ", -1).grouped(spanLen)
           .map(g => (id, graft.functions.Hll.hash(g.mkString(" "))))
-      }.toDF("doc_id", "span_h")
+      }.toDF("doc_id", "span_h").cache()
     val docsPerSpan = spans.distinct()
       .groupBy(col("span_h")).agg(count(lit(1)).as("n_docs_span"))
     spans.join(docsPerSpan, Seq("span_h"))

@@ -37,3 +37,28 @@ private[operators] object OracleSafe {
   def avgRound4Sql(sumExpr: String, cntExpr: String): String =
     s"(($sumExpr * 20000 + $cntExpr) // (2 * $cntExpr)) / 10000.0"
 }
+
+/** Literal-hyperplane SQL builders shared by the Similarity and Dedup
+  * oracles — the ONE home of the bit-exactness-critical rendering
+  * (sequential `list_sum` accumulation matching the native `DotProduct`
+  * loop, shortest-roundtrip double literals, `1L << i` bit packing,
+  * `CAST(i AS INT)` list indexing). Two drifting copies of this would
+  * silently break one oracle's hash parity. */
+private[operators] object VectorSql {
+
+  /** A literal DOUBLE[] list: `Double.toString` round-trips bit-exactly
+    * through DuckDB's parser. */
+  def planeSql(p: Seq[Double]): String = p.mkString("[", ", ", "]")
+
+  /** `Σ vᵢ·pᵢ` over a DOUBLE[]-cast column `v` and a literal plane. */
+  def dotSql(v: String, p: Seq[Double]): String =
+    s"list_sum(list_transform(range(1, ${p.size + 1}), i -> $v[CAST(i AS INT)] * (${planeSql(p)})[CAST(i AS INT)]))"
+
+  /** Signed-random-projection bucket: `nBits` sign bits over consecutive
+    * planes starting at `offset`, packed little-endian like
+    * [[graft.functions.VectorOps.srpBucket]]. */
+  def srpBucketSql(v: String, planes: Seq[Seq[Double]], offset: Int, nBits: Int): String =
+    (0 until nBits).map { i =>
+      s"(CASE WHEN ${dotSql(v, planes(offset + i))} >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", "\n   + ", ")")
+}

@@ -233,16 +233,6 @@ object Similarity {
               floor(col("col").cast("double") * lit(100000.0) + lit(0.5)).cast("long").as("val_e5"))
   }
 
-  /** A 64-float literal list for oracle SQL: `Double.toString` emits the
-    * shortest decimal that round-trips, which DuckDB's parser maps back to
-    * the bit-identical double. */
-  private def planeSql(p: Seq[Double]): String = p.mkString("[", ", ", "]")
-
-  /** `Σ vᵢ·pᵢ` over the DOUBLE[]-cast embedding column `v` — sequential
-    * double accumulation, bit-identical to [[VectorOps.dot]]. */
-  private def dotSql(v: String, p: Seq[Double]): String =
-    s"list_sum(list_transform(range(1, ${p.size + 1}), i -> $v[CAST(i AS INT)] * (${planeSql(p)})[CAST(i AS INT)]))"
-
   /** DuckDB twin of [[annLsh]] — the ANN tier under the hash gate. The
     * hyperplanes are deterministic literals; bucket bits are sign tests on
     * dots that accumulate bit-identically in both engines (see
@@ -250,10 +240,7 @@ object Similarity {
     * exactly, and scoring/ranking reuses the brute-force parity recipe. */
   def annLshSql(k: Int = DefaultK, nBits: Int = 8, nTables: Int = 4, dim: Int = 64): String = {
     val allPlanes = VectorOps.hyperplanes(nBits * nTables, dim)
-    def bucketSql(t: Int): String =
-      (0 until nBits).map { i =>
-        s"(CASE WHEN ${dotSql("v", allPlanes(t * nBits + i))} >= 0 THEN ${1L << i} ELSE 0 END)"
-      }.mkString("(", "\n   + ", ")")
+    def bucketSql(t: Int): String = VectorSql.srpBucketSql("v", allPlanes, t * nBits, nBits)
     val tablesValues = (0 until nTables).map(t => s"($t)").mkString(", ")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
@@ -284,7 +271,7 @@ object Similarity {
     val scale = 1.0 / math.sqrt(outDim)
     val dims = planes.zipWithIndex.map { case (p, j) =>
       s"""SELECT vec_id, CAST($j AS BIGINT) AS dim_idx,
-        |  CAST(floor(CAST(CAST(${dotSql("v", p)} * $scale AS REAL) AS DOUBLE) * 100000 + 0.5) AS BIGINT) AS val_e5
+        |  CAST(floor(CAST(CAST(${VectorSql.dotSql("v", p)} * $scale AS REAL) AS DOUBLE) * 100000 + 0.5) AS BIGINT) AS val_e5
         |FROM e""".stripMargin
     }
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

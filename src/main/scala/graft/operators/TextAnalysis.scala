@@ -348,24 +348,29 @@ object TextAnalysis {
     * a double formulation can't hash-match across engines). One tiny
     * per-source stats aggregate broadcast back over the scan.
     *
-    * Overflow bounds: terms grow as n·max(x)² per group — fine in BIGINT
-    * to ~10⁶-doc groups of ~10⁵-char docs; beyond that widen to
-    * DECIMAL(38,0) on both sides (same [[OracleSafe.moneySum]] move). */
+    * The comparison runs in DECIMAL(38,0): the binding terms are S² and
+    * (n·x−S)², which leave int64 once a group's total chars pass ~3·10⁹ —
+    * Spark would silently wrap while DuckDB's HUGEINT stays exact, and
+    * the flags would silently diverge. Decimal(38) and HUGEINT share the
+    * envelope to ~10¹⁵ total chars per group (a petabyte-scale source). */
   def lengthOutliers(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
     val stats = d.groupBy(col("source")).agg(
       count(lit(1)).as("n"),
       sum(col("n_chars")).as("sx"),
       sum(col("n_chars") * col("n_chars")).as("qx"))
-    val dev = col("n") * col("n_chars") - col("sx")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val dev = dec(col("n")) * dec(col("n_chars")) - dec(col("sx"))
     d.join(broadcast(stats), Seq("source"))
       .select(col("doc_id"), col("source"), col("n_chars"),
-              (dev * dev > lit(4L) * (col("n") * col("qx") - col("sx") * col("sx")))
+              (dev * dev >
+                lit(4) * (dec(col("n")) * dec(col("qx")) - dec(col("sx")) * dec(col("sx"))))
                 .as("is_outlier"))
   }
 
-  // HUGEINT widening on the DuckDB side is harmless here: only the BOOLEAN
-  // crosses to the driver, and comparisons are exact in either width
+  // DuckDB's HUGEINT widening IS the decimal(38) twin here: only the
+  // BOOLEAN crosses to the driver, and both widths are exact in the
+  // documented envelope
   val lengthOutliersSql: String =
     """WITH st AS (
       |  SELECT source, count(*) AS n, sum(n_chars) AS sx,

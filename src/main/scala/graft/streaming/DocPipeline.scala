@@ -43,7 +43,9 @@ object DocPipeline {
           lit(TextAnalysis.NonWsClass + "+"), lit(0))).cast("long"))
       .withColumn("quality", round(TextAnalysis.qualityCol(col("text")), 4))
       .withColumn("fp_md5", TextAnalysis.fpMd5(col("text")))
-    val kept = scored.filter(col("quality") >= minQuality)
+    // gate on the RAW score — the rounded column is display/export only
+    // (rounding would admit docs up to 5e-5 below the threshold)
+    val kept = scored.filter(TextAnalysis.qualityCol(col("text")) >= minQuality)
     val inStreamDeduped =
       StreamDedup.withinWatermark(kept, watermark, keys = Seq("fp_md5"))
     StreamDedup.againstCorpus(inStreamDeduped, corpusFps)
