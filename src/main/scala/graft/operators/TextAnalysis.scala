@@ -406,6 +406,81 @@ object TextAnalysis {
       |       round(max(tok_count) * 1.0 / n_tok, 4) AS repetition_ratio
       |FROM c GROUP BY doc_id, n_tok""".stripMargin
 
+  /** Duplicate-n-gram character fractions — the Gopher-family repetition
+    * signals (Rae et al., "Scaling Language Models: … Gopher", 2021,
+    * §A1.1: fraction of characters in duplicated n-grams / in the most
+    * frequent n-gram), the word-level complement of the top-token
+    * [[repetitionRatio]]. Definitions pinned for engine parity:
+    * an n-gram's char weight is the length of its space-joined string;
+    * `dup{2,3}_chars` sums `count × weight` over grams occurring ≥ 2
+    * times in the doc; `top2_chars` is `max(count × weight)` over
+    * 2-grams (an integer, so the argmax needs no cross-engine float or
+    * hash tie-break). Fractions of `length(text)` export via
+    * [[OracleSafe.avgRound4]].
+    *
+    * Shape: one typed flatMap emits (doc, n, gram-hash, weight) — 64-bit
+    * hashed grams keep shuffle rows fixed-width (the [[Dedup.spanDupStats]]
+    * trade: the oracle groups the strings; a collision merging two grams
+    * of one doc is ~q²/2⁶⁴ per doc); two keyed aggregations. */
+  def dupNgramStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grams = docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val w = t.split(" ", -1)
+        (2 to 3).iterator.flatMap { n =>
+          (0 to w.length - n).iterator.map { i =>
+            val g = w.slice(i, i + n).mkString(" ")
+            (id, n, graft.functions.Hll.hash(g), g.length.toLong)
+          }
+        }
+      }.toDF("doc_id", "n", "gram_h", "glen")
+    val counts = grams.groupBy(col("doc_id"), col("n"), col("gram_h"), col("glen"))
+      .agg(count(lit(1)).as("cnt"))
+    val perDoc = counts.groupBy(col("doc_id")).agg(
+      sum(when(col("n") === 2 && col("cnt") >= 2, col("cnt") * col("glen"))
+        .otherwise(0L)).as("dup2_chars"),
+      sum(when(col("n") === 3 && col("cnt") >= 2, col("cnt") * col("glen"))
+        .otherwise(0L)).as("dup3_chars"),
+      coalesce(max(when(col("n") === 2, col("cnt") * col("glen"))), lit(0L)).as("top2_chars"))
+    docs(s, dir).select(col("doc_id"), length(col("text")).cast("long").as("total_chars"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("total_chars"),
+        coalesce(col("dup2_chars"), lit(0L)).as("dup2_chars"),
+        coalesce(col("dup3_chars"), lit(0L)).as("dup3_chars"),
+        coalesce(col("top2_chars"), lit(0L)).as("top2_chars"),
+        OracleSafe.avgRound4(coalesce(col("dup2_chars"), lit(0L)), col("total_chars")).as("dup2_frac"),
+        OracleSafe.avgRound4(coalesce(col("dup3_chars"), lit(0L)), col("total_chars")).as("dup3_frac"))
+  }
+
+  val dupNgramStatsSql: String = {
+    def gramCte(n: Int) =
+      s"""SELECT doc_id, $n AS n,
+        |    array_to_string(w[i:(i + ${n - 1})], ' ') AS gram
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - ${n - 2})) AS i FROM toks)""".stripMargin
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |grams AS (
+      |  ${gramCte(2)}
+      |  UNION ALL
+      |  ${gramCte(3)}),
+      |c AS (
+      |  SELECT doc_id, n, gram, count(*) AS cnt, length(gram) AS glen
+      |  FROM grams GROUP BY doc_id, n, gram),
+      |p AS (
+      |  SELECT doc_id,
+      |    CAST(coalesce(sum(CASE WHEN n = 2 AND cnt >= 2 THEN cnt * glen ELSE 0 END), 0) AS BIGINT) AS dup2_chars,
+      |    CAST(coalesce(sum(CASE WHEN n = 3 AND cnt >= 2 THEN cnt * glen ELSE 0 END), 0) AS BIGINT) AS dup3_chars,
+      |    CAST(coalesce(max(CASE WHEN n = 2 THEN cnt * glen END), 0) AS BIGINT) AS top2_chars
+      |  FROM c GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS total_chars,
+      |  coalesce(p.dup2_chars, 0) AS dup2_chars,
+      |  coalesce(p.dup3_chars, 0) AS dup3_chars,
+      |  coalesce(p.top2_chars, 0) AS top2_chars,
+      |  ${OracleSafe.avgRound4Sql("coalesce(p.dup2_chars, 0)", "CAST(length(d.text) AS BIGINT)")} AS dup2_frac,
+      |  ${OracleSafe.avgRound4Sql("coalesce(p.dup3_chars, 0)", "CAST(length(d.text) AS BIGINT)")} AS dup3_frac
+      |FROM documents d LEFT JOIN p USING (doc_id)""".stripMargin
+  }
+
   /** Unigram log-probability scoring (perplexity family): pass 1 computes
     * corpus word frequencies (a tiny broadcast table); pass 2 scores each
     * doc by its mean token log-probability. Low scores flag docs full of
@@ -778,6 +853,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_unigram_logprob" -> (unigramLogProb _),
     "q_text_repetition" -> (repetitionRatio _),
+    "q_text_dup_ngrams" -> (dupNgramStats _),
     "q_text_outliers" -> (lengthOutliers _),
     "q_text_tokens" -> (tokenCounts _),
     "q_text_bpe_tokens" -> (bpeTokenCounts _),
@@ -799,6 +875,7 @@ object TextAnalysis {
     "q_text_winnow" -> winnowSql(),
     "q_text_unigram_logprob" -> unigramLogProbSql,
     "q_text_repetition" -> repetitionRatioSql,
+    "q_text_dup_ngrams" -> dupNgramStatsSql,
     "q_text_outliers" -> lengthOutliersSql,
     "q_text_tokens" -> tokenCountsSql,
     "q_text_bpe_tokens" -> bpeTokenCountsSql,

@@ -150,6 +150,30 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("duplicate-n-gram stats match a local recomputation") {
+    val texts = Tables(spark, sf, "documents").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def gramStats(t: String): (Long, Long, Long) = {
+      val w = t.split(" ", -1)
+      def counts(n: Int) = (0 to w.length - n)
+        .map(i => w.slice(i, i + n).mkString(" "))
+        .groupBy(identity).toSeq.map { case (g, gs) => (g.length.toLong, gs.size.toLong) }
+      val c2 = counts(2); val c3 = counts(3)
+      (c2.collect { case (len, cnt) if cnt >= 2 => cnt * len }.sum,
+       c3.collect { case (len, cnt) if cnt >= 2 => cnt * len }.sum,
+       if (c2.isEmpty) 0L else c2.map { case (len, cnt) => cnt * len }.max)
+    }
+    val rows = TextAnalysis.dupNgramStats(spark, sf).collect()
+    assert(rows.length == texts.size)
+    rows.foreach { r =>
+      val (d2, d3, t2) = gramStats(texts(r.getLong(0)))
+      assert(r.getAs[Long]("dup2_chars") == d2, s"doc ${r.getLong(0)} dup2")
+      assert(r.getAs[Long]("dup3_chars") == d3, s"doc ${r.getLong(0)} dup3")
+      assert(r.getAs[Long]("top2_chars") == t2, s"doc ${r.getLong(0)} top2")
+      assert(r.getAs[Long]("total_chars") == texts(r.getLong(0)).length.toLong)
+    }
+  }
+
   test("length outliers match the exact integer two-sigma law") {
     val rows = Tables(spark, sf, "documents").select("doc_id", "source", "n_chars").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
