@@ -405,7 +405,30 @@ object Relational {
       |WHERE CAST(l.l_quantity AS BIGINT) * 5 * pp.cnt_l < pp.sum_qty
       |GROUP BY 1""".stripMargin
 
+  /** TPC-H Q13-family customer order-count distribution: LEFT OUTER join
+    * (customers with zero orders must appear in the 0 bucket) feeding a
+    * two-level aggregation — count per customer, then histogram of
+    * counts. The outer join shuffles both sides on the customer key once;
+    * `count(o_orderkey)` (not `count(*)`) makes the no-match rows count
+    * 0. The second aggregation reduces to |distinct counts| rows. */
+  def customerOrderDistribution(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_custkey"))
+      .join(t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey")),
+            col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+
+  val customerOrderDistributionSql: String =
+    """SELECT c_count, count(*) AS custdist FROM (
+      |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      |  GROUP BY c.c_custkey)
+      |GROUP BY c_count""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rel_cust_dist" -> (customerOrderDistribution _),
     "q_rel_avg_subquery" -> (smallQuantityRevenue _),
     "q_rel_pivot" -> (pivotEvents _),
     "q_rel_explode" -> (explodeWords _),
@@ -426,6 +449,7 @@ object Relational {
     "q_rel_json_extract" -> (jsonExtract _))
 
   val oracles: Map[String, String] = Map(
+    "q_rel_cust_dist" -> customerOrderDistributionSql,
     "q_rel_avg_subquery" -> smallQuantityRevenueSql,
     "q_rel_pivot" -> pivotEventsSql,
     "q_rel_explode" -> explodeWordsSql,

@@ -6,6 +6,18 @@ import graft.operators.Relational
 
 class RelationalSpec extends AnyFunSuite with SparkTestBase {
 
+  test("customer order distribution includes the zero-order bucket") {
+    val nCust = Tables(spark, sf, "customer").count()
+    val withOrders = Tables(spark, sf, "orders")
+      .select("o_custkey").distinct().count()
+    val rows = Relational.customerOrderDistribution(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // histogram covers every customer exactly once
+    assert(rows.values.sum == nCust)
+    // customers without orders land in the 0 bucket, not nowhere
+    assert(rows.getOrElse(0L, 0L) == nCust - withOrders)
+  }
+
   test("small-quantity revenue matches a local correlated-average computation") {
     val li = Tables(spark, sf, "lineitem")
       .select("l_partkey", "l_quantity", "l_extendedprice").collect()
