@@ -152,7 +152,70 @@ object Temporal {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority), (c_mktsegment), ())""".stripMargin
 
+  /** Conversion funnel view → click → purchase: per user, the first view,
+    * the first click STRICTLY AFTER it, the first purchase strictly after
+    * that — ordered-step semantics, not mere event presence. Three
+    * filtered aggregations chained by keyed joins (each stage's table
+    * shrinks to the surviving users); all timestamps are floored epoch
+    * seconds, so stage membership is integer-exact in both engines. */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(
+      col("user_id"), col("event_type"), unix_timestamp(col("ts")).as("tss"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("tss")).as("t_view"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, Seq("user_id")).filter(col("tss") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("tss")).as("t_click"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id")).filter(col("tss") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("tss")).as("t_purchase"))
+    v.agg(count(lit(1)).as("n_users")).select(lit("view").as("stage"), col("n_users"))
+      .unionAll(c.agg(count(lit(1)).as("n_users")).select(lit("click").as("stage"), col("n_users")))
+      .unionAll(p.agg(count(lit(1)).as("n_users")).select(lit("purchase").as("stage"), col("n_users")))
+  }
+
+  val funnelSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS tss FROM events),
+      |v AS (SELECT user_id, min(tss) AS t_view FROM e WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(tss) AS t_click FROM e JOIN v USING (user_id)
+      |      WHERE event_type = 'click' AND tss > t_view GROUP BY 1),
+      |p AS (SELECT e.user_id, min(tss) AS t_purchase FROM e JOIN c USING (user_id)
+      |      WHERE event_type = 'purchase' AND tss > t_click GROUP BY 1)
+      |SELECT 'view' AS stage, count(*) AS n_users FROM v
+      |UNION ALL SELECT 'click', count(*) FROM c
+      |UNION ALL SELECT 'purchase', count(*) FROM p""".stripMargin
+
+  /** Day-7 cohort retention: cohort = a user's first-seen epoch day;
+    * retained = the user has ANY event ≥ 7 days later. Two keyed
+    * aggregations (per-user first/last day, then per-cohort counts); the
+    * retention rate exports via [[OracleSafe.avgRound4]]. Day arithmetic
+    * is integral division of floored epoch seconds — engine-identical. */
+  def retention(s: SparkSession, dir: String): DataFrame = {
+    val days = events(s, dir).select(
+      col("user_id"),
+      call_function("div", unix_timestamp(col("ts")), lit(86400L)).as("day"))
+    val per = days.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("dmax"))
+    per.groupBy(col("d0").as("cohort_day"))
+      .agg(count(lit(1)).as("n_users"),
+           count_if(col("dmax") >= col("d0") + 7).as("n_retained"))
+      .select(col("cohort_day"), col("n_users"), col("n_retained"),
+              OracleSafe.avgRound4(col("n_retained"), col("n_users")).as("retention"))
+  }
+
+  val retentionSql: String =
+    s"""WITH d AS (
+      |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
+      |per AS (SELECT user_id, min(day) AS d0, max(day) AS dmax FROM d GROUP BY 1)
+      |SELECT d0 AS cohort_day, count(*) AS n_users,
+      |  CAST(count(*) FILTER (WHERE dmax >= d0 + 7) AS BIGINT) AS n_retained,
+      |  ${OracleSafe.avgRound4Sql("CAST(count(*) FILTER (WHERE dmax >= d0 + 7) AS BIGINT)", "count(*)")} AS retention
+      |FROM per GROUP BY d0""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tmp_funnel" -> (funnel _),
+    "q_tmp_retention" -> (retention _),
     "q_tmp_grouping_sets" -> (groupingSetsOrders _),
     "q_tmp_asof_join" -> (asOfJoin _),
     "q_tmp_sliding_window" -> (slidingWindowCounts _),
@@ -161,6 +224,8 @@ object Temporal {
     "q_tmp_cube" -> (cubeOrders _))
 
   val oracles: Map[String, String] = Map(
+    "q_tmp_funnel" -> funnelSql,
+    "q_tmp_retention" -> retentionSql,
     "q_tmp_grouping_sets" -> groupingSetsOrdersSql,
     "q_tmp_asof_join" -> asOfJoinSql,
     "q_tmp_sliding_window" -> slidingWindowCountsSql,

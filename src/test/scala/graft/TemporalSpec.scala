@@ -44,4 +44,47 @@ class TemporalSpec extends AnyFunSuite with SparkTestBase {
       .mapValues(_.map(_.getAs[Long]("n_events")).sum).toMap
     assert(sessionSum == eventsPerUser)
   }
+
+  test("funnel stages are monotonically shrinking and match a local ordered-step recompute") {
+    val stages = Temporal.funnel(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stages.keySet == Set("view", "click", "purchase"))
+    assert(stages("view") >= stages("click") && stages("click") >= stages("purchase"))
+    // local ordered-step law
+    val evs = Tables(spark, sf, "events")
+      .selectExpr("user_id", "event_type", "unix_timestamp(ts) AS tss").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    def firstAfter(es: Seq[(Long, String, Long)], tpe: String, after: Long): Option[Long] = {
+      val ts = es.collect { case (_, t, s) if t == tpe && s > after => s }
+      if (ts.isEmpty) None else Some(ts.min)
+    }
+    var (nv, nc, np) = (0L, 0L, 0L)
+    evs.values.foreach { es =>
+      firstAfter(es, "view", Long.MinValue).foreach { tv =>
+        nv += 1
+        firstAfter(es, "click", tv).foreach { tc =>
+          nc += 1
+          firstAfter(es, "purchase", tc).foreach(_ => np += 1)
+        }
+      }
+    }
+    assert((stages("view"), stages("click"), stages("purchase")) == ((nv, nc, np)))
+  }
+
+  test("day-7 retention counts only users seen at least a week after their cohort day") {
+    val rows = Temporal.retention(spark, sf).collect()
+    val per = Tables(spark, sf, "events")
+      .selectExpr("user_id", "unix_timestamp(ts) div 86400 AS day").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (u, ds) => (u, ds.map(_._2).min, ds.map(_._2).max) }
+    val expected = per.groupBy(_._2).map { case (d0, us) =>
+      d0 -> (us.size.toLong, us.count { case (_, c, m) => m >= c + 7 }.toLong)
+    }
+    assert(rows.map(_.getLong(0)).toSet == expected.keySet)
+    rows.foreach { r =>
+      val (n, ret) = expected(r.getLong(0))
+      assert(r.getAs[Long]("n_users") == n && r.getAs[Long]("n_retained") == ret)
+    }
+  }
 }
