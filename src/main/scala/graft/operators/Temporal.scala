@@ -213,7 +213,41 @@ object Temporal {
       |  ${OracleSafe.avgRound4Sql("CAST(count(*) FILTER (WHERE dmax >= d0 + 7) AS BIGINT)", "count(*)")} AS retention
       |FROM per GROUP BY d0""".stripMargin
 
+  /** Top-k clickstream paths: each user's event stream in deterministic
+    * `(ts, event_id)` order, sliding 3-event windows of event types
+    * (`lead` ×2 over a PARTITIONED window), corpus-wide path counts,
+    * top-k with a lexical tie-break. The event_id tie-break is
+    * load-bearing for parity: same-second events would otherwise order
+    * differently across engines. Plans as partitioned window →
+    * partial+final agg → TakeOrderedAndProject. */
+  def eventPaths(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tss"), col("event_id"))
+    events(s, dir)
+      .select(col("user_id"), col("event_id"),
+              unix_timestamp(col("ts")).as("tss"), col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(k)
+  }
+
+  def eventPathsSql(k: Int = 20): String =
+    s"""WITH o AS (
+      |  SELECT user_id, event_type,
+      |    lead(event_type, 1) OVER w AS e2,
+      |    lead(event_type, 2) OVER w AS e3
+      |  FROM (SELECT user_id, event_id, event_type,
+      |          CAST(floor(epoch(ts)) AS BIGINT) AS tss FROM events)
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY tss, event_id))
+      |SELECT event_type || '>' || e2 || '>' || e3 AS path, count(*) AS n
+      |FROM o WHERE e3 IS NOT NULL
+      |GROUP BY 1 ORDER BY n DESC, path LIMIT $k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tmp_event_paths" -> ((s: SparkSession, d: String) => eventPaths(s, d)),
     "q_tmp_funnel" -> (funnel _),
     "q_tmp_retention" -> (retention _),
     "q_tmp_grouping_sets" -> (groupingSetsOrders _),
@@ -224,6 +258,7 @@ object Temporal {
     "q_tmp_cube" -> (cubeOrders _))
 
   val oracles: Map[String, String] = Map(
+    "q_tmp_event_paths" -> eventPathsSql(),
     "q_tmp_funnel" -> funnelSql,
     "q_tmp_retention" -> retentionSql,
     "q_tmp_grouping_sets" -> groupingSetsOrdersSql,

@@ -72,6 +72,16 @@ class TemporalSpec extends AnyFunSuite with SparkTestBase {
     assert((stages("view"), stages("click"), stages("purchase")) == ((nv, nc, np)))
   }
 
+  test("event paths count every 3-event window once, in deterministic order") {
+    val paths = Temporal.eventPaths(spark, sf, k = 200).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // total 3-windows = Σ per user max(n_events - 2, 0)
+    val perUser = Tables(spark, sf, "events").groupBy("user_id").count().collect()
+      .map(_.getLong(1))
+    assert(paths.values.sum == perUser.map(n => math.max(n - 2, 0L)).sum)
+    assert(paths.keys.forall(_.split(">").length == 3))
+  }
+
   test("day-7 retention counts only users seen at least a week after their cohort day") {
     val rows = Temporal.retention(spark, sf).collect()
     val per = Tables(spark, sf, "events")
