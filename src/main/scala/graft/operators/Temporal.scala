@@ -161,11 +161,17 @@ object Temporal {
   def funnel(s: SparkSession, dir: String): DataFrame = {
     val e = events(s, dir).select(
       col("user_id"), col("event_type"), unix_timestamp(col("ts")).as("tss"))
-    val v = e.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("tss")).as("t_view"))
-    val c = e.filter(col("event_type") === "click")
-      .join(v, Seq("user_id")).filter(col("tss") > col("t_view"))
-      .groupBy(col("user_id")).agg(min(col("tss")).as("t_click"))
+    // each stage is checkpointed: the three stage counts share subplans
+    // (v feeds c feeds p AND its own count), and Spark does not dedupe
+    // common subtrees across a union — without materialization the events
+    // scan would run ~6x per action
+    val v = graft.Checkpoints.local(
+      e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("tss")).as("t_view")))
+    val c = graft.Checkpoints.local(
+      e.filter(col("event_type") === "click")
+        .join(v, Seq("user_id")).filter(col("tss") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("tss")).as("t_click")))
     val p = e.filter(col("event_type") === "purchase")
       .join(c, Seq("user_id")).filter(col("tss") > col("t_click"))
       .groupBy(col("user_id")).agg(min(col("tss")).as("t_purchase"))
@@ -190,11 +196,15 @@ object Temporal {
     * retained = the user has ANY event ≥ 7 days later. Two keyed
     * aggregations (per-user first/last day, then per-cohort counts); the
     * retention rate exports via [[OracleSafe.avgRound4]]. Day arithmetic
-    * is integral division of floored epoch seconds — engine-identical. */
+    * is FLOOR division for any sign — `(t − pmod(t, 86400)) div 86400`
+    * (pmod is non-negative, so the numerator is the floor multiple):
+    * Spark's bare `div` truncates toward zero, which diverges from
+    * DuckDB's floor `//` on pre-epoch timestamps. */
   def retention(s: SparkSession, dir: String): DataFrame = {
+    val tss = unix_timestamp(col("ts"))
     val days = events(s, dir).select(
       col("user_id"),
-      call_function("div", unix_timestamp(col("ts")), lit(86400L)).as("day"))
+      call_function("div", tss - pmod(tss, lit(86400L)), lit(86400L)).as("day"))
     val per = days.groupBy(col("user_id"))
       .agg(min(col("day")).as("d0"), max(col("day")).as("dmax"))
     per.groupBy(col("d0").as("cohort_day"))

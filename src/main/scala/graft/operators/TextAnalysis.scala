@@ -430,7 +430,10 @@ object TextAnalysis {
         (2 to 3).iterator.flatMap { n =>
           (0 to w.length - n).iterator.map { i =>
             val g = w.slice(i, i + n).mkString(" ")
-            (id, n, graft.functions.Hll.hash(g), g.length.toLong)
+            // CODE-POINT length, not String.length: SQL length() counts
+            // code points in both engines, and total_chars below is code
+            // points — UTF-16 units would double-count non-BMP chars
+            (id, n, graft.functions.Hll.hash(g), g.codePointCount(0, g.length).toLong)
           }
         }
       }.toDF("doc_id", "n", "gram_h", "glen")
@@ -448,8 +451,15 @@ object TextAnalysis {
         coalesce(col("dup2_chars"), lit(0L)).as("dup2_chars"),
         coalesce(col("dup3_chars"), lit(0L)).as("dup3_chars"),
         coalesce(col("top2_chars"), lit(0L)).as("top2_chars"),
-        OracleSafe.avgRound4(coalesce(col("dup2_chars"), lit(0L)), col("total_chars")).as("dup2_frac"),
-        OracleSafe.avgRound4(coalesce(col("dup3_chars"), lit(0L)), col("total_chars")).as("dup3_frac"))
+        // empty-text guard: avgRound4's integer division raises
+        // DIVIDE_BY_ZERO under ANSI mode where DuckDB's `// 0` nulls —
+        // define the empty doc's fractions as 0.0 on both sides
+        when(col("total_chars") > 0,
+          OracleSafe.avgRound4(coalesce(col("dup2_chars"), lit(0L)), col("total_chars")))
+          .otherwise(lit(0.0)).as("dup2_frac"),
+        when(col("total_chars") > 0,
+          OracleSafe.avgRound4(coalesce(col("dup3_chars"), lit(0L)), col("total_chars")))
+          .otherwise(lit(0.0)).as("dup3_frac"))
   }
 
   val dupNgramStatsSql: String = {
@@ -476,8 +486,12 @@ object TextAnalysis {
       |  coalesce(p.dup2_chars, 0) AS dup2_chars,
       |  coalesce(p.dup3_chars, 0) AS dup3_chars,
       |  coalesce(p.top2_chars, 0) AS top2_chars,
-      |  ${OracleSafe.avgRound4Sql("coalesce(p.dup2_chars, 0)", "CAST(length(d.text) AS BIGINT)")} AS dup2_frac,
-      |  ${OracleSafe.avgRound4Sql("coalesce(p.dup3_chars, 0)", "CAST(length(d.text) AS BIGINT)")} AS dup3_frac
+      |  CASE WHEN length(d.text) > 0
+      |    THEN ${OracleSafe.avgRound4Sql("coalesce(p.dup2_chars, 0)", "CAST(length(d.text) AS BIGINT)")}
+      |    ELSE 0.0 END AS dup2_frac,
+      |  CASE WHEN length(d.text) > 0
+      |    THEN ${OracleSafe.avgRound4Sql("coalesce(p.dup3_chars, 0)", "CAST(length(d.text) AS BIGINT)")}
+      |    ELSE 0.0 END AS dup3_frac
       |FROM documents d LEFT JOIN p USING (doc_id)""".stripMargin
   }
 
