@@ -38,6 +38,13 @@ object ScaleProbe {
       .withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L))).reduce(_ unionAll _)
     liBig.write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
     Tables(spark, src, "part").write.mode("overwrite").parquet(s"$dst/part.parquet")
+    // orders replicate against the SAME customer dim (10x orders per
+    // customer — the outer-join distribution just shifts right)
+    val ord = Tables(spark, src, "orders")
+    val ordBig = (0 until k).map(i => ord
+      .withColumn("o_orderkey", col("o_orderkey") + lit(i * 100000000L))).reduce(_ unionAll _)
+    ordBig.write.mode("overwrite").parquet(s"$dst/orders.parquet")
+    Tables(spark, src, "customer").write.mode("overwrite").parquet(s"$dst/customer.parquet")
     println(s"rows: events=${spark.read.parquet(s"$dst/events.parquet").count()}" +
       s" docs=${spark.read.parquet(s"$dst/documents.parquet").count()}" +
       s" emb=${spark.read.parquet(s"$dst/embeddings.parquet").count()}")
@@ -63,7 +70,9 @@ object ScaleProbe {
                   // their timings here are against a ~100x-edge input
                   "q_dedup_spans", "q_text_outliers", "q_rel_avg_subquery",
                   "q_stream_data_driven_exact", "q_dedup_clusters", "q_dedup_clusters_star",
-                  "q_sim_ann_lsh", "q_emb_jl_project")) {
+                  "q_sim_ann_lsh", "q_emb_jl_project",
+                  "q_text_dup_ngrams", "q_sample_token_budget", "q_rel_cust_dist",
+                  "q_tmp_funnel", "q_tmp_retention", "q_tmp_event_paths")) {
       time(q)(SparkEntry.queries(q)(spark, dst).write.format("noop").mode("overwrite").save())
       spark.catalog.clearCache()
       Checkpoints.releaseAll()
