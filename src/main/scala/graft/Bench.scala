@@ -65,7 +65,15 @@ object Bench {
     val qs = results.map { case (k, v) => s""""$k":${v.map(f3).getOrElse("null")}""" }
       .mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // the driver's log capture truncates long stdout lines, dropping the
+    // head of the per-query map from the recorded artifact — persist the
+    // complete line so every round's numbers survive verbatim
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
     spark.stop()
   }
 }

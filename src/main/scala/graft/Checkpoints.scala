@@ -17,7 +17,15 @@ import org.apache.spark.sql.execution.LogicalRDD
   */
 object Checkpoints {
 
-  private val live = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
+  // WEAK keys (identity-keyed: RDD does not override equals): the registry
+  // must not extend a checkpoint RDD's lifetime. A library caller that
+  // drops a returned DataFrame without release/releaseAll would otherwise
+  // leak the pinned blocks forever — a strong ref here also defeats
+  // ContextCleaner's GC-driven unpersist safety net that a bare
+  // `localCheckpoint()` still had. With weak keys the entry vanishes when
+  // the RDD becomes unreachable and ContextCleaner frees the blocks.
+  private val live = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.rdd.RDD[_], java.lang.Boolean]())
 
   private def backingRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
     df.queryExecution.logical match {
@@ -29,7 +37,7 @@ object Checkpoints {
     * release — the library-wide replacement for bare `localCheckpoint()`. */
   def local(df: DataFrame): DataFrame = {
     val cp = df.localCheckpoint()
-    backingRdd(cp).foreach(live.add)
+    backingRdd(cp).foreach(live.put(_, java.lang.Boolean.TRUE))
     cp
   }
 
@@ -43,7 +51,16 @@ object Checkpoints {
     * individually released — including the blocks backing returned
     * RESULTS, so call only once those results are fully consumed. */
   def releaseAll(): Unit = {
-    var r = live.poll()
-    while (r != null) { r.unpersist(blocking = false); r = live.poll() }
+    // iterating a synchronizedMap view requires holding the wrapper's lock;
+    // unpersist outside it (it can block on the block manager)
+    val snapshot = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[_]]
+      live.synchronized {
+        live.keySet.forEach(r => if (r != null) buf += r)
+        live.clear()
+      }
+      buf
+    }
+    snapshot.foreach(_.unpersist(blocking = false))
   }
 }

@@ -100,8 +100,13 @@ object StreamBench {
     val docRows = (0 until nDocs).map { i =>
       (i.toLong, docTexts(i), new java.sql.Timestamp((1704067200L + i) * 1000L))
     }
+    // corpus dir is configurable (the rest of the bench is synthetic) —
+    // a hardcoded absolute path would break or silently measure the wrong
+    // corpus on hosts/scales where it is absent
+    val corpusDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      args.headOption.getOrElse("/root/testdata/sf0.01"))
     val corpusFps = graft.operators.TextAnalysis
-      .fingerprint(spark, "/root/testdata/sf0.01").select($"fp_md5")
+      .fingerprint(spark, corpusDir).select($"fp_md5")
     val docSec = timed {
       val in = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
       val docs = in.toDF().toDF("doc_id", "text", "event_time")

@@ -30,7 +30,7 @@ object Multimodal {
 
   final case class MediaMeta(media_id: Long, kind: String, n_bytes: Long,
                              width: Int, height: Int, duration_ms: Long)
-  final case class MediaFeatures(media_id: Long, feature: Array[Float])
+  final case class MediaFeatures(media_id: Long, feature: Array[Long])
 
   /** STUB — deterministic fake codec. A real implementation would wrap
     * libjpeg/ffmpeg here; the call sites and shapes would not change.
@@ -72,10 +72,13 @@ object Multimodal {
 
     /** "Extract" a fixed-dim feature vector (stand-in for an embedding):
       * dimension j accumulates the byte values at positions ≡ j mod
-      * [[FeatureDim]]. Integer sums — exact in Float far below 2²⁴, so the
-      * SQL oracle reproduces them bit-for-bit. */
+      * [[FeatureDim]]. Accumulation is in Long so the per-dim sums stay
+      * EXACT for any payload size (a Float accumulator loses integer
+      * exactness past 2²⁴ ≈ a 4 MB payload, silently diverging from the
+      * integer-sum SQL oracle); a consumer that needs floats casts the
+      * exact sums at the edge. */
     def features(id: Long, bytes: Array[Byte]): MediaFeatures = {
-      val f = new Array[Float](FeatureDim)
+      val f = new Array[Long](FeatureDim)
       var i = 0
       while (i < bytes.length) {
         f(i % FeatureDim) += (bytes(i) & 0xFF)
@@ -165,13 +168,13 @@ object Multimodal {
         col("duration_ms"))),
     // posexplode to scalar (media_id, dim_idx, byte_sum) rows: the driver's
     // correctness gate sorts rows via pandas, which cannot canonicalize a
-    // raw array<float> column. Library callers use extractFeatures directly.
-    // The float→long cast is exact: features are integer byte-sums.
+    // raw array column. Library callers use extractFeatures directly; the
+    // sums are exact Long integers end-to-end.
     "q_mm_features" -> ((s: SparkSession, d: String) =>
       extractFeatures(s, d).toDF()
         .select(col("media_id"), posexplode(col("feature")))
         .select(col("media_id"), col("pos").cast("long").as("dim_idx"),
-                col("col").cast("long").as("byte_sum"))),
+                col("col").as("byte_sum"))),
     "q_mm_frame_sample" -> ((s: SparkSession, d: String) =>
       sampleFrames(s, d)
         .groupBy("media_id", "kind", "total_bytes")

@@ -437,7 +437,14 @@ object Dedup {
     * fixpoint the edge set IS the star forest (u → component minimum).
     *
     * `maxRounds` is a convergence guard, not a tuning knob: hitting it
-    * throws rather than silently returning half-merged components. */
+    * throws rather than silently returning half-merged components.
+    *
+    * Degenerate self-pairs `(a,a)` are honored like [[clusterPairs]] does:
+    * `canon` drops self-loop EDGES (the alternation requires u ≠ v), but
+    * every node seen in the input — including ones appearing only in a
+    * self-pair — re-enters the output as its own root, so the two
+    * connected-components tiers agree on all inputs, not just the
+    * `doc_a < doc_b` streams our pair generators emit. */
   def clusterPairsStar(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
     def canon(e: DataFrame): DataFrame =
       e.filter(col("u") =!= col("v")).distinct()
@@ -473,7 +480,16 @@ object Dedup {
     val roots = edges.select(col("v").as("doc_id")).distinct()
       .join(edges.select(col("u").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
-    edges.select(col("u").as("doc_id"), col("v").as("cluster_id")).union(roots)
+    val assigned = edges.select(col("u").as("doc_id"), col("v").as("cluster_id")).union(roots)
+    // nodes whose every input edge was a self-loop never reach the
+    // alternation (canon drops u = v); label them their own root so the
+    // tier matches clusterPairs on degenerate inputs
+    val singletons = pairs
+      .select(col("doc_a").as("doc_id")).union(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+      .join(assigned.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    assigned.union(singletons)
   }
 
   /** Near-dup clusters over the exact Jaccard pairs — the oracle-checkable

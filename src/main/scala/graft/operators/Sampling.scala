@@ -136,7 +136,77 @@ object Sampling {
       |SELECT doc_id, source, n_tok, tok_before FROM t
       |WHERE tok_before < $budgetPerSource""".stripMargin
 
+  /** Temperature-weighted training-mix sampling — the actual pretraining
+    * mix math (e.g. multilingual sampling à la XLM-R): each (lang, source)
+    * stratum's share of a global token budget is proportional to
+    * `mass^α` with temperature α = 0.5, flattening the distribution so
+    * low-resource strata are upsampled relative to their raw share.
+    * Composition of the [[tokenBudgetSample]] prefix rule with a
+    * [[stratifiedSample]]-style reweighting, but fully deterministic.
+    *
+    * α is FIXED at 0.5 because `sqrt` is the one power IEEE 754 requires
+    * correctly rounded — both engines compute the identical double from
+    * the identical integer token mass, and `floor` lands it back in exact
+    * BIGINT. A generic `pow(mass, α)` is not cross-engine bit-stable, so
+    * other temperatures would demote this query to rows-only.
+    *
+    * Integer renormalization: `budget_g = (B · w_g) div Σw` with
+    * `w_g = floor(sqrt(tokens_g))` — all exact; a stratum whose share
+    * rounds to 0 tokens ships nothing (unlike [[tokenBudgetSample]]'s
+    * per-source floor of one boundary doc — a global budget must be
+    * allowed to starve negligible strata or it cannot be met).
+    *
+    * Shape: one tiny per-stratum aggregate (|langs|×|sources| rows)
+    * broadcast back over the corpus; per-stratum prefix-sum window in the
+    * deterministic hash order. No global window, no RNG. */
+  def temperatureMixSample(s: SparkSession, dir: String,
+                           totalBudget: Long = 5000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir).select(col("doc_id"), col("lang"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val strata = d.groupBy(col("lang"), col("source"))
+      .agg(sum(col("n_tok")).as("g_tok"))
+      .select(col("lang"), col("source"),
+        floor(sqrt(col("g_tok").cast("double"))).cast("long").as("w"))
+    val totalW = strata.agg(sum(col("w")).as("total_w"))
+    val budgets = strata.crossJoin(broadcast(totalW))
+      .select(col("lang"), col("source"),
+        call_function("div", lit(totalBudget) * col("w"), col("total_w")).as("budget"))
+    val w = Window.partitionBy(col("lang"), col("source"))
+      .orderBy(hashOrder, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.withColumn("tok_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .join(broadcast(budgets), Seq("lang", "source"))
+      .filter(col("tok_before") < col("budget"))
+      .select(col("doc_id"), col("lang"), col("source"),
+              col("n_tok"), col("tok_before"), col("budget"))
+  }
+
+  def temperatureMixSampleSql(totalBudget: Long = 5000L): String =
+    s"""WITH t AS (
+      |  SELECT doc_id, lang, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |g AS (
+      |  SELECT lang, source,
+      |    CAST(floor(sqrt(CAST(CAST(sum(n_tok) AS BIGINT) AS DOUBLE))) AS BIGINT) AS w
+      |  FROM t GROUP BY 1, 2),
+      |n AS (SELECT CAST(sum(w) AS BIGINT) AS total_w FROM g),
+      |b AS (
+      |  SELECT lang, source, CAST(($totalBudget * w) // total_w AS BIGINT) AS budget
+      |  FROM g, n),
+      |p AS (
+      |  SELECT doc_id, lang, source, n_tok,
+      |    CAST(coalesce(sum(n_tok) OVER (
+      |      PARTITION BY lang, source ORDER BY $hashOrderSql, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_before
+      |  FROM t)
+      |SELECT p.doc_id, p.lang, p.source, p.n_tok, p.tok_before, b.budget
+      |FROM p JOIN b USING (lang, source)
+      |WHERE p.tok_before < b.budget""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_temperature_mix" -> ((s: SparkSession, d: String) => temperatureMixSample(s, d)),
     "q_sample_token_budget" -> ((s: SparkSession, d: String) => tokenBudgetSample(s, d)),
     "q_sample_systematic" -> ((s: SparkSession, d: String) => systematicSample(s, d)),
     "q_sample_stratified" -> ((s: SparkSession, d: String) =>
@@ -146,6 +216,7 @@ object Sampling {
     "q_sample_domain_cap" -> ((s: SparkSession, d: String) => domainCapSample(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "q_sample_temperature_mix" -> temperatureMixSampleSql(),
     "q_sample_token_budget" -> tokenBudgetSampleSql(),
     "q_sample_systematic" -> systematicSampleSql(),
     "q_sample_exact_k" -> exactKSampleSql(),

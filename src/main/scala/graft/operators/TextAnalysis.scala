@@ -348,18 +348,27 @@ object TextAnalysis {
     * a double formulation can't hash-match across engines). One tiny
     * per-source stats aggregate broadcast back over the scan.
     *
-    * The comparison runs in DECIMAL(38,0): the binding terms are S² and
-    * (n·x−S)², which leave int64 once a group's total chars pass ~3·10⁹ —
-    * Spark would silently wrap while DuckDB's HUGEINT stays exact, and
-    * the flags would silently diverge. Decimal(38) and HUGEINT share the
-    * envelope to ~10¹⁵ total chars per group (a petabyte-scale source). */
+    * EVERYTHING runs in DECIMAL(38,0), including the aggregation
+    * accumulators: the binding terms are Q = Σx², S², and (n·x−S)², which
+    * leave int64 once a group's sum-of-squares passes ~9·10¹⁸ (≈10¹⁵
+    * total chars at 10⁴-char docs) — a plain `sum(x*x)` would silently
+    * wrap in Spark while DuckDB's HUGEINT stays exact, and the flags
+    * would silently diverge. Casting to decimal only AFTER aggregation
+    * (the round-4 formulation) did not protect Q; casting each x BEFORE
+    * the sums makes the accumulators themselves exact. Decimal(38) and
+    * HUGEINT share the envelope to ~10¹⁸ in the squared terms' inputs —
+    * far past any per-source corpus. */
   def lengthOutliers(s: SparkSession, dir: String): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
     val d = docs(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
+    // decimal(19,0) per-row factors keep the product precision (39 → 38
+    // under Spark's precision-loss rule, scale 0, no rounding possible)
+    // while the SUM accumulator widens to decimal(38,0) — exact
+    val x = col("n_chars").cast("decimal(19,0)")
     val stats = d.groupBy(col("source")).agg(
       count(lit(1)).as("n"),
-      sum(col("n_chars")).as("sx"),
-      sum(col("n_chars") * col("n_chars")).as("qx"))
-    def dec(c: Column): Column = c.cast("decimal(38,0)")
+      sum(dec(col("n_chars"))).as("sx"),
+      sum(x * x).as("qx"))
     val dev = dec(col("n")) * dec(col("n_chars")) - dec(col("sx"))
     d.join(broadcast(stats), Seq("source"))
       .select(col("doc_id"), col("source"), col("n_chars"),
@@ -493,6 +502,104 @@ object TextAnalysis {
       |    THEN ${OracleSafe.avgRound4Sql("coalesce(p.dup3_chars, 0)", "CAST(length(d.text) AS BIGINT)")}
       |    ELSE 0.0 END AS dup3_frac
       |FROM documents d LEFT JOIN p USING (doc_id)""".stripMargin
+  }
+
+  /** Gopher-family quality gates (Rae et al., "Scaling Language Models:
+    * … Gopher", 2021, §A1.1) — the rule-based document filter battery that
+    * complements the repetition signals in [[dupNgramStats]]:
+    * word-count bounds, mean-word-length bounds, symbol-to-word ratio
+    * (# and …), bullet-start / ellipsis-end line fractions, fraction of
+    * words with an alphabetic character, and the min-stop-word gate
+    * (≥ 2 distinct of Gopher's 8 English function words).
+    *
+    * Every GATE decision is pure integer arithmetic (`3·n ≤ Σlen ≤ 10·n`
+    * instead of a float mean, `10·symbols ≤ n` instead of a ratio) so the
+    * booleans are engine-exact; the exported diagnostic ratios go through
+    * [[OracleSafe.avgRound4]]. Map-only — one projection pass, no shuffle,
+    * no UDF: `regexp_extract_all` + array higher-order functions, all
+    * RE2-portable per the [[WsClass]] discipline. */
+  def gopherGates(s: SparkSession, dir: String): DataFrame = {
+    val words = regexp_extract_all(col("text"), lit(NonWsClass + "+"), lit(0))
+    val lines = split(col("text"), "\n")
+    val d = docs(s, dir).select(
+      col("doc_id"),
+      size(words).cast("long").as("n_words"),
+      aggregate(words, lit(0L), (acc, w) => acc + length(w)).as("word_chars"),
+      (size(regexp_extract_all(col("text"), lit("#"), lit(0))) +
+        size(regexp_extract_all(col("text"), lit("""\.\.\."""), lit(0))))
+        .cast("long").as("n_symbols"),
+      size(lines).cast("long").as("n_lines"),
+      size(filter(lines, l => l.rlike("^[-*•]"))).cast("long").as("bullet_lines"),
+      size(filter(lines, l => l.rlike("""(\.\.\.|…)$"""))).cast("long").as("ellipsis_lines"),
+      size(filter(words, w => w.rlike("""\p{L}"""))).cast("long").as("alpha_words"),
+      size(array_intersect(words,
+        array(GopherStopwords.map(lit): _*))).cast("long").as("stop_hits"))
+    d.select(
+      col("doc_id"), col("n_words"), col("word_chars"), col("n_symbols"),
+      col("n_lines"), col("bullet_lines"), col("ellipsis_lines"),
+      col("alpha_words"), col("stop_hits"),
+      when(col("n_words") > 0, OracleSafe.avgRound4(col("word_chars"), col("n_words")))
+        .otherwise(lit(0.0)).as("mean_word_len"),
+      when(col("n_words") > 0, OracleSafe.avgRound4(col("n_symbols"), col("n_words")))
+        .otherwise(lit(0.0)).as("symbol_ratio"),
+      // the gates — integer formulations of Gopher §A1.1's thresholds
+      (col("n_words") >= 50 && col("n_words") <= 100000L).as("gate_word_count"),
+      (lit(3L) * col("n_words") <= col("word_chars") &&
+        col("word_chars") <= lit(10L) * col("n_words")).as("gate_word_len"),
+      (lit(10L) * col("n_symbols") <= col("n_words")).as("gate_symbol"),
+      (lit(10L) * col("bullet_lines") <= lit(9L) * col("n_lines")).as("gate_bullet"),
+      (lit(10L) * col("ellipsis_lines") <= lit(3L) * col("n_lines")).as("gate_ellipsis"),
+      (lit(5L) * col("alpha_words") >= lit(4L) * col("n_words")).as("gate_alpha"),
+      (col("stop_hits") >= 2).as("gate_stop"))
+      .withColumn("passes_all",
+        col("gate_word_count") && col("gate_word_len") && col("gate_symbol") &&
+          col("gate_bullet") && col("gate_ellipsis") && col("gate_alpha") && col("gate_stop"))
+  }
+
+  /** Gopher §A1.1's stop-word gate list (Rae et al. 2021). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  val gopherGatesSql: String = {
+    val stopList = GopherStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH g AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text, '$NonWsClass+')) AS BIGINT) AS n_words,
+      |    CAST(coalesce(list_sum(list_transform(
+      |      regexp_extract_all(text, '$NonWsClass+'), w -> length(w))), 0) AS BIGINT) AS word_chars,
+      |    CAST(len(regexp_extract_all(text, '#'))
+      |       + len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS n_symbols,
+      |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+      |    CAST(len(list_filter(string_split(text, chr(10)),
+      |      l -> regexp_matches(l, '^[-*•]'))) AS BIGINT) AS bullet_lines,
+      |    CAST(len(list_filter(string_split(text, chr(10)),
+      |      l -> regexp_matches(l, '(\\.\\.\\.|…)$$'))) AS BIGINT) AS ellipsis_lines,
+      |    CAST(len(list_filter(regexp_extract_all(text, '$NonWsClass+'),
+      |      w -> regexp_matches(w, '\\p{L}'))) AS BIGINT) AS alpha_words,
+      |    CAST(len(list_intersect(regexp_extract_all(text, '$NonWsClass+'),
+      |      $stopList)) AS BIGINT) AS stop_hits
+      |  FROM documents)
+      |SELECT doc_id, n_words, word_chars, n_symbols, n_lines, bullet_lines,
+      |  ellipsis_lines, alpha_words, stop_hits,
+      |  CASE WHEN n_words > 0
+      |    THEN ${OracleSafe.avgRound4Sql("word_chars", "n_words")} ELSE 0.0 END AS mean_word_len,
+      |  CASE WHEN n_words > 0
+      |    THEN ${OracleSafe.avgRound4Sql("n_symbols", "n_words")} ELSE 0.0 END AS symbol_ratio,
+      |  n_words >= 50 AND n_words <= 100000 AS gate_word_count,
+      |  3 * n_words <= word_chars AND word_chars <= 10 * n_words AS gate_word_len,
+      |  10 * n_symbols <= n_words AS gate_symbol,
+      |  10 * bullet_lines <= 9 * n_lines AS gate_bullet,
+      |  10 * ellipsis_lines <= 3 * n_lines AS gate_ellipsis,
+      |  5 * alpha_words >= 4 * n_words AS gate_alpha,
+      |  stop_hits >= 2 AS gate_stop,
+      |  n_words >= 50 AND n_words <= 100000
+      |    AND 3 * n_words <= word_chars AND word_chars <= 10 * n_words
+      |    AND 10 * n_symbols <= n_words
+      |    AND 10 * bullet_lines <= 9 * n_lines
+      |    AND 10 * ellipsis_lines <= 3 * n_lines
+      |    AND 5 * alpha_words >= 4 * n_words
+      |    AND stop_hits >= 2 AS passes_all
+      |FROM g""".stripMargin
   }
 
   /** Unigram log-probability scoring (perplexity family): pass 1 computes
@@ -882,7 +989,8 @@ object TextAnalysis {
     "q_text_pii_scrub" -> (piiScrub _),
     "q_text_seq_pack" -> ((s: SparkSession, d: String) => seqPack(s, d)),
     "q_text_len_hist" -> ((s: SparkSession, d: String) => tokenLengthHistogram(s, d)),
-    "q_text_tfidf" -> ((s: SparkSession, d: String) => tfidfTopTerms(s, d)))
+    "q_text_tfidf" -> ((s: SparkSession, d: String) => tfidfTopTerms(s, d)),
+    "q_text_gopher_gates" -> (gopherGates _))
 
   val oracles: Map[String, String] = Map(
     "q_text_langid" -> languageIdSql,
@@ -900,5 +1008,6 @@ object TextAnalysis {
     "q_text_pii_scrub" -> piiScrubSql,
     "q_text_seq_pack" -> seqPackSql(),
     "q_text_len_hist" -> tokenLengthHistogramSql(),
-    "q_text_tfidf" -> tfidfTopTermsSql())
+    "q_text_tfidf" -> tfidfTopTermsSql(),
+    "q_text_gopher_gates" -> gopherGatesSql)
 }

@@ -42,6 +42,20 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(labels.values.forall(_ == 0L), "every chain node must label to the minimum")
   }
 
+  test("both clustering tiers agree on degenerate self-pair inputs") {
+    import spark.implicits._
+    // doc 7 appears ONLY in a self-pair: both tiers must keep it as its own
+    // root rather than dropping it (star's canon removes self-loop EDGES,
+    // so the node has to re-enter via the singleton union)
+    val pairs = Seq((1L, 2L), (7L, 7L), (2L, 2L)).toDF("doc_a", "doc_b")
+    def labelsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nbr = labelsOf(Dedup.clusterPairs(pairs))
+    val star = labelsOf(Dedup.clusterPairsStar(pairs))
+    assert(nbr == Map(1L -> 1L, 2L -> 1L, 7L -> 7L))
+    assert(star == nbr, "tiers must agree on self-pair inputs")
+  }
+
   test("star clustering and neighbor-min produce identical corpus labels") {
     def lbls(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -20,7 +20,7 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
   test("feature vectors have the declared fixed dimension") {
     Multimodal.extractFeatures(spark, sf).collect().foreach { f =>
       assert(f.feature.length == Multimodal.FeatureDim)
-      assert(f.feature.forall(v => !v.isNaN && !v.isInfinite))
+      assert(f.feature.forall(_ >= 0L)) // exact integer byte-sums
     }
   }
 

@@ -102,4 +102,46 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     val again = Sampling.tokenBudgetSample(spark, sf, budget).collect()
     assert(got.map(_.getLong(0)).sorted.toSeq == again.map(_.getLong(0)).sorted.toSeq)
   }
+
+  test("temperature mix allocates sqrt-weighted budgets with the prefix law") {
+    import org.apache.spark.sql.functions.{col, size, split}
+    val B = 5000L
+    val got = Sampling.temperatureMixSample(spark, sf, B).collect()
+    assert(got.nonEmpty)
+    // local recomputation of the stratum budgets: w = floor(sqrt(tokens)),
+    // budget = B*w div Σw — the α=0.5 temperature reweighting
+    val strata = Tables(spark, sf, "documents")
+      .select(col("lang"), col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getAs[Long]("n_tok")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val w = strata.view.mapValues(tok => math.floor(math.sqrt(tok.toDouble)).toLong).toMap
+    val totalW = w.values.sum
+    val budgets = w.view.mapValues(v => B * v / totalW).toMap
+    got.foreach { r =>
+      val k = (r.getString(1), r.getString(2))
+      assert(r.getAs[Long]("budget") == budgets(k), s"stratum $k budget")
+      assert(r.getAs[Long]("tok_before") < budgets(k), s"stratum $k over budget")
+    }
+    // per-stratum prefix law: kept rows form a contiguous token prefix
+    got.groupBy(r => (r.getString(1), r.getString(2))).foreach { case (k, rows) =>
+      rows.sortBy(_.getAs[Long]("tok_before")).foldLeft(0L) { (expected, r) =>
+        assert(r.getAs[Long]("tok_before") == expected, s"gap in $k prefix")
+        expected + r.getAs[Long]("n_tok")
+      }
+    }
+    // flattening property: with a ≥4× mass gap, the smaller stratum's
+    // budget-per-raw-token exceeds the larger's (sqrt upsamples the tail;
+    // the 4× guard keeps integer-floor noise out of the inequality)
+    val ms = strata.toSeq.sortBy(_._2)
+    val (kMin, mMin) = ms.head
+    val (kMax, mMax) = ms.last
+    if (mMax >= 4 * mMin && mMin >= 16) {
+      assert(BigInt(budgets(kMin) + 1) * mMax >= BigInt(budgets(kMax)) * mMin,
+        s"temperature did not flatten: $kMin ($mMin tok) vs $kMax ($mMax tok)")
+    }
+    // reproducibility
+    val again = Sampling.temperatureMixSample(spark, sf, B).collect()
+    assert(got.map(_.getLong(0)).sorted.toSeq == again.map(_.getLong(0)).sorted.toSeq)
+  }
 }

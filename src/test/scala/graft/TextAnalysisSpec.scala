@@ -189,6 +189,57 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("gopher quality gates match a local recomputation") {
+    val texts = Tables(spark, sf, "documents").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = TextAnalysis.gopherGates(spark, sf).collect()
+    assert(rows.length == texts.size)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val t = texts(id)
+      val words = """[^ \t\n\r\f\x0B]+""".r.findAllIn(t).toSeq
+      val nWords = words.length.toLong
+      val wordChars = words.map(w => w.codePointCount(0, w.length).toLong).sum
+      val nSymbols = t.count(_ == '#').toLong + """\.\.\.""".r.findAllIn(t).length
+      val lines = t.split("\n", -1).toSeq
+      val bulletLines = lines.count(l => l.nonEmpty && "-*•".contains(l.head)).toLong
+      val ellipsisLines = lines.count(l => l.endsWith("...") || l.endsWith("…")).toLong
+      val alphaWords = words.count(_.exists(Character.isLetter)).toLong
+      val stopHits = TextAnalysis.GopherStopwords.count(words.toSet).toLong
+      assert(r.getAs[Long]("n_words") == nWords, s"doc $id n_words")
+      assert(r.getAs[Long]("word_chars") == wordChars, s"doc $id word_chars")
+      assert(r.getAs[Long]("n_symbols") == nSymbols, s"doc $id n_symbols")
+      assert(r.getAs[Long]("n_lines") == lines.length.toLong, s"doc $id n_lines")
+      assert(r.getAs[Long]("bullet_lines") == bulletLines, s"doc $id bullet")
+      assert(r.getAs[Long]("ellipsis_lines") == ellipsisLines, s"doc $id ellipsis")
+      assert(r.getAs[Long]("alpha_words") == alphaWords, s"doc $id alpha")
+      assert(r.getAs[Long]("stop_hits") == stopHits, s"doc $id stop_hits")
+      assert(r.getAs[Boolean]("gate_word_count") == (nWords >= 50 && nWords <= 100000L))
+      assert(r.getAs[Boolean]("gate_word_len") ==
+        (3 * nWords <= wordChars && wordChars <= 10 * nWords))
+      assert(r.getAs[Boolean]("gate_symbol") == (10 * nSymbols <= nWords))
+      assert(r.getAs[Boolean]("gate_bullet") == (10 * bulletLines <= 9 * lines.length))
+      assert(r.getAs[Boolean]("gate_ellipsis") == (10 * ellipsisLines <= 3 * lines.length))
+      assert(r.getAs[Boolean]("gate_alpha") == (5 * alphaWords >= 4 * nWords))
+      assert(r.getAs[Boolean]("gate_stop") == (stopHits >= 2))
+      val all = nWords >= 50 && nWords <= 100000L &&
+        3 * nWords <= wordChars && wordChars <= 10 * nWords &&
+        10 * nSymbols <= nWords && 10 * bulletLines <= 9 * lines.length &&
+        10 * ellipsisLines <= 3 * lines.length && 5 * alphaWords >= 4 * nWords &&
+        stopHits >= 2
+      assert(r.getAs[Boolean]("passes_all") == all, s"doc $id passes_all")
+    }
+    // the synthetic vocabulary carries almost none of Gopher's 8 function
+    // words, so `passes_all = 0` is the CORRECT verdict here (the stop-word
+    // gate is doing its job on non-natural text); assert the battery
+    // DISCRIMINATES on a dimension the corpus does vary — word count
+    // straddles the ≥50 bound
+    assert(rows.map(_.getAs[Boolean]("gate_word_count")).toSet == Set(true, false),
+      "word-count gate should discriminate on this corpus")
+    assert(rows.forall(!_.getAs[Boolean]("gate_stop")),
+      "synthetic text should fail the ≥2-distinct-stop-words gate")
+  }
+
   test("tf-idf top terms: k per doc, non-negative scores, rank ordered") {
     val byDoc = TextAnalysis.tfidfTopTerms(spark, sf).collect()
       .groupBy(_.getLong(0))
