@@ -689,9 +689,18 @@ object TextAnalysis {
 
   /** Per-document winnowing core (pure — property-tested directly):
     * rolling k-gram hashes, rightmost-min per window of `w`, new selection
-    * recorded when the selected POSITION changes (robust winnowing). */
+    * recorded when the selected POSITION changes (robust winnowing).
+    *
+    * Hashes run over Unicode CODE POINTS, not UTF-16 units: SQL `length`/
+    * `substr`/`ascii` are all code-point-indexed, so a charAt formulation
+    * (the round-4 version) silently breaks oracle parity on any document
+    * containing a non-BMP character (emoji split into surrogate halves and
+    * the two engines hash different k-gram streams). Code points make the
+    * fingerprints encoding-independent — UTF-8-robustness verified by the
+    * `fixtures` UTF-8 corpus gate and the Utf8Spec parity test. */
   def winnow(text: String, k: Int = 5, w: Int = 4): Seq[Long] = {
-    val n = text.length - k + 1
+    val cps = text.codePoints().toArray
+    val n = cps.length - k + 1
     if (n <= 0) Seq.empty
     else {
       val B = WinnowBase
@@ -702,11 +711,11 @@ object TextAnalysis {
       val hs = new Array[Long](n)
       var h = 0L
       i = 0
-      while (i < k) { h = (h * B + text.charAt(i)) % M; i += 1 }
+      while (i < k) { h = (h * B + cps(i)) % M; i += 1 }
       hs(0) = h
       i = 1
       while (i < n) {
-        h = ((h - text.charAt(i - 1) * pow % M + M) % M * B + text.charAt(i + k - 1)) % M
+        h = ((h - cps(i - 1).toLong * pow % M + M) % M * B + cps(i + k - 1)) % M
         hs(i) = h
         i += 1
       }
@@ -732,8 +741,10 @@ object TextAnalysis {
     * of per-window minimum hash values — which SQL computes directly:
     * per-position k-gram hashes by the direct polynomial formula
     * (`Σ cⱼ·Bᵏ⁻¹⁻ʲ mod M`, every term bounded far below 2⁶³), then a
-    * sliding `min` window frame, then DISTINCT. The corpus is ASCII, so
-    * `ascii(substr(…))` equals `charAt`. */
+    * sliding `min` window frame, then DISTINCT. DuckDB's `ascii(substr(…))`
+    * returns the CODE POINT at a code-point index — exactly what the Scala
+    * side hashes — so parity holds on arbitrary Unicode text (accents,
+    * CJK, non-BMP emoji), not just ASCII. */
   def winnowSql(k: Int = 5, w: Int = 4): String = {
     val pows = Seq.iterate(1L, k)(_ * WinnowBase % WinnowMod).reverse // B^{k-1} … B^0 mod M
     // BIGINT cast before the multiply: ascii() is INT32 and INT32×INT32
