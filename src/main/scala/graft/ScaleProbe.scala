@@ -1,11 +1,28 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** One-off 10x scale experiment: replicate sf0.1 inputs (1M events, 50k
-  * docs, 20k vectors) into /tmp and time the heaviest operators, to observe
-  * scaling behavior beyond the provided SFs. Dev tool, not part of the
-  * driver contract. */
+/** Scale experiments beyond the provided SFs: replicate sf0.1 inputs into
+  * /tmp and time the heaviest operators. Dev tool, not part of the driver
+  * contract. Three modes via SPARK_GRAFT_SCALE_MODE:
+  *
+  *  - `battery` (default): the round-3/4 regression battery at
+  *    SPARK_GRAFT_SCALE_K× (default 10×) IDENTICAL replication — replicas
+  *    are exact copies, so the dedup pair generators exhibit the
+  *    documented quadratic-in-duplication law (that's the point: the
+  *    numbers pin the law).
+  *  - `compose`: the composition rule measured as one pipeline —
+  *    `exactDedup` → collapse to distinct texts → n-gram-Jaccard /
+  *    SimHash / embedding pair generation on the collapsed corpus. The
+  *    claim under test: after collapse, pair generation is join-bound
+  *    (≈ its cost on the unreplicated corpus), not output-bound, at ANY
+  *    replication factor. Run with K=10 and K=30+.
+  *  - `flagship`: the production scale paths at K=100×, with per-replica
+  *    VOCABULARY variation (every token gets a replica suffix), so
+  *    replicas share no shingles/spans/terms: true-duplication stays at
+  *    the corpus's own rate and the probe measures PLAN scaling, not the
+  *    Θ(k²·n) output of a copied corpus.
+  */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -15,67 +32,154 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val src = "/root/testdata/sf0.1"
-    val dst = "/tmp/sf1x"
-    val k = 10
-    // events: shift user_id and ts per replica (keeps cardinality scaling)
-    val ev = Tables(spark, src, "events")
-    val evBig = (0 until k).map(i => ev
-      .withColumn("user_id", col("user_id") + lit(i * 10000L))
-      .withColumn("event_id", col("event_id") + lit(i * 10000000L))).reduce(_ unionAll _)
-    evBig.write.mode("overwrite").parquet(s"$dst/events.parquet")
-    val docs = Tables(spark, src, "documents")
-    val docsBig = (0 until k).map(i => docs
-      .withColumn("doc_id", col("doc_id") + lit(i * 1000000L))).reduce(_ unionAll _)
-    docsBig.write.mode("overwrite").parquet(s"$dst/documents.parquet")
-    val emb = Tables(spark, src, "embeddings")
-    val embBig = (0 until k).map(i => emb
-      .withColumn("vec_id", col("vec_id") + lit(i * 1000000L))).reduce(_ unionAll _)
-    embBig.write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
-    // lineitem replicates with shifted orderkeys against the SAME part dim:
-    // per-part groups grow 10x — the correlated-agg scaling shape
-    val li = Tables(spark, src, "lineitem")
-    val liBig = (0 until k).map(i => li
-      .withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L))).reduce(_ unionAll _)
-    liBig.write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
-    Tables(spark, src, "part").write.mode("overwrite").parquet(s"$dst/part.parquet")
-    // orders replicate against the SAME customer dim (10x orders per
-    // customer — the outer-join distribution just shifts right)
-    val ord = Tables(spark, src, "orders")
-    val ordBig = (0 until k).map(i => ord
-      .withColumn("o_orderkey", col("o_orderkey") + lit(i * 100000000L))).reduce(_ unionAll _)
-    ordBig.write.mode("overwrite").parquet(s"$dst/orders.parquet")
-    Tables(spark, src, "customer").write.mode("overwrite").parquet(s"$dst/customer.parquet")
-    println(s"rows: events=${spark.read.parquet(s"$dst/events.parquet").count()}" +
-      s" docs=${spark.read.parquet(s"$dst/documents.parquet").count()}" +
-      s" emb=${spark.read.parquet(s"$dst/embeddings.parquet").count()}")
-    def time(name: String)(f: => Unit): Unit = {
+    val k = sys.env.getOrElse("SPARK_GRAFT_SCALE_K", "10").toInt
+    val mode = sys.env.getOrElse("SPARK_GRAFT_SCALE_MODE", "battery")
+    val dst = s"/tmp/sf${k}x_$mode"
+
+    def time(name: String)(f: => Unit): Double = {
       val t0 = System.nanoTime(); f
-      println(f"SCALE10X $name: ${(System.nanoTime()-t0)/1e9}%.2f s")
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"SCALE${k}X[$mode] $name: $sec%.2f s")
+      sec
     }
-    // q_dedup_embedding is deliberately ABSENT: on a k×-replicated corpus
-    // every replica pair is a TRUE near-dup (cos = 1), so the correct
-    // output is Θ(k²·n) pairs — output-bound, not plan-bound (same law as
-    // exact jaccard/simhash on duplicated corpora; run exactDedup first).
-    for (q <- Seq("q_card_stats_all", "q_card_sketch_rollup", "q_card_minute_approx",
-                  "q_dedup_minhash_lsh", "q_dedup_ngram_jaccard", "q_dedup_simhash",
-                  "q_text_langid", "q_stream_data_driven",
-                  // round-3 additions
-                  "q_dedup_contamination", "q_text_tfidf",
-                  "q_text_seq_pack", "q_text_pii_scrub", "q_text_langid_trigram",
-                  "q_sim_ann_ivf",
-                  // round-4 additions. NB clusters/clusters_star consume the
-                  // REPLICA-MERGED pair graph: identical replicas join their
-                  // originals' components (jaccard=1 cross-replica pairs), so
-                  // edges grow ~k^2 (the duplication law above), not 10x —
-                  // their timings here are against a ~100x-edge input
-                  "q_dedup_spans", "q_text_outliers", "q_rel_avg_subquery",
-                  "q_stream_data_driven_exact", "q_dedup_clusters", "q_dedup_clusters_star",
-                  "q_sim_ann_lsh", "q_emb_jl_project",
-                  "q_text_dup_ngrams", "q_sample_token_budget", "q_rel_cust_dist",
-                  "q_tmp_funnel", "q_tmp_retention", "q_tmp_event_paths")) {
-      time(q)(SparkEntry.queries(q)(spark, dst).write.format("noop").mode("overwrite").save())
+    def runQuery(name: String, dir: String): Unit = {
+      time(name)(SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save())
       spark.catalog.clearCache()
       Checkpoints.releaseAll()
+    }
+    /** k× replication via a broadcast range cross-join (one scan, no
+      * k-way union plan); `shift` remaps ids so replicas never collide. */
+    def replicate(df: DataFrame, rep: Int): DataFrame =
+      df.crossJoin(spark.range(rep).toDF("rep"))
+
+    def buildDocs(varied: Boolean): Unit = {
+      val d = replicate(Tables(spark, src, "documents"), k)
+        .withColumn("doc_id", col("doc_id") + col("rep") * 1000000L)
+      val out =
+        if (!varied) d.drop("rep")
+        else d
+          // suffix every token with the replica id: replicas share NO
+          // vocabulary, so shingle/span/term statistics scale with corpus
+          // size while true duplication stays at the base corpus's rate
+          .withColumn("text",
+            regexp_replace(col("text"), lit("([^ ]+)"), concat(lit("$1x"), col("rep"))))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+          .drop("rep")
+      out.write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    }
+    def buildEmbeddings(): Unit =
+      replicate(Tables(spark, src, "embeddings"), k)
+        .withColumn("vec_id", col("vec_id") + col("rep") * 1000000L).drop("rep")
+        .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+    def buildEvents(): Unit =
+      replicate(Tables(spark, src, "events"), k)
+        .withColumn("user_id", col("user_id") + col("rep") * 10000L)
+        .withColumn("event_id", col("event_id") + col("rep") * 10000000L).drop("rep")
+        .write.mode("overwrite").parquet(s"$dst/events.parquet")
+    def buildTpch(): Unit = {
+      // lineitem/orders replicate with shifted orderkeys against the SAME
+      // part/customer dims: per-dim groups grow k× — the correlated-agg
+      // and outer-join-distribution scaling shape
+      replicate(Tables(spark, src, "lineitem"), k)
+        .withColumn("l_orderkey", col("l_orderkey") + col("rep") * 100000000L).drop("rep")
+        .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+      replicate(Tables(spark, src, "orders"), k)
+        .withColumn("o_orderkey", col("o_orderkey") + col("rep") * 100000000L).drop("rep")
+        .write.mode("overwrite").parquet(s"$dst/orders.parquet")
+      Tables(spark, src, "part").write.mode("overwrite").parquet(s"$dst/part.parquet")
+      Tables(spark, src, "customer").write.mode("overwrite").parquet(s"$dst/customer.parquet")
+    }
+
+    mode match {
+      case "battery" =>
+        time("build") { buildDocs(varied = false); buildEmbeddings(); buildEvents(); buildTpch() }
+        // q_dedup_embedding deliberately ABSENT: on an identically
+        // replicated corpus every replica pair is a TRUE near-dup
+        // (cos = 1) — output Θ(k²·n), output-bound not plan-bound; the
+        // `compose` mode measures its post-collapse cost instead.
+        // clusters/clusters_star consume the replica-merged pair graph
+        // (edges ~k², the duplication law) — timings are against a
+        // ~k²-edge input.
+        for (q <- Seq("q_card_stats_all", "q_card_sketch_rollup", "q_card_minute_approx",
+                      "q_dedup_minhash_lsh", "q_dedup_ngram_jaccard", "q_dedup_simhash",
+                      "q_text_langid", "q_stream_data_driven",
+                      "q_dedup_contamination", "q_text_tfidf",
+                      "q_text_seq_pack", "q_text_pii_scrub", "q_text_langid_trigram",
+                      "q_sim_ann_ivf",
+                      "q_dedup_spans", "q_text_outliers", "q_rel_avg_subquery",
+                      "q_stream_data_driven_exact", "q_dedup_clusters", "q_dedup_clusters_star",
+                      "q_sim_ann_lsh", "q_emb_jl_project",
+                      "q_text_dup_ngrams", "q_sample_token_budget", "q_rel_cust_dist",
+                      "q_tmp_funnel", "q_tmp_retention", "q_tmp_event_paths",
+                      "q_text_gopher_gates", "q_sample_temperature_mix"))
+          runQuery(q, dst)
+
+      case "compose" =>
+        time("build") { buildDocs(varied = false); buildEmbeddings() }
+        val cdir = s"$dst/collapsed"
+        // reference points: the pair generators on the UNREPLICATED corpus
+        // (the collapsed corpus ≈ sf0.1's distinct texts, so "join-bound
+        // after collapse" means ≈ these timings)
+        val base = Map(
+          "jaccard" -> time("base_sf0.1_jaccard") {
+            graft.operators.Dedup.ngramJaccardPairs(spark, src)
+              .write.format("noop").mode("overwrite").save() },
+          "simhash" -> time("base_sf0.1_simhash") {
+            graft.operators.Dedup.simhashPairs(spark, src)
+              .write.format("noop").mode("overwrite").save() },
+          "embedding" -> time("base_sf0.1_embedding") {
+            graft.operators.Dedup.embeddingNearDupPairs(spark, src)
+              .write.format("noop").mode("overwrite").save() })
+        spark.catalog.clearCache(); Checkpoints.releaseAll()
+        // stage 1: exact dedup + collapse, materialized like a production
+        // pipeline would (the collapsed corpus is reused by every
+        // downstream pass, so its write cost amortizes)
+        val tCollapse = time("compose_collapse") {
+          val d = Tables(spark, dst, "documents")
+          val keep = d.groupBy(md5(col("text")).as("h"))
+            .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+          d.join(keep, "doc_id").write.mode("overwrite").parquet(s"$cdir/documents.parquet")
+          val e = Tables(spark, dst, "embeddings")
+          val keepV = e.groupBy(col("embedding"))
+            .agg(min(col("vec_id")).as("vec_id")).select("vec_id")
+          e.join(keepV, "vec_id").write.mode("overwrite").parquet(s"$cdir/embeddings.parquet")
+        }
+        val nDocs = spark.read.parquet(s"$cdir/documents.parquet").count()
+        val nVecs = spark.read.parquet(s"$cdir/embeddings.parquet").count()
+        println(s"SCALE${k}X[compose] collapsed: $nDocs docs, $nVecs vecs")
+        // stage 2: pair generation on the collapsed corpus — the claim is
+        // each stays ≈ its unreplicated-corpus cost (≤ ~1.5×)
+        val composed = Map(
+          "jaccard" -> time("compose_jaccard") {
+            graft.operators.Dedup.ngramJaccardPairs(spark, cdir)
+              .write.format("noop").mode("overwrite").save() },
+          "simhash" -> time("compose_simhash") {
+            graft.operators.Dedup.simhashPairs(spark, cdir)
+              .write.format("noop").mode("overwrite").save() },
+          "embedding" -> time("compose_embedding") {
+            graft.operators.Dedup.embeddingNearDupPairs(spark, cdir)
+              .write.format("noop").mode("overwrite").save() })
+        spark.catalog.clearCache(); Checkpoints.releaseAll()
+        composed.foreach { case (name, sec) =>
+          println(f"SCALE${k}X[compose] ratio_$name: ${sec / base(name)}%.2f (collapse ${tCollapse}%.2f s amortized over all passes)")
+        }
+
+      case "flagship" =>
+        time("build")(buildDocs(varied = true))
+        println(s"SCALE${k}X[flagship] docs=${spark.read.parquet(s"$dst/documents.parquet").count()}")
+        for (q <- Seq("q_dedup_minhash_lsh", "q_dedup_spans",
+                      "q_sample_token_budget", "q_text_tfidf"))
+          runQuery(q, dst)
+        // clusters on the PRODUCTION pair path (LSH candidates), not the
+        // exact-Jaccard stream the oracle tier uses
+        time("clusters_on_lsh_pairs") {
+          graft.operators.Dedup.clusterPairs(
+            graft.operators.Dedup.minhashLshPairs(spark, dst))
+            .write.format("noop").mode("overwrite").save()
+        }
+        spark.catalog.clearCache(); Checkpoints.releaseAll()
+
+      case other => sys.error(s"unknown SPARK_GRAFT_SCALE_MODE: $other")
     }
     spark.stop()
   }

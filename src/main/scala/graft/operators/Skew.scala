@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -23,22 +23,36 @@ object Skew {
 
   val Salts = 8
 
+  /** The salting core over arbitrary inputs: `big` gains a deterministic
+    * salt derived from `saltSrc` (a per-row column uncorrelated with the
+    * join key — an id or hash), `dim` is exploded `salts`× so every
+    * (key, salt) combination exists, and the shuffle keys become
+    * (key, salt) — a hot key's rows spread over `salts` tasks instead of
+    * one straggler. `hint("shuffle_hash")` keeps the join a shuffle join
+    * (broadcasting the dim would bypass the technique; at real scale the
+    * dim that needs salting is one that does NOT fit in memory).
+    * Result rows are identical to the unsalted join — the salt is purely
+    * an execution-layout detail (SkewSpec pins the row parity AND the
+    * task-balance win on a skewed fixture). */
+  def saltedJoinOf(big: DataFrame, saltSrc: Column, bigKey: Column,
+                   dim: DataFrame, dimKey: Column, salts: Int = Salts): DataFrame = {
+    val b = big.withColumn("salt", pmod(saltSrc, lit(salts)))
+    val d = dim.withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+    b.hint("shuffle_hash")
+      .join(d, bigKey === dimKey && b("salt") === d("salt"))
+  }
+
   /** Salted equi-join of events (big, potentially hot user_ids) against
     * customer (small dim), produced WITHOUT broadcasting so the salting is
     * actually exercised. Result is identical to the plain join — the salt
     * is an execution detail, which is exactly the point (and what the
     * DuckDB oracle checks). */
-  def saltedEventCustomerJoin(s: SparkSession, dir: String): DataFrame = {
-    val big = Tables(s, dir, "events")
-      // deterministic salt: spreads each hot user's rows over N buckets
-      .withColumn("salt", pmod(col("event_id"), lit(Salts)))
-    val dim = Tables(s, dir, "customer")
-      .select(col("c_custkey"), col("c_mktsegment"))
-      .withColumn("salt", explode(sequence(lit(0), lit(Salts - 1))))
-    big.hint("shuffle_hash")
-      .join(dim, col("user_id") === col("c_custkey") && big("salt") === dim("salt"))
+  def saltedEventCustomerJoin(s: SparkSession, dir: String): DataFrame =
+    saltedJoinOf(
+      Tables(s, dir, "events"), col("event_id"), col("user_id"),
+      Tables(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+      col("c_custkey"))
       .select(col("event_id"), col("user_id"), col("c_mktsegment"))
-  }
 
   val saltedEventCustomerJoinSql: String =
     """SELECT event_id, user_id, c_mktsegment

@@ -107,4 +107,41 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     // beats random partitioning (measured 0.34 with k-means, vs 0.25 floor)
     assert(mean >= 0.3, s"mean IVF recall $mean too low (probing 2/8 partitions)")
   }
+
+  test("IVF recall/cost curve: recall tracks the probed fraction and grows with nProbe") {
+    val brute = Similarity.bruteForceTopK(spark, sf).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    def meanRecall(nCentroids: Int, nProbe: Int): Double = {
+      val ivf = Similarity.annIvf(spark, sf, nProbe = nProbe, nCentroids = nCentroids).collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val rs = brute.keys.toSeq.map { q =>
+        ivf.getOrElse(q, Set.empty).intersect(brute(q)).size.toDouble / brute(q).size
+      }
+      rs.sum / rs.size
+    }
+    // the measured anchor for the "nCentroids ~ sqrt(n), tune nProbe for
+    // recall" sizing claim: recall per (nCentroids, nProbe) with the
+    // nominal scanned fraction nProbe/nCentroids as the cost axis
+    val curve = for {
+      (nc, np) <- Seq((4, 1), (8, 1), (8, 2), (8, 4), (16, 2), (16, 4))
+    } yield {
+      val r = meanRecall(nc, np)
+      info(f"nCentroids=$nc nProbe=$np scanned~${np.toDouble / nc}%.2f recall=$r%.3f")
+      ((nc, np), r)
+    }
+    val byCfg = curve.toMap
+    // more probes at fixed partitioning must not lose recall (the probed
+    // set is a superset); allow a hair of tie-break noise at the boundary
+    assert(byCfg((8, 4)) >= byCfg((8, 2)) - 0.02, s"recall fell with more probes: $byCfg")
+    assert(byCfg((8, 2)) >= byCfg((8, 1)) - 0.02, s"recall fell with more probes: $byCfg")
+    // the learned quantizer must beat random partition assignment: recall
+    // above the scanned fraction at every operating point
+    curve.foreach { case ((nc, np), r) =>
+      assert(r > np.toDouble / nc, s"recall $r below the $np/$nc random floor")
+    }
+    // full probe = exact search restricted only by the candidate universe:
+    // probing every partition must recover (nearly) all brute neighbors
+    val full = meanRecall(4, 4)
+    assert(full >= 0.99, s"probing all partitions should be exact, got $full")
+  }
 }
