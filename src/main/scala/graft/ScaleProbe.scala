@@ -48,9 +48,17 @@ object ScaleProbe {
       Checkpoints.releaseAll()
     }
     /** k× replication via a broadcast range cross-join (one scan, no
-      * k-way union plan); `shift` remaps ids so replicas never collide. */
+      * k-way union plan); ids are shifted per replica at the call sites so
+      * replicas never collide. The write repartitions: the cross-join
+      * multiplies rows WITHIN each input partition, and a handful of fat
+      * output files would cap every downstream map stage's parallelism at
+      * the file count (measured: 6× slowdown on the pair generators) —
+      * exactly the small-files-in-reverse lesson a 100 TB layout encodes
+      * as "write enough splits for the readers you expect". */
     def replicate(df: DataFrame, rep: Int): DataFrame =
       df.crossJoin(spark.range(rep).toDF("rep"))
+    def writeReplicated(df: DataFrame, path: String): Unit =
+      df.repartition(64).write.mode("overwrite").parquet(path)
 
     def buildDocs(varied: Boolean): Unit = {
       val d = replicate(Tables(spark, src, "documents"), k)
@@ -65,27 +73,31 @@ object ScaleProbe {
             regexp_replace(col("text"), lit("([^ ]+)"), concat(lit("$1x"), col("rep"))))
           .withColumn("n_chars", length(col("text")).cast("long"))
           .drop("rep")
-      out.write.mode("overwrite").parquet(s"$dst/documents.parquet")
+      writeReplicated(out, s"$dst/documents.parquet")
     }
     def buildEmbeddings(): Unit =
-      replicate(Tables(spark, src, "embeddings"), k)
-        .withColumn("vec_id", col("vec_id") + col("rep") * 1000000L).drop("rep")
-        .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+      writeReplicated(
+        replicate(Tables(spark, src, "embeddings"), k)
+          .withColumn("vec_id", col("vec_id") + col("rep") * 1000000L).drop("rep"),
+        s"$dst/embeddings.parquet")
     def buildEvents(): Unit =
-      replicate(Tables(spark, src, "events"), k)
-        .withColumn("user_id", col("user_id") + col("rep") * 10000L)
-        .withColumn("event_id", col("event_id") + col("rep") * 10000000L).drop("rep")
-        .write.mode("overwrite").parquet(s"$dst/events.parquet")
+      writeReplicated(
+        replicate(Tables(spark, src, "events"), k)
+          .withColumn("user_id", col("user_id") + col("rep") * 10000L)
+          .withColumn("event_id", col("event_id") + col("rep") * 10000000L).drop("rep"),
+        s"$dst/events.parquet")
     def buildTpch(): Unit = {
       // lineitem/orders replicate with shifted orderkeys against the SAME
       // part/customer dims: per-dim groups grow k× — the correlated-agg
       // and outer-join-distribution scaling shape
-      replicate(Tables(spark, src, "lineitem"), k)
-        .withColumn("l_orderkey", col("l_orderkey") + col("rep") * 100000000L).drop("rep")
-        .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
-      replicate(Tables(spark, src, "orders"), k)
-        .withColumn("o_orderkey", col("o_orderkey") + col("rep") * 100000000L).drop("rep")
-        .write.mode("overwrite").parquet(s"$dst/orders.parquet")
+      writeReplicated(
+        replicate(Tables(spark, src, "lineitem"), k)
+          .withColumn("l_orderkey", col("l_orderkey") + col("rep") * 100000000L).drop("rep"),
+        s"$dst/lineitem.parquet")
+      writeReplicated(
+        replicate(Tables(spark, src, "orders"), k)
+          .withColumn("o_orderkey", col("o_orderkey") + col("rep") * 100000000L).drop("rep"),
+        s"$dst/orders.parquet")
       Tables(spark, src, "part").write.mode("overwrite").parquet(s"$dst/part.parquet")
       Tables(spark, src, "customer").write.mode("overwrite").parquet(s"$dst/customer.parquet")
     }

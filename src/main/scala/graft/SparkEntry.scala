@@ -102,6 +102,7 @@ object SparkEntry {
       graft.operators.Dedup.queries ++
       graft.operators.Similarity.queries ++
       graft.operators.Sampling.queries ++
+      graft.operators.Curation.queries ++
       graft.multimodal.Multimodal.queries
 
   def oracleSql: Map[String, String] =
@@ -113,5 +114,6 @@ object SparkEntry {
       graft.operators.Dedup.oracles ++
       graft.operators.Similarity.oracles ++
       graft.operators.Sampling.oracles ++
+      graft.operators.Curation.oracles ++
       graft.multimodal.Multimodal.oracles
 }

@@ -518,10 +518,15 @@ object TextAnalysis {
     * [[OracleSafe.avgRound4]]. Map-only — one projection pass, no shuffle,
     * no UDF: `regexp_extract_all` + array higher-order functions, all
     * RE2-portable per the [[WsClass]] discipline. */
-  def gopherGates(s: SparkSession, dir: String): DataFrame = {
+  def gopherGates(s: SparkSession, dir: String): DataFrame =
+    gopherGatesOn(s, docs(s, dir))
+
+  /** [[gopherGates]] over any `(doc_id, text)` DataFrame — the composable
+    * form ([[Curation]] feeds it the dedup-collapsed corpus). */
+  def gopherGatesOn(s: SparkSession, documents: DataFrame): DataFrame = {
     val words = regexp_extract_all(col("text"), lit(NonWsClass + "+"), lit(0))
     val lines = split(col("text"), "\n")
-    val d = docs(s, dir).select(
+    val d = documents.select(
       col("doc_id"),
       size(words).cast("long").as("n_words"),
       aggregate(words, lit(0L), (acc, w) => acc + length(w)).as("word_chars"),
