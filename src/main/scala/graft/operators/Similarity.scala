@@ -302,7 +302,64 @@ object Similarity {
       |FROM scored
       |QUALIFY rank <= $DefaultK""".stripMargin
 
+  /** Product-quantization encoding (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011) — the storage half of the
+    * IVF-PQ index family: the 64-dim vector splits into `m` = 8
+    * subvectors of 8 dims; each subvector is replaced by the id of its
+    * nearest codeword in that subspace's `k` = 16-entry codebook
+    * (64 floats → 8 nibbles, a 64× compression).
+    *
+    * Codebooks here are DETERMINISTIC literals (the [[VectorOps.hyperplanes]]
+    * generator — a production pipeline would train them with the same
+    * per-subspace k-means as [[learnCentroids]], which is the already-
+    * measured learned-quantizer path); literal codebooks make the encode
+    * step fully oracle-able: squared-distance terms accumulate
+    * left-to-right in double exactly like DuckDB's `list_sum`, the argmin
+    * tie-breaks on code id in both engines (struct-min vs ORDER BY dist,
+    * code), and the residual exports e4-floored. Map-only, one projection,
+    * no shuffle — at 100 TB PQ encode is a pure scan like [[quantizeInt8]]. */
+  def pqEncode(s: SparkSession, dir: String,
+               m: Int = 8, subDim: Int = 8, k: Int = 16): DataFrame = {
+    val books = VectorOps.hyperplanes(m * k, subDim, seed = 11L)
+    val mins = array((0 until m).map { j =>
+      val cands = array((0 until k).map { c =>
+        val cb = books(j * k + c)
+        val dist = (0 until subDim).map { i =>
+          val d = element_at(col("embedding"), j * subDim + i + 1).cast("double") - lit(cb(i))
+          d * d
+        }.reduce(_ + _)
+        struct(dist.as("dist"), lit(c.toLong).as("code"))
+      }: _*)
+      array_min(cands)
+    }: _*)
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(mins))
+      .select(col("vec_id"), col("pos").cast("long").as("sub_idx"),
+              col("col.code").as("code"),
+              floor(col("col.dist") * lit(10000.0) + lit(0.5)).cast("long").as("dist_e4"))
+  }
+
+  def pqEncodeSql(m: Int = 8, subDim: Int = 8, k: Int = 16): String = {
+    val books = VectorOps.hyperplanes(m * k, subDim, seed = 11L)
+    val cbValues = (for { j <- 0 until m; c <- 0 until k } yield
+      s"($j, $c, ${VectorSql.planeSql(books(j * k + c))})").mkString(",\n  ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cb(sub_idx, code, c) AS (VALUES
+      |  $cbValues),
+      |d AS (
+      |  SELECT e.vec_id, cb.sub_idx, cb.code,
+      |    list_sum(list_transform(range(1, ${subDim + 1}),
+      |      i -> (e.v[CAST(cb.sub_idx * $subDim + i AS INT)] - cb.c[CAST(i AS INT)])
+      |         * (e.v[CAST(cb.sub_idx * $subDim + i AS INT)] - cb.c[CAST(i AS INT)]))) AS dist
+      |  FROM e, cb)
+      |SELECT vec_id, CAST(sub_idx AS BIGINT) AS sub_idx, CAST(code AS BIGINT) AS code,
+      |  CAST(floor(dist * 10000 + 0.5) AS BIGINT) AS dist_e4
+      |FROM d
+      |QUALIFY row_number() OVER (PARTITION BY vec_id, sub_idx ORDER BY dist, code) = 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_emb_pq_encode" -> ((s: SparkSession, d: String) => pqEncode(s, d)),
     "q_sim_topk_brute" -> ((s: SparkSession, d: String) => bruteForceTopK(s, d)),
     "q_sim_ann_lsh" -> ((s: SparkSession, d: String) => annLsh(s, d)),
     "q_sim_ann_ivf" -> ((s: SparkSession, d: String) => annIvf(s, d)),
@@ -310,6 +367,7 @@ object Similarity {
     "q_emb_jl_project" -> ((s: SparkSession, d: String) => jlProject(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "q_emb_pq_encode" -> pqEncodeSql(),
     "q_sim_topk_brute" -> bruteForceTopKSql,
     "q_sim_ann_lsh" -> annLshSql(),
     "q_emb_quantize_int8" -> quantizeInt8Sql,

@@ -108,6 +108,32 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(mean >= 0.3, s"mean IVF recall $mean too low (probing 2/8 partitions)")
   }
 
+  test("PQ encode matches a local argmin recomputation exactly") {
+    import graft.functions.VectorOps
+    val (m, subDim, k) = (8, 8, 16)
+    val books = VectorOps.hyperplanes(m * k, subDim, seed = 11L)
+    val vecs = Tables(spark, sf, "embeddings").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val got = Similarity.pqEncode(spark, sf).collect()
+    assert(got.length == vecs.size * m)
+    got.foreach { r =>
+      val (id, j) = (r.getLong(0), r.getAs[Long]("sub_idx").toInt)
+      val x = vecs(id)
+      // identical fold order to the Column expression: ((t0+t1)+t2)+...
+      def dist(c: Int): Double = {
+        val cb = books(j * k + c)
+        (0 until subDim).map { i =>
+          val d = x(j * subDim + i).toDouble - cb(i)
+          d * d
+        }.reduce(_ + _)
+      }
+      val (bestD, bestC) = (0 until k).map(c => (dist(c), c)).min
+      assert(r.getAs[Long]("code") == bestC.toLong, s"vec $id sub $j code")
+      assert(r.getAs[Long]("dist_e4") == math.floor(bestD * 10000.0 + 0.5).toLong,
+        s"vec $id sub $j residual")
+    }
+  }
+
   test("IVF recall/cost curve: recall tracks the probed fraction and grows with nProbe") {
     val brute = Similarity.bruteForceTopK(spark, sf).collect()
       .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
