@@ -358,7 +358,85 @@ object Similarity {
       |QUALIFY row_number() OVER (PARTITION BY vec_id, sub_idx ORDER BY dist, code) = 1""".stripMargin
   }
 
+  /** PQ asymmetric-distance (ADC) top-k search over the COMPRESSED codes —
+    * the operator PQ encoding exists for: per query, a 128-entry lookup
+    * table (query-subvector → squared distance to each codeword) is
+    * computed once; each corpus vector's approximate L2² distance is then
+    * the sum of 8 table lookups over its codes — the 64-float vectors
+    * never re-enter the scan (Jégou 2011 §IV).
+    *
+    * ORACLE-SAFE by integer quantization at the right boundary: each
+    * per-subspace LUT distance is e4-floored to an integer FIRST, so the
+    * per-candidate sum is an exact integer aggregation (a double sum over
+    * a groupBy would be partial-aggregation-order-dependent and could
+    * never hash-match). Ranking orders by the integer distance with a
+    * vec_id tie-break in both engines.
+    *
+    * 100 TB shape: codes ⋈ broadcast(LUT) keyed (sub_idx, code), then one
+    * integer groupBy-sum per (query, candidate) — linear in codes ×
+    * queries, and the codes table is ~64× smaller than the vectors it
+    * replaces; the declarative analogue of the SIMD LUT scan. */
+  def pqAdcTopK(s: SparkSession, dir: String, kNN: Int = DefaultK,
+                m: Int = 8, subDim: Int = 8, k: Int = 16): DataFrame = {
+    val books = VectorOps.hyperplanes(m * k, subDim, seed = 11L)
+    val codes = pqEncode(s, dir, m, subDim, k).select("vec_id", "sub_idx", "code")
+    val lutEntries = array((for { j <- 0 until m; c <- 0 until k } yield {
+      val cb = books(j * k + c)
+      val dist = (0 until subDim).map { i =>
+        val d = element_at(col("embedding"), j * subDim + i + 1).cast("double") - lit(cb(i))
+        d * d
+      }.reduce(_ + _)
+      struct(lit(j.toLong).as("sub_idx"), lit(c.toLong).as("code"),
+             floor(dist * lit(10000.0) + lit(0.5)).cast("long").as("d_e4"))
+    }): _*)
+    val lut = Tables(s, dir, "embeddings")
+      .filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("query_id"), explode(lutEntries).as("e"))
+      .select(col("query_id"), col("e.sub_idx"), col("e.code"), col("e.d_e4"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc_e4"), col("vec_id"))
+    codes.join(broadcast(lut), Seq("sub_idx", "code"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d_e4")).as("adc_e4"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kNN)
+      .select(col("query_id"), col("vec_id"), col("adc_e4"),
+              col("rank").cast("long").as("rank"))
+  }
+
+  def pqAdcTopKSql(kNN: Int = DefaultK, m: Int = 8, subDim: Int = 8, k: Int = 16): String = {
+    val books = VectorOps.hyperplanes(m * k, subDim, seed = 11L)
+    val cbValues = (for { j <- 0 until m; c <- 0 until k } yield
+      s"($j, $c, ${VectorSql.planeSql(books(j * k + c))})").mkString(",\n  ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cb(sub_idx, code, c) AS (VALUES
+      |  $cbValues),
+      |d AS (
+      |  SELECT e.vec_id, cb.sub_idx, cb.code,
+      |    list_sum(list_transform(range(1, ${subDim + 1}),
+      |      i -> (e.v[CAST(cb.sub_idx * $subDim + i AS INT)] - cb.c[CAST(i AS INT)])
+      |         * (e.v[CAST(cb.sub_idx * $subDim + i AS INT)] - cb.c[CAST(i AS INT)]))) AS dist
+      |  FROM e, cb),
+      |codes AS (
+      |  SELECT vec_id, sub_idx, code FROM d
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub_idx ORDER BY dist, code) = 1),
+      |lut AS (
+      |  SELECT d.vec_id AS query_id, d.sub_idx, d.code,
+      |    CAST(floor(d.dist * 10000 + 0.5) AS BIGINT) AS d_e4
+      |  FROM d WHERE d.vec_id < $QueryCount),
+      |adc AS (
+      |  SELECT l.query_id, c.vec_id, CAST(sum(l.d_e4) AS BIGINT) AS adc_e4
+      |  FROM codes c JOIN lut l ON c.sub_idx = l.sub_idx AND c.code = l.code
+      |  WHERE l.query_id <> c.vec_id
+      |  GROUP BY 1, 2)
+      |SELECT query_id, vec_id, adc_e4,
+      |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_e4, vec_id) AS BIGINT) AS rank
+      |FROM adc
+      |QUALIFY rank <= $kNN""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_emb_pq_adc" -> ((s: SparkSession, d: String) => pqAdcTopK(s, d)),
     "q_emb_pq_encode" -> ((s: SparkSession, d: String) => pqEncode(s, d)),
     "q_sim_topk_brute" -> ((s: SparkSession, d: String) => bruteForceTopK(s, d)),
     "q_sim_ann_lsh" -> ((s: SparkSession, d: String) => annLsh(s, d)),
@@ -367,6 +445,7 @@ object Similarity {
     "q_emb_jl_project" -> ((s: SparkSession, d: String) => jlProject(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "q_emb_pq_adc" -> pqAdcTopKSql(),
     "q_emb_pq_encode" -> pqEncodeSql(),
     "q_sim_topk_brute" -> bruteForceTopKSql,
     "q_sim_ann_lsh" -> annLshSql(),

@@ -134,6 +134,38 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("PQ ADC top-k equals a local lookup-table recomputation") {
+    import graft.functions.VectorOps
+    val (m, subDim, k) = (8, 8, 16)
+    val books = VectorOps.hyperplanes(m * k, subDim, seed = 11L)
+    val vecs = Tables(spark, sf, "embeddings").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dist(x: Array[Float], j: Int, c: Int): Double = {
+      val cb = books(j * k + c)
+      (0 until subDim).map { i =>
+        val d = x(j * subDim + i).toDouble - cb(i)
+        d * d
+      }.reduce(_ + _)
+    }
+    def e4(d: Double): Long = math.floor(d * 10000.0 + 0.5).toLong
+    val codes = vecs.view.mapValues(x =>
+      (0 until m).map(j => (0 until k).map(c => (dist(x, j, c), c)).min._2)).toMap
+    val expected = vecs.keys.filter(_ < Similarity.QueryCount).flatMap { q =>
+      val adc = vecs.keys.filter(_ != q).map { v =>
+        v -> (0 until m).map(j => e4(dist(vecs(q), j, codes(v)(j)))).sum
+      }.toSeq.sortBy { case (v, d) => (d, v) }.take(Similarity.DefaultK)
+      adc.zipWithIndex.map { case ((v, d), i) => (q, v) -> (d, i + 1L) }
+    }.toMap
+    val got = Similarity.pqAdcTopK(spark, sf).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(expected.contains(key), s"unexpected pair $key")
+      assert(r.getAs[Long]("adc_e4") == expected(key)._1, s"$key adc")
+      assert(r.getAs[Long]("rank") == expected(key)._2, s"$key rank")
+    }
+  }
+
   test("IVF recall/cost curve: recall tracks the probed fraction and grows with nProbe") {
     val brute = Similarity.bruteForceTopK(spark, sf).collect()
       .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
