@@ -142,6 +142,23 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("PQ ADC scan joins the broadcast LUT and sums integers, no vector re-read") {
+    val p = plan("q_emb_pq_adc")
+    // the per-query lookup table broadcasts; the candidate scoring is one
+    // integer partial+final aggregation over the codes join
+    assert(p.contains("BroadcastHashJoin"), p.take(900))
+    assert(p.contains("partial_sum"), p.take(900))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("curation pipeline stays one plan with no pair explosion or global window") {
+    val p = plan("q_pipeline_curation")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the budget window is PARTITIONED by source (a Window over an empty
+    // partition spec would be the global-straggler anti-pattern)
+    assert(p.contains("windowspecdefinition(source"), p.take(1200))
+  }
+
   test("contamination final plan joins tiny checkpointed aggregates, no pair explosion") {
     // the per-doc hits/sizes aggregates are materialized via localCheckpoint
     // (so the big postings cache can be released) — the final plan reads
