@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -318,17 +318,29 @@ object Similarity {
     * tie-breaks on code id in both engines (struct-min vs ORDER BY dist,
     * code), and the residual exports e4-floored. Map-only, one projection,
     * no shuffle — at 100 TB PQ encode is a pure scan like [[quantizeInt8]]. */
+  /** The squared distance `‖x_j − c‖²` is computed as
+    * `(xx_j − 2·x_j·c) + ‖c‖²` with each dot a native [[VectorOps.dot]]
+    * loop and `‖c‖²` a precomputed literal — NOT as an unrolled
+    * per-dimension `(x−c)²` fold: the unrolled form is ~24 Catalyst nodes
+    * per (subspace, codeword) (~3k per row), which blows the plan past
+    * whole-stage codegen's limits and cost 6.8 s for 2 000 vectors
+    * (compile + interpreted fallback). The dot form is 3 loops + 3
+    * scalar ops per candidate: 0.4 s on the same input. The oracle, the
+    * spec, and the ADC LUT mirror the identical association
+    * `(xx − 2·dot) + cc`, so the reformulation keeps bit parity. */
+  private def pqDist(subVec: Column, xx: Column, cb: Seq[Double]): Column =
+    xx - lit(2.0) * VectorOps.dot(subVec, array(cb.map(lit): _*)) +
+      lit(cb.map(c => c * c).reduce(_ + _))
+
   def pqEncode(s: SparkSession, dir: String,
                m: Int = 8, subDim: Int = 8, k: Int = 16): DataFrame = {
     val books = VectorOps.hyperplanes(m * k, subDim, seed = 11L)
     val mins = array((0 until m).map { j =>
+      val sub = slice(col("embedding"), j * subDim + 1, subDim)
+      val xx = VectorOps.dot(sub, sub)
       val cands = array((0 until k).map { c =>
-        val cb = books(j * k + c)
-        val dist = (0 until subDim).map { i =>
-          val d = element_at(col("embedding"), j * subDim + i + 1).cast("double") - lit(cb(i))
-          d * d
-        }.reduce(_ + _)
-        struct(dist.as("dist"), lit(c.toLong).as("code"))
+        struct(pqDist(sub, xx, books(j * k + c)).as("dist"),
+               lit(c.toLong).as("code"))
       }: _*)
       array_min(cands)
     }: _*)
@@ -339,24 +351,34 @@ object Similarity {
               floor(col("col.dist") * lit(10000.0) + lit(0.5)).cast("long").as("dist_e4"))
   }
 
-  def pqEncodeSql(m: Int = 8, subDim: Int = 8, k: Int = 16): String = {
+  /** The shared `cb` VALUES table and `d` distance CTE of both PQ oracles —
+    * mirrors [[pqDist]]'s `(xx − 2·dot) + cc` association exactly. */
+  private def pqDistCtes(m: Int, subDim: Int, k: Int): String = {
     val books = VectorOps.hyperplanes(m * k, subDim, seed = 11L)
-    val cbValues = (for { j <- 0 until m; c <- 0 until k } yield
-      s"($j, $c, ${VectorSql.planeSql(books(j * k + c))})").mkString(",\n  ")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |cb(sub_idx, code, c) AS (VALUES
+    val cbValues = (for { j <- 0 until m; c <- 0 until k } yield {
+      val cb = books(j * k + c)
+      s"($j, $c, ${VectorSql.planeSql(cb)}, ${cb.map(x => x * x).reduce(_ + _)})"
+    }).mkString(",\n  ")
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cb(sub_idx, code, c, cc) AS (VALUES
       |  $cbValues),
       |d AS (
       |  SELECT e.vec_id, cb.sub_idx, cb.code,
       |    list_sum(list_transform(range(1, ${subDim + 1}),
-      |      i -> (e.v[CAST(cb.sub_idx * $subDim + i AS INT)] - cb.c[CAST(i AS INT)])
-      |         * (e.v[CAST(cb.sub_idx * $subDim + i AS INT)] - cb.c[CAST(i AS INT)]))) AS dist
-      |  FROM e, cb)
+      |      i -> e.v[CAST(cb.sub_idx * $subDim + i AS INT)]
+      |         * e.v[CAST(cb.sub_idx * $subDim + i AS INT)]))
+      |    - 2.0 * list_sum(list_transform(range(1, ${subDim + 1}),
+      |      i -> e.v[CAST(cb.sub_idx * $subDim + i AS INT)] * cb.c[CAST(i AS INT)]))
+      |    + cb.cc AS dist
+      |  FROM e, cb)""".stripMargin
+  }
+
+  def pqEncodeSql(m: Int = 8, subDim: Int = 8, k: Int = 16): String =
+    s"""WITH ${pqDistCtes(m, subDim, k)}
       |SELECT vec_id, CAST(sub_idx AS BIGINT) AS sub_idx, CAST(code AS BIGINT) AS code,
       |  CAST(floor(dist * 10000 + 0.5) AS BIGINT) AS dist_e4
       |FROM d
       |QUALIFY row_number() OVER (PARTITION BY vec_id, sub_idx ORDER BY dist, code) = 1""".stripMargin
-  }
 
   /** PQ asymmetric-distance (ADC) top-k search over the COMPRESSED codes —
     * the operator PQ encoding exists for: per query, a 128-entry lookup
@@ -381,13 +403,11 @@ object Similarity {
     val books = VectorOps.hyperplanes(m * k, subDim, seed = 11L)
     val codes = pqEncode(s, dir, m, subDim, k).select("vec_id", "sub_idx", "code")
     val lutEntries = array((for { j <- 0 until m; c <- 0 until k } yield {
-      val cb = books(j * k + c)
-      val dist = (0 until subDim).map { i =>
-        val d = element_at(col("embedding"), j * subDim + i + 1).cast("double") - lit(cb(i))
-        d * d
-      }.reduce(_ + _)
+      val sub = slice(col("embedding"), j * subDim + 1, subDim)
+      val xx = VectorOps.dot(sub, sub)
       struct(lit(j.toLong).as("sub_idx"), lit(c.toLong).as("code"),
-             floor(dist * lit(10000.0) + lit(0.5)).cast("long").as("d_e4"))
+             floor(pqDist(sub, xx, books(j * k + c)) * lit(10000.0) + lit(0.5))
+               .cast("long").as("d_e4"))
     }): _*)
     val lut = Tables(s, dir, "embeddings")
       .filter(col("vec_id") < QueryCount)
@@ -404,19 +424,8 @@ object Similarity {
               col("rank").cast("long").as("rank"))
   }
 
-  def pqAdcTopKSql(kNN: Int = DefaultK, m: Int = 8, subDim: Int = 8, k: Int = 16): String = {
-    val books = VectorOps.hyperplanes(m * k, subDim, seed = 11L)
-    val cbValues = (for { j <- 0 until m; c <- 0 until k } yield
-      s"($j, $c, ${VectorSql.planeSql(books(j * k + c))})").mkString(",\n  ")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |cb(sub_idx, code, c) AS (VALUES
-      |  $cbValues),
-      |d AS (
-      |  SELECT e.vec_id, cb.sub_idx, cb.code,
-      |    list_sum(list_transform(range(1, ${subDim + 1}),
-      |      i -> (e.v[CAST(cb.sub_idx * $subDim + i AS INT)] - cb.c[CAST(i AS INT)])
-      |         * (e.v[CAST(cb.sub_idx * $subDim + i AS INT)] - cb.c[CAST(i AS INT)]))) AS dist
-      |  FROM e, cb),
+  def pqAdcTopKSql(kNN: Int = DefaultK, m: Int = 8, subDim: Int = 8, k: Int = 16): String =
+    s"""WITH ${pqDistCtes(m, subDim, k)},
       |codes AS (
       |  SELECT vec_id, sub_idx, code FROM d
       |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub_idx ORDER BY dist, code) = 1),
@@ -433,7 +442,6 @@ object Similarity {
       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_e4, vec_id) AS BIGINT) AS rank
       |FROM adc
       |QUALIFY rank <= $kNN""".stripMargin
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_emb_pq_adc" -> ((s: SparkSession, d: String) => pqAdcTopK(s, d)),

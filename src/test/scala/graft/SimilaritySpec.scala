@@ -119,13 +119,15 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     got.foreach { r =>
       val (id, j) = (r.getLong(0), r.getAs[Long]("sub_idx").toInt)
       val x = vecs(id)
-      // identical fold order to the Column expression: ((t0+t1)+t2)+...
+      // identical association to the pqDist expression: (xx − 2·dot) + cc,
+      // each dot a left-to-right fold like the native DotProduct loop
       def dist(c: Int): Double = {
         val cb = books(j * k + c)
-        (0 until subDim).map { i =>
-          val d = x(j * subDim + i).toDouble - cb(i)
-          d * d
-        }.reduce(_ + _)
+        def fold(f: Int => Double): Double = (0 until subDim).map(f).reduce(_ + _)
+        val xx = fold(i => x(j * subDim + i).toDouble * x(j * subDim + i).toDouble)
+        val dot = fold(i => x(j * subDim + i).toDouble * cb(i))
+        val cc = cb.map(v => v * v).reduce(_ + _)
+        xx - 2.0 * dot + cc
       }
       val (bestD, bestC) = (0 until k).map(c => (dist(c), c)).min
       assert(r.getAs[Long]("code") == bestC.toLong, s"vec $id sub $j code")
@@ -142,10 +144,11 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
     def dist(x: Array[Float], j: Int, c: Int): Double = {
       val cb = books(j * k + c)
-      (0 until subDim).map { i =>
-        val d = x(j * subDim + i).toDouble - cb(i)
-        d * d
-      }.reduce(_ + _)
+      def fold(f: Int => Double): Double = (0 until subDim).map(f).reduce(_ + _)
+      val xx = fold(i => x(j * subDim + i).toDouble * x(j * subDim + i).toDouble)
+      val dot = fold(i => x(j * subDim + i).toDouble * cb(i))
+      val cc = cb.map(v => v * v).reduce(_ + _)
+      xx - 2.0 * dot + cc
     }
     def e4(d: Double): Long = math.floor(d * 10000.0 + 0.5).toLong
     val codes = vecs.view.mapValues(x =>
