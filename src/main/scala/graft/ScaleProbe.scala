@@ -123,7 +123,8 @@ object ScaleProbe {
                       "q_sim_ann_lsh", "q_emb_jl_project",
                       "q_text_dup_ngrams", "q_sample_token_budget", "q_rel_cust_dist",
                       "q_tmp_funnel", "q_tmp_retention", "q_tmp_event_paths",
-                      "q_text_gopher_gates", "q_sample_temperature_mix"))
+                      "q_text_gopher_gates", "q_sample_temperature_mix",
+                      "q_pipeline_curation", "q_emb_pq_encode", "q_emb_pq_adc"))
           runQuery(q, dst)
 
       case "compose" =>
