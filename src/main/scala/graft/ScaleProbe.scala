@@ -142,6 +142,10 @@ object ScaleProbe {
               .write.format("noop").mode("overwrite").save() },
           "embedding" -> time("base_sf0.1_embedding") {
             graft.operators.Dedup.embeddingNearDupPairs(spark, src)
+              .write.format("noop").mode("overwrite").save() },
+          "clusters" -> time("base_sf0.1_clusters") {
+            graft.operators.Dedup.clusterPairs(
+              graft.operators.Dedup.ngramJaccardPairs(spark, src))
               .write.format("noop").mode("overwrite").save() })
         spark.catalog.clearCache(); Checkpoints.releaseAll()
         // stage 1: exact dedup + collapse, materialized like a production
@@ -171,6 +175,13 @@ object ScaleProbe {
               .write.format("noop").mode("overwrite").save() },
           "embedding" -> time("compose_embedding") {
             graft.operators.Dedup.embeddingNearDupPairs(spark, cdir)
+              .write.format("noop").mode("overwrite").save() },
+          // the full dedup composition: pairs on the collapsed corpus feed
+          // connected components — input-bound on the (now small) pair
+          // stream, completing the exactDedup → pairs → clusters story
+          "clusters" -> time("compose_clusters") {
+            graft.operators.Dedup.clusterPairs(
+              graft.operators.Dedup.ngramJaccardPairs(spark, cdir))
               .write.format("noop").mode("overwrite").save() })
         spark.catalog.clearCache(); Checkpoints.releaseAll()
         composed.foreach { case (name, sec) =>
