@@ -112,9 +112,17 @@ object Similarity {
     * keep their previous centroid. If the sample is thinner than 16×k the
     * full corpus trains instead (tiny-input safety, e.g. sf0.001 specs). */
   def learnCentroids(s: SparkSession, e: DataFrame, k: Int = 8, iters: Int = 4,
-                     dim: Int = 64, samplePct: Int = 10): Seq[Seq[Double]] = {
+                     dim: Int = 64, samplePct: Int = 10,
+                     maxTrainRows: Int = 65536): Seq[Seq[Double]] = {
+    // the percentage sample alone still grows LINEARLY with the corpus
+    // (measured ~8× training cost at 10× rows) — a coarse quantizer needs
+    // a FIXED number of training points (~2^12 per centroid), so a
+    // deterministic hash-order LIMIT caps it: TakeOrderedAndProject
+    // per-partition heaps, no global sort, O(1) training at any corpus size
     val sampled = e.select(col("vec_id"), col("embedding"))
       .filter(Sampling.hashPct(col("vec_id"), samplePct))
+      .orderBy(xxhash64(col("vec_id"), lit(7)), col("vec_id"))
+      .limit(maxTrainRows)
       .cache()
     val train = if (sampled.count() >= 16L * k) sampled
                 else e.select(col("vec_id"), col("embedding"))
