@@ -192,7 +192,8 @@ object ScaleProbe {
         time("build")(buildDocs(varied = true))
         println(s"SCALE${k}X[flagship] docs=${spark.read.parquet(s"$dst/documents.parquet").count()}")
         for (q <- Seq("q_dedup_minhash_lsh", "q_dedup_spans",
-                      "q_sample_token_budget", "q_text_tfidf"))
+                      "q_sample_token_budget", "q_text_tfidf",
+                      "q_text_gopher_gates", "q_pipeline_curation"))
           runQuery(q, dst)
         // clusters on the PRODUCTION pair path (LSH candidates), not the
         // exact-Jaccard stream the oracle tier uses
