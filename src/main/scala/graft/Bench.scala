@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import scala.util.control.NonFatal
 
 /** Per-round benchmark: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line
@@ -10,16 +11,44 @@ import org.apache.spark.sql.SparkSession
   * Catalyst prune every computed column out of map-only queries, which
   * would benchmark the parquet scan instead of the operator.
   *
-  * Each query runs SPARK_GRAFT_BENCH_RUNS times (default 3) and reports
+  * Each query runs SPARK_GRAFT_BENCH_RUNS times (default 5) and reports
   * the per-query MEDIAN; total = sum of medians. Single runs on this host
-  * swing 58–106 s with identical code, so round-over-round comparisons of
-  * single samples chase noise, not plans.
+  * swing 58–137 s with identical code (round-5 adjudication: the driver
+  * recorded 137 s against a 60 s reproducible median purely from host
+  * contention), so the artifact must be self-diagnosing: alongside the
+  * medians it carries the RAW per-run samples for every query plus
+  * /proc/loadavg and MemAvailable snapshots taken before and after the
+  * sweep. A contended run then shows up as high load / divergent samples
+  * in the artifact itself, and cross-round comparisons can be made
+  * min-of-medians instead of trusting one possibly-inflated anchor.
   */
 object Bench {
+  /** One-line host telemetry: loadavg (1/5/15 min) + MemAvailable (GiB).
+    * Linux-procfs only; absent files degrade to nulls rather than failing
+    * the bench. */
+  private def hostSnapshot(): String = {
+    def readFirstLine(p: String): Option[String] =
+      try Some(java.nio.file.Files.readAllLines(java.nio.file.Paths.get(p)).get(0))
+      catch { case NonFatal(_) => None }
+    val load = readFirstLine("/proc/loadavg")
+      .map(_.split("\\s+").take(3).mkString("[", ",", "]"))
+      .getOrElse("null")
+    val memGib = try {
+      val meminfo = java.nio.file.Files.readAllLines(java.nio.file.Paths.get("/proc/meminfo"))
+      import scala.jdk.CollectionConverters._
+      meminfo.asScala.collectFirst {
+        case l if l.startsWith("MemAvailable:") =>
+          val kb = l.split("\\s+")(1).toLong
+          String.format(java.util.Locale.ROOT, "%.1f", Double.box(kb / 1048576.0))
+      }.getOrElse("null")
+    } catch { case NonFatal(_) => "null" }
+    s"""{"loadavg":$load,"mem_available_gib":$memGib}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -28,6 +57,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val telemetryBefore = hostSnapshot()
     // untimed warmup: JVM/codegen/session init and parquet footer reads
     // should not be billed to whichever query sorts first
     Tables.all.foreach(t => Tables(spark, sfDir, t).write.format("noop").mode("overwrite").save())
@@ -40,7 +70,7 @@ object Bench {
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
+          catch { case NonFatal(e) =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             false
           }
@@ -58,14 +88,19 @@ object Bench {
       // elapsed would otherwise drag the median down and hide the breakage;
       // a query with no successful run reports null in the JSON instead
       val good = samples.flatten
-      name -> (if (good.isEmpty) None else Some(median(good)))
+      (name, if (good.isEmpty) None else Some(median(good)), good)
     }
+    val telemetryAfter = hostSnapshot()
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
     def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => s""""$k":${v.map(f3).getOrElse("null")}""" }
+    val qs = results.map { case (k, v, _) => s""""$k":${v.map(f3).getOrElse("null")}""" }
       .mkString("{", ",", "}")
+    val raw = results.map { case (k, _, good) =>
+      s""""$k":${good.map(f3).mkString("[", ",", "]")}"""
+    }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+      s""","runs":$runs,"samples":$raw,"host_before":$telemetryBefore,"host_after":$telemetryAfter}"""
     println(line)
     // the driver's log capture truncates long stdout lines, dropping the
     // head of the per-query map from the recorded artifact — persist the
@@ -73,7 +108,7 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable => System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
+    catch { case NonFatal(e) => System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
     spark.stop()
   }
 }

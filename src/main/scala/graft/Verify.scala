@@ -20,7 +20,12 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only match {
-      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case Some(names) =>
+        // a typo'd name must not silently shrink the run to a green subset
+        val unknown = names.diff(SparkEntry.queries.keySet)
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_VERIFY_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+        SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }
     selected.foreach { case (name, fn) =>

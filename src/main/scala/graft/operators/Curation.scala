@@ -20,68 +20,77 @@ import graft.Tables
   *      rule: deterministic hash order, prefix-until-budget).
   *
   * Everything stays inside one Catalyst plan: the collapse is a keyed
-  * semi-join, the gates are a map-only projection, the budget is a
+  * semi-join, the gates AND the per-doc token count come out of a single
+  * map-only projection ([[TextAnalysis.gopherGatesOn]]'s `carry`
+  * threading — one `split`, one scan of the text), the budget is a
   * partitioned running-sum window — scan-once, no driver round-trips, no
-  * RNG. At 100 TB each stage is exactly the shape its standalone operator
-  * measured in ScaleProbe (§8.5), and composing them REDUCES downstream
-  * cost (the window runs on the gated survivor stream, not the corpus).
+  * RNG. Gate thresholds and the hash ordering are NOT re-derived here:
+  * the Scala side inherits them from [[TextAnalysis.gopherGatesOn]] and
+  * [[Sampling.hashOrder]], and the oracle assembles from
+  * [[TextAnalysis.gopherGateSqlByName]] / [[TextAnalysis.gopherStatsSqlCols]]
+  * / [[Sampling.hashOrderSql]], so a threshold or hash change updates
+  * query and oracle together instead of desynchronizing them. At 100 TB
+  * each stage is exactly the shape its standalone operator measured in
+  * ScaleProbe (§8.5), and composing them REDUCES downstream cost (the
+  * window runs on the gated survivor stream, not the corpus).
   */
 object Curation {
 
   private def docs(s: SparkSession, dir: String) = Tables(s, dir, "documents")
 
+  /** The gates that are live on the synthetic corpus ([[curationGates]]
+    * on the English-bearing fixture adds the remaining three). */
+  val SyntheticGates: Seq[String] =
+    Seq("gate_word_count", "gate_word_len", "gate_symbol", "gate_alpha")
+
   def curatedTokenSample(s: SparkSession, dir: String,
-                         budgetPerSource: Long = 600L): DataFrame = {
+                         budgetPerSource: Long = 600L,
+                         gates: Seq[String] = SyntheticGates): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = docs(s, dir)
     // stage 1: exact-dup collapse (keep the minimum doc_id per text)
     val keep = d.groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-    // stage 2: quality gates on the collapsed corpus
-    val gated = TextAnalysis.gopherGatesOn(s, d.join(keep, "doc_id"))
-      .filter(col("gate_word_count") && col("gate_word_len") &&
-              col("gate_symbol") && col("gate_alpha"))
-      .select("doc_id")
+    // stage 2: quality gates on the collapsed corpus — n_tok is computed
+    // in the SAME projection as the gate stats (carry threading), so the
+    // text is split exactly once
+    val gated = TextAnalysis.gopherGatesOn(s,
+        d.join(keep, "doc_id")
+          .withColumn("n_tok", size(split(col("text"), " ")).cast("long")),
+        carry = Seq("source", "n_tok"))
+      .filter(gates.map(col).reduce(_ && _))
+      .select(col("doc_id"), col("source"), col("n_tok"))
     // stage 3: per-source token budget over the survivors, deterministic
-    // hash order (same rule + hash as Sampling.tokenBudgetSample)
-    val hashOrder = pmod(pmod(col("doc_id"), lit(Sampling.IdMod)) * lit(Sampling.Mix),
-                         lit(Sampling.IdMod))
-    val w = Window.partitionBy(col("source")).orderBy(hashOrder, col("doc_id"))
+    // hash order (the SAME rule + hash object as Sampling.tokenBudgetSample)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(Sampling.hashOrder, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    d.join(gated, "doc_id")
-      .select(col("doc_id"), col("source"),
-              size(split(col("text"), " ")).cast("long").as("n_tok"))
+    gated
       .withColumn("tok_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
       .filter(col("tok_before") < budgetPerSource)
       .select(col("doc_id"), col("source"), col("n_tok"), col("tok_before"))
   }
 
-  def curatedTokenSampleSql(budgetPerSource: Long = 600L): String = {
-    val ws = TextAnalysis.NonWsClass
+  def curatedTokenSampleSql(budgetPerSource: Long = 600L,
+                            gates: Seq[String] = SyntheticGates,
+                            table: String = "documents"): String = {
+    val gateSql = gates.map(TextAnalysis.gopherGateSqlByName)
+      .mkString("\n    AND ")
     s"""WITH keep AS (
-      |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      |  SELECT min(doc_id) AS doc_id FROM $table GROUP BY md5(text)),
       |g AS (
       |  SELECT d.doc_id, d.source,
       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
-      |    CAST(len(regexp_extract_all(d.text, '$ws+')) AS BIGINT) AS n_words,
-      |    CAST(coalesce(list_sum(list_transform(
-      |      regexp_extract_all(d.text, '$ws+'), w -> length(w))), 0) AS BIGINT) AS word_chars,
-      |    CAST(len(regexp_extract_all(d.text, '#'))
-      |       + len(regexp_extract_all(d.text, '\\.\\.\\.')) AS BIGINT) AS n_symbols,
-      |    CAST(len(list_filter(regexp_extract_all(d.text, '$ws+'),
-      |      w -> regexp_matches(w, '\\p{L}'))) AS BIGINT) AS alpha_words
-      |  FROM documents d JOIN keep USING (doc_id)),
+      |    ${TextAnalysis.gopherStatsSqlCols("d.text")}
+      |  FROM $table d JOIN keep USING (doc_id)),
       |surv AS (
       |  SELECT doc_id, source, n_tok FROM g
-      |  WHERE n_words >= 50 AND n_words <= 100000
-      |    AND 3 * n_words <= word_chars AND word_chars <= 10 * n_words
-      |    AND 10 * n_symbols <= n_words
-      |    AND 5 * alpha_words >= 4 * n_words),
+      |  WHERE $gateSql),
       |p AS (
       |  SELECT doc_id, source, n_tok,
       |    CAST(coalesce(sum(n_tok) OVER (
       |      PARTITION BY source
-      |      ORDER BY (doc_id % ${Sampling.IdMod}) * ${Sampling.Mix} % ${Sampling.IdMod}, doc_id
+      |      ORDER BY ${Sampling.hashOrderSql}, doc_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_before
       |  FROM surv)
       |SELECT doc_id, source, n_tok, tok_before FROM p

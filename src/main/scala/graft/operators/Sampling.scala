@@ -61,11 +61,14 @@ object Sampling {
 
   /** Deterministic pseudo-random total order: the hash-mod key with a
     * doc_id tie-break — the engine-portable stand-in for `rand()` ordering
-    * (same overflow-free integer discipline as [[systematicSample]]). */
-  private def hashOrder: Column =
+    * (same overflow-free integer discipline as [[systematicSample]]).
+    * Package-visible as the ONE home of the ordering rule: [[Curation]]
+    * must sample in the same universe, and a private re-derivation there
+    * could silently desynchronize from this one. */
+  private[graft] def hashOrder: Column =
     pmod(pmod(col("doc_id"), lit(IdMod)) * lit(Mix), lit(IdMod))
 
-  private val hashOrderSql = s"(doc_id % $IdMod) * $Mix % $IdMod"
+  private[graft] val hashOrderSql = s"(doc_id % $IdMod) * $Mix % $IdMod"
 
   /** Exact-K uniform sample: "give me exactly K documents, uniformly,
     * reproducibly" — ORDER BY deterministic hash LIMIT K, which Spark

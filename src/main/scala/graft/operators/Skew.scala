@@ -23,6 +23,11 @@ object Skew {
 
   val Salts = 8
 
+  /** Internal salt column — prefixed so it cannot collide with (and
+    * silently replace) a caller's own `salt` column, and dropped from the
+    * output so the join's schema is exactly big ⋈ dim. */
+  private val SaltCol = "__graft_salt"
+
   /** The salting core over arbitrary inputs: `big` gains a deterministic
     * salt derived from `saltSrc` (a per-row column uncorrelated with the
     * join key — an id or hash), `dim` is exploded `salts`× so every
@@ -31,15 +36,18 @@ object Skew {
     * one straggler. `hint("shuffle_hash")` keeps the join a shuffle join
     * (broadcasting the dim would bypass the technique; at real scale the
     * dim that needs salting is one that does NOT fit in memory).
-    * Result rows are identical to the unsalted join — the salt is purely
-    * an execution-layout detail (SkewSpec pins the row parity AND the
-    * task-balance win on a skewed fixture). */
+    * Result rows and schema are identical to the unsalted join — the salt
+    * is purely an execution-layout detail (SkewSpec pins the row parity
+    * AND the task-balance win on a skewed fixture). */
   def saltedJoinOf(big: DataFrame, saltSrc: Column, bigKey: Column,
                    dim: DataFrame, dimKey: Column, salts: Int = Salts): DataFrame = {
-    val b = big.withColumn("salt", pmod(saltSrc, lit(salts)))
-    val d = dim.withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+    require(!big.columns.contains(SaltCol) && !dim.columns.contains(SaltCol),
+      s"inputs must not already carry the internal column $SaltCol")
+    val b = big.withColumn(SaltCol, pmod(saltSrc, lit(salts)))
+    val d = dim.withColumn(SaltCol, explode(sequence(lit(0), lit(salts - 1))))
     b.hint("shuffle_hash")
-      .join(d, bigKey === dimKey && b("salt") === d("salt"))
+      .join(d, bigKey === dimKey && b(SaltCol) === d(SaltCol))
+      .drop(b(SaltCol)).drop(d(SaltCol))
   }
 
   /** Salted equi-join of events (big, potentially hot user_ids) against

@@ -522,11 +522,17 @@ object TextAnalysis {
     gopherGatesOn(s, docs(s, dir))
 
   /** [[gopherGates]] over any `(doc_id, text)` DataFrame — the composable
-    * form ([[Curation]] feeds it the dedup-collapsed corpus). */
-  def gopherGatesOn(s: SparkSession, documents: DataFrame): DataFrame = {
+    * form ([[Curation]] feeds it the dedup-collapsed corpus). `carry`
+    * names extra input columns to thread through the stats projection, so
+    * a composition can compute its own per-doc columns (source, token
+    * count) in the SAME scan as the gates instead of re-joining and
+    * re-splitting the text afterwards. */
+  def gopherGatesOn(s: SparkSession, documents: DataFrame,
+                    carry: Seq[String] = Nil): DataFrame = {
     val words = regexp_extract_all(col("text"), lit(NonWsClass + "+"), lit(0))
     val lines = split(col("text"), "\n")
-    val d = documents.select(
+    val carried = carry.map(col)
+    val d = documents.select(Seq(
       col("doc_id"),
       size(words).cast("long").as("n_words"),
       aggregate(words, lit(0L), (acc, w) => acc + length(w)).as("word_chars"),
@@ -538,8 +544,8 @@ object TextAnalysis {
       size(filter(lines, l => l.rlike("""(\.\.\.|…)$"""))).cast("long").as("ellipsis_lines"),
       size(filter(words, w => w.rlike("""\p{L}"""))).cast("long").as("alpha_words"),
       size(array_intersect(words,
-        array(GopherStopwords.map(lit): _*))).cast("long").as("stop_hits"))
-    d.select(
+        array(GopherStopwords.map(lit): _*))).cast("long").as("stop_hits")) ++ carried: _*)
+    d.select(Seq(
       col("doc_id"), col("n_words"), col("word_chars"), col("n_symbols"),
       col("n_lines"), col("bullet_lines"), col("ellipsis_lines"),
       col("alpha_words"), col("stop_hits"),
@@ -555,7 +561,7 @@ object TextAnalysis {
       (lit(10L) * col("bullet_lines") <= lit(9L) * col("n_lines")).as("gate_bullet"),
       (lit(10L) * col("ellipsis_lines") <= lit(3L) * col("n_lines")).as("gate_ellipsis"),
       (lit(5L) * col("alpha_words") >= lit(4L) * col("n_words")).as("gate_alpha"),
-      (col("stop_hits") >= 2).as("gate_stop"))
+      (col("stop_hits") >= 2).as("gate_stop")) ++ carried: _*)
       .withColumn("passes_all",
         col("gate_word_count") && col("gate_word_len") && col("gate_symbol") &&
           col("gate_bullet") && col("gate_ellipsis") && col("gate_alpha") && col("gate_stop"))
@@ -565,24 +571,54 @@ object TextAnalysis {
   val GopherStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
-  val gopherGatesSql: String = {
+  /** All gate column names, in [[gopherGatesOn]]'s output order. */
+  val GopherGateNames: Seq[String] = Seq(
+    "gate_word_count", "gate_word_len", "gate_symbol", "gate_bullet",
+    "gate_ellipsis", "gate_alpha", "gate_stop")
+
+  /** Per-gate SQL predicate over the stats columns [[gopherStatsSqlCols]]
+    * emits — the ONE home of the gate thresholds on the oracle side.
+    * Every oracle that gates ([[gopherGatesSql]] and [[Curation]]'s)
+    * assembles from this map; a threshold change then updates the Scala
+    * side ([[gopherGatesOn]]) and ALL oracles together. */
+  val gopherGateSqlByName: Map[String, String] = Map(
+    "gate_word_count" -> "n_words >= 50 AND n_words <= 100000",
+    "gate_word_len" -> "3 * n_words <= word_chars AND word_chars <= 10 * n_words",
+    "gate_symbol" -> "10 * n_symbols <= n_words",
+    "gate_bullet" -> "10 * bullet_lines <= 9 * n_lines",
+    "gate_ellipsis" -> "10 * ellipsis_lines <= 3 * n_lines",
+    "gate_alpha" -> "5 * alpha_words >= 4 * n_words",
+    "gate_stop" -> "stop_hits >= 2")
+
+  /** The integer stats every gate reads, as DuckDB SQL column definitions
+    * over `textExpr` — shared by [[gopherGatesSql]] and [[Curation]]'s
+    * oracle so the stat derivations cannot drift apart. */
+  def gopherStatsSqlCols(textExpr: String): String = {
     val stopList = GopherStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""CAST(len(regexp_extract_all($textExpr, '$NonWsClass+')) AS BIGINT) AS n_words,
+      |    CAST(coalesce(list_sum(list_transform(
+      |      regexp_extract_all($textExpr, '$NonWsClass+'), w -> length(w))), 0) AS BIGINT) AS word_chars,
+      |    CAST(len(regexp_extract_all($textExpr, '#'))
+      |       + len(regexp_extract_all($textExpr, '\\.\\.\\.')) AS BIGINT) AS n_symbols,
+      |    CAST(len(string_split($textExpr, chr(10))) AS BIGINT) AS n_lines,
+      |    CAST(len(list_filter(string_split($textExpr, chr(10)),
+      |      l -> regexp_matches(l, '^[-*•]'))) AS BIGINT) AS bullet_lines,
+      |    CAST(len(list_filter(string_split($textExpr, chr(10)),
+      |      l -> regexp_matches(l, '(\\.\\.\\.|…)$$'))) AS BIGINT) AS ellipsis_lines,
+      |    CAST(len(list_filter(regexp_extract_all($textExpr, '$NonWsClass+'),
+      |      w -> regexp_matches(w, '\\p{L}'))) AS BIGINT) AS alpha_words,
+      |    CAST(len(list_intersect(regexp_extract_all($textExpr, '$NonWsClass+'),
+      |      $stopList)) AS BIGINT) AS stop_hits""".stripMargin
+  }
+
+  val gopherGatesSql: String = {
+    val gateCols = GopherGateNames
+      .map(n => s"  ${gopherGateSqlByName(n)} AS $n,").mkString("\n")
+    val passesAll = GopherGateNames.map(gopherGateSqlByName)
+      .mkString("\n    AND ")
     s"""WITH g AS (
       |  SELECT doc_id,
-      |    CAST(len(regexp_extract_all(text, '$NonWsClass+')) AS BIGINT) AS n_words,
-      |    CAST(coalesce(list_sum(list_transform(
-      |      regexp_extract_all(text, '$NonWsClass+'), w -> length(w))), 0) AS BIGINT) AS word_chars,
-      |    CAST(len(regexp_extract_all(text, '#'))
-      |       + len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS n_symbols,
-      |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
-      |    CAST(len(list_filter(string_split(text, chr(10)),
-      |      l -> regexp_matches(l, '^[-*•]'))) AS BIGINT) AS bullet_lines,
-      |    CAST(len(list_filter(string_split(text, chr(10)),
-      |      l -> regexp_matches(l, '(\\.\\.\\.|…)$$'))) AS BIGINT) AS ellipsis_lines,
-      |    CAST(len(list_filter(regexp_extract_all(text, '$NonWsClass+'),
-      |      w -> regexp_matches(w, '\\p{L}'))) AS BIGINT) AS alpha_words,
-      |    CAST(len(list_intersect(regexp_extract_all(text, '$NonWsClass+'),
-      |      $stopList)) AS BIGINT) AS stop_hits
+      |    ${gopherStatsSqlCols("text")}
       |  FROM documents)
       |SELECT doc_id, n_words, word_chars, n_symbols, n_lines, bullet_lines,
       |  ellipsis_lines, alpha_words, stop_hits,
@@ -590,20 +626,8 @@ object TextAnalysis {
       |    THEN ${OracleSafe.avgRound4Sql("word_chars", "n_words")} ELSE 0.0 END AS mean_word_len,
       |  CASE WHEN n_words > 0
       |    THEN ${OracleSafe.avgRound4Sql("n_symbols", "n_words")} ELSE 0.0 END AS symbol_ratio,
-      |  n_words >= 50 AND n_words <= 100000 AS gate_word_count,
-      |  3 * n_words <= word_chars AND word_chars <= 10 * n_words AS gate_word_len,
-      |  10 * n_symbols <= n_words AS gate_symbol,
-      |  10 * bullet_lines <= 9 * n_lines AS gate_bullet,
-      |  10 * ellipsis_lines <= 3 * n_lines AS gate_ellipsis,
-      |  5 * alpha_words >= 4 * n_words AS gate_alpha,
-      |  stop_hits >= 2 AS gate_stop,
-      |  n_words >= 50 AND n_words <= 100000
-      |    AND 3 * n_words <= word_chars AND word_chars <= 10 * n_words
-      |    AND 10 * n_symbols <= n_words
-      |    AND 10 * bullet_lines <= 9 * n_lines
-      |    AND 10 * ellipsis_lines <= 3 * n_lines
-      |    AND 5 * alpha_words >= 4 * n_words
-      |    AND stop_hits >= 2 AS passes_all
+      |$gateCols
+      |  $passesAll AS passes_all
       |FROM g""".stripMargin
   }
 
