@@ -75,11 +75,24 @@ object ScaleProbe {
           .drop("rep")
       writeReplicated(out, s"$dst/documents.parquet")
     }
-    def buildEmbeddings(): Unit =
-      writeReplicated(
-        replicate(Tables(spark, src, "embeddings"), k)
-          .withColumn("vec_id", col("vec_id") + col("rep") * 1000000L).drop("rep"),
-        s"$dst/embeddings.parquet")
+    def buildEmbeddings(varied: Boolean = false): Unit = {
+      val e = replicate(Tables(spark, src, "embeddings"), k)
+        .withColumn("vec_id", col("vec_id") + col("rep") * 1000000L)
+      val out =
+        if (!varied) e.drop("rep")
+        else e
+          // mix the replica id into every component (deterministic ±0.05
+          // additive hash noise): replicas are NOT cos=1 pairs, so the
+          // ANN/PQ probes measure plan scaling on a 100×-larger vector
+          // population, not the degenerate all-duplicates geometry
+          // (interpreted HOF is fine here — one-time build, not a query)
+          .withColumn("embedding", transform(col("embedding"), (x, i) =>
+            (x.cast("double") +
+              (pmod(col("rep") * lit(2654435761L) + i.cast("long") * lit(40503L),
+                    lit(1000L)).cast("double") - lit(500.0)) / lit(10000.0)).cast("float")))
+          .drop("rep")
+      writeReplicated(out, s"$dst/embeddings.parquet")
+    }
     def buildEvents(): Unit =
       writeReplicated(
         replicate(Tables(spark, src, "events"), k)
@@ -124,7 +137,8 @@ object ScaleProbe {
                       "q_text_dup_ngrams", "q_sample_token_budget", "q_rel_cust_dist",
                       "q_tmp_funnel", "q_tmp_retention", "q_tmp_event_paths",
                       "q_text_gopher_gates", "q_sample_temperature_mix",
-                      "q_pipeline_curation", "q_emb_pq_encode", "q_emb_pq_adc"))
+                      "q_pipeline_curation", "q_emb_pq_encode", "q_emb_pq_adc",
+                      "q_sim_ann_ivf_pq"))
           runQuery(q, dst)
 
       case "compose" =>
@@ -189,11 +203,15 @@ object ScaleProbe {
         }
 
       case "flagship" =>
-        time("build")(buildDocs(varied = true))
-        println(s"SCALE${k}X[flagship] docs=${spark.read.parquet(s"$dst/documents.parquet").count()}")
+        time("build") { buildDocs(varied = true); buildEmbeddings(varied = true) }
+        println(s"SCALE${k}X[flagship] docs=${spark.read.parquet(s"$dst/documents.parquet").count()}" +
+          s" vecs=${spark.read.parquet(s"$dst/embeddings.parquet").count()}")
         for (q <- Seq("q_dedup_minhash_lsh", "q_dedup_spans",
                       "q_sample_token_budget", "q_text_tfidf",
-                      "q_text_gopher_gates", "q_pipeline_curation"))
+                      "q_text_gopher_gates", "q_pipeline_curation",
+                      // embedding paths on the perturbed-replica population
+                      "q_emb_pq_encode", "q_emb_pq_adc", "q_sim_ann_lsh",
+                      "q_emb_jl_project", "q_sim_ann_ivf_pq"))
           runQuery(q, dst)
         // clusters on the PRODUCTION pair path (LSH candidates), not the
         // exact-Jaccard stream the oracle tier uses

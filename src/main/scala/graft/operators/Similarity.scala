@@ -341,8 +341,15 @@ object Similarity {
       lit(cb.map(c => c * c).reduce(_ + _))
 
   def pqEncode(s: SparkSession, dir: String,
-               m: Int = 8, subDim: Int = 8, k: Int = 16): DataFrame = {
-    val books = VectorOps.hyperplanes(m * k, subDim, seed = 11L)
+               m: Int = 8, subDim: Int = 8, k: Int = 16): DataFrame =
+    pqEncodeWith(Tables(s, dir, "embeddings"),
+      VectorOps.hyperplanes(m * k, subDim, seed = 11L), m, subDim, k)
+
+  /** [[pqEncode]] against caller-supplied codebooks — the learned-codebook
+    * path ([[learnPqCodebooks]]) and the literal oracle tier share this one
+    * encode plan. */
+  def pqEncodeWith(embeddings: DataFrame, books: Seq[Seq[Double]],
+                   m: Int = 8, subDim: Int = 8, k: Int = 16): DataFrame = {
     val mins = array((0 until m).map { j =>
       val sub = slice(col("embedding"), j * subDim + 1, subDim)
       val xx = VectorOps.dot(sub, sub)
@@ -352,11 +359,69 @@ object Similarity {
       }: _*)
       array_min(cands)
     }: _*)
-    Tables(s, dir, "embeddings")
+    embeddings
       .select(col("vec_id"), posexplode(mins))
       .select(col("vec_id"), col("pos").cast("long").as("sub_idx"),
               col("col.code").as("code"),
               floor(col("col.dist") * lit(10000.0) + lit(0.5)).cast("long").as("dist_e4"))
+  }
+
+  /** Deterministic capped PQ training sample as `(vec_id, v: array<double>)`
+    * — the PQ analogue of [[learnCentroids]]'s row cap: hash-ordered
+    * `TakeOrderedAndProject` (per-partition heaps, no global sort), so
+    * codebook training is O(1) at any corpus size. */
+  def pqTrainingSample(s: SparkSession, dir: String,
+                       maxTrainRows: Int = 65536): DataFrame =
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .orderBy(xxhash64(col("vec_id"), lit(13)), col("vec_id"))
+      .limit(maxTrainRows)
+
+  /** LEARNED per-subspace PQ codebooks (Jégou 2011 §III.A: k-means in each
+    * subspace) — the production step the literal-hyperplane tier stands in
+    * for. `vecs` is `(vec_id, v: array<double>)`, already capped by the
+    * caller ([[pqTrainingSample]] / the residual sample in [[annIvfPq]]).
+    *
+    * All m subspaces train TOGETHER: one cached pass computes every
+    * subspace's argmin assignment in a single projection (m·k native dot
+    * loops), one explode+groupBy recenters all m books per iteration — so
+    * an iteration is ONE shuffle of m×|sample| tiny rows, not m separate
+    * jobs. Only the m×k×subDim codebook model crosses to the driver each
+    * round (the same bounded-model-transfer contract as
+    * [[learnCentroids]]). Empty cells keep their previous codeword.
+    * Deterministic: hash-ordered init, fixed iteration count. */
+  def learnPqCodebooks(s: SparkSession, vecs: DataFrame,
+                       m: Int = 8, subDim: Int = 8, k: Int = 16,
+                       iters: Int = 4): Seq[Seq[Double]] = {
+    val subCols = (0 until m).map(j => slice(col("v"), j * subDim + 1, subDim).as(s"sub_$j"))
+    val sampled = vecs.select(col("vec_id") +: subCols: _*).cache()
+    try {
+      // deterministic init: the k lowest-hash sample rows seed all m books
+      val seed = sampled.orderBy(xxhash64(col("vec_id"), lit(17)), col("vec_id"))
+        .limit(k).collect()
+      require(seed.length == k, s"PQ training sample thinner than k=$k")
+      var books: IndexedSeq[Seq[Double]] = (0 until m).flatMap(j =>
+        seed.toIndexedSeq.map(_.getSeq[Double](j + 1).toSeq))
+      for (_ <- 0 until iters) {
+        val entries = array((0 until m).map { j =>
+          val sub = col(s"sub_$j")
+          val xx = VectorOps.dot(sub, sub)
+          val cid = array_min(array((0 until k).map(c =>
+            struct(pqDist(sub, xx, books(j * k + c)).as("dist"),
+                   lit(c).as("cid"))): _*)).getField("cid")
+          struct(lit(j).as("j"), cid.as("cid"), sub.as("sub"))
+        }: _*)
+        val recentered = sampled.select(explode(entries).as("e"))
+          .groupBy(col("e.j").as("j"), col("e.cid").as("cid"))
+          .agg(array((0 until subDim).map(d =>
+            avg(element_at(col("e.sub"), d + 1))): _*).as("c"))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toSeq).toMap
+        books = (0 until m).flatMap(j => (0 until k).map(c =>
+          recentered.getOrElse((j, c), books(j * k + c))))
+      }
+      books
+    } finally { sampled.unpersist(); () }
   }
 
   /** The shared `cb` VALUES table and `d` distance CTE of both PQ oracles —
@@ -451,7 +516,151 @@ object Similarity {
       |FROM adc
       |QUALIFY rank <= $kNN""".stripMargin
 
+  // -----------------------------------------------------------------
+  // IVF-PQ: the composed production ANN index (Jégou 2011 §IV.A–B)
+  // -----------------------------------------------------------------
+
+  /** Per-subspace RESIDUAL distances `‖(x_j − cent(cid)_j) − b_{j,c}‖²`
+    * for every code c, with the centroid shift folded into literals via
+    * dot-product linearity:
+    *
+    *   ‖y − a − b‖² = y·y − 2·y·a − 2·y·b + (a·a + 2·a·b + b·b)
+    *
+    * where y = x_j is the only runtime vector. The centroid subvector `a`
+    * enters through two cid-indexed lookups — one dot per centroid
+    * (shared across all k codes of the subspace) and one precomputed
+    * scalar per (cid, code) — so residual encoding stays MAP-ONLY (no
+    * join against a codebook table, no interpreted `zip_with` residual
+    * materialization on the corpus) and inside whole-stage codegen:
+    * m·(k + nCentroids + 1) native dot loops per row, the same node-budget
+    * discipline that took [[pqEncode]] from 6.8 s to 0.4 s. */
+  private def residualDists(j: Int, cents: Seq[Seq[Double]], books: Seq[Seq[Double]],
+                            subDim: Int, k: Int): Seq[Column] = {
+    val sub = slice(col("embedding"), j * subDim + 1, subDim)
+    val yy = VectorOps.dot(sub, sub)
+    val aSubs = cents.map(_.slice(j * subDim, (j + 1) * subDim))
+    val ya = element_at(array(aSubs.map(a =>
+      VectorOps.dot(sub, array(a.map(lit): _*))): _*), col("cid").cast("int") + 1)
+    (0 until k).map { c =>
+      val b = books(j * k + c)
+      val kConsts = aSubs.map(a =>
+        a.map(x => x * x).sum + 2.0 * a.zip(b).map { case (x, y) => x * y }.sum +
+          b.map(x => x * x).sum)
+      yy - lit(2.0) * ya - lit(2.0) * VectorOps.dot(sub, array(b.map(lit): _*)) +
+        element_at(array(kConsts.map(lit): _*), col("cid").cast("int") + 1)
+    }
+  }
+
+  /** IVFADC storage half: PQ codes of the residual `x − centroid(cid)`
+    * (Jégou §IV.A — codebooks cover the residual distribution, which is
+    * why they are trained on residuals in [[annIvfPq]]). Input must carry
+    * `(vec_id, cid, embedding)`; output `(vec_id, cid, sub_idx, code)` is
+    * the persisted index at scale. Map-only, one projection. */
+  private def pqEncodeResiduals(assigned: DataFrame, cents: Seq[Seq[Double]],
+                                books: Seq[Seq[Double]],
+                                m: Int, subDim: Int, k: Int): DataFrame = {
+    val mins = array((0 until m).map { j =>
+      val cands = residualDists(j, cents, books, subDim, k).zipWithIndex.map {
+        case (dc, c) => struct(dc.as("dist"), lit(c.toLong).as("code"))
+      }
+      array_min(array(cands: _*))
+    }: _*)
+    assigned.select(col("vec_id"), col("cid"), posexplode(mins))
+      .select(col("vec_id"), col("cid"), col("pos").cast("long").as("sub_idx"),
+              col("col.code").as("code"))
+  }
+
+  /** The composed IVF-PQ index — the operator a 100 TB ANN deployment
+    * actually runs (Jégou 2011 §IV.A–B, "IVFADC"): coarse-probe, then
+    * ADC-scan only the probed lists' compressed codes, then exact re-rank
+    * of the short list.
+    *
+    *   1. coarse quantizer: [[learnCentroids]] k-means (shared with
+    *      [[annIvf]]); every vector stores its list id + the PQ codes of
+    *      its RESIDUAL, with codebooks trained on residuals
+    *      ([[learnPqCodebooks]] over a capped sample — the interpreted
+    *      `zip_with` residual materialization touches ONLY that sample);
+    *   2. probe: each query picks its nProbe nearest centroids;
+    *   3. ADC: per (query, probed list) a 128-entry LUT of e4-floored
+    *      integer distances broadcasts; candidates come from
+    *      `codes ⋈ broadcast(LUT)` keyed `(cid, sub_idx, code)` — the join
+    *      key itself restricts the scan to probed lists — followed by ONE
+    *      integer groupBy-sum (order-independent, so deterministic under
+    *      any partial-aggregation schedule);
+    *   4. exact re-rank: the top-`rerank` ADC candidates (queries×R rows,
+    *      broadcast) re-score against the raw vectors for the final
+    *      cosine top-k.
+    *
+    * 100 TB shape: the corpus is touched by exactly two scans that would
+    * be precomputed/persisted in production (assignment + codes), one
+    * broadcast-join ADC scan over the CODES (64× smaller than the
+    * vectors, probed fraction only), and a broadcast semi-join re-rank —
+    * no shuffle of the embedding table anywhere. Float k-means makes the
+    * tier rows-only by contract (like [[annIvf]]); SimilaritySpec pins
+    * the recall law against [[bruteForceTopK]] and plain [[annIvf]]. */
+  def annIvfPq(s: SparkSession, dir: String, kNN: Int = DefaultK, nProbe: Int = 2,
+               nCentroids: Int = 8, iters: Int = 4, rerank: Int = 50,
+               m: Int = 8, subDim: Int = 8, k: Int = 16,
+               maxTrainRows: Int = 65536): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    // 1a. coarse quantizer
+    val cents = learnCentroids(s, e, nCentroids, iters)
+    // 1b. PQ codebooks trained on coarse residuals of a capped sample
+    val centArr = array(cents.map(cc => array(cc.map(lit): _*)): _*)
+    val trainResid = assignCid(
+        e.select(col("vec_id"), col("embedding"))
+          .orderBy(xxhash64(col("vec_id"), lit(13)), col("vec_id")).limit(maxTrainRows),
+        cents)
+      .select(col("vec_id"),
+        zip_with(col("embedding").cast("array<double>"),
+                 element_at(centArr, col("cid") + 1), (x, c) => x - c).as("v"))
+    val books = learnPqCodebooks(s, trainResid, m, subDim, k)
+    // 1c. the persisted index: list assignment + residual codes
+    val assigned = assignCid(e, cents)
+    val codes = pqEncodeResiduals(
+      assigned.select(col("vec_id"), col("cid"), col("embedding")),
+      cents, books, m, subDim, k)
+    // 2. probe nProbe lists per query (same rule as annIvf)
+    val centDf = cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cid", "centroid")
+    val queries = e.filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("norm").as("qn"))
+    val probeW = Window.partitionBy(col("query_id")).orderBy(col("cdist"), col("cid"))
+    val probed = queries.join(broadcast(centDf), lit(true))
+      .withColumn("cdist", -VectorOps.cosine(col("qv"), col("centroid")))
+      .withColumn("crank", row_number().over(probeW))
+      .filter(col("crank") <= nProbe)
+      .select(col("query_id"), col("cid"), col("qv").as("embedding"))
+    // 3. per-(query, probed list) LUT: the query's RESIDUAL against that
+    // list's centroid, e4-floored per entry so the candidate sum is an
+    // exact integer aggregation
+    val lutEntries = array((for { j <- 0 until m
+                                  (dc, c) <- residualDists(j, cents, books, subDim, k).zipWithIndex }
+      yield struct(lit(j.toLong).as("sub_idx"), lit(c.toLong).as("code"),
+                   floor(dc * lit(10000.0) + lit(0.5)).cast("long").as("d_e4"))): _*)
+    val lut = probed.select(col("query_id"), col("cid"), explode(lutEntries).as("e"))
+      .select(col("query_id"), col("cid"), col("e.sub_idx"), col("e.code"), col("e.d_e4"))
+    // ADC over the probed lists only — the (cid, sub_idx, code) key does
+    // the list restriction; no separate filter pass over the codes
+    val adc = codes.join(broadcast(lut), Seq("cid", "sub_idx", "code"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d_e4")).as("adc_e4"))
+    val wAdc = Window.partitionBy(col("query_id")).orderBy(col("adc_e4"), col("vec_id"))
+    val shortlist = adc.withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= rerank)
+      .select(col("query_id"), col("vec_id"))
+    // 4. exact re-rank of the shortlist against the raw vectors
+    val scored = e.select(col("vec_id"), col("embedding"), col("norm"))
+      .join(broadcast(shortlist), Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("cos_sim",
+        VectorOps.cosinePrenormed(col("qv"), col("embedding"), col("qn"), col("norm")))
+    topKPerQuery(scored, kNN)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_ann_ivf_pq" -> ((s: SparkSession, d: String) => annIvfPq(s, d)),
     "q_emb_pq_adc" -> ((s: SparkSession, d: String) => pqAdcTopK(s, d)),
     "q_emb_pq_encode" -> ((s: SparkSession, d: String) => pqEncode(s, d)),
     "q_sim_topk_brute" -> ((s: SparkSession, d: String) => bruteForceTopK(s, d)),

@@ -169,6 +169,57 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("IVF-PQ composed index: recall matches plain IVF at the same scanned fraction") {
+    val brute = Similarity.bruteForceTopK(spark, sf).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    def recallOf(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val got = rows.groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val rs = brute.keys.toSeq.map { q =>
+        got.getOrElse(q, Set.empty).intersect(brute(q)).size.toDouble / brute(q).size
+      }
+      rs.sum / rs.size
+    }
+    val ivf = recallOf(Similarity.annIvf(spark, sf).collect())
+    // the recall/shortlist curve: with rerank covering the whole probed
+    // candidate set, the exact re-rank recovers EVERYTHING the plain-IVF
+    // exact scan of the same lists finds; smaller shortlists trade recall
+    // for a cheaper re-rank — the ADC approximation quality is exactly
+    // what that tradeoff dial measures
+    val curve = Seq(10, 50, 200).map { r =>
+      val rec = recallOf(Similarity.annIvfPq(spark, sf, rerank = r).collect())
+      info(f"ivfpq rerank=$r recall=$rec%.3f (plain ivf=$ivf%.3f, scanned 2/8 lists)")
+      r -> rec
+    }.toMap
+    assert(curve(200) >= ivf - 0.02,
+      s"IVF-PQ with a covering shortlist must match plain IVF: ${curve(200)} vs $ivf")
+    // shortlist growth must not lose recall (superset candidates, exact re-rank)
+    assert(curve(50) >= curve(10) - 0.02, s"recall fell with a larger shortlist: $curve")
+    assert(curve(200) >= curve(50) - 0.02, s"recall fell with a larger shortlist: $curve")
+    // and the composed index must still beat random partitioning
+    assert(curve(200) > 2.0 / 8.0, s"IVF-PQ recall ${curve(200)} below the probed-fraction floor")
+  }
+
+  test("learned PQ codebooks cut quantization distortion vs the literal tier") {
+    import graft.functions.VectorOps
+    val (m, subDim, k) = (8, 8, 16)
+    val embs = Tables(spark, sf, "embeddings")
+    def meanDistortion(books: Seq[Seq[Double]]): Double = {
+      val d = Similarity.pqEncodeWith(embs, books, m, subDim, k)
+        .agg(org.apache.spark.sql.functions.avg("dist_e4")).collect()(0).getDouble(0)
+      d / 10000.0 // back to raw ‖residual‖² units
+    }
+    val literal = meanDistortion(VectorOps.hyperplanes(m * k, subDim, seed = 11L))
+    val learned = meanDistortion(
+      Similarity.learnPqCodebooks(spark, Similarity.pqTrainingSample(spark, sf), m, subDim, k))
+    info(f"mean ‖x_j − q(x_j)‖²: literal=$literal%.4f learned=$learned%.4f " +
+      f"(${literal / learned}%.1fx reduction)")
+    assert(learned > 0.0, "distortion must be positive (k << points per subspace)")
+    // random Gaussian codewords are not data-matched; per-subspace k-means
+    // must beat them decisively, not marginally
+    assert(learned < literal / 2.0,
+      f"learned codebooks should at least halve distortion: $learned%.4f vs $literal%.4f")
+  }
+
   test("IVF recall/cost curve: recall tracks the probed fraction and grows with nProbe") {
     val brute = Similarity.bruteForceTopK(spark, sf).collect()
       .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
