@@ -45,9 +45,12 @@ object Curation {
 
   def curatedTokenSample(s: SparkSession, dir: String,
                          budgetPerSource: Long = 600L,
-                         gates: Seq[String] = SyntheticGates): DataFrame = {
+                         gates: Seq[String] = SyntheticGates): DataFrame =
+    curatedOn(s, docs(s, dir), budgetPerSource, gates)
+
+  private def curatedOn(s: SparkSession, d: DataFrame,
+                        budgetPerSource: Long, gates: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = docs(s, dir)
     // stage 1: exact-dup collapse (keep the minimum doc_id per text)
     val keep = d.groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
@@ -73,10 +76,11 @@ object Curation {
 
   def curatedTokenSampleSql(budgetPerSource: Long = 600L,
                             gates: Seq[String] = SyntheticGates,
-                            table: String = "documents"): String = {
+                            table: String = "documents",
+                            prelude: String = ""): String = {
     val gateSql = gates.map(TextAnalysis.gopherGateSqlByName)
       .mkString("\n    AND ")
-    s"""WITH keep AS (
+    s"""WITH ${prelude}keep AS (
       |  SELECT min(doc_id) AS doc_id FROM $table GROUP BY md5(text)),
       |g AS (
       |  SELECT d.doc_id, d.source,
@@ -97,9 +101,67 @@ object Curation {
       |WHERE tok_before < $budgetPerSource""".stripMargin
   }
 
+  // -----------------------------------------------------------------
+  // Full 7-gate curation on a deterministically English-augmented corpus
+  // -----------------------------------------------------------------
+
+  /** The synthetic vocabulary contains no English function words, so the
+    * stop-word gate would reject EVERYTHING and the bullet/ellipsis gates
+    * are vacuous on 1-line docs. Rather than a side fixture the driver's
+    * oracle can't see, the full-battery pipeline runs on a DETERMINISTIC
+    * doc_id-keyed augmentation of `documents` (the `q_text_pii_scrub`
+    * trick): the same expression computes in Spark and DuckDB, so the
+    * 7-gate pipeline is oracle-verified end-to-end on a corpus where
+    * every gate is LIVE — the stop gate passes exactly the docs given a
+    * stopword tail, the bullet gate fails the all-bullet docs, the
+    * ellipsis gate fails the ellipsis-heavy docs (`CurationSpec` asserts
+    * each gate discriminates). */
+  val BulletLines: Seq[String] = (1 to 10).map(i => s"- bullet $i")
+  // no Gopher stopwords in these lines — the stop gate must key ONLY off
+  // the deterministic stopword tail, or its pass set stops being provable
+  val EllipsisLines: Seq[String] = Seq("read more...", "see details...", "loading results...")
+  val StopwordTail: String = " the and of that have with"
+
+  def augmentedDocs(s: SparkSession, dir: String): DataFrame = {
+    val t1 = when(pmod(col("doc_id"), lit(5L)) === 0,
+      concat(lit(BulletLines.mkString("", "\n", "\n")), col("text"))).otherwise(col("text"))
+    val t2 = when(pmod(col("doc_id"), lit(7L)) === 0,
+      concat(t1, lit(EllipsisLines.mkString("\n", "\n", "")))).otherwise(t1)
+    val t3 = when(pmod(col("doc_id"), lit(2L)) === 0,
+      concat(t2, lit(StopwordTail))).otherwise(t2)
+    docs(s, dir).select(col("doc_id"), col("source"), t3.as("text"))
+  }
+
+  /** DuckDB twin of [[augmentedDocs]], as a WITH-prelude defining `aug`. */
+  def augSqlPrelude: String = {
+    val bullets = BulletLines.map(l => s"'$l' || chr(10)").mkString(" || ") + " || text"
+    val ellipses = "t1" + EllipsisLines.map(l => s"chr(10) || '$l'").mkString(" || ", " || ", "")
+    s"""aug AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN doc_id % 2 = 0 THEN t2 || '$StopwordTail' ELSE t2 END AS text
+      |  FROM (
+      |    SELECT doc_id, source,
+      |      CASE WHEN doc_id % 7 = 0 THEN $ellipses ELSE t1 END AS t2
+      |    FROM (
+      |      SELECT doc_id, source,
+      |        CASE WHEN doc_id % 5 = 0 THEN $bullets ELSE text END AS t1
+      |      FROM documents))),
+      |""".stripMargin
+  }
+
+  def curatedTokenSampleFull(s: SparkSession, dir: String,
+                             budgetPerSource: Long = 600L): DataFrame =
+    curatedOn(s, augmentedDocs(s, dir), budgetPerSource, TextAnalysis.GopherGateNames)
+
+  def curatedTokenSampleFullSql(budgetPerSource: Long = 600L): String =
+    curatedTokenSampleSql(budgetPerSource, TextAnalysis.GopherGateNames,
+      table = "aug", prelude = augSqlPrelude)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_pipeline_curation" -> ((s: SparkSession, d: String) => curatedTokenSample(s, d)))
+    "q_pipeline_curation" -> ((s: SparkSession, d: String) => curatedTokenSample(s, d)),
+    "q_pipeline_curation_full" -> ((s: SparkSession, d: String) => curatedTokenSampleFull(s, d)))
 
   val oracles: Map[String, String] = Map(
-    "q_pipeline_curation" -> curatedTokenSampleSql())
+    "q_pipeline_curation" -> curatedTokenSampleSql(),
+    "q_pipeline_curation_full" -> curatedTokenSampleFullSql())
 }

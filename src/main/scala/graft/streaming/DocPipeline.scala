@@ -3,28 +3,34 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.TextAnalysis
+import graft.operators.{Curation, TextAnalysis}
 
 /** Ingest-time streaming document pipeline — the batch quality/dedup
   * operators composed on an unbounded document stream, the "clean the
   * crawl as it lands" path of a training-data pipeline:
   *
-  *  1. enrich: token count + quality score ([[TextAnalysis.qualityCol]],
-  *     the same expression the batch query oracles) — map-only, stateless;
-  *  2. gate: drop documents below `minQuality`;
-  *  3. fingerprint: canonical-form md5 ([[TextAnalysis.fpMd5]]) — the key
-  *     shared with every batch dedup operator, so stream- and batch-kept
-  *     sets compose;
-  *  4. in-stream dedup: `dropDuplicatesWithinWatermark` on the
+  *  1. gate: the [[TextAnalysis.gopherGatesOn]] integer battery — the
+  *     SAME rule set (same expressions, same thresholds) the batch
+  *     [[Curation]] pipeline applies, so a document admitted at ingest is
+  *     exactly a document batch curation would admit (StreamingSpec pins
+  *     the agreement on a shared fixture). The gate set defaults to
+  *     [[Curation.SyntheticGates]] and is a parameter, like batch. All
+  *     gate stats come from one map-only projection; `n_words` doubles as
+  *     the exported token count;
+  *  2. enrich: legacy quality score ([[TextAnalysis.qualityCol]], now an
+  *     exported diagnostic, not the gate) + canonical-form md5
+  *     fingerprint ([[TextAnalysis.fpMd5]]) — the key shared with every
+  *     batch dedup operator, so stream- and batch-kept sets compose;
+  *  3. in-stream dedup: `dropDuplicatesWithinWatermark` on the
   *     fingerprint — state bounded by keys per watermark horizon
   *     ([[StreamDedup.withinWatermark]]);
-  *  5. corpus dedup: stream–static left-anti join against the existing
+  *  4. corpus dedup: stream–static left-anti join against the existing
   *     corpus fingerprint index — zero stream state
   *     ([[StreamDedup.againstCorpus]]).
   *
-  * Scale shape: stages 1–3 and 5 are stateless per micro-batch (the
+  * Scale shape: stages 1–2 and 4 are stateless per micro-batch (the
   * static index broadcasts when small, bloom-prefilters when not — see
-  * [[graft.operators.Dedup.crossCorpusNewDocs]]); only stage 4 holds
+  * [[graft.operators.Dedup.crossCorpusNewDocs]]); only stage 3 holds
   * state, one row per distinct fingerprint inside the horizon. The text
   * column rides through projection-only stages and is never shuffled
   * except by the dedup's key exchange.
@@ -35,19 +41,18 @@ import graft.operators.TextAnalysis
 object DocPipeline {
 
   def apply(docs: DataFrame, corpusFps: DataFrame,
-            minQuality: Double = 0.2,
+            gates: Seq[String] = Curation.SyntheticGates,
             watermark: String = "10 minutes"): DataFrame = {
-    val scored = docs
-      .withColumn("n_tokens",
-        size(regexp_extract_all(col("text"),
-          lit(TextAnalysis.NonWsClass + "+"), lit(0))).cast("long"))
-      .withColumn("quality", round(TextAnalysis.qualityCol(col("text")), 4))
-      .withColumn("fp_md5", TextAnalysis.fpMd5(col("text")))
-    // gate on the RAW score — the rounded column is display/export only
-    // (rounding would admit docs up to 5e-5 below the threshold)
-    val kept = scored.filter(TextAnalysis.qualityCol(col("text")) >= minQuality)
+    val gated = TextAnalysis.gopherGatesOn(docs.sparkSession, docs,
+        carry = Seq("text", "event_time"))
+      .filter(gates.map(col).reduce(_ && _))
+    val scored = gated.select(
+      col("doc_id"), col("text"), col("event_time"),
+      col("n_words").as("n_tokens"),
+      round(TextAnalysis.qualityCol(col("text")), 4).as("quality"),
+      TextAnalysis.fpMd5(col("text")).as("fp_md5"))
     val inStreamDeduped =
-      StreamDedup.withinWatermark(kept, watermark, keys = Seq("fp_md5"))
+      StreamDedup.withinWatermark(scored, watermark, keys = Seq("fp_md5"))
     StreamDedup.againstCorpus(inStreamDeduped, corpusFps)
   }
 }

@@ -6,6 +6,34 @@ import graft.operators.Curation
 
 class CurationSpec extends AnyFunSuite with SparkTestBase {
 
+  test("full 7-gate curation: every gate is LIVE on the augmented corpus and survivors ship") {
+    val gates = graft.operators.TextAnalysis.gopherGatesOn(
+      spark, Curation.augmentedDocs(spark, sf)).collect()
+    // each augmentation makes its gate discriminate: some pass, some fail
+    def passFail(gate: String): (Long, Long) = {
+      val p = gates.count(_.getAs[Boolean](gate)).toLong
+      (p, gates.length - p)
+    }
+    for (g <- Seq("gate_stop", "gate_bullet", "gate_ellipsis")) {
+      val (p, f) = passFail(g)
+      info(s"$g: $p pass / $f fail")
+      assert(p > 0, s"$g never passes — gate not live")
+      assert(f > 0, s"$g never fails — gate not live")
+    }
+    // the stop gate passes exactly the docs given the stopword tail
+    gates.foreach { r =>
+      assert(r.getAs[Boolean]("gate_stop") == (r.getLong(0) % 2 == 0),
+        s"doc ${r.getLong(0)} stop gate")
+    }
+    // and the full pipeline still ships a budgeted sample
+    val got = Curation.curatedTokenSampleFull(spark, sf).collect()
+    assert(got.nonEmpty, "full-gate curation should keep something")
+    val passesAll = gates.filter(_.getAs[Boolean]("passes_all")).map(_.getLong(0)).toSet
+    got.foreach(r => assert(passesAll(r.getLong(0)),
+      s"doc ${r.getLong(0)} shipped but fails a gate"))
+    assert(got.forall(_.getAs[Long]("tok_before") < 600L))
+  }
+
   test("curation pipeline = dedup-collapse, gates, then budgeted prefix — vs local recomputation") {
     val budget = 600L
     val got = Curation.curatedTokenSample(spark, sf, budget).collect()

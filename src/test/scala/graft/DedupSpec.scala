@@ -81,6 +81,37 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("multi-scale substring-dup stats match a local per-scale recomputation") {
+    val texts = Tables(spark, sf, "documents").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val scales = Seq(10, 25, 50)
+    def spans(t: String, l: Int): Seq[String] =
+      t.split(" ", -1).grouped(l).map(_.mkString(" ")).toSeq
+    val docsPerSpan: Map[(Int, String), Int] = scales.flatMap { l =>
+      texts.toSeq
+        .flatMap { case (id, t) => spans(t, l).distinct.map(sp => ((l, sp), id)) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toSeq
+    }.toMap
+    val got = Dedup.substringDupStats(spark, sf).collect()
+    // one row per (doc, scale); scales must never cross-talk
+    assert(got.length == texts.size * scales.size)
+    got.foreach { r =>
+      val (id, l) = (r.getLong(0), r.getAs[Long]("scale").toInt)
+      val sp = spans(texts(id), l)
+      assert(r.getAs[Long]("n_spans") == sp.size.toLong, s"doc $id scale $l n_spans")
+      assert(r.getAs[Long]("n_dup_spans") == sp.count(s0 => docsPerSpan((l, s0)) > 1).toLong,
+        s"doc $id scale $l n_dup_spans")
+    }
+    // consistency law: the scale-10 tier must agree exactly with the
+    // single-scale operator it generalizes
+    val single = Dedup.spanDupStats(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_spans"), r.getAs[Long]("n_dup_spans"))).toMap
+    got.filter(_.getAs[Long]("scale") == 10L).foreach { r =>
+      assert(single(r.getLong(0)) == (r.getAs[Long]("n_spans"), r.getAs[Long]("n_dup_spans")),
+        s"scale-10 tier diverged from q_dedup_spans for doc ${r.getLong(0)}")
+    }
+  }
+
   test("contamination matches a local shingle-overlap computation") {
     val texts = Tables(spark, sf, "documents").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap

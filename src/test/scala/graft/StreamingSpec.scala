@@ -434,11 +434,16 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     import org.apache.spark.sql.functions.col
     val corpusFps = graft.operators.TextAnalysis.fingerprint(spark, sf)
       .select(col("fp_md5"))
-    val knownText = Tables(spark, sf, "documents")
+    // the corpus-dup probe must itself PASS the gates, or the gate (not
+    // the anti-join) would drop it and the stage under test never runs —
+    // pick a corpus text the shared batch battery admits
+    val knownText = graft.operators.TextAnalysis
+      .gopherGatesOn(spark, Tables(spark, sf, "documents"), carry = Seq("text"))
+      .filter(graft.operators.Curation.SyntheticGates.map(col).reduce(_ && _))
       .select(col("text")).head().getString(0)
-    val novel = "thirty distinct tokens keep this document comfortably above " +
-      "every gate threshold because each word differs and none repeats " +
-      "anywhere within this short but sufficiently long crawl sample text"
+    // ≥50 distinct words of mean length in [3, 10]: the gopher word-count
+    // and word-length gates (shared with batch curation since round 6)
+    val novel = (1 to 60).map(i => s"nov$i").mkString(" ")
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val input = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
     val docs = input.toDF().toDF("doc_id", "text", "event_time")
@@ -447,7 +452,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     try {
       input.addData(
         (1L, novel, t0),                       // survives
-        (2L, "the the the the the", t0),       // quality 0 -> gated
+        (2L, "the the the the the", t0),       // fails gate_word_count -> gated
         (3L, novel + " ", t0),                 // normalized in-stream duplicate -> dropped
         (4L, knownText, t0))                   // already in the corpus index -> dropped
       q.processAllAvailable()
@@ -457,6 +462,44 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       // enrichment columns ride along with the surviving row
       assert(kept.head.getAs[Long]("n_tokens") == novel.split(" ").length.toLong)
       assert(kept.head.getAs[Double]("quality") >= 0.2)
+    } finally q.stop()
+  }
+
+  test("streaming and batch curation agree on which documents the gates admit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // shared fixture: real corpus texts (mixed pass/fail) + synthetic
+    // edge docs, all DISTINCT and absent from the corpus index, so the
+    // dedup stages are inert and the gate is the only filter
+    val corpusTexts = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).limit(40).collect()
+      .map(r => (r.getLong(0), r.getString(1) + " uniquesuffix" + r.getLong(0)))
+    val edge = Seq(
+      (9001L, (1 to 49).map(i => s"w$i").mkString(" ")),        // 49 words: fails count gate
+      (9002L, (1 to 50).map(i => s"w$i").mkString(" ")),        // 50 words: passes count gate
+      (9003L, (1 to 60).map(_ => "## ###").mkString(" ")))      // symbol-heavy: fails symbol gate
+    val fixture = corpusTexts.toSeq ++ edge
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // batch side: the Curation gate predicate over the same fixture
+    val batchDf = fixture.toDF("doc_id", "text")
+    val batchKept = graft.operators.TextAnalysis.gopherGatesOn(spark, batchDf)
+      .filter(graft.operators.Curation.SyntheticGates.map(col).reduce(_ && _))
+      .collect().map(_.getLong(0)).toSet
+    assert(batchKept.nonEmpty && batchKept.size < fixture.size,
+      s"fixture should split: ${batchKept.size} of ${fixture.size} pass")
+    // stream side: DocPipeline with an empty corpus index
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    val docs = input.toDF().toDF("doc_id", "text", "event_time")
+    val emptyFps = Seq.empty[String].toDF("fp_md5")
+    val q = graft.streaming.DocPipeline(docs, emptyFps).writeStream
+      .format("memory").queryName("gateparity").outputMode("append").start()
+    try {
+      input.addData(fixture.map { case (id, t) => (id, t, t0) }: _*)
+      q.processAllAvailable()
+      val streamKept = spark.table("gateparity").collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(streamKept == batchKept,
+        s"stream/batch gate disagreement: stream-only=${streamKept.diff(batchKept)}, " +
+          s"batch-only=${batchKept.diff(streamKept)}")
     } finally q.stop()
   }
 
