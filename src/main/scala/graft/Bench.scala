@@ -65,7 +65,19 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // local-iteration filter (same contract as Verify's): unknown names
+    // fail fast instead of silently shrinking the run
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) =>
+        val unknown = names.diff(SparkEntry.queries.keySet)
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+        SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val samples: Seq[Option[Double]] = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val ok =

@@ -138,7 +138,7 @@ object ScaleProbe {
                       "q_tmp_funnel", "q_tmp_retention", "q_tmp_event_paths",
                       "q_text_gopher_gates", "q_sample_temperature_mix",
                       "q_pipeline_curation", "q_emb_pq_encode", "q_emb_pq_adc",
-                      "q_sim_ann_ivf_pq"))
+                      "q_sim_ann_ivf_pq", "q_dedup_substrings", "q_pipeline_curation_full"))
           runQuery(q, dst)
 
       case "compose" =>
@@ -206,7 +206,7 @@ object ScaleProbe {
         time("build") { buildDocs(varied = true); buildEmbeddings(varied = true) }
         println(s"SCALE${k}X[flagship] docs=${spark.read.parquet(s"$dst/documents.parquet").count()}" +
           s" vecs=${spark.read.parquet(s"$dst/embeddings.parquet").count()}")
-        for (q <- Seq("q_dedup_minhash_lsh", "q_dedup_spans",
+        for (q <- Seq("q_dedup_minhash_lsh", "q_dedup_spans", "q_dedup_substrings",
                       "q_sample_token_budget", "q_text_tfidf",
                       "q_text_gopher_gates", "q_pipeline_curation",
                       // embedding paths on the perturbed-replica population

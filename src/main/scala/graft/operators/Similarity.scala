@@ -551,16 +551,41 @@ object Similarity {
     }
   }
 
+  /** Rank-reduced residual distances for the ENCODE argmin: within one
+    * (row, subspace), `y·y` and `y·a(cid)` are constant across all k
+    * candidates, so
+    * `argmin_c ‖(y−a)−b_c‖² = argmin_c [−2·y·b_c + (2·a·b_c + b_c·b_c)]`
+    * — dropping them removes m·(nCentroids+1) dot loops per row from the
+    * corpus-wide hot path and shrinks the expression tree ~40% (compile
+    * time is a real cost at this plan size). Valid ONLY for the argmin:
+    * the values are offset by `yy − 2·y·a + a·a` per (row, cid), so the
+    * ADC LUT (which compares across probed lists) keeps
+    * [[residualDists]]' full values. */
+  private def residualArgminDists(j: Int, cents: Seq[Seq[Double]],
+                                  books: Seq[Seq[Double]],
+                                  subDim: Int, k: Int): Seq[Column] = {
+    val sub = slice(col("embedding"), j * subDim + 1, subDim)
+    val aSubs = cents.map(_.slice(j * subDim, (j + 1) * subDim))
+    (0 until k).map { c =>
+      val b = books(j * k + c)
+      val consts = aSubs.map(a =>
+        2.0 * a.zip(b).map { case (x, y) => x * y }.sum + b.map(x => x * x).sum)
+      lit(-2.0) * VectorOps.dot(sub, array(b.map(lit): _*)) +
+        element_at(array(consts.map(lit): _*), col("cid").cast("int") + 1)
+    }
+  }
+
   /** IVFADC storage half: PQ codes of the residual `x − centroid(cid)`
     * (Jégou §IV.A — codebooks cover the residual distribution, which is
     * why they are trained on residuals in [[annIvfPq]]). Input must carry
     * `(vec_id, cid, embedding)`; output `(vec_id, cid, sub_idx, code)` is
-    * the persisted index at scale. Map-only, one projection. */
+    * the persisted index at scale. Map-only, one projection, argmin on
+    * the rank-reduced distances. */
   private def pqEncodeResiduals(assigned: DataFrame, cents: Seq[Seq[Double]],
                                 books: Seq[Seq[Double]],
                                 m: Int, subDim: Int, k: Int): DataFrame = {
     val mins = array((0 until m).map { j =>
-      val cands = residualDists(j, cents, books, subDim, k).zipWithIndex.map {
+      val cands = residualArgminDists(j, cents, books, subDim, k).zipWithIndex.map {
         case (dc, c) => struct(dc.as("dist"), lit(c.toLong).as("code"))
       }
       array_min(array(cands: _*))
@@ -598,8 +623,14 @@ object Similarity {
     * no shuffle of the embedding table anywhere. Float k-means makes the
     * tier rows-only by contract (like [[annIvf]]); SimilaritySpec pins
     * the recall law against [[bruteForceTopK]] and plain [[annIvf]]. */
+  /** `pqIters` is lower than the coarse `iters` by default: each codebook
+    * iteration re-plans the 128-candidate assign expression with fresh
+    * literals (a fixed compile cost per round at ANY corpus size), and two
+    * rounds already land within the distortion spec's margin; the coarse
+    * quantizer keeps `iters` = [[annIvf]]'s so both tiers probe the SAME
+    * lists (the recall-law comparison in SimilaritySpec depends on it). */
   def annIvfPq(s: SparkSession, dir: String, kNN: Int = DefaultK, nProbe: Int = 2,
-               nCentroids: Int = 8, iters: Int = 4, rerank: Int = 50,
+               nCentroids: Int = 8, iters: Int = 4, pqIters: Int = 2, rerank: Int = 50,
                m: Int = 8, subDim: Int = 8, k: Int = 16,
                maxTrainRows: Int = 65536): DataFrame = {
     import s.implicits._
@@ -615,7 +646,7 @@ object Similarity {
       .select(col("vec_id"),
         zip_with(col("embedding").cast("array<double>"),
                  element_at(centArr, col("cid") + 1), (x, c) => x - c).as("v"))
-    val books = learnPqCodebooks(s, trainResid, m, subDim, k)
+    val books = learnPqCodebooks(s, trainResid, m, subDim, k, iters = pqIters)
     // 1c. the persisted index: list assignment + residual codes
     val assigned = assignCid(e, cents)
     val codes = pqEncodeResiduals(

@@ -159,6 +159,37 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("windowspecdefinition(source"), p.take(1200))
   }
 
+  test("multi-scale substring stats keep the span-dedup plan shape at every scale") {
+    val p = plan("q_dedup_substrings")
+    // same invariants as q_dedup_spans: map-side combine before the span
+    // exchange, and no pair explosion anywhere — the extra scales ride the
+    // same flatMap, they must not change the plan family
+    assert(p.contains("partial_count"), p.take(900))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("full-gate curation keeps the curation plan shape on the augmented corpus") {
+    val p = plan("q_pipeline_curation_full")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("windowspecdefinition(source"), p.take(1200))
+  }
+
+  test("IVF-PQ: codes join the broadcast LUT, integer-sum, and never sort-merge") {
+    val p = plan("q_sim_ann_ivf_pq")
+    // the ADC scan must be codes ⋈ broadcast(LUT) + one integer partial+final
+    // agg; the residual encode is map-only so NOTHING in the plan may
+    // shuffle the embedding table for a join
+    assert(p.contains("BroadcastHashJoin"), p.take(900))
+    assert(p.contains("partial_sum"), p.take(900))
+    assert(!p.contains("SortMergeJoin"), "a join over the codes/corpus fell back to SMJ")
+    assert(!p.contains("CartesianProduct"))
+    // the ONE tolerated nested-loop join is the query×centroid probe
+    // (5 × nCentroids rows, both sides broadcast-tiny); more than one means
+    // a real table picked up a non-equi join
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, s"unexpected nested-loop joins ($bnlj) in the IVF-PQ plan")
+  }
+
   test("contamination final plan joins tiny checkpointed aggregates, no pair explosion") {
     // the per-doc hits/sizes aggregates are materialized via localCheckpoint
     // (so the big postings cache can be released) — the final plan reads
