@@ -647,12 +647,28 @@ object Similarity {
         zip_with(col("embedding").cast("array<double>"),
                  element_at(centArr, col("cid") + 1), (x, c) => x - c).as("v"))
     val books = learnPqCodebooks(s, trainResid, m, subDim, k, iters = pqIters)
-    // 1c. the persisted index: list assignment + residual codes
+    // 1c. the (in-memory) index: list assignment + residual codes
     val assigned = assignCid(e, cents)
     val codes = pqEncodeResiduals(
       assigned.select(col("vec_id"), col("cid"), col("embedding")),
       cents, books, m, subDim, k)
-    // 2. probe nProbe lists per query (same rule as annIvf)
+    // 2–4. probe → broadcast-LUT ADC over the probed lists → exact
+    // re-rank: the same search stages the persisted index serves
+    // ([[ivfPqSearchWith]]; [[buildIvfPqIndex]]/[[annIvfPqSearch]] is the
+    // amortized production split of this one-shot query)
+    ivfPqSearchWith(e, codes, cents, books, kNN, nProbe, rerank, m, subDim, k)(s)
+  }
+
+  /** Search stages 2–4 of the IVF-PQ index (probe → ADC over probed
+    * lists → exact re-rank), shared verbatim by the self-contained
+    * [[annIvfPq]] and the persisted-index [[annIvfPqSearch]] — given the
+    * same model and codes, the two paths are the same plan. */
+  private def ivfPqSearchWith(e: DataFrame, codes: DataFrame,
+                              cents: Seq[Seq[Double]], books: Seq[Seq[Double]],
+                              kNN: Int, nProbe: Int, rerank: Int,
+                              m: Int, subDim: Int, k: Int)
+                             (implicit s: SparkSession): DataFrame = {
+    import s.implicits._
     val centDf = cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cid", "centroid")
     val queries = e.filter(col("vec_id") < QueryCount)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("norm").as("qn"))
@@ -662,17 +678,12 @@ object Similarity {
       .withColumn("crank", row_number().over(probeW))
       .filter(col("crank") <= nProbe)
       .select(col("query_id"), col("cid"), col("qv").as("embedding"))
-    // 3. per-(query, probed list) LUT: the query's RESIDUAL against that
-    // list's centroid, e4-floored per entry so the candidate sum is an
-    // exact integer aggregation
     val lutEntries = array((for { j <- 0 until m
                                   (dc, c) <- residualDists(j, cents, books, subDim, k).zipWithIndex }
       yield struct(lit(j.toLong).as("sub_idx"), lit(c.toLong).as("code"),
                    floor(dc * lit(10000.0) + lit(0.5)).cast("long").as("d_e4"))): _*)
     val lut = probed.select(col("query_id"), col("cid"), explode(lutEntries).as("e"))
       .select(col("query_id"), col("cid"), col("e.sub_idx"), col("e.code"), col("e.d_e4"))
-    // ADC over the probed lists only — the (cid, sub_idx, code) key does
-    // the list restriction; no separate filter pass over the codes
     val adc = codes.join(broadcast(lut), Seq("cid", "sub_idx", "code"))
       .filter(col("query_id") =!= col("vec_id"))
       .groupBy(col("query_id"), col("vec_id"))
@@ -681,13 +692,63 @@ object Similarity {
     val shortlist = adc.withColumn("arank", row_number().over(wAdc))
       .filter(col("arank") <= rerank)
       .select(col("query_id"), col("vec_id"))
-    // 4. exact re-rank of the shortlist against the raw vectors
     val scored = e.select(col("vec_id"), col("embedding"), col("norm"))
       .join(broadcast(shortlist), Seq("vec_id"))
       .join(broadcast(queries), Seq("query_id"))
       .withColumn("cos_sim",
         VectorOps.cosinePrenormed(col("qv"), col("embedding"), col("qn"), col("norm")))
     topKPerQuery(scored, kNN)
+  }
+
+  /** Build and PERSIST the IVF-PQ index — the amortization the 100 TB
+    * story assumes: assignment + residual codes land as parquet (the 64×
+    * compressed scan target), the k-means model (centroids + codebooks)
+    * lands as a tiny `(kind, idx, vec)` table. [[annIvfPqSearch]] then
+    * answers queries against the stored index without touching the raw
+    * vectors except for the shortlist re-rank — index build cost is paid
+    * once, not per query (the self-contained [[annIvfPq]] bench entry
+    * pays it every run BY DESIGN, to stay a pure function of its inputs).
+    * Returns the model for callers that want to search in-memory. */
+  def buildIvfPqIndex(s: SparkSession, dir: String, indexDir: String,
+                      nCentroids: Int = 8, iters: Int = 4, pqIters: Int = 2,
+                      m: Int = 8, subDim: Int = 8, k: Int = 16,
+                      maxTrainRows: Int = 65536): (Seq[Seq[Double]], Seq[Seq[Double]]) = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val cents = learnCentroids(s, e, nCentroids, iters)
+    val centArr = array(cents.map(cc => array(cc.map(lit): _*)): _*)
+    val trainResid = assignCid(
+        e.select(col("vec_id"), col("embedding"))
+          .orderBy(xxhash64(col("vec_id"), lit(13)), col("vec_id")).limit(maxTrainRows),
+        cents)
+      .select(col("vec_id"),
+        zip_with(col("embedding").cast("array<double>"),
+                 element_at(centArr, col("cid") + 1), (x, c) => x - c).as("v"))
+    val books = learnPqCodebooks(s, trainResid, m, subDim, k, iters = pqIters)
+    pqEncodeResiduals(assignCid(e, cents).select(col("vec_id"), col("cid"), col("embedding")),
+        cents, books, m, subDim, k)
+      .write.mode("overwrite").parquet(s"$indexDir/codes.parquet")
+    (cents.zipWithIndex.map { case (c, i) => ("cent", i, c) } ++
+      books.zipWithIndex.map { case (b, i) => ("book", i, b) })
+      .toDF("kind", "idx", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/model.parquet")
+    (cents, books)
+  }
+
+  /** ANN search against a [[buildIvfPqIndex]]-persisted index: loads the
+    * tiny model to the driver (k×dim ×2 — the same bounded transfer as
+    * training), scans the 64×-compressed codes for the probed lists, and
+    * re-ranks the shortlist against the raw vectors. The per-query cost a
+    * production deployment actually pays. */
+  def annIvfPqSearch(s: SparkSession, dir: String, indexDir: String,
+                     kNN: Int = DefaultK, nProbe: Int = 2, rerank: Int = 50,
+                     m: Int = 8, subDim: Int = 8, k: Int = 16): DataFrame = {
+    val model = s.read.parquet(s"$indexDir/model.parquet")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getSeq[Double](2).toSeq).toMap
+    val cents = (0 until model.count(_._1._1 == "cent")).map(i => model(("cent", i)))
+    val books = (0 until model.count(_._1._1 == "book")).map(i => model(("book", i)))
+    val codes = s.read.parquet(s"$indexDir/codes.parquet")
+    ivfPqSearchWith(emb(s, dir), codes, cents, books, kNN, nProbe, rerank, m, subDim, k)(s)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

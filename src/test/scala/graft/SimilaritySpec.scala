@@ -199,6 +199,36 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(curve(200) > 2.0 / 8.0, s"IVF-PQ recall ${curve(200)} below the probed-fraction floor")
   }
 
+  test("persisted IVF-PQ index: model round-trips exactly and search serves from codes") {
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
+    val (cents, books) = Similarity.buildIvfPqIndex(spark, sf, idx)
+    // the model table must round-trip bit-exactly (parquet doubles)
+    val model = spark.read.parquet(s"$idx/model.parquet").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getSeq[Double](2).toSeq).toMap
+    cents.zipWithIndex.foreach { case (c, i) => assert(model(("cent", i)) == c, s"cent $i") }
+    books.zipWithIndex.foreach { case (b, i) => assert(model(("book", i)) == b, s"book $i") }
+    // codes cover the whole corpus: m rows per vector
+    val nVecs = Tables(spark, sf, "embeddings").count()
+    assert(spark.read.parquet(s"$idx/codes.parquet").count() == nVecs * 8)
+    // the search path is deterministic given the stored index…
+    def run() = Similarity.annIvfPqSearch(spark, sf, idx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("rank"))).sortBy(identity).toSeq
+    val first = run()
+    assert(first == run(), "persisted-index search is not deterministic")
+    // …well-formed (k rows per query), and beats the probed-fraction
+    // recall floor like the self-contained tier
+    val byQuery = first.groupBy(_._1)
+    assert(byQuery.keySet == (0L until Similarity.QueryCount).toSet)
+    byQuery.values.foreach(rs => assert(rs.size == Similarity.DefaultK))
+    val brute = Similarity.bruteForceTopK(spark, sf).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val recalls = brute.keys.toSeq.map { q =>
+      byQuery(q).map(_._2).toSet.intersect(brute(q)).size.toDouble / brute(q).size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean > 2.0 / 8.0, s"persisted-index recall $mean below the probed-fraction floor")
+  }
+
   test("learned PQ codebooks cut quantization distortion vs the literal tier") {
     import graft.functions.VectorOps
     val (m, subDim, k) = (8, 8, 16)
