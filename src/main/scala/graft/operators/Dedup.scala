@@ -761,6 +761,32 @@ object Dedup {
       .select(col("doc_id"))
   }
 
+  /** The PRODUCTION dedup composition as one registered query — the path
+    * a 100 TB pipeline actually runs (§8.5.2's clusters-on-LSH-pairs
+    * probe, promoted to the query surface): MinHash-LSH candidate pairs
+    * (the banded sublinear generator — never the quadratic exact-Jaccard
+    * stream [[dedupPipeline]]'s oracle tier consumes) → connected
+    * components → keep each cluster's minimum doc_id → anti-join, with
+    * the exact-dup collapse composed for sub-shingle docs exactly like
+    * [[dedupPipeline]]. Fully deterministic (hash-based signatures, no
+    * RNG) but rows-only by the signature-mixer contract
+    * ([[minhashLshPairs]]); DedupSpec pins equivalence to a local
+    * union-find over the same pair stream plus the exact-dup groups. */
+  def dedupPipelineLsh(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val clusters = clusterPairs(
+      minhashLshPairs(s, dir, threshold).select(col("doc_a"), col("doc_b")))
+    val removedNearDup = clusters.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    val keepers = exactDedup(s, dir).select(col("keep_id"))
+    val removedExact = docs(s, dir)
+      .select(col("doc_id"))
+      .join(keepers, col("doc_id") === col("keep_id"), "left_anti")
+      .select(col("doc_id"))
+    docs(s, dir).select(col("doc_id"))
+      .join(removedNearDup.union(removedExact).distinct(), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+  }
+
   val dedupPipelineSql: String =
     s"""SELECT doc_id FROM documents
       |WHERE doc_id NOT IN (
@@ -778,6 +804,7 @@ object Dedup {
     "q_dedup_embedding" -> ((s: SparkSession, d: String) => embeddingNearDupPairs(s, d)),
     "q_dedup_clusters" -> (nearDupClusters _),
     "q_dedup_pipeline" -> (dedupPipeline _),
+    "q_dedup_pipeline_lsh" -> ((s: SparkSession, d: String) => dedupPipelineLsh(s, d)),
     "q_dedup_cross_corpus" -> ((s: SparkSession, d: String) => crossCorpusNewDocs(s, d)),
     "q_dedup_contamination" -> ((s: SparkSession, d: String) => contamination(s, d)),
     "q_dedup_spans" -> ((s: SparkSession, d: String) => spanDupStats(s, d)),

@@ -195,6 +195,35 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(got == expected, s"missing=${expected.toSet -- got.toSet} extra=${got.toSet -- expected.toSet}")
   }
 
+  test("LSH dedup pipeline equals a local union-find over the same pairs plus exact groups") {
+    // the production composition: kept = every doc that is the minimum of
+    // its component in the graph (LSH pairs ∪ exact-duplicate groups)
+    val lshPairs = Dedup.minhashLshPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val texts = Tables(spark, sf, "documents").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val exactEdges = texts.groupBy(_._2).values.flatMap { g =>
+      val ids = g.map(_._1).sorted
+      ids.tail.map(id => (ids.head, id))
+    }
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    (lshPairs ++ exactEdges).foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // component minimum = the root (unions always hang max under min);
+    // docs in no component keep themselves
+    val expected = texts.map(_._1).filter(id => find(id) == id).toSet
+    val got = Dedup.dedupPipelineLsh(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
+    // cardinality sanity: the pipeline keeps something and removes something
+    assert(got.nonEmpty && got.size < texts.length)
+  }
+
   test("cross-corpus bloom-prefiltered dedup is exact vs a local fingerprint check") {
     val split = 250L
     val fps = graft.operators.TextAnalysis.fingerprint(spark, sf).collect()
