@@ -138,7 +138,8 @@ object ScaleProbe {
                       "q_tmp_funnel", "q_tmp_retention", "q_tmp_event_paths",
                       "q_text_gopher_gates", "q_sample_temperature_mix",
                       "q_pipeline_curation", "q_emb_pq_encode", "q_emb_pq_adc",
-                      "q_sim_ann_ivf_pq", "q_dedup_substrings", "q_pipeline_curation_full"))
+                      "q_sim_ann_ivf_pq", "q_dedup_substrings", "q_pipeline_curation_full",
+                      "q_dedup_pipeline_lsh"))
           runQuery(q, dst)
 
       case "compose" =>
