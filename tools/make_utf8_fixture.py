@@ -60,6 +60,34 @@ DOCS = [
     ("zh", "social", "重复 重复 重复 重复 "
                      "的 文本 测试 重复 "
                      "检测 重复 重复"),
+    # English-bearing long docs (round 6): ≥50 words of natural prose so
+    # the FULL Gopher battery — including the stop-word gate — has live,
+    # passing documents on this fixture and q_pipeline_curation_full
+    # produces survivors here, not only on the augmented synthetic corpus
+    ("en", "wiki", "the river runs north from the old stone bridge and "
+                   "past the mill where the miller worked for forty years "
+                   "grinding wheat and rye for the villages nearby and "
+                   "every spring the water rises over the low bank so that "
+                   "the path to the market floods and the carts must take "
+                   "the long road around the hill instead"),
+    ("en", "web", "a good loaf of bread needs only four things which are "
+                  "flour and water and salt and time and yet bakers argue "
+                  "without end about the right way to combine them because "
+                  "the flour differs from field to field and the water "
+                  "differs from town to town and the patience of the baker "
+                  "differs most of all from day to day"),
+    ("en", "news", "the council voted on tuesday to repair the harbour "
+                   "wall that storms have worn down over the past decade "
+                   "and the work will begin in the autumn once the fishing "
+                   "season ends with the cost shared between the town and "
+                   "the province and the engineers say the new wall should "
+                   "stand for fifty years or more if the sea is kind"),
+    ("en", "wiki", "early maps of the coast show a chain of small islands "
+                   "that have since joined the mainland as the channel "
+                   "silted up and farmers now plough fields where fishing "
+                   "boats once anchored and the only sign of the old shore "
+                   "is a line of worn posts that marked the harbour mouth "
+                   "two hundred years ago before the land closed in"),
 ]
 
 def main():
