@@ -48,6 +48,10 @@ object Curation {
                          gates: Seq[String] = SyntheticGates): DataFrame =
     curatedOn(s, docs(s, dir), budgetPerSource, gates)
 
+  /** Unique observation names: a metric name may appear once per plan,
+    * and Bench/Verify build this query repeatedly in one session. */
+  private val curationSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private def curatedOn(s: SparkSession, d: DataFrame,
                         budgetPerSource: Long, gates: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -56,11 +60,19 @@ object Curation {
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
     // stage 2: quality gates on the collapsed corpus — n_tok is computed
     // in the SAME projection as the gate stats (carry threading), so the
-    // text is split exactly once
-    val gated = TextAnalysis.gopherGatesOn(s,
+    // text is split exactly once. Per-gate attrition counters ride the
+    // same scan via observe (the production question "which gate costs
+    // the corpus" should never need a second pass); read them after any
+    // action with [[graft.Observed.metrics]] under `graft_curation_<n>`.
+    val stats = TextAnalysis.gopherGatesOn(s,
         d.join(keep, "doc_id")
           .withColumn("n_tok", size(split(col("text"), " ")).cast("long")),
         carry = Seq("source", "n_tok"))
+      .observe(s"graft_curation_${curationSeq.incrementAndGet()}",
+        count(lit(1)).as("docs_in"),
+        sum(gates.map(col).reduce(_ && _).cast("long")).as("docs_pass") +:
+          gates.map(g => sum(col(g).cast("long")).as(s"pass_$g")): _*)
+    val gated = stats
       .filter(gates.map(col).reduce(_ && _))
       .select(col("doc_id"), col("source"), col("n_tok"))
     // stage 3: per-source token budget over the survivors, deterministic

@@ -34,6 +34,26 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(got.forall(_.getAs[Long]("tok_before") < 600L))
   }
 
+  test("per-gate attrition counters ride the curation scan and match a direct aggregation") {
+    import org.apache.spark.sql.functions._
+    val df = Curation.curatedTokenSample(spark, sf)
+    df.collect() // run an action so the observation collects
+    val obs = graft.Observed.metrics(df).collectFirst {
+      case (name, row) if name.startsWith("graft_curation_") => row
+    }.getOrElse(fail("no graft_curation observation in the executed plan"))
+    // direct recomputation: gates over the collapsed corpus
+    val d = Tables(spark, sf, "documents")
+    val keep = d.groupBy(md5(col("text"))).agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val gateRows = graft.operators.TextAnalysis
+      .gopherGatesOn(spark, d.join(keep, "doc_id")).collect()
+    assert(obs.getAs[Long]("docs_in") == gateRows.length.toLong)
+    Curation.SyntheticGates.foreach { g =>
+      assert(obs.getAs[Long](s"pass_$g") == gateRows.count(_.getAs[Boolean](g)).toLong, g)
+    }
+    val passAll = gateRows.count(r => Curation.SyntheticGates.forall(r.getAs[Boolean](_)))
+    assert(obs.getAs[Long]("docs_pass") == passAll.toLong)
+  }
+
   test("curation pipeline = dedup-collapse, gates, then budgeted prefix — vs local recomputation") {
     val budget = 600L
     val got = Curation.curatedTokenSample(spark, sf, budget).collect()
