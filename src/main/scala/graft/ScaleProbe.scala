@@ -204,24 +204,53 @@ object ScaleProbe {
         }
 
       case "flagship" =>
-        time("build") { buildDocs(varied = true); buildEmbeddings(varied = true) }
-        println(s"SCALE${k}X[flagship] docs=${spark.read.parquet(s"$dst/documents.parquet").count()}" +
-          s" vecs=${spark.read.parquet(s"$dst/embeddings.parquet").count()}")
-        for (q <- Seq("q_dedup_minhash_lsh", "q_dedup_spans", "q_dedup_substrings",
-                      "q_sample_token_budget", "q_text_tfidf",
-                      "q_text_gopher_gates", "q_pipeline_curation",
-                      // embedding paths on the perturbed-replica population
-                      "q_emb_pq_encode", "q_emb_pq_adc", "q_sim_ann_lsh",
-                      "q_emb_jl_project", "q_sim_ann_ivf_pq"))
-          runQuery(q, dst)
-        // clusters on the PRODUCTION pair path (LSH candidates), not the
-        // exact-Jaccard stream the oracle tier uses
-        time("clusters_on_lsh_pairs") {
-          graft.operators.Dedup.clusterPairs(
-            graft.operators.Dedup.minhashLshPairs(spark, dst))
-            .write.format("noop").mode("overwrite").save()
+        // SPARK_GRAFT_SCALE_STAGE=recall reuses an existing flagship build
+        // and runs only the ANN-recall readout (the build + query sweep is
+        // the expensive part; recall iteration shouldn't repay it)
+        val stage = sys.env.getOrElse("SPARK_GRAFT_SCALE_STAGE", "all")
+        if (stage != "recall") {
+          time("build") { buildDocs(varied = true); buildEmbeddings(varied = true) }
+          println(s"SCALE${k}X[flagship] docs=${spark.read.parquet(s"$dst/documents.parquet").count()}" +
+            s" vecs=${spark.read.parquet(s"$dst/embeddings.parquet").count()}")
+          for (q <- Seq("q_dedup_minhash_lsh", "q_dedup_spans", "q_dedup_substrings",
+                        "q_sample_token_budget", "q_text_tfidf",
+                        "q_text_gopher_gates", "q_pipeline_curation",
+                        // embedding paths on the perturbed-replica population
+                        "q_emb_pq_encode", "q_emb_pq_adc", "q_sim_ann_lsh",
+                        "q_emb_jl_project", "q_sim_ann_ivf_pq"))
+            runQuery(q, dst)
+          // clusters on the PRODUCTION pair path (LSH candidates), not the
+          // exact-Jaccard stream the oracle tier uses
+          time("clusters_on_lsh_pairs") {
+            graft.operators.Dedup.clusterPairs(
+              graft.operators.Dedup.minhashLshPairs(spark, dst))
+              .write.format("noop").mode("overwrite").save()
+          }
+          spark.catalog.clearCache(); Checkpoints.releaseAll()
         }
-        spark.catalog.clearCache(); Checkpoints.releaseAll()
+        // ANN QUALITY at scale, not just cost: recall@10 vs brute force on
+        // the 100× population, at the bench partitioning (8 lists, probe 2)
+        // and at the §8.5.4 sizing rule's setting for this corpus size
+        // (finer partitioning, same 0.25 scanned fraction)
+        require(new java.io.File(s"$dst/embeddings.parquet").exists,
+          s"no flagship build at $dst — run without SPARK_GRAFT_SCALE_STAGE first")
+        val brute = graft.operators.Similarity.bruteForceTopK(spark, dst).collect()
+          .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+        def recallOf(nc: Int, np: Int): Double = {
+          val got = graft.operators.Similarity
+            .annIvfPq(spark, dst, nProbe = np, nCentroids = nc).collect()
+            .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+          spark.catalog.clearCache(); Checkpoints.releaseAll()
+          val rs = brute.keys.toSeq.map(q =>
+            got.getOrElse(q, Set.empty).intersect(brute(q)).size.toDouble / brute(q).size)
+          rs.sum / rs.size
+        }
+        for ((nc, np) <- Seq((8, 2), (32, 8))) {
+          val sec0 = System.nanoTime()
+          val r = recallOf(nc, np)
+          println(f"SCALE${k}X[flagship] ivfpq_recall_nc${nc}_np$np: $r%.3f " +
+            f"(scanned ~${np.toDouble / nc}%.2f, ${(System.nanoTime() - sec0) / 1e9}%.1f s)")
+        }
 
       case other => sys.error(s"unknown SPARK_GRAFT_SCALE_MODE: $other")
     }
