@@ -116,8 +116,12 @@ object Bench {
     println(line)
     // the driver's log capture truncates long stdout lines, dropping the
     // head of the per-query map from the recorded artifact — persist the
-    // complete line so every round's numbers survive verbatim
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
+    // complete line so every round's numbers survive verbatim. A filtered
+    // run must NOT default onto the full-sweep anchor: BENCH_local.json is
+    // the committed round artifact, and a subset silently overwriting it
+    // would corrupt every cross-round comparison.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isDefined) "BENCH_partial.json" else "BENCH_local.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case NonFatal(e) => System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
