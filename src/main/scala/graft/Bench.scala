@@ -100,15 +100,18 @@ object Bench {
       // elapsed would otherwise drag the median down and hide the breakage;
       // a query with no successful run reports null in the JSON instead
       val good = samples.flatten
-      (name, if (good.isEmpty) None else Some(median(good)), good)
+      (name, if (good.isEmpty) None else Some(median(good)), samples)
     }
     val telemetryAfter = hostSnapshot()
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
     def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v, _) => s""""$k":${v.map(f3).getOrElse("null")}""" }
       .mkString("{", ",", "}")
-    val raw = results.map { case (k, _, good) =>
-      s""""$k":${good.map(f3).mkString("[", ",", "]")}"""
+    // failed runs ride as null so the array length ALWAYS equals `runs` —
+    // a 3-entry array under runs=5 would be ambiguous between a filtered
+    // config and two failures that only reached (truncated) stderr
+    val raw = results.map { case (k, _, samples) =>
+      s""""$k":${samples.map(_.map(f3).getOrElse("null")).mkString("[", ",", "]")}"""
     }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"""" +

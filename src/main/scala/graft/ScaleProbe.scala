@@ -219,6 +219,20 @@ object ScaleProbe {
                         "q_emb_pq_encode", "q_emb_pq_adc", "q_sim_ann_lsh",
                         "q_emb_jl_project", "q_sim_ann_ivf_pq"))
             runQuery(q, dst)
+          // the REGISTERED production dedup pipeline, first-class at k×,
+          // with its LSH trim telemetry read out (skew/trim reading for
+          // the §8.5.2 row — candidates shed is the skew signal)
+          time("q_dedup_pipeline_lsh") {
+            val df = SparkEntry.queries("q_dedup_pipeline_lsh")(spark, dst)
+            df.write.format("noop").mode("overwrite").save()
+            Observed.metrics(df).foreach { case (name, row) =>
+              if (name.startsWith("graft_lsh_trim_"))
+                println(s"SCALE${k}X[flagship] pipeline_lsh trim: " +
+                  s"hot_buckets=${row.getAs[Long]("n_hot_buckets")} " +
+                  s"trimmed_rows=${row.getAs[Long]("n_trimmed_rows")}")
+            }
+          }
+          spark.catalog.clearCache(); Checkpoints.releaseAll()
           // clusters on the PRODUCTION pair path (LSH candidates), not the
           // exact-Jaccard stream the oracle tier uses
           time("clusters_on_lsh_pairs") {
@@ -250,6 +264,44 @@ object ScaleProbe {
           val r = recallOf(nc, np)
           println(f"SCALE${k}X[flagship] ivfpq_recall_nc${nc}_np$np: $r%.3f " +
             f"(scanned ~${np.toDouble / nc}%.2f, ${(System.nanoTime() - sec0) / 1e9}%.1f s)")
+        }
+
+      case "skew" =>
+        // the LshSkewSpec adversary at k× its spec size: ONE near-dup
+        // cluster (30% of the corpus) whose members differ only by a
+        // unique suffix token — exact dedup cannot collapse it, and every
+        // band concentrates most of the cluster into one bucket. Measures
+        // what the spec asserts, at a scale where the quadratic actually
+        // hurts: uncapped vs capped candidate counts, wall clock, and the
+        // trim telemetry that prices the recall loss.
+        val nHot = 400 * k
+        val nCold = 600 * k
+        time("build") {
+          val base = (0 until 30).map(i => s"tok$i").mkString(" ")
+          val hot = spark.range(nHot).select(col("id").as("doc_id"),
+            concat(lit(base + " uniq"), col("id").cast("string")).as("text"))
+          val cold = spark.range(nCold).select((col("id") + nHot).as("doc_id"),
+            concat_ws(" ", (0 until 30).map(j =>
+              concat(lit("w"), col("id").cast("string"), lit(s"_$j"))): _*).as("text"))
+          writeReplicated(
+            hot.unionByName(cold)
+              .withColumn("lang", lit("en")).withColumn("source", lit("skewfix"))
+              .withColumn("n_chars", length(col("text")).cast("long")),
+            s"$dst/documents.parquet")
+        }
+        for ((label, cap) <- Seq(("uncapped", Int.MaxValue),
+                                 ("capped", graft.operators.Dedup.HotBucketCap))) {
+          val df = graft.operators.Dedup.minhashLshPairs(spark, dst, bucketCap = cap)
+          var n = 0L
+          time(s"lsh_pairs_$label") { n = df.count() }
+          Observed.metrics(df).foreach { case (name, row) =>
+            if (name.startsWith("graft_lsh_trim_"))
+              println(s"SCALE${k}X[skew] $label trim: " +
+                s"hot_buckets=${row.getAs[Long]("n_hot_buckets")} " +
+                s"trimmed_rows=${row.getAs[Long]("n_trimmed_rows")}")
+          }
+          println(s"SCALE${k}X[skew] candidates_$label: $n")
+          spark.catalog.clearCache(); Checkpoints.releaseAll()
         }
 
       case other => sys.error(s"unknown SPARK_GRAFT_SCALE_MODE: $other")

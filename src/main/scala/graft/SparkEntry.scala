@@ -99,6 +99,7 @@ object SparkEntry {
       graft.operators.Temporal.queries ++
       graft.operators.Skew.queries ++
       graft.operators.TextAnalysis.queries ++
+      graft.operators.Bpe.queries ++
       graft.operators.Dedup.queries ++
       graft.operators.Similarity.queries ++
       graft.operators.Sampling.queries ++
@@ -111,6 +112,7 @@ object SparkEntry {
       graft.operators.Temporal.oracles ++
       graft.operators.Skew.oracles ++
       graft.operators.TextAnalysis.oracles ++
+      graft.operators.Bpe.oracles ++
       graft.operators.Dedup.oracles ++
       graft.operators.Similarity.oracles ++
       graft.operators.Sampling.oracles ++

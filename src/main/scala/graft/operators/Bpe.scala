@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Byte-pair encoding — the real merge-table tokenizer, not just the
+  * pre-tokenizer scan tier (`TextAnalysis.bpeTokenCounts` keeps that
+  * role). Two halves:
+  *
+  *  - '''apply''' ([[segmentVocab]] / `q_text_bpe_merges`): segment every
+  *    corpus token with a literal rank-ordered merge table, iterative
+  *    pair-merge to fixpoint — DuckDB-oracled via a recursive CTE running
+  *    the IDENTICAL algorithm (single-sourced from [[Merges]]).
+  *  - '''train''' ([[learnMerges]] / `q_text_bpe_train`): the distributed
+  *    BPE training loop — per round, segment the vocabulary with the
+  *    merges learned so far, count adjacent piece pairs weighted by token
+  *    frequency, and adopt the most frequent pair (deterministic
+  *    tiebreak). Rows-only + law-spec'd (the argmax loop has no
+  *    single-query SQL expression).
+  *
+  * Scale shape: both halves run at VOCABULARY grain, not corpus grain —
+  * the token stream is reduced to `(tok, count)` by one keyed wordcount
+  * shuffle, and every per-round pass touches only distinct tokens. On a
+  * 100 TB corpus the vocabulary is bounded (≈10⁶–10⁷ rows); the expensive
+  * corpus-grain work is a single map+shuffle, the R training rounds cost
+  * R small vocab passes, and the learned/literal table broadcasts to the
+  * serving encode for free.
+  *
+  * Reference anchor: token counting is the budget-estimation op of the
+  * survey's pipeline surface (SURVEY.md §2.3); the reference itself has
+  * no tokenizer (`processor.go` counts users, not tokens) — this is part
+  * of the extended LLM-pipeline tier.
+  */
+object Bpe {
+
+  /** Literal rank-ordered merge table. VALID by construction: each side is
+    * a single character or the product of an EARLIER rank — the invariant
+    * real BPE training guarantees, and the one that makes rank-order
+    * application equivalent to the classic lowest-rank-first greedy loop
+    * (a later merge can never create an occurrence of an earlier pair,
+    * because the earlier pair's sides already existed when it was
+    * learned and cannot contain the later product). */
+  val Merges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("a", "n"), ("e", "r"),
+    ("o", "w"), ("r", "ow"), ("s", "t"), ("a", "st"),
+    ("j", "o"), ("i", "n"), ("jo", "in"), ("h", "a"),
+    ("ha", "s"), ("has", "h"), ("q", "u"), ("e", "y"))
+
+  /** Segment one token: for each merge in rank order, repeatedly merge the
+    * LEFTMOST adjacent occurrence of the pair until none remains, then
+    * advance to the next rank. Leftmost-repeat is order-identical to the
+    * DuckDB oracle's `instr`+`substr` surgery, and (for a valid table)
+    * to greedy lowest-rank-first BPE. Driver/executor-side scalar — runs
+    * inside a typed map over the vocabulary only. */
+  def segment(tok: String, merges: Seq[(String, String)] = Merges): Vector[String] = {
+    var s: Vector[String] = tok.map(_.toString).toVector
+    for ((a, b) <- merges) {
+      var idx = pairIndex(s, a, b)
+      while (idx >= 0) {
+        s = (s.take(idx) :+ (a + b)) ++ s.drop(idx + 2)
+        idx = pairIndex(s, a, b)
+      }
+    }
+    s
+  }
+
+  private def pairIndex(s: Vector[String], a: String, b: String): Int = {
+    var i = 0
+    while (i < s.length - 1) {
+      if (s(i) == a && s(i + 1) == b) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Corpus vocabulary with occurrence counts — ONE keyed wordcount
+    * shuffle; everything downstream runs at vocab grain. */
+  private def vocab(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(explode(split(col("text"), " ", -1)).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("n_occ"))
+
+  /** `q_text_bpe_merges`: every distinct corpus token segmented by the
+    * literal merge table, with its occurrence count. Typed map (guide
+    * tier (d)) is justified: the per-token merge loop is genuinely
+    * imperative, and it touches only the vocabulary. */
+  def segmentVocab(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val merges = Merges
+    vocab(s, dir).as[(String, Long)].map { case (tok, n) =>
+      val pieces = segment(tok, merges)
+      (tok, pieces.mkString(" "), pieces.length.toLong, n)
+    }.toDF("tok", "pieces", "n_pieces", "n_occ")
+  }
+
+  /** The DuckDB twin of [[segmentVocab]], generated from the SAME
+    * [[Merges]] literal (single-sourced — the tables cannot drift). The
+    * recursive CTE carries each token's segmentation as a
+    * `chr(1)`-separated symbol string and performs the same
+    * leftmost-merge-until-fixpoint-per-rank loop with `instr` + `substr`
+    * surgery; ranks advance only at fixpoint, and the terminal rows are
+    * the ones that exhausted the table. */
+  def segmentVocabSql: String = {
+    val vals = Merges.zipWithIndex
+      .map { case ((a, b), i) => s"($i, '$a', '$b')" }.mkString(", ")
+    val r = Merges.length
+    s"""WITH RECURSIVE merges(rank, a, b) AS (VALUES $vals),
+       |toks AS (
+       |  SELECT tok, count(*) AS n_occ
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  WHERE len(tok) > 0 GROUP BY tok),
+       |seg(tok, s, rank) AS (
+       |  SELECT tok, chr(1) || array_to_string(regexp_split_to_array(tok, ''), chr(1)) || chr(1), 0
+       |  FROM toks
+       |  UNION ALL
+       |  SELECT tok,
+       |         CASE WHEN pos > 0 THEN substr(s, 1, pos - 1) || rep || substr(s, pos + len(pat)) ELSE s END,
+       |         CASE WHEN pos > 0 THEN rank ELSE rank + 1 END
+       |  FROM (
+       |    SELECT g.tok, g.s, g.rank,
+       |           chr(1) || m.a || chr(1) || m.b || chr(1) AS pat,
+       |           chr(1) || m.a || m.b || chr(1) AS rep,
+       |           instr(g.s, chr(1) || m.a || chr(1) || m.b || chr(1)) AS pos
+       |    FROM seg g JOIN merges m ON m.rank = g.rank
+       |    WHERE g.rank < $r))
+       |SELECT t.tok, replace(substr(f.s, 2, len(f.s) - 2), chr(1), ' ') AS pieces,
+       |       CAST(len(f.s) - len(replace(f.s, chr(1), '')) - 1 AS BIGINT) AS n_pieces,
+       |       t.n_occ AS n_occ
+       |FROM (SELECT tok, s FROM seg WHERE rank = $r) f JOIN toks t USING (tok)""".stripMargin
+  }
+
+  /** Distributed BPE training: learn `nMerges` merges from the corpus.
+    * Per round, the vocabulary is re-segmented with the merges adopted so
+    * far (broadcast closure), adjacent piece pairs are counted weighted
+    * by token frequency, and the winner is the pair with the highest
+    * count — ties broken by `(left, right)` ascending, so the result is a
+    * pure function of the corpus. Returns `(rank, left, right, count)`.
+    *
+    * Each round is one vocab-grain map + one small keyed agg + a top-1
+    * collect (the bounded model transfer of the k-means pattern);
+    * training never touches corpus grain after the initial wordcount. */
+  def learnMerges(s: SparkSession, dir: String, nMerges: Int): Seq[(Int, String, String, Long)] = {
+    import s.implicits._
+    val v = vocab(s, dir).as[(String, Long)].cache()
+    try {
+      val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      var done = false
+      while (learned.length < nMerges && !done) {
+        val cur: Seq[(String, String)] = learned.toSeq.map(m => (m._2, m._3))
+        val top = v.flatMap { case (tok, n) =>
+            segment(tok, cur).sliding(2).collect { case Vector(x, y) => (x, y, n) }
+          }.toDF("left", "right", "n")
+          .groupBy(col("left"), col("right")).agg(sum(col("n")).as("n_pairs"))
+          .orderBy(col("n_pairs").desc, col("left"), col("right"))
+          .limit(1).collect()
+        if (top.isEmpty) done = true
+        else {
+          val r = top(0)
+          learned += ((learned.length, r.getString(0), r.getString(1), r.getLong(2)))
+        }
+      }
+      learned.toSeq
+    } finally v.unpersist()
+  }
+
+  /** `q_text_bpe_train`: the learned merge table as a DataFrame. Rows-only
+    * in CORRECTNESS (the per-round argmax loop isn't one SQL query);
+    * BpeSpec pins exact parity with an independent local trainer. */
+  def learnMergesQuery(s: SparkSession, dir: String, nMerges: Int = 12): DataFrame = {
+    import s.implicits._
+    learnMerges(s, dir, nMerges)
+      .toDF("rank", "left", "right", "n_pairs")
+      .select(col("rank").cast("int"), col("left"), col("right"), col("n_pairs"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_bpe_merges" -> ((s: SparkSession, d: String) => segmentVocab(s, d)),
+    "q_text_bpe_train" -> ((s: SparkSession, d: String) => learnMergesQuery(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    "q_text_bpe_merges" -> segmentVocabSql)
+}

@@ -463,18 +463,35 @@ object Dedup {
       canon(or.join(m, "u").select(col("v").as("u"), col("m").as("v"))
         .union(m.select(col("u"), col("m").as("v"))))
     }
+    // convergence via content signature, ONE action and zero extra
+    // shuffles per round (the previous except()-based set equality paid a
+    // full distinct-shuffle each round): the edge sets are duplicate-free
+    // (canon ends in distinct()), so equal (count, bit_xor, Σ) over
+    // per-edge 64-bit hashes identifies equal sets up to a ~2⁻¹²⁸
+    // collision — and the oracle-parity spec cross-checks the result
+    // anyway. Σ runs in DECIMAL(38): ANSI mode would throw on a BIGINT
+    // overflow that a plain hash-sum hits almost immediately.
+    def sig(e: DataFrame): (Long, Long, BigDecimal) = {
+      val h = xxhash64(col("u"), col("v"))
+      val r = e.agg(count(lit(1)), bit_xor(h), sum(h.cast("decimal(38,0)"))).collect()(0)
+      (r.getLong(0),
+       if (r.isNullAt(1)) 0L else r.getLong(1),
+       if (r.isNullAt(2)) BigDecimal(0) else BigDecimal(r.getDecimal(2)))
+    }
     var edges = graft.Checkpoints.local(
       canon(pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))))
+    var edgesSig = sig(edges)
     var round = 0
     var converged = false
     while (!converged) {
       round += 1
       require(round <= maxRounds, s"star alternation did not converge in $maxRounds rounds")
       val next = graft.Checkpoints.local(smallStar(largeStar(edges)))
-      // set equality: equal cardinality + one-sided difference empty
-      converged = next.count() == edges.count() && next.except(edges).isEmpty
+      val nextSig = sig(next)
+      converged = nextSig == edgesSig
       graft.Checkpoints.release(edges)
       edges = next
+      edgesSig = nextSig
     }
     // fixpoint edges are (node → component min); roots map to themselves
     val roots = edges.select(col("v").as("doc_id")).distinct()
@@ -705,12 +722,20 @@ object Dedup {
                         scales: Seq[Int] = Seq(10, 25, 50)): DataFrame = {
     import s.implicits._
     val sc = scales
-    val spans = docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
-      .flatMap { case (id, text) =>
-        val words = text.split(" ", -1)
-        sc.iterator.flatMap(l =>
-          words.grouped(l).map(g => (id, l.toLong, graft.functions.Hll.hash(g.mkString(" ")))))
-      }.toDF("doc_id", "scale", "span_h").cache()
+    // eagerly checkpointed, NOT cache()d: the tokenize-and-hash pass feeds
+    // both the per-span doc count and the join probe side, but a catalog
+    // cache would rely on the caller's clearCache-between-queries
+    // convention — at 3 scales the leaked footprint is 3× spanDupStats', so
+    // a library caller composing queries would accumulate it. Checkpoint
+    // blocks are freed by graft.Checkpoints.releaseAll (Bench/Verify/specs)
+    // or GC'd with the result (weak registry), with no caller contract.
+    val spans = graft.Checkpoints.local(
+      docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val words = text.split(" ", -1)
+          sc.iterator.flatMap(l =>
+            words.grouped(l).map(g => (id, l.toLong, graft.functions.Hll.hash(g.mkString(" ")))))
+        }.toDF("doc_id", "scale", "span_h"))
     val docsPerSpan = spans.distinct()
       .groupBy(col("scale"), col("span_h")).agg(count(lit(1)).as("n_docs_span"))
     spans.join(docsPerSpan, Seq("scale", "span_h"))

@@ -382,44 +382,77 @@ object Similarity {
     * for. `vecs` is `(vec_id, v: array<double>)`, already capped by the
     * caller ([[pqTrainingSample]] / the residual sample in [[annIvfPq]]).
     *
-    * All m subspaces train TOGETHER: one cached pass computes every
-    * subspace's argmin assignment in a single projection (m·k native dot
-    * loops), one explode+groupBy recenters all m books per iteration — so
-    * an iteration is ONE shuffle of m×|sample| tiny rows, not m separate
-    * jobs. Only the m×k×subDim codebook model crosses to the driver each
-    * round (the same bounded-model-transfer contract as
-    * [[learnCentroids]]). Empty cells keep their previous codeword.
-    * Deterministic: hash-ordered init, fixed iteration count. */
+    * All m subspaces train TOGETHER over one cached exploded sample
+    * `(vec_id, j, sub, xx)`. The per-iteration assign JOINS a tiny
+    * broadcast `(j, c, cw, cc)` codebook DataFrame instead of baking the
+    * books into literal expressions: the plan is byte-identical across
+    * iterations (only the LocalRelation DATA changes), so whole-stage
+    * codegen compiles ONCE and every later round hits Spark's codegen
+    * cache — the fresh-literal version re-ran Janino each round, and that
+    * fixed compile cost (seconds, with 64 KB-method fallbacks at larger
+    * m×k) dominated training. The price is one extra exchange of
+    * partially-aggregated `(vec_id, j)` rows per round, bounded by the
+    * caller's sample cap — microseconds against seconds. The SERVING
+    * encode ([[pqEncodeWith]]) keeps literal books for codegen'd map-only
+    * scans; only training pays the join. Only the m×k×subDim codebook
+    * model crosses to the driver each round (the same
+    * bounded-model-transfer contract as [[learnCentroids]]). Empty cells
+    * keep their previous codeword. Deterministic: hash-ordered init,
+    * fixed iteration count, `(dist, c)` struct-min tiebreak. */
   def learnPqCodebooks(s: SparkSession, vecs: DataFrame,
                        m: Int = 8, subDim: Int = 8, k: Int = 16,
                        iters: Int = 4): Seq[Seq[Double]] = {
+    import s.implicits._
     val subCols = (0 until m).map(j => slice(col("v"), j * subDim + 1, subDim).as(s"sub_$j"))
     val sampled = vecs.select(col("vec_id") +: subCols: _*).cache()
     try {
-      // deterministic init: the k lowest-hash sample rows seed all m books
-      val seed = sampled.orderBy(xxhash64(col("vec_id"), lit(17)), col("vec_id"))
+      // deterministic init: the k lowest-hash DISTINCT subvector tuples seed
+      // all m books — on corpora with many exact-duplicate vectors (e.g.
+      // replicated scale fixtures) duplicate seeds would collapse codewords,
+      // and empty cells then pin the duplicate for every iteration
+      val seedRows = sampled
+        .groupBy((0 until m).map(j => col(s"sub_$j")): _*)
+        .agg(min(struct(xxhash64(col("vec_id"), lit(17)).as("h"),
+                        col("vec_id").as("id"))).as("ord"))
+        .orderBy(col("ord.h"), col("ord.id"))
         .limit(k).collect()
-      require(seed.length == k, s"PQ training sample thinner than k=$k")
+      require(seedRows.nonEmpty, "PQ training sample is empty")
+      if (seedRows.length < k)
+        System.err.println(s"[graft] learnPqCodebooks: only ${seedRows.length} distinct " +
+          s"subvector rows for k=$k seeds — codebooks will carry duplicate codewords")
+      val seed = Iterator.continually(seedRows.toIndexedSeq).flatten.take(k).toIndexedSeq
       var books: IndexedSeq[Seq[Double]] = (0 until m).flatMap(j =>
-        seed.toIndexedSeq.map(_.getSeq[Double](j + 1).toSeq))
-      for (_ <- 0 until iters) {
-        val entries = array((0 until m).map { j =>
-          val sub = col(s"sub_$j")
-          val xx = VectorOps.dot(sub, sub)
-          val cid = array_min(array((0 until k).map(c =>
-            struct(pqDist(sub, xx, books(j * k + c)).as("dist"),
-                   lit(c).as("cid"))): _*)).getField("cid")
-          struct(lit(j).as("j"), cid.as("cid"), sub.as("sub"))
-        }: _*)
-        val recentered = sampled.select(explode(entries).as("e"))
-          .groupBy(col("e.j").as("j"), col("e.cid").as("cid"))
-          .agg(array((0 until subDim).map(d =>
-            avg(element_at(col("e.sub"), d + 1))): _*).as("c"))
-          .collect()
-          .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toSeq).toMap
-        books = (0 until m).flatMap(j => (0 until k).map(c =>
-          recentered.getOrElse((j, c), books(j * k + c))))
-      }
+        seed.map(_.getSeq[Double](j).toSeq))
+      // iteration-independent exploded sample: (vec_id, j, sub, xx) — one
+      // row per (sample row, subspace); cached once, reused every round
+      val exploded = sampled.select(col("vec_id"), explode(array((0 until m).map(j =>
+          struct(lit(j).as("j"), col(s"sub_$j").as("sub"))): _*)).as("e"))
+        .select(col("vec_id"), col("e.j").as("j"), col("e.sub").as("sub"))
+        .withColumn("xx", VectorOps.dot(col("sub"), col("sub")))
+        .cache()
+      try {
+        for (_ <- 0 until iters) {
+          // (xx − 2·dot) + cc — same association as pqDist, so the learned
+          // books are bit-identical to the former literal-expression assign
+          val bookDf = broadcast((for { j <- 0 until m; c <- 0 until k } yield {
+            val cw = books(j * k + c)
+            (j, c, cw, cw.map(x => x * x).reduce(_ + _))
+          }).toDF("j", "c", "cw", "cc"))
+          val recentered = exploded.join(bookDf, "j")
+            .withColumn("dist",
+              col("xx") - lit(2.0) * VectorOps.dot(col("sub"), col("cw")) + col("cc"))
+            .groupBy(col("vec_id"), col("j"))
+            .agg(min(struct(col("dist"), col("c"))).getField("c").as("cid"),
+                 first(col("sub")).as("sub"))
+            .groupBy(col("j"), col("cid"))
+            .agg(array((0 until subDim).map(d =>
+              avg(element_at(col("sub"), d + 1))): _*).as("c"))
+            .collect()
+            .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toSeq).toMap
+          books = (0 until m).flatMap(j => (0 until k).map(c =>
+            recentered.getOrElse((j, c), books(j * k + c))))
+        }
+      } finally { exploded.unpersist(); () }
       books
     } finally { sampled.unpersist(); () }
   }
@@ -595,6 +628,24 @@ object Similarity {
               col("col.code").as("code"))
   }
 
+  /** Deterministic capped sample of coarse-quantizer RESIDUALS
+    * `x − centroid(cid)` — the PQ-codebook training input, defined ONCE and
+    * shared by [[annIvfPq]] and [[buildIvfPqIndex]] so the one-shot query
+    * and the persisted index can never de-sync on the cap or the hash
+    * seed. The interpreted `zip_with` residual materialization touches
+    * only this capped sample, never the corpus. */
+  private def residualTrainingSample(e: DataFrame, cents: Seq[Seq[Double]],
+                                     maxTrainRows: Int): DataFrame = {
+    val centArr = array(cents.map(cc => array(cc.map(lit): _*)): _*)
+    assignCid(
+        e.select(col("vec_id"), col("embedding"))
+          .orderBy(xxhash64(col("vec_id"), lit(13)), col("vec_id")).limit(maxTrainRows),
+        cents)
+      .select(col("vec_id"),
+        zip_with(col("embedding").cast("array<double>"),
+                 element_at(centArr, col("cid") + 1), (x, c) => x - c).as("v"))
+  }
+
   /** The composed IVF-PQ index — the operator a 100 TB ANN deployment
     * actually runs (Jégou 2011 §IV.A–B, "IVFADC"): coarse-probe, then
     * ADC-scan only the probed lists' compressed codes, then exact re-rank
@@ -633,20 +684,12 @@ object Similarity {
                nCentroids: Int = 8, iters: Int = 4, pqIters: Int = 2, rerank: Int = 50,
                m: Int = 8, subDim: Int = 8, k: Int = 16,
                maxTrainRows: Int = 65536): DataFrame = {
-    import s.implicits._
     val e = emb(s, dir)
     // 1a. coarse quantizer
     val cents = learnCentroids(s, e, nCentroids, iters)
     // 1b. PQ codebooks trained on coarse residuals of a capped sample
-    val centArr = array(cents.map(cc => array(cc.map(lit): _*)): _*)
-    val trainResid = assignCid(
-        e.select(col("vec_id"), col("embedding"))
-          .orderBy(xxhash64(col("vec_id"), lit(13)), col("vec_id")).limit(maxTrainRows),
-        cents)
-      .select(col("vec_id"),
-        zip_with(col("embedding").cast("array<double>"),
-                 element_at(centArr, col("cid") + 1), (x, c) => x - c).as("v"))
-    val books = learnPqCodebooks(s, trainResid, m, subDim, k, iters = pqIters)
+    val books = learnPqCodebooks(s, residualTrainingSample(e, cents, maxTrainRows),
+      m, subDim, k, iters = pqIters)
     // 1c. the (in-memory) index: list assignment + residual codes
     val assigned = assignCid(e, cents)
     val codes = pqEncodeResiduals(
@@ -716,19 +759,16 @@ object Similarity {
     import s.implicits._
     val e = emb(s, dir)
     val cents = learnCentroids(s, e, nCentroids, iters)
-    val centArr = array(cents.map(cc => array(cc.map(lit): _*)): _*)
-    val trainResid = assignCid(
-        e.select(col("vec_id"), col("embedding"))
-          .orderBy(xxhash64(col("vec_id"), lit(13)), col("vec_id")).limit(maxTrainRows),
-        cents)
-      .select(col("vec_id"),
-        zip_with(col("embedding").cast("array<double>"),
-                 element_at(centArr, col("cid") + 1), (x, c) => x - c).as("v"))
-    val books = learnPqCodebooks(s, trainResid, m, subDim, k, iters = pqIters)
+    val books = learnPqCodebooks(s, residualTrainingSample(e, cents, maxTrainRows),
+      m, subDim, k, iters = pqIters)
     pqEncodeResiduals(assignCid(e, cents).select(col("vec_id"), col("cid"), col("embedding")),
         cents, books, m, subDim, k)
       .write.mode("overwrite").parquet(s"$indexDir/codes.parquet")
-    (cents.zipWithIndex.map { case (c, i) => ("cent", i, c) } ++
+    // the meta row pins the build hyperparameters: a search with different
+    // (m, subDim, k, nCentroids) would mis-index books(j·k + c) and return
+    // plausible-but-wrong neighbors — annIvfPqSearch require()s agreement
+    (Seq(("meta", 0, Seq(m.toDouble, subDim.toDouble, k.toDouble, nCentroids.toDouble))) ++
+      cents.zipWithIndex.map { case (c, i) => ("cent", i, c) } ++
       books.zipWithIndex.map { case (b, i) => ("book", i, b) })
       .toDF("kind", "idx", "vec")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/model.parquet")
@@ -747,12 +787,68 @@ object Similarity {
       .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getSeq[Double](2).toSeq).toMap
     val cents = (0 until model.count(_._1._1 == "cent")).map(i => model(("cent", i)))
     val books = (0 until model.count(_._1._1 == "book")).map(i => model(("book", i)))
+    // hyperparameter handshake: refuse to serve an index whose stored
+    // (m, subDim, k, nCentroids) disagree with the caller's — a silent
+    // mismatch mis-indexes the codebooks instead of erroring
+    val meta = model.getOrElse(("meta", 0),
+      sys.error(s"$indexDir/model.parquet has no meta row — rebuild with buildIvfPqIndex"))
+    require(meta.map(_.toInt) == Seq(m, subDim, k, cents.length),
+      s"index at $indexDir built with (m,subDim,k,nCentroids)=(${meta.map(_.toInt).mkString(",")}); " +
+        s"search called with ($m,$subDim,$k) and loaded ${cents.length} centroids")
+    require(books.length == m * k,
+      s"index at $indexDir holds ${books.length} codewords, expected m*k=${m * k}")
     val codes = s.read.parquet(s"$indexDir/codes.parquet")
     ivfPqSearchWith(emb(s, dir), codes, cents, books, kNN, nProbe, rerank, m, subDim, k)(s)
   }
 
+  // -----------------------------------------------------------------
+  // Registered build/search query pair for the persisted index
+  // -----------------------------------------------------------------
+
+  /** Per-JVM scratch root for the registered build/search pair — created
+    * fresh for every JVM so a stale index can never serve regenerated
+    * test data across runs; inside one JVM the index is keyed per sf dir. */
+  private lazy val indexScratch: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft-ivfpq-")
+
+  private val builtIndexes = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def indexDirFor(dir: String): String =
+    indexScratch.resolve(java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir))).toString
+
+  /** The registered BUILD half (`q_sim_ann_ivf_pq_build`): (re)builds the
+    * persisted index for `dir` into the per-JVM scratch dir and returns
+    * the per-list code counts — the bench entry prices exactly what a
+    * production deployment pays ONCE per corpus version. Rows-only by the
+    * float-k-means contract (like [[annIvfPq]]). */
+  def ivfPqBuildQuery(s: SparkSession, dir: String): DataFrame = {
+    val idx = indexDirFor(dir)
+    buildIvfPqIndex(s, dir, idx)
+    builtIndexes.put(dir, idx)
+    s.read.parquet(s"$idx/codes.parquet")
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_codes"))
+      .orderBy(col("cid"))
+  }
+
+  /** The registered SEARCH half (`q_sim_ann_ivf_pq_search`): answers the
+    * demo query set against the persisted index — the amortized per-query
+    * cost the 100 TB story is priced on, shown in the bench artifact next
+    * to the build cost it no longer pays. Builds the index on first use so
+    * the query stays a pure function of its inputs under any run order. */
+  def ivfPqSearchQuery(s: SparkSession, dir: String): DataFrame = {
+    val idx = builtIndexes.computeIfAbsent(dir, d => {
+      val p = indexDirFor(d)
+      buildIvfPqIndex(s, d, p)
+      p
+    })
+    annIvfPqSearch(s, dir, idx)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_ann_ivf_pq" -> ((s: SparkSession, d: String) => annIvfPq(s, d)),
+    "q_sim_ann_ivf_pq_build" -> ((s: SparkSession, d: String) => ivfPqBuildQuery(s, d)),
+    "q_sim_ann_ivf_pq_search" -> ((s: SparkSession, d: String) => ivfPqSearchQuery(s, d)),
     "q_emb_pq_adc" -> ((s: SparkSession, d: String) => pqAdcTopK(s, d)),
     "q_emb_pq_encode" -> ((s: SparkSession, d: String) => pqEncode(s, d)),
     "q_sim_topk_brute" -> ((s: SparkSession, d: String) => bruteForceTopK(s, d)),

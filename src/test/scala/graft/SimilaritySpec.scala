@@ -229,6 +229,35 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(mean > 2.0 / 8.0, s"persisted-index recall $mean below the probed-fraction floor")
   }
 
+  test("persisted IVF-PQ index refuses mismatched search hyperparameters") {
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq_mismatch").toString
+    Similarity.buildIvfPqIndex(spark, sf, idx)
+    // wrong codebook size k: books(j·k + c) would silently mis-index
+    intercept[IllegalArgumentException] {
+      Similarity.annIvfPqSearch(spark, sf, idx, k = 8)
+    }
+    // wrong subspace split: same total dims, different codebook layout
+    intercept[IllegalArgumentException] {
+      Similarity.annIvfPqSearch(spark, sf, idx, m = 4, subDim = 16)
+    }
+    // matching hyperparameters still serve
+    assert(Similarity.annIvfPqSearch(spark, sf, idx).count() > 0)
+  }
+
+  test("registered build/search pair matches the self-contained IVF-PQ query") {
+    val nVecs = Tables(spark, sf, "embeddings").count()
+    val built = Similarity.ivfPqBuildQuery(spark, sf)
+    assert(built.agg(org.apache.spark.sql.functions.sum("n_codes"))
+      .collect()(0).getLong(0) == nVecs * 8, "codes must cover the corpus (m rows per vector)")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("rank"))).sortBy(identity).toSeq
+    val viaIndex = rows(Similarity.ivfPqSearchQuery(spark, sf))
+    // training is fully deterministic, so the persisted path and the
+    // one-shot query are the SAME plan over the SAME model — identical rows
+    assert(viaIndex == rows(Similarity.annIvfPq(spark, sf)),
+      "persisted-index search diverged from the self-contained query")
+  }
+
   test("learned PQ codebooks cut quantization distortion vs the literal tier") {
     import graft.functions.VectorOps
     val (m, subDim, k) = (8, 8, 16)
