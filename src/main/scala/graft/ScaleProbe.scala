@@ -266,43 +266,72 @@ object ScaleProbe {
             f"(scanned ~${np.toDouble / nc}%.2f, ${(System.nanoTime() - sec0) / 1e9}%.1f s)")
         }
 
+      case "pqtrain" =>
+        // marginal PQ-training iteration cost on sf0.1 residual-free input:
+        // with the broadcast-codebook join assign the per-iteration plan is
+        // byte-identical, so cost(iters=n) − cost(iters=1) should be n−1
+        // small flat steps (data only), not n Janino recompiles
+        val sample = graft.operators.Similarity.pqTrainingSample(spark, src)
+        for (iters <- Seq(1, 2, 4, 8)) {
+          val t = time(s"pq_train_iters_$iters") {
+            graft.operators.Similarity.learnPqCodebooks(spark, sample, iters = iters)
+          }
+          if (iters > 1) println(f"SCALE${k}X[pqtrain] marginal_per_iter_at_$iters: ${t / iters}%.3f s")
+          spark.catalog.clearCache(); Checkpoints.releaseAll()
+        }
+
       case "skew" =>
-        // the LshSkewSpec adversary at k× its spec size: ONE near-dup
-        // cluster (30% of the corpus) whose members differ only by a
-        // unique suffix token — exact dedup cannot collapse it, and every
-        // band concentrates most of the cluster into one bucket. Measures
-        // what the spec asserts, at a scale where the quadratic actually
-        // hurts: uncapped vs capped candidate counts, wall clock, and the
-        // trim telemetry that prices the recall loss.
+        // adversarial duplication at k× the LshSkewSpec scale, exercising
+        // BOTH defense layers of the minhash path at once:
+        //  - cluster A (30% of the corpus, 400k docs at k=1000×... at k=10
+        //    4 000 docs) shares a 30-token base — its shingles blow past
+        //    HotShingleCap, so the FIRST layer sheds them before
+        //    signatures exist and the Θ(|A|²) quadratic never forms;
+        //  - cluster B (800 docs, UNDER the shingle cap) survives to
+        //    banding and emits its bounded Θ(|B|²) pairs — the quadratic
+        //    the caps permit is bounded per cluster by
+        //    min(HotShingleCap, HotBucketCap)², independent of corpus
+        //    size.
+        // The probe prints both trim telemetries and the candidate count;
+        // the structural claim (no minhash band bucket can exceed
+        // HotShingleCap members — every bucket member carries the
+        // bucket's argmin shingles) is documented on invertedIndex.
         val nHot = 400 * k
+        val nB = 800
         val nCold = 600 * k
         time("build") {
           val base = (0 until 30).map(i => s"tok$i").mkString(" ")
+          val baseB = (0 until 30).map(i => s"btk$i").mkString(" ")
           val hot = spark.range(nHot).select(col("id").as("doc_id"),
             concat(lit(base + " uniq"), col("id").cast("string")).as("text"))
-          val cold = spark.range(nCold).select((col("id") + nHot).as("doc_id"),
+          val clusterB = spark.range(nB).select((col("id") + nHot).as("doc_id"),
+            concat(lit(baseB + " uniq"), col("id").cast("string")).as("text"))
+          val cold = spark.range(nCold).select((col("id") + nHot + nB).as("doc_id"),
             concat_ws(" ", (0 until 30).map(j =>
               concat(lit("w"), col("id").cast("string"), lit(s"_$j"))): _*).as("text"))
           writeReplicated(
-            hot.unionByName(cold)
+            hot.unionByName(clusterB).unionByName(cold)
               .withColumn("lang", lit("en")).withColumn("source", lit("skewfix"))
               .withColumn("n_chars", length(col("text")).cast("long")),
             s"$dst/documents.parquet")
         }
-        for ((label, cap) <- Seq(("uncapped", Int.MaxValue),
-                                 ("capped", graft.operators.Dedup.HotBucketCap))) {
-          val df = graft.operators.Dedup.minhashLshPairs(spark, dst, bucketCap = cap)
-          var n = 0L
-          time(s"lsh_pairs_$label") { n = df.count() }
-          Observed.metrics(df).foreach { case (name, row) =>
-            if (name.startsWith("graft_lsh_trim_"))
-              println(s"SCALE${k}X[skew] $label trim: " +
-                s"hot_buckets=${row.getAs[Long]("n_hot_buckets")} " +
-                s"trimmed_rows=${row.getAs[Long]("n_trimmed_rows")}")
-          }
-          println(s"SCALE${k}X[skew] candidates_$label: $n")
-          spark.catalog.clearCache(); Checkpoints.releaseAll()
+        val df = graft.operators.Dedup.minhashLshPairs(spark, dst)
+        var n = 0L
+        time("lsh_pairs") { n = df.count() }
+        Observed.metrics(df).foreach { case (name, row) =>
+          if (name.startsWith("graft_shingle_trim_"))
+            println(s"SCALE${k}X[skew] shingle trim (layer 1): " +
+              s"hot_shingles=${row.getAs[Long]("n_hot_shingles")} " +
+              s"dropped_postings=${row.getAs[Long]("n_dropped_postings")}")
+          if (name.startsWith("graft_lsh_trim_"))
+            println(s"SCALE${k}X[skew] bucket trim (layer 2): " +
+              s"hot_buckets=${row.getAs[Long]("n_hot_buckets")} " +
+              s"trimmed_rows=${row.getAs[Long]("n_trimmed_rows")}")
         }
+        val expectB = nB.toLong * (nB - 1) / 2
+        println(s"SCALE${k}X[skew] candidates: $n (cluster A quadratic would be " +
+          s"${nHot.toLong * (nHot - 1) / 2}; permitted cluster-B bound $expectB)")
+        spark.catalog.clearCache(); Checkpoints.releaseAll()
 
       case other => sys.error(s"unknown SPARK_GRAFT_SCALE_MODE: $other")
     }

@@ -68,11 +68,26 @@ object Dedup {
       }.toDF("doc_id", "sh_hash")
   }
 
-  /** Postings with hot shingles dropped (skew guard). */
+  /** Postings with hot shingles dropped (skew guard) — the FIRST defense
+    * layer against adversarial duplication, and like the band-bucket trim
+    * it is observable, never silent: a `graft_shingle_trim_<n>`
+    * observation reports how many shingles were shed and how many
+    * postings they carried (metric absent under AQE empty-relation
+    * pruning ⇔ nothing was hot; asserted in LshSkewSpec).
+    *
+    * Structural consequence for the minhash path: every member of a band
+    * bucket contains the bucket's 4 argmin shingles, so a bucket of size
+    * B implies shingle frequency ≥ B — with this cap in force no minhash
+    * band bucket can exceed [[HotShingleCap]] members. [[HotBucketCap]]
+    * is the independent second layer (and the only one on banded paths
+    * that don't go through shingle postings). */
   private def invertedIndex(s: SparkSession, dir: String): DataFrame = {
     val posting = postings(s, dir)
     val hot = posting.groupBy("sh_hash").count().filter(col("count") > HotShingleCap)
-    posting.join(broadcast(hot), Seq("sh_hash"), "left_anti")
+      .observe(s"graft_shingle_trim_${lshTrimSeq.incrementAndGet()}",
+        count(lit(1)).as("n_hot_shingles"),
+        coalesce(sum(col("count")), lit(0L)).as("n_dropped_postings"))
+    posting.join(broadcast(hot.select(col("sh_hash"))), Seq("sh_hash"), "left_anti")
   }
 
   /** A single MinHash band-bucket holding more than this many items is a

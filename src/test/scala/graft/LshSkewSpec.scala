@@ -88,4 +88,28 @@ class LshSkewSpec extends AnyFunSuite with SparkTestBase {
     assert(cappedSec <= uncappedSec,
       f"capped path slower than uncapped: $cappedSec%.2f s vs $uncappedSec%.2f s")
   }
+
+  test("a cluster larger than HotShingleCap is defused at the shingle tier, with telemetry") {
+    import spark.implicits._
+    // cluster size over the shingle cap: the 28 base shingles each occur
+    // in every member, exceed the cap, and are shed BEFORE signatures —
+    // the quadratic never forms and the shed volume is reported
+    val n = Dedup.HotShingleCap + 200
+    val dir = Files.createTempDirectory("shingle_skew").toString
+    val base = (0 until 30).map(i => s"tok$i").mkString(" ")
+    (0 until n).map(i => (i.toLong, s"$base uniq$i")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("skewfix"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val pairs = Dedup.minhashLshPairs(spark, dir)
+    assert(pairs.collect().isEmpty,
+      "shared shingles above the cap must never reach banding")
+    val m = Observed.metrics(pairs).collectFirst {
+      case (name, row) if name.startsWith("graft_shingle_trim_") => row
+    }.getOrElse(fail("shingles trimmed but no graft_shingle_trim observation"))
+    // 31 tokens -> 29 shingles/doc: 28 all-base (hot), 1 unique suffix
+    assert(m.getAs[Long]("n_hot_shingles") == 28L)
+    assert(m.getAs[Long]("n_dropped_postings") == 28L * n)
+  }
 }
