@@ -55,7 +55,19 @@ object Bpe {
     * to greedy lowest-rank-first BPE. Driver/executor-side scalar — runs
     * inside a typed map over the vocabulary only. */
   def segment(tok: String, merges: Seq[(String, String)] = Merges): Vector[String] = {
-    var s: Vector[String] = tok.map(_.toString).toVector
+    // seed by CODE POINTS, not UTF-16 units: a non-BMP char (emoji) is one
+    // seed symbol, matching the DuckDB oracle's regexp_split_to_array(tok,'')
+    // and the repo-wide fixtures/utf8 discipline (Utf8Spec)
+    var s: Vector[String] = {
+      val b = Vector.newBuilder[String]
+      var i = 0
+      while (i < tok.length) {
+        val cp = tok.codePointAt(i)
+        b += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      b.result()
+    }
     for ((a, b) <- merges) {
       var idx = pairIndex(s, a, b)
       while (idx >= 0) {
@@ -166,6 +178,65 @@ object Bpe {
     } finally v.unpersist()
   }
 
+  /** Batched BPE training: per round, adopt up to `batch` pairs from one
+    * pair-count pass instead of one. Candidates are taken in the same
+    * deterministic order as [[learnMerges]] (count desc, then `(left,
+    * right)` asc); within a round a candidate is adopted only if its
+    * symbol set is DISJOINT from every pair already adopted this round.
+    * Disjointness is the soundness condition: merging `(a,b) → ab` can
+    * only change the counts of pairs that touch an `a` or `b` occurrence,
+    * so a disjoint candidate's count — and therefore its rank among the
+    * remaining disjoint candidates — is exactly what a sequential
+    * re-count would see. The sequential and batched merge SETS can still
+    * diverge when a just-created product pair (`x`,`ab`) out-counts a
+    * later in-batch candidate (classic batched-BPE caveat); BpeSpec pins
+    * equality on the test corpus, where that does not occur.
+    *
+    * Cost: rounds drop from R to ~R/batch, and since round r re-segments
+    * the vocabulary with all r·batch merges so far, the total
+    * re-segmentation work falls from O(R²) toward O(R²/batch) — the fix
+    * for the sequential trainer's driver-round-trip-per-merge shape at
+    * production vocab sizes (R ≈ 32k, batch ≈ 256). */
+  def learnMergesBatched(s: SparkSession, dir: String, nMerges: Int,
+                         batch: Int = 8): Seq[(Int, String, String, Long)] = {
+    import s.implicits._
+    require(batch >= 1, s"batch must be >= 1, got $batch")
+    val v = vocab(s, dir).as[(String, Long)].cache()
+    try {
+      val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      var done = false
+      while (learned.length < nMerges && !done) {
+        val cur: Seq[(String, String)] = learned.toSeq.map(m => (m._2, m._3))
+        // one vocab pass; pull enough ordered candidates to fill the batch
+        // even after disjointness skips (worst case each adopted pair
+        // blocks 2 symbols, so 4*batch heads is a comfortable margin)
+        val cands = v.flatMap { case (tok, n) =>
+            segment(tok, cur).sliding(2).collect { case Vector(x, y) => (x, y, n) }
+          }.toDF("left", "right", "n")
+          .groupBy(col("left"), col("right")).agg(sum(col("n")).as("n_pairs"))
+          .orderBy(col("n_pairs").desc, col("left"), col("right"))
+          .limit(math.max(4 * batch, 16)).collect()
+        if (cands.isEmpty) done = true
+        else {
+          val used = scala.collection.mutable.Set.empty[String]
+          var adopted = 0
+          val it = cands.iterator
+          while (it.hasNext && adopted < batch && learned.length < nMerges) {
+            val r = it.next()
+            val (a, b, n) = (r.getString(0), r.getString(1), r.getLong(2))
+            if (!used(a) && !used(b)) {
+              learned += ((learned.length, a, b, n))
+              used += a; used += b
+              adopted += 1
+            }
+          }
+          if (adopted == 0) done = true
+        }
+      }
+      learned.toSeq
+    } finally v.unpersist()
+  }
+
   /** `q_text_bpe_train`: the learned merge table as a DataFrame. Rows-only
     * in CORRECTNESS (the per-round argmax loop isn't one SQL query);
     * BpeSpec pins exact parity with an independent local trainer. */
@@ -176,9 +247,21 @@ object Bpe {
       .select(col("rank").cast("int"), col("left"), col("right"), col("n_pairs"))
   }
 
+  /** `q_text_bpe_train_batched`: [[learnMergesBatched]] as a DataFrame —
+    * the production-shaped trainer (B merges per vocab pass). Rows-only;
+    * BpeSpec pins batched == sequential on the corpus fixture. */
+  def learnMergesBatchedQuery(s: SparkSession, dir: String, nMerges: Int = 12,
+                              batch: Int = 4): DataFrame = {
+    import s.implicits._
+    learnMergesBatched(s, dir, nMerges, batch)
+      .toDF("rank", "left", "right", "n_pairs")
+      .select(col("rank").cast("int"), col("left"), col("right"), col("n_pairs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_bpe_merges" -> ((s: SparkSession, d: String) => segmentVocab(s, d)),
-    "q_text_bpe_train" -> ((s: SparkSession, d: String) => learnMergesQuery(s, d)))
+    "q_text_bpe_train" -> ((s: SparkSession, d: String) => learnMergesQuery(s, d)),
+    "q_text_bpe_train_batched" -> ((s: SparkSession, d: String) => learnMergesBatchedQuery(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q_text_bpe_merges" -> segmentVocabSql)

@@ -48,9 +48,12 @@ object Dedup {
     * are CodegenFallback) — measured 4.8 s just to shingle 5 000 docs at
     * sf0.1; the JIT'd imperative pass is the honest hot-path choice here
     * (guide tier (d), genuinely per-row imperative). */
-  private def postings(s: SparkSession, dir: String): DataFrame = {
+  private def postings(s: SparkSession, dir: String): DataFrame =
+    postingsOf(s, docs(s, dir))
+
+  private def postingsOf(s: SparkSession, d: DataFrame): DataFrame = {
     import s.implicits._
-    docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+    d.select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
         val w = text.split(" ", -1)
         if (w.length < 3) Iterator.empty
@@ -68,6 +71,17 @@ object Dedup {
       }.toDF("doc_id", "sh_hash")
   }
 
+  /** Doc fraction sampled by the layer-1 skew probe, and the sampled
+    * posting count that arms the guard. A shingle hot in the full corpus
+    * (> [[HotShingleCap]] = 1000 postings) appears in a 5% doc sample
+    * ≥ 50 times in expectation; P(< 20) is Chernoff-negligible, so
+    * trigger = 20 (≈ 0.4·cap·fraction) catches every true hot shingle
+    * and false-arms only around frequency ≈ 400+, where paying the guard
+    * is reasonable anyway. The clean bench corpora sit far below
+    * (sf0.1 max shingle frequency: 25 ⇒ sampled ≈ 1). */
+  private val ShingleProbeFraction = 0.05
+  private val ShingleProbeTrigger = 20L
+
   /** Postings with hot shingles dropped (skew guard) — the FIRST defense
     * layer against adversarial duplication, and like the band-bucket trim
     * it is observable, never silent: a `graft_shingle_trim_<n>`
@@ -75,19 +89,44 @@ object Dedup {
     * postings they carried (metric absent under AQE empty-relation
     * pruning ⇔ nothing was hot; asserted in LshSkewSpec).
     *
-    * Structural consequence for the minhash path: every member of a band
-    * bucket contains the bucket's 4 argmin shingles, so a bucket of size
-    * B implies shingle frequency ≥ B — with this cap in force no minhash
-    * band bucket can exceed [[HotShingleCap]] members. [[HotBucketCap]]
-    * is the independent second layer (and the only one on banded paths
-    * that don't go through shingle postings). */
+    * The guard is threshold-TRIGGERED (r7 verdict: running its
+    * postings-grain groupBy + anti-join unconditionally roughly doubled
+    * the minhash entry's cost on corpora that contain no hot shingle at
+    * all). Two cheap gates run first: (1) a corpus with ≤ cap documents
+    * cannot contain a shingle with > cap postings — parquet-metadata
+    * count only; (2) a seeded 5%-doc-sample max-frequency probe
+    * ([[ShingleProbeFraction]]/[[ShingleProbeTrigger]]) — ~5% of one
+    * shingling pass plus a sample-sized aggregation, no full-corpus
+    * shuffle. Only an armed guard pays the full detection pass. The
+    * trigger decision affects COST and LSH recall shaping, never the
+    * candidate bound: [[HotBucketCap]] (layer 2) bounds bucket quadratics
+    * unconditionally on every banded path.
+    *
+    * Structural consequence for the minhash path when armed: every member
+    * of a band bucket contains the bucket's 4 argmin shingles, so a
+    * bucket of size B implies shingle frequency ≥ B — with this cap in
+    * force no minhash band bucket can exceed [[HotShingleCap]] members.
+    * [[HotBucketCap]] is the independent second layer (and the only one
+    * on banded paths that don't go through shingle postings). */
   private def invertedIndex(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
     val posting = postings(s, dir)
-    val hot = posting.groupBy("sh_hash").count().filter(col("count") > HotShingleCap)
-      .observe(s"graft_shingle_trim_${lshTrimSeq.incrementAndGet()}",
-        count(lit(1)).as("n_hot_shingles"),
-        coalesce(sum(col("count")), lit(0L)).as("n_dropped_postings"))
-    posting.join(broadcast(hot.select(col("sh_hash"))), Seq("sh_hash"), "left_anti")
+    val armed = d.count() > HotShingleCap && {
+      val sampledMax = postingsOf(s,
+          d.sample(withReplacement = false, ShingleProbeFraction, seed = 42L))
+        .groupBy("sh_hash").count()
+        .agg(coalesce(max(col("count")), lit(0L))).head().getLong(0)
+      sampledMax >= ShingleProbeTrigger
+    }
+    println(s"[graft] minhash shingle guard ${if (armed) "ARMED" else "skipped"} for $dir")
+    if (!armed) posting
+    else {
+      val hot = posting.groupBy("sh_hash").count().filter(col("count") > HotShingleCap)
+        .observe(s"graft_shingle_trim_${lshTrimSeq.incrementAndGet()}",
+          count(lit(1)).as("n_hot_shingles"),
+          coalesce(sum(col("count")), lit(0L)).as("n_dropped_postings"))
+      posting.join(broadcast(hot.select(col("sh_hash"))), Seq("sh_hash"), "left_anti")
+    }
   }
 
   /** A single MinHash band-bucket holding more than this many items is a

@@ -721,12 +721,43 @@ object Similarity {
       .withColumn("crank", row_number().over(probeW))
       .filter(col("crank") <= nProbe)
       .select(col("query_id"), col("cid"), col("qv").as("embedding"))
-    val lutEntries = array((for { j <- 0 until m
-                                  (dc, c) <- residualDists(j, cents, books, subDim, k).zipWithIndex }
-      yield struct(lit(j.toLong).as("sub_idx"), lit(c.toLong).as("code"),
-                   floor(dc * lit(10000.0) + lit(0.5)).cast("long").as("d_e4"))): _*)
-    val lut = probed.select(col("query_id"), col("cid"), explode(lutEntries).as("e"))
-      .select(col("query_id"), col("cid"), col("e.sub_idx"), col("e.code"), col("e.d_e4"))
+    // LUT as DATA, not literals: the previous formulation compiled an
+    // m·k-struct literal array (with m·(k + nCentroids + 1) literal dot
+    // loops inside) into the plan on EVERY run — a fixed analysis+codegen
+    // cost that dominated the amortized search path this query exists to
+    // demonstrate. Here the model lands in three tiny broadcast tables
+    // (m·nCentroids centroid subvectors, m·k codebook subvectors,
+    // m·nCentroids·k precomputed constants) and the distance arithmetic is
+    // one constant-shape generic expression over array columns, so the
+    // compiled plan is small and independent of m/k/nCentroids. Same
+    // linearity decomposition and e4 floor as [[residualDists]]:
+    //   ‖(y_j − a_j) − b_c‖² = y·y − 2·y·a − 2·y·b + (a·a + 2·a·b + b·b)
+    val centSub = broadcast((for { j <- 0 until m; i <- cents.indices }
+      yield (j.toLong, i, cents(i).slice(j * subDim, (j + 1) * subDim)))
+      .toDF("sub_idx", "cid", "avec"))
+    val bookSub = broadcast((for { j <- 0 until m; c <- 0 until k }
+      yield (j.toLong, c.toLong, books(j * k + c))).toDF("sub_idx", "code", "bvec"))
+    val konst = broadcast((for { j <- 0 until m; i <- cents.indices; c <- 0 until k } yield {
+        val a = cents(i).slice(j * subDim, (j + 1) * subDim)
+        val b = books(j * k + c)
+        (j.toLong, i, c.toLong,
+          a.map(x => x * x).sum + 2.0 * a.zip(b).map { case (x, y) => x * y }.sum +
+            b.map(x => x * x).sum)
+      }).toDF("sub_idx", "cid", "code", "k_const"))
+    val lut = probed
+      .select(col("query_id"), col("cid"),
+        posexplode(array((0 until m).map(j =>
+          slice(col("embedding"), j * subDim + 1, subDim)): _*)).as(Seq("sub_idx", "sub")))
+      .withColumn("sub_idx", col("sub_idx").cast("long"))
+      .withColumn("yy", VectorOps.dot(col("sub"), col("sub")))
+      .join(centSub, Seq("sub_idx", "cid"))
+      .withColumn("ya", VectorOps.dot(col("sub"), col("avec")))
+      .join(bookSub, Seq("sub_idx"))
+      .withColumn("yb", VectorOps.dot(col("sub"), col("bvec")))
+      .join(konst, Seq("sub_idx", "cid", "code"))
+      .select(col("query_id"), col("cid"), col("sub_idx"), col("code"),
+        floor((col("yy") - lit(2.0) * col("ya") - lit(2.0) * col("yb") + col("k_const"))
+          * lit(10000.0) + lit(0.5)).cast("long").as("d_e4"))
     val adc = codes.join(broadcast(lut), Seq("cid", "sub_idx", "code"))
       .filter(col("query_id") =!= col("vec_id"))
       .groupBy(col("query_id"), col("vec_id"))
@@ -788,13 +819,19 @@ object Similarity {
     val cents = (0 until model.count(_._1._1 == "cent")).map(i => model(("cent", i)))
     val books = (0 until model.count(_._1._1 == "book")).map(i => model(("book", i)))
     // hyperparameter handshake: refuse to serve an index whose stored
-    // (m, subDim, k, nCentroids) disagree with the caller's — a silent
-    // mismatch mis-indexes the codebooks instead of erroring
+    // (m, subDim, k) disagree with the caller's — a silent mismatch
+    // mis-indexes the codebooks instead of erroring. The nCentroids leg is
+    // an index SELF-consistency check (stored meta vs the centroid rows
+    // loaded from the same file), not a caller comparison — search takes
+    // no nCentroids parameter.
     val meta = model.getOrElse(("meta", 0),
       sys.error(s"$indexDir/model.parquet has no meta row — rebuild with buildIvfPqIndex"))
-    require(meta.map(_.toInt) == Seq(m, subDim, k, cents.length),
-      s"index at $indexDir built with (m,subDim,k,nCentroids)=(${meta.map(_.toInt).mkString(",")}); " +
-        s"search called with ($m,$subDim,$k) and loaded ${cents.length} centroids")
+    require(meta.map(_.toInt).take(3) == Seq(m, subDim, k),
+      s"index at $indexDir built with (m,subDim,k)=(${meta.map(_.toInt).take(3).mkString(",")}); " +
+        s"search called with ($m,$subDim,$k)")
+    require(meta.map(_.toInt).drop(3) == Seq(cents.length),
+      s"index at $indexDir is self-inconsistent: meta says ${meta(3).toInt} centroids, " +
+        s"model file holds ${cents.length}")
     require(books.length == m * k,
       s"index at $indexDir holds ${books.length} codewords, expected m*k=${m * k}")
     val codes = s.read.parquet(s"$indexDir/codes.parquet")
@@ -837,11 +874,16 @@ object Similarity {
     * to the build cost it no longer pays. Builds the index on first use so
     * the query stays a pure function of its inputs under any run order. */
   def ivfPqSearchQuery(s: SparkSession, dir: String): DataFrame = {
+    val had = builtIndexes.containsKey(dir)
     val idx = builtIndexes.computeIfAbsent(dir, d => {
       val p = indexDirFor(d)
       buildIvfPqIndex(s, d, p)
       p
     })
+    // one observable line per run so bench/verify artifacts show whether
+    // search served from a prebuilt index (amortized path) or paid a
+    // first-use build — the two measure different things (VERDICT r7 §7)
+    println(s"[graft] q_sim_ann_ivf_pq_search: index ${if (had) "cache-hit" else "built-on-first-use"} at $idx")
     annIvfPqSearch(s, dir, idx)
   }
 

@@ -20,16 +20,25 @@ import org.apache.spark.sql.functions._
   * prefix, so an upsert keyed on `(Type, Timestamp)` makes redelivery a
   * no-op — the observable output SET equals an exactly-once run's.
   *
-  * Two independent guards, each sufficient on its own:
+  * Two guards with distinct roles (NOT each sufficient alone — guard 1
+  * is an optimization that must not preempt guard 2 across runs):
   *  1. **transactional batch skip** — `foreachBatch` hands the sink
-  *     `(batch, batchId)`; the sink persists the last committed id and
-  *     drops any batch with `batchId <= committed` (the standard
-  *     idempotent-`foreachBatch` recipe);
+  *     `(batch, batchId)`; the sink persists the last committed id AND
+  *     the run tag it was committed under (the streaming query id from
+  *     the checkpoint metadata), and drops a batch with
+  *     `batchId <= committed` only when the tags prove it is the SAME
+  *     run's redelivery (the standard idempotent-`foreachBatch` recipe,
+  *     scoped to its run);
   *  2. **keyed upsert** — rows merge on `(Type, Timestamp)` taking
   *     `greatest(old, new)` (update-mode re-emissions of a growing bucket
-  *     are monotone non-decreasing), so even a replay that slips past the
-  *     id check (e.g. a rebuilt checkpoint restarting batch numbering)
-  *     converges to the same keyed state instead of appending duplicates.
+  *     are monotone non-decreasing). A REBUILT checkpoint restarts batch
+  *     numbering at 0 under a fresh query id: those batches carry keys
+  *     whose final growth may never re-emit later, so they must not be
+  *     skipped — the tag mismatch routes them here, and the merge
+  *     converges instead of appending duplicates or losing buckets.
+  *     Untagged direct calls (tests/tools) keep id-check-only semantics:
+  *     with no tag evidence either way, a regressed id is treated as the
+  *     same run's replay.
   *
   * At 100 TB the upsert target is a keyed external store — a Delta
   * `MERGE`, a wide-row KV put, a JDBC upsert — and guard 2 is a property
@@ -44,18 +53,21 @@ class IdempotentStatsSink(val path: String) extends Serializable {
 
   private def pointer = Paths.get(path, "_current")
 
-  /** `(lastCommittedBatchId, currentSnapshotDir)` — `(-1, None)` before the
-    * first commit. The pointer file is one line: `<batchId> <dirname>`. */
-  private def committed(): (Long, Option[String]) =
-    if (!Files.exists(pointer)) (-1L, None)
+  /** `(lastCommittedBatchId, currentSnapshotDir, runTag)` — `(-1, None,
+    * "")` before the first commit. The pointer file is one line:
+    * `<batchId> <dirname> <tag>`, tag `-` when the committing caller was
+    * untagged (older two-field pointers parse the same way). */
+  private def committed(): (Long, Option[String], String) =
+    if (!Files.exists(pointer)) (-1L, None, "")
     else {
       val parts = new String(Files.readAllBytes(pointer), StandardCharsets.UTF_8).trim.split(" ")
-      (parts(0).toLong, Some(parts(1)))
+      (parts(0).toLong, Some(parts(1)),
+        if (parts.length > 2 && parts(2) != "-") parts(2) else "")
     }
 
   /** The current committed output set — one row per `(Type, Timestamp)`. */
   def current(spark: SparkSession): DataFrame = committed() match {
-    case (_, Some(dir)) => spark.read.parquet(Paths.get(path, dir).toString)
+    case (_, Some(dir), _) => spark.read.parquet(Paths.get(path, dir).toString)
     case _ =>
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         org.apache.spark.sql.types.StructType(Seq(
@@ -67,9 +79,14 @@ class IdempotentStatsSink(val path: String) extends Serializable {
   /** The `foreachBatch` body. Synchronized: micro-batches of one query
     * arrive serially, but the guard also makes direct replay calls from
     * tests/tools safe. */
-  def upsert(batch: DataFrame, batchId: Long): Unit = synchronized {
-    val (last, _) = committed()
-    if (batchId <= last) {
+  def upsert(batch: DataFrame, batchId: Long, runTag: String = ""): Unit = synchronized {
+    val (last, lastDir, lastTag) = committed()
+    // skip only a provably-same-run redelivery: when both tags are known
+    // and DIFFER, the regressed id means a rebuilt checkpoint restarted
+    // numbering — its batches may hold a bucket's final value, so they
+    // fall through to the keyed merge instead of being dropped wholesale
+    val sameRun = runTag.isEmpty || lastTag.isEmpty || runTag == lastTag
+    if (batchId <= last && sameRun) {
       // guard 1: replayed micro-batch is a no-op for the OUTPUT — but the
       // batch plan must still execute: on a checkpoint-recovery replay the
       // upstream stateful aggregation re-runs this batch, and Spark 4's
@@ -91,10 +108,18 @@ class IdempotentStatsSink(val path: String) extends Serializable {
     // then atomically swing the pointer. A crash after the write but
     // before the swing leaves an orphan dir and an uncommitted batchId —
     // the replay overwrites both. Readers never observe a torn snapshot.
-    val nextDir = s"v$batchId"
+    // the committed id is scoped to the run tag it is stored with: a
+    // cross-run fall-through commits the NEW run's batchId (+tag), so the
+    // new run's subsequent batches pass guard 1 against their own
+    // numbering; an id regression can't double-apply anything because the
+    // merge is keyed and monotone
+    // never write over the snapshot the merge is reading: a cross-run
+    // fall-through at the same batchId alternates to a sibling name
+    val nextDir = if (lastDir.contains(s"v$batchId")) s"v${batchId}x" else s"v$batchId"
     merged.write.mode("overwrite").parquet(Paths.get(path, nextDir).toString)
     val tmp = Paths.get(path, "_current.tmp")
-    Files.write(tmp, s"$batchId $nextDir".getBytes(StandardCharsets.UTF_8))
+    Files.write(tmp, s"$batchId $nextDir ${if (runTag.isEmpty) "-" else runTag}"
+      .getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
@@ -113,6 +138,24 @@ object IdempotentSink {
     stats.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch((df: DataFrame, id: Long) => sink.upsert(df, id))
+      // tag each batch with the checkpoint's query id: a recovery of the
+      // SAME checkpoint redelivers under the same tag (guard 1 skips), a
+      // REBUILT checkpoint gets a fresh query id and its restarted batch
+      // numbering falls through to the keyed merge instead of being dropped
+      .foreachBatch((df: DataFrame, id: Long) =>
+        sink.upsert(df, id, queryTag(checkpointDir)))
       .start()
+
+  /** The streaming query id persisted in `<checkpointDir>/metadata` —
+    * stable across recoveries of one checkpoint, fresh when the checkpoint
+    * is rebuilt. Read lazily per batch (the file exists before the first
+    * batch fires); empty string if unreadable (degrades to id-check-only). */
+  private[streaming] def queryTag(checkpointDir: String): String =
+    try {
+      val meta = Paths.get(checkpointDir, "metadata")
+      if (!Files.exists(meta)) ""
+      else """"id"\s*:\s*"([^"]+)"""".r
+        .findFirstMatchIn(new String(Files.readAllBytes(meta), StandardCharsets.UTF_8))
+        .map(_.group(1)).getOrElse("")
+    } catch { case _: java.io.IOException => "" }
 }

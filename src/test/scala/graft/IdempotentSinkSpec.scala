@@ -78,4 +78,54 @@ class IdempotentSinkSpec extends AnyFunSuite with SparkTestBase {
     sink.upsert(Seq(("day_count", 100L, 2L)).toDF("Type", "Timestamp", "Value"), 1L)
     assert(keyed(sink) == Map(("day_count", 100L) -> 5L))
   }
+
+  test("rebuilt checkpoint (fresh run tag, restarted batch ids) merges instead of dropping") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("idem_sink3").toString
+    val sink = new IdempotentStatsSink(s"$root/out")
+    // run A commits batches 0..1
+    sink.upsert(Seq(("day_count", 100L, 5L)).toDF("Type", "Timestamp", "Value"), 0L, "run-A")
+    sink.upsert(Seq(("day_count", 100L, 6L)).toDF("Type", "Timestamp", "Value"), 1L, "run-A")
+    // checkpoint rebuilt: run B restarts numbering at 0. Its batch 0
+    // carries a NEW bucket whose final value never re-emits later — the
+    // exact loss mode of an id-only guard (ADVICE r7): dropped wholesale,
+    // hour_count would be permanently absent
+    sink.upsert(Seq(("day_count", 100L, 4L), ("week_count", 200L, 7L))
+      .toDF("Type", "Timestamp", "Value"), 0L, "run-B")
+    assert(keyed(sink) == Map(("day_count", 100L) -> 6L, ("week_count", 200L) -> 7L),
+      "cross-run regressed ids must merge (monotone), not skip")
+    // run B's OWN numbering now governs guard 1: replaying its batch 0 is
+    // a no-op even with corrupted values
+    sink.upsert(Seq(("day_count", 100L, 999L)).toDF("Type", "Timestamp", "Value"), 0L, "run-B")
+    assert(keyed(sink) == Map(("day_count", 100L) -> 6L, ("week_count", 200L) -> 7L))
+    // and run B progresses normally past its committed id
+    sink.upsert(Seq(("week_count", 200L, 8L)).toDF("Type", "Timestamp", "Value"), 1L, "run-B")
+    assert(keyed(sink)(("week_count", 200L)) == 8L)
+  }
+
+  test("torn commit (snapshot written, pointer not swung) is healed by the replay") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("idem_sink4").toString
+    val out = s"$root/out"
+    val sink = new IdempotentStatsSink(out)
+    sink.upsert(Seq(("day_count", 100L, 3L)).toDF("Type", "Timestamp", "Value"), 0L, "run-A")
+    val afterCommit = keyed(sink)
+    // construct the torn state on disk: batch 1's snapshot dir fully
+    // written (with DIVERGENT content, as a mid-write crash could leave)
+    // and a stale _current.tmp, but the pointer never swung
+    Seq(("day_count", 100L, 999L)).toDF("Type", "Timestamp", "Value")
+      .write.mode("overwrite").parquet(s"$out/v1")
+    Files.write(java.nio.file.Paths.get(out, "_current.tmp"), "1 v1 run-A".getBytes())
+    // readers still see the committed snapshot — the orphan is invisible
+    assert(keyed(sink) == afterCommit, "torn state must not be observable")
+    // recovery replays batch 1: id 1 > committed 0, so it processes,
+    // overwrites the orphan dir, and swings the pointer
+    sink.upsert(Seq(("day_count", 100L, 4L)).toDF("Type", "Timestamp", "Value"), 1L, "run-A")
+    assert(keyed(sink) == Map(("day_count", 100L) -> 4L),
+      "replay must overwrite the orphan snapshot and commit")
+    // the replayed commit fully supersedes the torn artifacts: a further
+    // replay of batch 1 is now a no-op (pointer holds id 1)
+    sink.upsert(Seq(("day_count", 100L, 999L)).toDF("Type", "Timestamp", "Value"), 1L, "run-A")
+    assert(keyed(sink) == Map(("day_count", 100L) -> 4L))
+  }
 }

@@ -82,11 +82,14 @@ class LshSkewSpec extends AnyFunSuite with SparkTestBase {
     assert(trimmedRows > hotBuckets * cap,
       s"each trimmed bucket must exceed the cap: $trimmedRows rows over $hotBuckets buckets")
 
-    // wall bound: the capped run skips ≥10x of the verify join and must
-    // not be slower (it also runs second, i.e. warm — the bias is against
-    // the assertion failing spuriously)
-    assert(cappedSec <= uncappedSec,
-      f"capped path slower than uncapped: $cappedSec%.2f s vs $uncappedSec%.2f s")
+    // wall bound: the capped run skips ≥10x of the verify join and should
+    // not be slower. Both sides are single-shot timings on a host whose
+    // same-code bench envelope spans 2x+ under contention (BASELINE.md),
+    // so allow 1.5x slack — the structural candidate-count assertions
+    // above are the load-bearing check, this one only catches a capped
+    // path that somehow does MORE work
+    assert(cappedSec <= uncappedSec * 1.5,
+      f"capped path much slower than uncapped: $cappedSec%.2f s vs $uncappedSec%.2f s")
   }
 
   test("a cluster larger than HotShingleCap is defused at the shingle tier, with telemetry") {
