@@ -82,6 +82,12 @@ object Dedup {
   private val ShingleProbeFraction = 0.05
   private val ShingleProbeTrigger = 20L
 
+  /** Per-JVM memo of the probe's armed/skipped decision per corpus dir —
+    * the decision is a pure function of the corpus, so repeat calls
+    * (bench runs, pipeline stages sharing a dir) skip the probe scan. */
+  private val shingleGuardDecision =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   /** Postings with hot shingles dropped (skew guard) — the FIRST defense
     * layer against adversarial duplication, and like the band-bucket trim
     * it is observable, never silent: a `graft_shingle_trim_<n>`
@@ -111,13 +117,14 @@ object Dedup {
   private def invertedIndex(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val posting = postings(s, dir)
-    val armed = d.count() > HotShingleCap && {
-      val sampledMax = postingsOf(s,
-          d.sample(withReplacement = false, ShingleProbeFraction, seed = 42L))
-        .groupBy("sh_hash").count()
-        .agg(coalesce(max(col("count")), lit(0L))).head().getLong(0)
-      sampledMax >= ShingleProbeTrigger
-    }
+    val armed: Boolean = shingleGuardDecision.computeIfAbsent(dir, _ =>
+      d.count() > HotShingleCap && {
+        val sampledMax = postingsOf(s,
+            d.sample(withReplacement = false, ShingleProbeFraction, seed = 42L))
+          .groupBy("sh_hash").count()
+          .agg(coalesce(max(col("count")), lit(0L))).head().getLong(0)
+        sampledMax >= ShingleProbeTrigger
+      })
     println(s"[graft] minhash shingle guard ${if (armed) "ARMED" else "skipped"} for $dir")
     if (!armed) posting
     else {
