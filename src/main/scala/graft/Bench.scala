@@ -26,7 +26,7 @@ object Bench {
   /** One-line host telemetry: loadavg (1/5/15 min) + MemAvailable (GiB).
     * Linux-procfs only; absent files degrade to nulls rather than failing
     * the bench. */
-  private def hostSnapshot(): String = {
+  private[graft] def hostSnapshot(): String = {
     def readFirstLine(p: String): Option[String] =
       try Some(java.nio.file.Files.readAllLines(java.nio.file.Paths.get(p)).get(0))
       catch { case NonFatal(_) => None }

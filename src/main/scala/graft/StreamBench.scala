@@ -40,6 +40,10 @@ object StreamBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
+    // host telemetry rides the artifact (same self-diagnosis contract as
+    // graft.Bench): a contended run convicts itself instead of silently
+    // anchoring a bogus throughput number
+    val hostBefore = Bench.hostSnapshot()
 
     // reference benchmark workload shape (processor_test.go:32-39),
     // deterministic LCG instead of math/rand
@@ -122,7 +126,8 @@ object StreamBench {
       s""""windowed_update":${f0(n / idSec)},""" +
       s""""data_driven_sec":${f0(ddSec)},"calendar_append_sec":${f0(calSec)},""" +
       s""""windowed_update_sec":${f0(idSec)},""" +
-      s""""doc_pipeline_docs":$nDocs,"doc_pipeline_docs_per_sec":${f0(nDocs / docSec)}}""")
+      s""""doc_pipeline_docs":$nDocs,"doc_pipeline_docs_per_sec":${f0(nDocs / docSec)},""" +
+      s""""host_before":$hostBefore,"host_after":${Bench.hostSnapshot()}}""")
     spark.stop()
   }
 }
