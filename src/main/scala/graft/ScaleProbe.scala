@@ -223,7 +223,19 @@ object ScaleProbe {
         // and runs only the ANN-recall readout (the build + query sweep is
         // the expensive part; recall iteration shouldn't repay it)
         val stage = sys.env.getOrElse("SPARK_GRAFT_SCALE_STAGE", "all")
-        if (stage != "recall") {
+        if (stage == "requery") {
+          // re-run an existing build's query sweep without paying the build
+          // (for contended-host reruns: same queries, same corpus, fresh
+          // timings — comma-list override via SPARK_GRAFT_SCALE_QUERIES)
+          require(new java.io.File(s"$dst/documents.parquet").exists,
+            s"no flagship build at $dst — run without SPARK_GRAFT_SCALE_STAGE first")
+          val qs = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+            .map(_.split(',').toSeq).getOrElse(Seq(
+              "q_dedup_minhash_lsh", "q_dedup_spans", "q_dedup_substrings",
+              "q_sample_token_budget", "q_text_tfidf",
+              "q_text_gopher_gates", "q_pipeline_curation"))
+          qs.foreach(runQuery(_, dst))
+        } else if (stage != "recall") {
           time("build") { buildDocs(varied = true); buildEmbeddings(varied = true) }
           println(s"SCALE${k}X[flagship] docs=${spark.read.parquet(s"$dst/documents.parquet").count()}" +
             s" vecs=${spark.read.parquet(s"$dst/embeddings.parquet").count()}")
@@ -261,13 +273,19 @@ object ScaleProbe {
         // the 100× population, at the bench partitioning (8 lists, probe 2)
         // and at the §8.5.4 sizing rule's setting for this corpus size
         // (finer partitioning, same 0.25 scanned fraction)
+        if (stage != "requery") {
         require(new java.io.File(s"$dst/embeddings.parquet").exists,
           s"no flagship build at $dst — run without SPARK_GRAFT_SCALE_STAGE first")
-        val brute = graft.operators.Similarity.bruteForceTopK(spark, dst).collect()
+        // 100-query panel (vec_id < 100 are all rep=0 base vectors): 1000
+        // neighbor slots give the curve 0.001 granularity — the registered
+        // queries keep their 5-query demo panel, this is measurement-only
+        val nQ = 100
+        val brute = graft.operators.Similarity.bruteForceTopK(spark, dst, nQueries = nQ)
+          .collect()
           .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
         def recallOf(nc: Int, np: Int): Double = {
           val got = graft.operators.Similarity
-            .annIvfPq(spark, dst, nProbe = np, nCentroids = nc).collect()
+            .annIvfPq(spark, dst, nProbe = np, nCentroids = nc, nQueries = nQ).collect()
             .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
           spark.catalog.clearCache(); Checkpoints.releaseAll()
           val rs = brute.keys.toSeq.map(q =>
@@ -282,6 +300,7 @@ object ScaleProbe {
           val r = recallOf(nc, np)
           println(f"SCALE${k}X[flagship] ivfpq_recall_nc${nc}_np$np: $r%.3f " +
             f"(scanned ~${np.toDouble / nc}%.2f, ${(System.nanoTime() - sec0) / 1e9}%.1f s)")
+        }
         }
 
       case "pqtrain" =>
@@ -353,6 +372,33 @@ object ScaleProbe {
         println(s"SCALE${k}X[skew] candidates: $n (cluster A quadratic would be " +
           s"${nHot.toLong * (nHot - 1) / 2}; permitted cluster-B bound $expectB)")
         spark.catalog.clearCache(); Checkpoints.releaseAll()
+
+      case "bpetrain" =>
+        // sequential-vs-batched trainer cost at R=32 merges on sf0.1: the
+        // claim under measurement is the O(R²) → O(R²/B) re-segmentation
+        // cut — rounds (and driver round-trips) fall ~B×, wall-clock
+        // follows minus the per-pass fixed cost batching can't remove —
+        // and the merge SETS should agree except for the documented
+        // product-pair caveat (report the divergence, don't hide it)
+        val r = 32
+        var seqMerges: Seq[(Int, String, String, Long)] = Nil
+        val seqT = time(s"bpe_seq_R$r") {
+          seqMerges = graft.operators.Bpe.learnMerges(spark, src, r)
+        }
+        println(s"SCALE${k}X[bpetrain] sequential merges=${seqMerges.length} (rounds=${seqMerges.length})")
+        spark.catalog.clearCache(); Checkpoints.releaseAll()
+        for (b <- Seq(4, 8, 16)) {
+          var bat: Seq[(Int, String, String, Long)] = Nil
+          val batT = time(s"bpe_batched_R${r}_B$b") {
+            bat = graft.operators.Bpe.learnMergesBatched(spark, src, r, batch = b)
+          }
+          val s1 = seqMerges.map(m => (m._2, m._3)).toSet
+          val s2 = bat.map(m => (m._2, m._3)).toSet
+          println(f"SCALE${k}X[bpetrain] B=$b%d: speedup ${seqT / batT}%.2f x, " +
+            s"merge_set_overlap ${s1.intersect(s2).size}/$r " +
+            s"(seq-only ${(s1 -- s2).size}, batched-only ${(s2 -- s1).size})")
+          spark.catalog.clearCache(); Checkpoints.releaseAll()
+        }
 
       case other => sys.error(s"unknown SPARK_GRAFT_SCALE_MODE: $other")
     }

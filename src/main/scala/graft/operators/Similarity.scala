@@ -48,9 +48,10 @@ object Similarity {
   }
 
   /** Exact brute-force cosine top-k for the demo query set. */
-  def bruteForceTopK(s: SparkSession, dir: String, k: Int = DefaultK): DataFrame = {
+  def bruteForceTopK(s: SparkSession, dir: String, k: Int = DefaultK,
+                     nQueries: Int = QueryCount): DataFrame = {
     val e = emb(s, dir)
-    val queries = e.filter(col("vec_id") < QueryCount)
+    val queries = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("norm").as("qn"))
     val scored = e.join(broadcast(queries), col("query_id") =!= col("vec_id"))
       .withColumn("cos_sim",
@@ -683,7 +684,7 @@ object Similarity {
   def annIvfPq(s: SparkSession, dir: String, kNN: Int = DefaultK, nProbe: Int = 2,
                nCentroids: Int = 8, iters: Int = 4, pqIters: Int = 2, rerank: Int = 50,
                m: Int = 8, subDim: Int = 8, k: Int = 16,
-               maxTrainRows: Int = 65536): DataFrame = {
+               maxTrainRows: Int = 65536, nQueries: Int = QueryCount): DataFrame = {
     val e = emb(s, dir)
     // 1a. coarse quantizer
     val cents = learnCentroids(s, e, nCentroids, iters)
@@ -699,7 +700,8 @@ object Similarity {
     // re-rank: the same search stages the persisted index serves
     // ([[ivfPqSearchWith]]; [[buildIvfPqIndex]]/[[annIvfPqSearch]] is the
     // amortized production split of this one-shot query)
-    ivfPqSearchWith(e, codes, cents, books, kNN, nProbe, rerank, m, subDim, k)(s)
+    ivfPqSearchWith(e, codes, cents, books, kNN, nProbe, rerank, m, subDim, k,
+      nQueries)(s)
   }
 
   /** Search stages 2–4 of the IVF-PQ index (probe → ADC over probed
@@ -709,11 +711,12 @@ object Similarity {
   private def ivfPqSearchWith(e: DataFrame, codes: DataFrame,
                               cents: Seq[Seq[Double]], books: Seq[Seq[Double]],
                               kNN: Int, nProbe: Int, rerank: Int,
-                              m: Int, subDim: Int, k: Int)
+                              m: Int, subDim: Int, k: Int,
+                              nQueries: Int = QueryCount)
                              (implicit s: SparkSession): DataFrame = {
     import s.implicits._
     val centDf = cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cid", "centroid")
-    val queries = e.filter(col("vec_id") < QueryCount)
+    val queries = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("norm").as("qn"))
     val probeW = Window.partitionBy(col("query_id")).orderBy(col("cdist"), col("cid"))
     val probed = queries.join(broadcast(centDf), lit(true))
