@@ -174,6 +174,46 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       s"missing=${expected -- got} extra=${got -- expected}")
   }
 
+  test("wide-key simhash is EXACT for hamming <= 3 (pigeonhole law) and a subset of the narrow tier") {
+    val fps = Dedup.simhashFingerprints(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val expected = (for {
+      (ida, fa) <- fps
+      (idb, fb) <- fps
+      if ida < idb && java.lang.Long.bitCount(fa ^ fb) <= 3
+    } yield (ida, idb)).toSet
+    // uncapped: the pigeonhole law itself (C(6,3) tables, 3-of-6-block keys)
+    val got = Dedup.simhashPairsWide(spark, sf, bucketCap = Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
+    // the wide tier's radius-3 output is exactly the narrow tier's pairs at hamming <= 3
+    val narrow = Dedup.simhashPairs(spark, sf, maxHamming = 7).collect()
+      .filter(_.getLong(2) <= 3).map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == narrow)
+  }
+
+  test("wide-key simhash hot-bucket cap trims observably and only shrinks the pair set") {
+    // default cap on the corpus: no 32-bit-key bucket can be hot at this
+    // scale — capped output must equal the uncapped law output
+    val capped = Dedup.simhashPairsWide(spark, sf)
+    val cappedPairs = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = Dedup.simhashPairsWide(spark, sf, bucketCap = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cappedPairs == uncapped)
+    // cap=1: every multi-member bucket (identical/near-identical docs
+    // collide in every table) trims, the loss is REPORTED, and trimming
+    // can only remove pairs — the minhash trim contract, now sound on
+    // wide keys
+    val trimmed = Dedup.simhashPairsWide(spark, sf, bucketCap = 1)
+    val trimmedPairs = trimmed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val m = Observed.metrics(trimmed).collectFirst {
+      case (name, row) if name.startsWith("graft_lsh_trim_") => row
+    }.getOrElse(fail("trimming happened but no graft_lsh_trim observation reported"))
+    assert(m.getAs[Long]("n_hot_buckets") > 0L)
+    assert(m.getAs[Long]("n_trimmed_rows") > m.getAs[Long]("n_hot_buckets"))
+    assert(trimmedPairs.subsetOf(uncapped))
+  }
+
   test("near-dup clusters equal a local union-find over the same pairs") {
     val pairs = Dedup.ngramJaccardPairs(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
