@@ -117,17 +117,32 @@ object Bench {
     val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
       s""","runs":$runs,"samples":$raw,"host_before":$telemetryBefore,"host_after":$telemetryAfter}"""
     println(line)
-    // the driver's log capture truncates long stdout lines, dropping the
-    // head of the per-query map from the recorded artifact — persist the
-    // complete line so every round's numbers survive verbatim. A filtered
-    // run must NOT default onto the full-sweep anchor: BENCH_local.json is
-    // the committed round artifact, and a subset silently overwriting it
-    // would corrupt every cross-round comparison.
+    // the driver's log capture keeps only a ~2 KB TAIL of stdout, so the
+    // full line above (8 KB+) always loses its head — including the
+    // "metric"/"value" fields — and the round artifact records
+    // parsed=null. Persist the complete line to a file, and ALSO print a
+    // LAST line compact enough to survive the tail window whole: headline
+    // total, host telemetry, the slowest queries, and a pointer to the
+    // file holding the complete per-query map.
+    //
+    // Output-file policy: BENCH_local.json is the COMMITTED quiet-host
+    // anchor (min-of-medians protocol, VERDICT r7 #1) — an unattended
+    // default-config sweep must never overwrite it (that is exactly how
+    // the round-8 anchor was lost to a contended-host run). Default
+    // sweeps land in BENCH_run.json; writing the anchor is an explicit
+    // SPARK_GRAFT_BENCH_OUT=BENCH_local.json decision. Filtered runs
+    // stay off both.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      if (only.isDefined) "BENCH_partial.json" else "BENCH_local.json")
+      if (only.isDefined) "BENCH_partial.json" else "BENCH_run.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case NonFatal(e) => System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
+    val slowest = results.collect { case (k, Some(v), _) => (k, v) }
+      .sortBy(-_._2).take(10)
+      .map { case (k, v) => s""""$k":${f3(v)}""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","runs":$runs""" +
+      s""","n_queries":${results.size},"queries_file":"$out","slowest":$slowest""" +
+      s""","host_before":$telemetryBefore,"host_after":$telemetryAfter}""")
     spark.stop()
   }
 }

@@ -17,17 +17,28 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // The driver's events.ts is parquet TIMESTAMP(NANOS) which Spark's
-      // vectorized reader rejects (PARQUET_TYPE_ILLEGAL). Read nanos as
-      // LongType and convert to TimestampType (µs) with exact integer
-      // division — ns epochs (~1.7e18) exceed 2^53, so a double divide
-      // would corrupt the low bits. Events tables that already carry a
-      // real timestamp column (e.g. re-written copies) pass through.
+      // Normalize `ts` to session-zoned TimestampType whatever the
+      // driver's generator emitted — the physical type has changed across
+      // testdata regenerations:
+      //  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it
+      //    (PARQUET_TYPE_ILLEGAL), so read nanos as LongType and convert
+      //    with exact integer division — ns epochs (~1.7e18) exceed 2^53,
+      //    so a double divide would corrupt the low bits;
+      //  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 infers
+      //    TIMESTAMP_NTZ, whose rows surface as LocalDateTime and break
+      //    java.sql.Timestamp consumers; cast to TimestampType — the
+      //    session zone is UTC repo-wide, so wall-clock values (and every
+      //    bucket/oracle comparison) are unchanged;
+      //  - plain TimestampType passes through.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$dir/$name.parquet")
-      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else df
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => df
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

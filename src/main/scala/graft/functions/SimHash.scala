@@ -1,52 +1,88 @@
 package graft.functions
 
-import org.apache.spark.sql.{Encoder, Encoders}
-import org.apache.spark.sql.expressions.Aggregator
-
-/** Typed aggregator building a 64-bit SimHash fingerprint in ONE aggregate
-  * function: the buffer is the per-bit ±1 histogram (64 long counters), the
-  * finish step packs sign bits.
+/** Portable 64-bit SimHash (Charikar, STOC'02): bit j of a document's
+  * fingerprint is the sign of Σ(±1) over its tokens' j-th hash bit.
   *
-  * The column-per-bit formulation (`agg(sum(when(bit j set, 1, -1)) x 64)`)
-  * keeps 64 aggregate expressions alive through partial+final aggregation —
-  * near the `spark.sql.codegen.maxFields` cliff and measurably slower (the
-  * round-1 shape was the slowest-but-one dedup query). One Aggregator with
-  * a primitive long-array buffer and a JIT'd inner loop is mergeable
-  * (slot-wise add), so partial aggregation still distributes map-side.
+  * The token hash is three independent polynomial hashes over Unicode
+  * CODE POINTS modulo a prime just below 2³⁰ (the winnow discipline —
+  * `TextAnalysis.WinnowMod` rationale), packed as
+  * `h1 | h2<<30 | (h3&7)<<60`. Every intermediate stays inside
+  * overflow-checked non-negative BIGINT arithmetic, which is what lets
+  * the DuckDB oracle recompute fingerprints EXACTLY and brute-force the
+  * near-dup pair set ([[graft.operators.Dedup.simhashPairsSql]]) — the
+  * previous `xxhash64` token hash was inexpressible there, leaving both
+  * SimHash tiers rows-only-checked. A prime modulus (not 2³⁰) matters:
+  * mod a power of two, bit 0 of EVERY odd-base polynomial hash is the
+  * parity of the code-point sum, so the three hashes' low bits would be
+  * perfectly correlated and the fingerprint would lose effective bits.
   *
-  * Fingerprint parity: bit j of the result is `popcount-weighted sign` over
-  * tokens' `xxhash64` bit j, strictly-positive ⇒ 1 — identical to the
-  * column formulation it replaces (DedupSpec pins the law vs brute force).
+  * Bit 63 is structurally 0 (7·2⁶⁰ + (Mod−1)·2³⁰ + Mod−1 < 2⁶³), so
+  * fingerprints are non-negative in both engines and the oracle never
+  * needs the `1<<63` shift DuckDB rejects. A constant bit is invisible to
+  * Hamming distance, so the banding pigeonhole guarantees are unchanged.
+  *
+  * Replaces the round-7 `SimHashAggregator` (explode tokens → xxhash64 →
+  * groupByKey bit-histogram): the per-document loop below runs inside a
+  * map-only typed map, so the token explode AND the groupByKey shuffle
+  * disappear from the plan entirely — per-doc SimHash is embarrassingly
+  * parallel, the right shape at 100 TB.
   */
-class SimHashAggregator(bits: Int)
-    extends Aggregator[(Long, Long), Array[Long], Long] {
+object SimHash {
+  /** Largest prime below 2³⁰ (= 2³⁰ − 35). */
+  val Mod = 1073741789L
+  val BaseA = 1000003L
+  val BaseB = 999983L
+  val BaseC = 1000033L
 
-  override def zero: Array[Long] = new Array[Long](bits)
+  /** Fingerprint width. Bit 63 is structurally 0 — see class doc. */
+  val Bits = 64
 
-  override def reduce(buf: Array[Long], in: (Long, Long)): Array[Long] = {
-    val h = in._2
-    var j = 0
-    while (j < bits) {
-      buf(j) += (((h >>> j) & 1L) << 1) - 1 // +1 if bit set, else -1
-      j += 1
+  /** Token hash: bits 0–29 ← h1, bits 30–59 ← h2, bits 60–62 ← h3&7.
+    * Iterates CODE POINTS (surrogate pairs hash as one symbol), matching
+    * the oracle's `regexp_split_to_array(tok, '')` + `ascii()`. */
+  def tokenHash(tok: String): Long = {
+    var h1 = 0L; var h2 = 0L; var h3 = 0L
+    var i = 0
+    while (i < tok.length) {
+      val cp = tok.codePointAt(i)
+      h1 = (h1 * BaseA + cp) % Mod
+      h2 = (h2 * BaseB + cp) % Mod
+      h3 = (h3 * BaseC + cp) % Mod
+      i += Character.charCount(cp)
     }
-    buf
+    h1 | (h2 << 30) | ((h3 & 7L) << 60)
   }
 
-  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
-    var j = 0
-    while (j < bits) { a(j) += b(j); j += 1 }
-    a
-  }
-
-  override def finish(r: Array[Long]): Long = {
+  /** SimHash over single-space-split tokens, empty tokens dropped (the
+    * `string_split(text, ' ')` + `len(tok) > 0` twin): bit j is 1 iff
+    * STRICTLY more tokens have hash bit j set than clear (ties → 0, the
+    * aggregator semantics DedupSpec pins vs brute force). A document with
+    * no tokens fingerprints to 0. */
+  def simhash64(text: String): Long = {
+    val votes = new Array[Int](Bits)
+    val n = text.length
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || text.charAt(i) == ' ') {
+        if (i > start) {
+          val h = tokenHash(text.substring(start, i))
+          var j = 0
+          while (j < Bits) {
+            votes(j) += (((h >>> j) & 1L).toInt << 1) - 1
+            j += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
     var fp = 0L
     var j = 0
-    while (j < bits) { if (r(j) > 0) fp |= (1L << j); j += 1 }
+    while (j < Bits) {
+      if (votes(j) > 0) fp |= (1L << j)
+      j += 1
+    }
     fp
   }
-
-  override def bufferEncoder: Encoder[Array[Long]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
-  override def outputEncoder: Encoder[Long] = Encoders.scalaLong
 }

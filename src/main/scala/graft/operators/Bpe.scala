@@ -17,8 +17,9 @@ import graft.Tables
   *    BPE training loop — per round, segment the vocabulary with the
   *    merges learned so far, count adjacent piece pairs weighted by token
   *    frequency, and adopt the most frequent pair (deterministic
-  *    tiebreak). Rows-only + law-spec'd (the argmax loop has no
-  *    single-query SQL expression).
+  *    tiebreak). DuckDB-oracled via [[learnMergesSql]] — the training
+  *    loop unrolled into R materialized CTE stages — and law-spec'd
+  *    against an independent local trainer.
   *
   * Scale shape: both halves run at VOCABULARY grain, not corpus grain —
   * the token stream is reduced to `(tok, count)` by one keyed wordcount
@@ -237,9 +238,145 @@ object Bpe {
     } finally v.unpersist()
   }
 
-  /** `q_text_bpe_train`: the learned merge table as a DataFrame. Rows-only
-    * in CORRECTNESS (the per-round argmax loop isn't one SQL query);
-    * BpeSpec pins exact parity with an independent local trainer. */
+  /** DuckDB twin of [[learnMerges]]: the R-round training loop UNROLLED
+    * into R chained CTE stages — stage r materializes the vocabulary
+    * segmented with the first r merges (`segf_r`), counts adjacent piece
+    * pairs weighted by occurrence (`list_zip` over the chr(1)-separated
+    * symbol list), and picks the same `(count DESC, left, right)` argmax
+    * (`top_r`); a per-stage recursive CTE then applies the adopted merge
+    * leftmost-until-fixpoint to produce `segf_{r+1}`. Incremental
+    * application is EXACTLY the trainer's from-scratch re-segmentation:
+    * [[segment]] processes merges in rank order without revisiting, so
+    * the state after ranks 0..r−1 IS `segf_r` — the same staging, just
+    * materialized. `AS MATERIALIZED` is load-bearing: DuckDB inlines
+    * plain CTEs per reference, which makes the staged chain re-evaluate
+    * its whole prefix (measured exponential; the materialized form runs
+    * in ~0.25 s on the sf0.01 vocabulary). The batched trainer gets its
+    * own unrolling ([[learnMergesBatchedSql]]) — on this very corpus the
+    * two algorithms diverge at rank 3, so each query is gated against its
+    * OWN semantics. */
+  def learnMergesSql(nMerges: Int = 12): String = {
+    val parts = Seq.newBuilder[String]
+    parts += """toks AS MATERIALIZED (
+               |  SELECT tok, count(*) AS n_occ
+               |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+               |  WHERE len(tok) > 0 GROUP BY tok)""".stripMargin
+    parts += """segf_0 AS MATERIALIZED (
+               |  SELECT tok, chr(1) || array_to_string(regexp_split_to_array(tok, ''), chr(1)) || chr(1) AS s
+               |  FROM toks)""".stripMargin
+    for (r <- 0 until nMerges) {
+      parts += s"""top_$r AS MATERIALIZED (
+                  |  SELECT $r AS rank, a, b, n FROM (
+                  |    SELECT p[1] AS a, p[2] AS b, sum(n_occ) AS n
+                  |    FROM (SELECT tok, unnest(list_zip(l, l[2:])) AS p
+                  |          FROM (SELECT tok, string_split(s, chr(1)) AS l FROM segf_$r)) z
+                  |    JOIN toks USING (tok)
+                  |    WHERE p[1] <> '' AND p[2] <> '' AND p[2] IS NOT NULL
+                  |    GROUP BY 1, 2)
+                  |  ORDER BY n DESC, a, b LIMIT 1)""".stripMargin
+      if (r < nMerges - 1) {
+        parts += s"""seg_${r + 1}(tok, s, d) AS (
+                    |  SELECT tok, s, 0 FROM segf_$r
+                    |  UNION ALL
+                    |  SELECT tok,
+                    |    CASE WHEN pos > 0 THEN substr(s, 1, pos - 1) || rep || substr(s, pos + len(pat)) ELSE s END,
+                    |    CASE WHEN pos > 0 THEN 0 ELSE 1 END
+                    |  FROM (
+                    |    SELECT g.tok, g.s,
+                    |      chr(1) || t.a || chr(1) || t.b || chr(1) AS pat,
+                    |      chr(1) || t.a || t.b || chr(1) AS rep,
+                    |      instr(g.s, chr(1) || t.a || chr(1) || t.b || chr(1)) AS pos
+                    |    FROM seg_${r + 1} g CROSS JOIN top_$r t
+                    |    WHERE g.d = 0))""".stripMargin
+        parts += s"segf_${r + 1} AS MATERIALIZED (SELECT tok, s FROM seg_${r + 1} WHERE d = 1)"
+      }
+    }
+    val union = (0 until nMerges).map(r => s"SELECT * FROM top_$r").mkString(" UNION ALL ")
+    "WITH RECURSIVE " + parts.result().mkString(",\n") +
+      s"""\nSELECT CAST(rank AS INTEGER) AS rank, a AS "left", b AS "right", CAST(n AS BIGINT) AS n_pairs FROM ($union)"""
+  }
+
+  /** DuckDB twin of [[learnMergesBatched]] — the BATCHED algorithm itself,
+    * not the sequential one: the two genuinely diverge on the gate corpus
+    * (sequential adopts `(o,r)` at rank 3 after re-counting; the batch's
+    * disjointness rule defers it behind `(s,t)` because `(o,w)` already
+    * used `o`), so sharing [[learnMergesSql]] would be a wrong oracle, not
+    * a strict gate. Per round: candidate pairs ranked `(n DESC, a, b)`
+    * (`cands_r`, top `4·batch`), the greedy disjoint scan as a recursive
+    * CTE threading the used-symbol list through candidate ranks (`sel_r`),
+    * then one leftmost-until-fixpoint application stage per adoption slot
+    * (`LEFT JOIN … ON true` passes tokens through unchanged when a slot
+    * is empty). Within-round application order can't matter — adopted
+    * pairs are symbol-disjoint — but slots apply in adoption order anyway,
+    * mirroring [[segment]]. Assumes every round fills its batch (true on
+    * the gate corpus, asserted by the Spark/oracle hash match itself);
+    * a partial round would end the Scala trainer's round loop later than
+    * this fixed unrolling. */
+  def learnMergesBatchedSql(nMerges: Int = 12, batch: Int = 4): String = {
+    val head = math.max(4 * batch, 16)
+    val rounds = (nMerges + batch - 1) / batch
+    val parts = Seq.newBuilder[String]
+    parts += """toks AS MATERIALIZED (
+               |  SELECT tok, count(*) AS n_occ
+               |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+               |  WHERE len(tok) > 0 GROUP BY tok)""".stripMargin
+    parts += """segf_0_in AS MATERIALIZED (
+               |  SELECT tok, chr(1) || array_to_string(regexp_split_to_array(tok, ''), chr(1)) || chr(1) AS s
+               |  FROM toks)""".stripMargin
+    var src = "segf_0_in"
+    for (r <- 0 until rounds) {
+      parts += s"""cands_$r AS MATERIALIZED (
+                  |  SELECT a, b, n, CAST(row_number() OVER (ORDER BY n DESC, a, b) AS INTEGER) AS rn FROM (
+                  |    SELECT p[1] AS a, p[2] AS b, sum(n_occ) AS n
+                  |    FROM (SELECT tok, unnest(list_zip(l, l[2:])) AS p
+                  |          FROM (SELECT tok, string_split(s, chr(1)) AS l FROM $src)) z
+                  |    JOIN toks USING (tok)
+                  |    WHERE p[1] <> '' AND p[2] <> '' AND p[2] IS NOT NULL
+                  |    GROUP BY 1, 2)
+                  |  ORDER BY n DESC, a, b LIMIT $head)""".stripMargin
+      val ok = s"s.adopted < $batch AND NOT list_contains(s.used, c.a) AND NOT list_contains(s.used, c.b)"
+      parts += s"""sel_$r(rn, used, adopted, a, b, n, take) AS (
+                  |  SELECT 0, []::VARCHAR[], 0, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), false
+                  |  UNION ALL
+                  |  SELECT c.rn,
+                  |    CASE WHEN $ok THEN list_concat(s.used, [c.a, c.b]) ELSE s.used END,
+                  |    s.adopted + CASE WHEN $ok THEN 1 ELSE 0 END,
+                  |    c.a, c.b, c.n,
+                  |    $ok
+                  |  FROM sel_$r s JOIN cands_$r c ON c.rn = s.rn + 1)""".stripMargin
+      parts += s"""adopted_$r AS MATERIALIZED (
+                  |  SELECT a, b, n, CAST(row_number() OVER (ORDER BY rn) - 1 AS INTEGER) AS slot
+                  |  FROM sel_$r WHERE take)""".stripMargin
+      for (sl <- 0 until batch) {
+        val idx = s"${r}_$sl"
+        parts += s"""seg_$idx(tok, s, d) AS (
+                    |  SELECT tok, s, 0 FROM $src
+                    |  UNION ALL
+                    |  SELECT tok,
+                    |    CASE WHEN pos > 0 THEN substr(s, 1, pos - 1) || rep || substr(s, pos + len(pat)) ELSE s END,
+                    |    CASE WHEN pos > 0 THEN 0 ELSE 1 END
+                    |  FROM (
+                    |    SELECT g.tok, g.s,
+                    |      chr(1) || t.a || chr(1) || t.b || chr(1) AS pat,
+                    |      chr(1) || t.a || t.b || chr(1) AS rep,
+                    |      instr(g.s, chr(1) || t.a || chr(1) || t.b || chr(1)) AS pos
+                    |    FROM seg_$idx g LEFT JOIN (SELECT a, b FROM adopted_$r WHERE slot = $sl) t ON true
+                    |    WHERE g.d = 0))""".stripMargin
+        parts += s"segf_$idx AS MATERIALIZED (SELECT tok, s FROM seg_$idx WHERE d = 1)"
+        src = s"segf_$idx"
+      }
+    }
+    val union = (0 until rounds)
+      .map(r => s"SELECT $r AS round, slot, a, b, n FROM adopted_$r").mkString(" UNION ALL ")
+    "WITH RECURSIVE " + parts.result().mkString(",\n") +
+      s"""\nSELECT CAST(row_number() OVER (ORDER BY round, slot) - 1 AS INTEGER) AS rank,
+         |       a AS "left", b AS "right", CAST(n AS BIGINT) AS n_pairs
+         |FROM ($union) QUALIFY row_number() OVER (ORDER BY round, slot) <= $nMerges""".stripMargin
+  }
+
+  /** `q_text_bpe_train`: the learned merge table as a DataFrame, under the
+    * [[learnMergesSql]] hash gate; BpeSpec additionally pins exact parity
+    * with an independent local trainer. */
   def learnMergesQuery(s: SparkSession, dir: String, nMerges: Int = 12): DataFrame = {
     import s.implicits._
     learnMerges(s, dir, nMerges)
@@ -248,8 +385,9 @@ object Bpe {
   }
 
   /** `q_text_bpe_train_batched`: [[learnMergesBatched]] as a DataFrame —
-    * the production-shaped trainer (B merges per vocab pass). Rows-only;
-    * BpeSpec pins batched == sequential on the corpus fixture. */
+    * the production-shaped trainer (B merges per vocab pass), under the
+    * [[learnMergesBatchedSql]] hash gate (the batched algorithm's own
+    * unrolling; it genuinely diverges from sequential on this corpus). */
   def learnMergesBatchedQuery(s: SparkSession, dir: String, nMerges: Int = 12,
                               batch: Int = 4): DataFrame = {
     import s.implicits._
@@ -264,5 +402,7 @@ object Bpe {
     "q_text_bpe_train_batched" -> ((s: SparkSession, d: String) => learnMergesBatchedQuery(s, d)))
 
   val oracles: Map[String, String] = Map(
-    "q_text_bpe_merges" -> segmentVocabSql)
+    "q_text_bpe_merges" -> segmentVocabSql,
+    "q_text_bpe_train" -> learnMergesSql(),
+    "q_text_bpe_train_batched" -> learnMergesBatchedSql())
 }

@@ -163,10 +163,14 @@ object Dedup {
     * carries a `graft_lsh_trim_<n>` observation (`n_hot_buckets`,
     * `n_trimmed_rows`) readable per execution via [[graft.Observed]]
     * (asserted in DedupSpec) — a skewed corpus that sheds buckets shows up
-    * in metrics instead of quietly returning fewer pairs. When NO bucket
-    * exceeds the cap, AQE's empty-relation propagation may prune the
-    * anti-join (and the observation node with it): metric present ⇒ its
-    * counts are the recall loss; metric absent ⇒ nothing was trimmed. */
+    * in metrics instead of quietly returning fewer pairs. AQE's
+    * empty-relation propagation may prune the anti-join (and the
+    * observation node with it) in two corners: when NO bucket exceeds the
+    * cap (nothing trimmed — metric absent is the honest report), and when
+    * the trim empties the RESULT entirely (every candidate pair lived in
+    * a hot bucket — the empty output with a non-empty corpus is itself
+    * the signal; DedupSpec pins both corners). Whenever any pair
+    * survives, the observation provably survives with it. */
   private def bandedCandidatePairs(banded: DataFrame, idCol: String,
                                    outA: String, outB: String,
                                    bucketCap: Int): DataFrame = {
@@ -299,19 +303,52 @@ object Dedup {
   // SimHash
   // -----------------------------------------------------------------
 
-  /** (doc_id, simhash: long) — 64-bit SimHash over token hashes: bit j of
-    * the fingerprint is the sign of Σ(±1) over tokens' j-th hash bit.
-    * One [[graft.functions.SimHashAggregator]] (primitive bit-histogram
-    * buffer) instead of 64 conditional-sum columns — see its Scaladoc. */
+  /** (doc_id, simhash: long) — 64-bit SimHash per document via the
+    * portable scalar [[graft.functions.SimHash.simhash64]]: one map-only
+    * typed map, NO token explode and NO groupByKey shuffle (the round-7
+    * aggregator formulation shuffled every token hash). Per-row imperative
+    * code is justified by the guide's tier (d): the per-token code-point
+    * hash loop has no codegen'd builtin, and making it arithmetic-portable
+    * is what gives both SimHash tiers a DuckDB oracle
+    * ([[simhashPairsSql]]). */
   def simhashFingerprints(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val agg = new graft.functions.SimHashAggregator(SimhashBits)
-    docs(s, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h")).as[(Long, Long)]
-      .groupByKey(_._1)
-      .agg(agg.toColumn.name("simhash"))
+    docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) => (id, graft.functions.SimHash.simhash64(text)) }
       .toDF("doc_id", "simhash")
+  }
+
+  /** DuckDB twin of the SimHash tiers: recomputes the per-token polynomial
+    * hashes ([[graft.functions.SimHash]] constants, single-sourced here),
+    * bit-votes them into per-document fingerprints, and brute-forces ALL
+    * pairs at the given Hamming radius. Brute force is the right oracle
+    * shape: the banded tables are a recall optimization with an exactness
+    * guarantee (pigeonhole), so their output must EQUAL the all-pairs
+    * scan — this gate is precisely the `exact at hamming<=maxHamming`
+    * claim. `range(63)` / no `1<<63`: bit 63 is structurally 0. */
+  def simhashPairsSql(maxHamming: Int): String = {
+    import graft.functions.SimHash.{Mod, BaseA, BaseB, BaseC}
+    s"""WITH toks AS (
+       |  SELECT doc_id, tok FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  WHERE len(tok) > 0),
+       |th AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(0::BIGINT, cps), (a, c) -> (a * $BaseA + c) % $Mod) AS h1,
+       |    list_reduce(list_prepend(0::BIGINT, cps), (a, c) -> (a * $BaseB + c) % $Mod) AS h2,
+       |    list_reduce(list_prepend(0::BIGINT, cps), (a, c) -> (a * $BaseC + c) % $Mod) AS h3
+       |  FROM (SELECT doc_id, [ascii(x)::BIGINT for x in regexp_split_to_array(tok, '')] AS cps FROM toks)),
+       |votes AS (
+       |  SELECT doc_id, j,
+       |         sum(CASE WHEN ((h1 | (h2 << 30) | ((h3 & 7) << 60)) >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM th, range(63) t(j) GROUP BY doc_id, j),
+       |fp AS (
+       |  SELECT d.doc_id, coalesce(sum(CASE WHEN v.v > 0 THEN (1::BIGINT << v.j) ELSE 0 END), 0) AS simhash
+       |  FROM documents d LEFT JOIN votes v ON d.doc_id = v.doc_id GROUP BY d.doc_id)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming""".stripMargin
   }
 
   /** SimHash near-dup pairs: banded candidate join (8 × 8-bit bands — by
@@ -960,5 +997,9 @@ object Dedup {
     "q_dedup_spans" -> spanDupStatsSql(),
     "q_dedup_substrings" -> substringDupStatsSql(),
     "q_dedup_clusters_star" -> nearDupClustersSql,
-    "q_dedup_embedding" -> embeddingNearDupSql())
+    "q_dedup_embedding" -> embeddingNearDupSql(),
+    // brute-force all-pairs at the tier's radius — the exactness gate for
+    // the banded tables (maxHamming kept in sync with the query defaults)
+    "q_dedup_simhash" -> simhashPairsSql(maxHamming = 7),
+    "q_dedup_simhash_wide" -> simhashPairsSql(maxHamming = 3))
 }

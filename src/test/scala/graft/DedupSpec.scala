@@ -200,18 +200,27 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     val uncapped = Dedup.simhashPairsWide(spark, sf, bucketCap = Int.MaxValue)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(cappedPairs == uncapped)
-    // cap=1: every multi-member bucket (identical/near-identical docs
-    // collide in every table) trims, the loss is REPORTED, and trimming
-    // can only remove pairs — the minhash trim contract, now sound on
-    // wide keys
-    val trimmed = Dedup.simhashPairsWide(spark, sf, bucketCap = 1)
+    // cap=3: clusters above the cap trim, the loss is REPORTED, and
+    // trimming can only remove pairs — the minhash trim contract, now
+    // sound on wide keys. The output stays non-empty, which is what
+    // guarantees the observation survives (see the cap=1 case below).
+    val trimmed = Dedup.simhashPairsWide(spark, sf, bucketCap = 3)
     val trimmedPairs = trimmed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(trimmedPairs.nonEmpty && trimmedPairs != uncapped,
+      "cap=3 must be a PARTIAL trim on this corpus or the test is vacuous")
     val m = Observed.metrics(trimmed).collectFirst {
       case (name, row) if name.startsWith("graft_lsh_trim_") => row
     }.getOrElse(fail("trimming happened but no graft_lsh_trim observation reported"))
     assert(m.getAs[Long]("n_hot_buckets") > 0L)
     assert(m.getAs[Long]("n_trimmed_rows") > m.getAs[Long]("n_hot_buckets"))
     assert(trimmedPairs.subsetOf(uncapped))
+    // cap=1 is DEGENERATE by construction: any pair-producing bucket has
+    // >= 2 members, so every candidate is trimmed and the result is empty
+    // — and AQE's empty-relation propagation may then prune the plan
+    // (observation node included), so the counts are best-effort here.
+    // The empty result itself is the signal in this corner.
+    val allTrimmed = Dedup.simhashPairsWide(spark, sf, bucketCap = 1)
+    assert(allTrimmed.collect().isEmpty)
   }
 
   test("near-dup clusters equal a local union-find over the same pairs") {

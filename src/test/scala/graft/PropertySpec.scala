@@ -4,6 +4,7 @@ import java.time.{LocalDateTime, ZoneOffset}
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Arbitrary.arbitrary
 
 import graft.functions.Hll
 import graft.streaming.DataDrivenWindows
@@ -53,21 +54,43 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
-  test("SimHashAggregator: merge(a,b) == reduce over concatenation; finish matches brute sign") {
-    val agg = new graft.functions.SimHashAggregator(64)
-    check(Prop.forAll(Gen.listOf(Gen.long), Gen.listOf(Gen.long)) { (xs: List[Long], ys: List[Long]) =>
-      def reduceAll(hs: List[Long]) =
-        hs.foldLeft(agg.zero)((b, h) => agg.reduce(b, (0L, h)))
-      val merged = agg.merge(reduceAll(xs), reduceAll(ys))
-      val together = reduceAll(xs ++ ys)
-      val mergeLaw = merged.toSeq == together.toSeq
-      // brute-force fingerprint: bit j set iff strictly more set-bits than not
-      val brute = (0 until 64).foldLeft(0L) { (fp, j) =>
-        val sum = (xs ++ ys).map(h => if (((h >>> j) & 1L) == 1L) 1 else -1).sum
+  test("SimHash.simhash64 matches the brute per-bit sign law over tokenHash") {
+    import graft.functions.SimHash
+    val token = for {
+      len <- Gen.chooseNum(1, 8)
+      cs <- Gen.listOfN(len, Gen.frequency(
+        8 -> Gen.alphaLowerChar, 2 -> Gen.oneOf('é', 'ß', '中', 'é')))
+    } yield cs.mkString
+    check(Prop.forAll(Gen.listOf(token)) { toks =>
+      val text = toks.mkString(" ")
+      // brute-force: split/hash/vote independently of the production loop
+      val hs = text.split(" ", -1).toList.filter(_.nonEmpty).map(SimHash.tokenHash)
+      val brute = (0 until SimHash.Bits).foldLeft(0L) { (fp, j) =>
+        val sum = hs.map(h => if (((h >>> j) & 1L) == 1L) 1 else -1).sum
         if (sum > 0) fp | (1L << j) else fp
       }
-      mergeLaw && agg.finish(together) == brute
+      SimHash.simhash64(text) == brute
     })
+  }
+
+  test("SimHash.tokenHash is non-negative with bit 63 clear (the oracle packing bound)") {
+    val anyStr = Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar, 1 -> Gen.oneOf('é', '中'), 1 -> arbitrary[Char])).map(_.mkString)
+    check(Prop.forAll(anyStr) { t =>
+      val h = graft.functions.SimHash.tokenHash(t)
+      h >= 0L && (h >>> 63) == 0L
+    })
+  }
+
+  test("SimHash.tokenHash iterates code points: non-BMP chars hash as one symbol") {
+    import graft.functions.SimHash.{tokenHash, Mod, BaseA, BaseB, BaseC}
+    val cp = 0x1F600 // 😀 — one code point, two UTF-16 units
+    val expected = {
+      val h1 = cp % Mod; val h2 = cp % Mod; val h3 = cp % Mod
+      h1 | (h2 << 30) | ((h3 & 7L) << 60)
+    }
+    assert(tokenHash(new String(Character.toChars(cp))) == expected)
+    assert(BaseA != BaseB && BaseB != BaseC) // three genuinely distinct hashes
   }
 
   test("calendar bucket ends are strictly ahead and re-truncate to the same bucket") {
