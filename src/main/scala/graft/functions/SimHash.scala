@@ -28,11 +28,13 @@ package graft.functions
   * parallel, the right shape at 100 TB.
   */
 object SimHash {
-  /** Largest prime below 2³⁰ (= 2³⁰ − 35). */
-  val Mod = 1073741789L
-  val BaseA = 1000003L
-  val BaseB = 999983L
-  val BaseC = 1000033L
+  /** The shared portable family's constants ([[PolyHash]]) — re-exposed
+    * here because the oracle builders single-source them from this
+    * object's fingerprint contract. */
+  val Mod = PolyHash.Mod
+  val BaseA = PolyHash.BaseA
+  val BaseB = PolyHash.BaseB
+  val BaseC = PolyHash.BaseC
 
   /** Fingerprint width. Bit 63 is structurally 0 — see class doc. */
   val Bits = 64

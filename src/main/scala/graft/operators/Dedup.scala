@@ -62,7 +62,9 @@ object Dedup {
           val out = Seq.newBuilder[(Long, Long)]
           var i = 0
           while (i + 2 < w.length) {
-            val h = graft.functions.Hll.hash(w(i) + " " + w(i + 1) + " " + w(i + 2))
+            // portable 60-bit shingle identity (PolyHash.packed60) — the
+            // hash the MinHash oracle recomputes; see minhashLshPairsSql
+            val h = graft.functions.PolyHash.packed60(w(i) + " " + w(i + 1) + " " + w(i + 2))
             if (seen.add(h)) out += ((id, h))
             i += 1
           }
@@ -277,13 +279,28 @@ object Dedup {
   /** MinHash-LSH near-dup pairs: 32 bands × 4 rows; docs colliding in any
     * band become candidates; candidates are verified on the SIGNATURES
     * (estimated Jaccard = matching fraction), never on raw text — at scale
-    * the text never re-enters the pipeline after signature computation. */
+    * the text never re-enters the pipeline after signature computation.
+    *
+    * Band keys are two independent modular folds of `(band, slot₁..slot₄)`
+    * packed to 60 bits — codegen'd column arithmetic with the same
+    * overflow bound as the rest of the portable family, so the oracle
+    * reproduces the EXACT candidate set, chance key collisions included
+    * (a 2³⁰ single fold would birthday-collide at cluster scale; 2⁶⁰
+    * holds to ~10⁸ docs × 32 bands). `est_jaccard` is `matches/128`
+    * UNROUNDED: multiples of 2⁻⁷ are exact doubles in both engines,
+    * while `round(…, 4)` would die on half-way cases (n≡4 mod 8) where
+    * the engines' tie-breaking differs. */
   def minhashLshPairs(s: SparkSession, dir: String, threshold: Double = 0.5,
                       bucketCap: Int = HotBucketCap): DataFrame = {
     val sigs = minhashSignatures(s, dir).cache()
+    val M = graft.functions.PolyHash.Mod
+    def fold(b: Int, base: Long): Column =
+      (0 until 4).foldLeft(lit(b.toLong): Column)((acc, r) =>
+        (acc * base + element_at(col("sig"), b * 4 + r + 1)) % M)
     val bandStructs = array((0 until MinhashBands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64(Seq(lit(b)) ++ (0 until 4).map(r => element_at(col("sig"), b * 4 + r + 1)): _*).as("bkey"))
+        shiftleft(fold(b, graft.functions.PolyHash.BaseA), 30)
+          .bitwiseOR(fold(b, graft.functions.PolyHash.BaseB)).as("bkey"))
     }: _*)
     val banded = sigs.select(col("doc_id"), explode(bandStructs).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
@@ -293,10 +310,62 @@ object Dedup {
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
     withSigs
       .withColumn("est_jaccard",
-        round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
-          * lit(1.0) / lit(MinhashPerms), 4))
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          * lit(1.0) / lit(MinhashPerms))
       .filter(col("est_jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+  }
+
+  /** DuckDB twin of [[minhashLshPairs]] — the ENTIRE tier recomputed from
+    * first principles: per-document distinct shingle hashes
+    * ([[graft.functions.PolyHash.packed60]] over the same `w₁ w₂ w₃`
+    * strings), the 128-slot signatures under the identical permutation
+    * constants ([[graft.functions.MinHashSigAggregator.permValuesSql]] —
+    * single-sourced, the tables cannot drift), the same packed band keys,
+    * the same banded candidate join, and the same unrounded estimate.
+    * This is a FULL-ALGORITHM oracle, not a brute-force one, because the
+    * tier's contract is the LSH candidate structure itself (recall is
+    * probabilistic by design — a brute-force all-pairs Jaccard would be
+    * the wrong expected output). Skew guards don't appear: at oracle
+    * scale the shingle guard is un-armed (≤ cap documents) and no band
+    * bucket reaches [[HotBucketCap]] — the capped run equals the uncapped
+    * algorithm, which is exactly what this SQL computes. */
+  def minhashLshPairsSql(threshold: Double = 0.5): String = {
+    import graft.functions.PolyHash.{Mod, BaseA, BaseB}
+    val permVals = graft.functions.MinHashSigAggregator.permValuesSql(MinhashPerms)
+    s"""WITH shs AS (
+       |  SELECT doc_id, list_transform(range(1, greatest(len(l) - 1, 1)),
+       |                                i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) AS sh
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+       |  WHERE len(l) >= 3),
+       |shh AS (
+       |  SELECT DISTINCT doc_id,
+       |    (list_reduce(list_prepend(0::BIGINT, cps), (a, c) -> (a * $BaseA + c) % $Mod) << 30)
+       |    | list_reduce(list_prepend(0::BIGINT, cps), (a, c) -> (a * $BaseB + c) % $Mod) AS hsh
+       |  FROM (SELECT doc_id, [ascii(x)::BIGINT for x in regexp_split_to_array(s, '')] AS cps
+       |        FROM (SELECT doc_id, unnest(sh) AS s FROM shs))),
+       |perms(p, a, b, c) AS (VALUES $permVals),
+       |sig AS (
+       |  SELECT doc_id, p, min((a * (hsh >> 30) + b * (hsh & 1073741823) + c) % $Mod) AS v
+       |  FROM shh, perms GROUP BY doc_id, p),
+       |sigl AS MATERIALIZED (SELECT doc_id, list(v ORDER BY p) AS sl FROM sig GROUP BY doc_id),
+       |bands AS MATERIALIZED (
+       |  SELECT doc_id, t.band,
+       |    (list_reduce(list_prepend(0::BIGINT,
+       |       [t.band::BIGINT, sl[t.band*4+1], sl[t.band*4+2], sl[t.band*4+3], sl[t.band*4+4]]),
+       |       (acc, x) -> (acc * $BaseA + x) % $Mod) << 30)
+       |    | list_reduce(list_prepend(0::BIGINT,
+       |       [t.band::BIGINT, sl[t.band*4+1], sl[t.band*4+2], sl[t.band*4+3], sl[t.band*4+4]]),
+       |       (acc, x) -> (acc * $BaseB + x) % $Mod) AS bkey
+       |  FROM sigl, range($MinhashBands) t(band)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+       |SELECT c.doc_a, c.doc_b,
+       |       len(list_filter(list_zip(a.sl, b.sl), z -> z[1] = z[2])) * 1.0 / $MinhashPerms AS est_jaccard
+       |FROM cand c JOIN sigl a ON a.doc_id = c.doc_a JOIN sigl b ON b.doc_id = c.doc_b
+       |WHERE len(list_filter(list_zip(a.sl, b.sl), z -> z[1] = z[2])) * 1.0 / $MinhashPerms >= $threshold""".stripMargin
   }
 
   // -----------------------------------------------------------------
@@ -971,6 +1040,32 @@ object Dedup {
       |  JOIN (SELECT md5(text) AS h, min(doc_id) AS keep FROM documents GROUP BY 1) k
       |    ON md5(d.text) = k.h AND d.doc_id <> k.keep)""".stripMargin
 
+  /** DuckDB twin of [[dedupPipelineLsh]]: the [[minhashLshPairsSql]] pair
+    * oracle, the same min-reachable-id closure as [[nearDupClustersSql]],
+    * and the same exact-dup removal as [[dedupPipelineSql]] — the whole
+    * PRODUCTION dedup path under the hash gate end-to-end. */
+  def dedupPipelineLshSql(threshold: Double = 0.5): String = {
+    // substituted AFTER stripMargin: the embedded SQL's own bitwise-OR
+    // lines start with '|', which stripMargin would otherwise swallow
+    val pairsSubquery = "(" + minhashLshPairsSql(threshold) + ")"
+    """WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM __PAIRS__ p),
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |          UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |clusters AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+      |             FROM reach GROUP BY src)
+      |SELECT doc_id FROM documents
+      |WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+      |AND doc_id NOT IN (
+      |  SELECT d.doc_id FROM documents d
+      |  JOIN (SELECT md5(text) AS h, min(doc_id) AS keep FROM documents GROUP BY 1) k
+      |    ON md5(d.text) = k.h AND d.doc_id <> k.keep)""".stripMargin
+      .replace("__PAIRS__", pairsSubquery)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (exactDedup _),
     "q_dedup_ngram_jaccard" -> (ngramJaccardPairs _),
@@ -1001,5 +1096,9 @@ object Dedup {
     // brute-force all-pairs at the tier's radius — the exactness gate for
     // the banded tables (maxHamming kept in sync with the query defaults)
     "q_dedup_simhash" -> simhashPairsSql(maxHamming = 7),
-    "q_dedup_simhash_wide" -> simhashPairsSql(maxHamming = 3))
+    "q_dedup_simhash_wide" -> simhashPairsSql(maxHamming = 3),
+    // full-algorithm oracles: signatures, banding, candidates, estimates
+    // recomputed from the shared portable-hash constants
+    "q_dedup_minhash_lsh" -> minhashLshPairsSql(),
+    "q_dedup_pipeline_lsh" -> dedupPipelineLshSql())
 }

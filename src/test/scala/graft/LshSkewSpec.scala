@@ -85,10 +85,13 @@ class LshSkewSpec extends AnyFunSuite with SparkTestBase {
     // wall bound: the capped run skips ≥10x of the verify join and should
     // not be slower. Both sides are single-shot timings on a host whose
     // same-code bench envelope spans 2x+ under contention (BASELINE.md),
-    // so allow 1.5x slack — the structural candidate-count assertions
-    // above are the load-bearing check, this one only catches a capped
-    // path that somehow does MORE work
-    assert(cappedSec <= uncappedSec * 1.5,
+    // and inside a full `sbt test` JVM a single GC pause can eat more
+    // than this query's whole runtime (observed: one flaky failure at
+    // 1.5x slack in an otherwise-green suite) — so allow 3x. The
+    // structural candidate-count assertions above are the load-bearing
+    // check; this one only catches a capped path that somehow does MORE
+    // work, and that failure mode blows past any constant factor.
+    assert(cappedSec <= uncappedSec * 3.0,
       f"capped path much slower than uncapped: $cappedSec%.2f s vs $uncappedSec%.2f s")
   }
 
