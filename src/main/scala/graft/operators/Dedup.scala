@@ -607,9 +607,16 @@ object Dedup {
     * Returns `(doc_id, cluster_id)` where `cluster_id` is the component's
     * minimum doc_id — the canonical "keep" representative. */
   def clusterPairs(pairs: DataFrame): DataFrame = {
+    // bidirect via explode, NOT `pairs.union(pairs.swapped)`: union
+    // branches are independent subtrees, so an uncached `pairs` (the LSH
+    // pipeline, in production) would execute TWICE — measured 7.5 s of a
+    // 13.6 s q_dedup_pipeline_lsh run before this shape. One scan, two
+    // rows per pair, same distinct edge set.
     val edges = pairs
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct().cache()
     var labels = graft.Checkpoints.local(
       edges.select(col("src").as("id")).distinct()
@@ -697,8 +704,13 @@ object Dedup {
        if (r.isNullAt(1)) 0L else r.getLong(1),
        if (r.isNullAt(2)) BigDecimal(0) else BigDecimal(r.getDecimal(2)))
     }
-    var edges = graft.Checkpoints.local(
-      canon(pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))))
+    // materialize the RAW pair list once: `canon` below and the singleton
+    // guard at the end both need it, and each un-checkpointed reference
+    // would re-execute the whole upstream pair pipeline (the LSH path, in
+    // production — the pre-fix shape paid three full evaluations per run)
+    val base = graft.Checkpoints.local(
+      pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+    var edges = graft.Checkpoints.local(canon(base))
     var edgesSig = sig(edges)
     var round = 0
     var converged = false
@@ -719,9 +731,10 @@ object Dedup {
     val assigned = edges.select(col("u").as("doc_id"), col("v").as("cluster_id")).union(roots)
     // nodes whose every input edge was a self-loop never reach the
     // alternation (canon drops u = v); label them their own root so the
-    // tier matches clusterPairs on degenerate inputs
-    val singletons = pairs
-      .select(col("doc_a").as("doc_id")).union(pairs.select(col("doc_b").as("doc_id")))
+    // tier matches clusterPairs on degenerate inputs. Reads the
+    // checkpointed `base`, never `pairs` (see above).
+    val singletons = base
+      .select(explode(array(col("u"), col("v"))).as("doc_id"))
       .distinct()
       .join(assigned.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
