@@ -790,18 +790,31 @@ object Similarity {
                       nCentroids: Int = 8, iters: Int = 4, pqIters: Int = 2,
                       m: Int = 8, subDim: Int = 8, k: Int = 16,
                       maxTrainRows: Int = 65536): (Seq[Seq[Double]], Seq[Seq[Double]]) = {
-    import s.implicits._
     val e = emb(s, dir)
     val cents = learnCentroids(s, e, nCentroids, iters)
     val books = learnPqCodebooks(s, residualTrainingSample(e, cents, maxTrainRows),
       m, subDim, k, iters = pqIters)
+    buildIvfPqIndexWith(s, dir, indexDir, cents, books, m, subDim, k)
+  }
+
+  /** Persistence half of [[buildIvfPqIndex]] against a CALLER-SUPPLIED
+    * model — shared by the learned production build and the literal-model
+    * oracle twin ([[ivfPqSearchLitQuery]]), so both write the identical
+    * index layout and [[annIvfPqSearch]] serves either without knowing
+    * which it got. */
+  def buildIvfPqIndexWith(s: SparkSession, dir: String, indexDir: String,
+                          cents: Seq[Seq[Double]], books: Seq[Seq[Double]],
+                          m: Int = 8, subDim: Int = 8,
+                          k: Int = 16): (Seq[Seq[Double]], Seq[Seq[Double]]) = {
+    import s.implicits._
+    val e = emb(s, dir)
     pqEncodeResiduals(assignCid(e, cents).select(col("vec_id"), col("cid"), col("embedding")),
         cents, books, m, subDim, k)
       .write.mode("overwrite").parquet(s"$indexDir/codes.parquet")
     // the meta row pins the build hyperparameters: a search with different
     // (m, subDim, k, nCentroids) would mis-index books(j·k + c) and return
     // plausible-but-wrong neighbors — annIvfPqSearch require()s agreement
-    (Seq(("meta", 0, Seq(m.toDouble, subDim.toDouble, k.toDouble, nCentroids.toDouble))) ++
+    (Seq(("meta", 0, Seq(m.toDouble, subDim.toDouble, k.toDouble, cents.length.toDouble))) ++
       cents.zipWithIndex.map { case (c, i) => ("cent", i, c) } ++
       books.zipWithIndex.map { case (b, i) => ("book", i, b) })
       .toDF("kind", "idx", "vec")
@@ -890,10 +903,148 @@ object Similarity {
     annIvfPqSearch(s, dir, idx)
   }
 
+  // -----------------------------------------------------------------
+  // Literal-model oracle twin of the persisted search (VERDICT r9 #2)
+  // -----------------------------------------------------------------
+
+  /** Fixed LITERAL IVF-PQ model for the hash-gated oracle twin of the
+    * persisted search path: deterministic hyperplane centroids/codebooks
+    * stand in for the float-k-means output (the `q_emb_pq_encode` trick,
+    * one level up). With the model literal, the ENTIRE production search
+    * pipeline — index build (assign + residual argmin codes), parquet
+    * round-trip, probe, broadcast-LUT ADC over the codes, shortlist
+    * re-rank — is a deterministic double-arithmetic program both engines
+    * evaluate bit-identically, so [[annIvfPqSearch]]'s full plan earns a
+    * DuckDB hash gate (`q_sim_ann_ivf_pq_search_lit`) that the learned
+    * tiers (`q_sim_ann_ivf_pq*`) structurally share. */
+  private val LitCents: Seq[Seq[Double]] = VectorOps.hyperplanes(8, 64, seed = 23L)
+  private val LitBooks: Seq[Seq[Double]] = VectorOps.hyperplanes(8 * 16, 8, seed = 11L)
+
+  /** The registered literal-model SEARCH query: builds the tiny literal
+    * index once per (JVM, sf dir) via the SHARED persistence path
+    * ([[buildIvfPqIndexWith]]) and serves it through the production
+    * [[annIvfPqSearch]] — byte-for-byte the same search stages the learned
+    * index runs, now under the hash gate. */
+  def ivfPqSearchLitQuery(s: SparkSession, dir: String): DataFrame = {
+    val idx = builtIndexes.computeIfAbsent(dir + "#lit", _ => {
+      val p = indexDirFor(dir) + "-lit"
+      buildIvfPqIndexWith(s, dir, p, LitCents, LitBooks)
+      p
+    })
+    annIvfPqSearch(s, dir, idx)
+  }
+
+  /** DuckDB twin of [[ivfPqSearchLitQuery]] — the whole IVFADC search
+    * recomputed from first principles against the same literal model:
+    * cosine argmax assignment (ties to the higher cid, mirroring
+    * [[assignCid]]'s struct-greatest), rank-reduced residual argmin codes
+    * ([[residualArgminDists]]' `(−2·y·b) + (2·a·b + b·b)` association),
+    * nProbe centroid probe on `−cos`, the e4-floored integer LUT
+    * (`((yy − 2·ya) − 2·yb) + (a·a + 2·a·b + b·b)` exactly as
+    * [[ivfPqSearchWith]] associates it), an exact integer ADC sum, and
+    * the brute-force re-rank recipe of [[bruteForceTopKSql]]. Every
+    * driver-side constant (centroid norms, LUT constants) is computed by
+    * the IDENTICAL left-to-right Scala fold the Spark plan evaluates and
+    * embedded as a shortest-roundtrip double literal. */
+  def ivfPqSearchLitSql(kNN: Int = DefaultK, nProbe: Int = 2, rerank: Int = 50,
+                        m: Int = 8, subDim: Int = 8, k: Int = 16,
+                        dim: Int = 64): String = {
+    val cents = LitCents
+    val books = LitBooks
+    val ctVals = cents.zipWithIndex.map { case (c, i) =>
+      // same fold as the runtime l2Norm over the centroid array: squares
+      // accumulate left-to-right in double, then one IEEE sqrt
+      s"($i, ${VectorSql.planeSql(c)}, ${math.sqrt(c.map(x => x * x).sum)})"
+    }.mkString(",\n  ")
+    val bkVals = (for { j <- 0 until m; c <- 0 until k } yield
+      s"($j, $c, ${VectorSql.planeSql(books(j * k + c))})").mkString(",\n  ")
+    val caVals = (for { j <- 0 until m; i <- cents.indices } yield
+      s"($j, $i, ${VectorSql.planeSql(cents(i).slice(j * subDim, (j + 1) * subDim))})")
+      .mkString(",\n  ")
+    val consVals = (for { j <- 0 until m; i <- cents.indices; c <- 0 until k } yield {
+      val a = cents(i).slice(j * subDim, (j + 1) * subDim)
+      val b = books(j * k + c)
+      // av: residualArgminDists' const; kv: ivfPqSearchWith's konst —
+      // both with the exact operation order of their Scala originals
+      val av = 2.0 * a.zip(b).map { case (x, y) => x * y }.sum + b.map(x => x * x).sum
+      val kv = a.map(x => x * x).sum + 2.0 * a.zip(b).map { case (x, y) => x * y }.sum +
+        b.map(x => x * x).sum
+      s"($j, $i, $c, $av, $kv)"
+    }).mkString(",\n  ")
+    def dot8(vec: String, other: String): String =
+      s"list_sum(list_transform(range(1, ${subDim + 1}), i -> $vec[CAST(bk.sub_idx * $subDim + i AS INT)] * $other))"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+      |ct(cid, cvec, cnorm) AS (VALUES
+      |  $ctVals),
+      |asg AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT n.vec_id, ct.cid,
+      |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+      |        list_sum(list_transform(range(1, ${dim + 1}), i -> n.v[CAST(i AS INT)] * ct.cvec[CAST(i AS INT)]))
+      |          / (n.nrm * ct.cnorm) DESC, ct.cid DESC) AS rn
+      |    FROM n, ct)
+      |  WHERE rn = 1),
+      |bk(sub_idx, code, bvec) AS (VALUES
+      |  $bkVals),
+      |ca(sub_idx, cid, avec) AS (VALUES
+      |  $caVals),
+      |cons(sub_idx, cid, code, av, kv) AS (VALUES
+      |  $consVals),
+      |cd AS (
+      |  SELECT e.vec_id, asg.cid, bk.sub_idx, bk.code,
+      |    -2.0 * ${dot8("e.v", "bk.bvec[CAST(i AS INT)]")} + cons.av AS dist
+      |  FROM e JOIN asg ON asg.vec_id = e.vec_id
+      |  CROSS JOIN bk
+      |  JOIN cons ON cons.sub_idx = bk.sub_idx AND cons.code = bk.code AND cons.cid = asg.cid),
+      |codes AS (
+      |  SELECT vec_id, cid, sub_idx, code FROM cd
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub_idx ORDER BY dist, code) = 1),
+      |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < $QueryCount),
+      |probed AS (
+      |  SELECT query_id, cid FROM (
+      |    SELECT q.query_id, ct.cid,
+      |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+      |        -(list_sum(list_transform(range(1, ${dim + 1}), i -> q.qv[CAST(i AS INT)] * ct.cvec[CAST(i AS INT)]))
+      |          / (q.qn * ct.cnorm)), ct.cid) AS rn
+      |    FROM q, ct)
+      |  WHERE rn <= $nProbe),
+      |lut AS (
+      |  SELECT p.query_id, p.cid, bk.sub_idx, bk.code,
+      |    CAST(floor((
+      |        ${dot8("q.qv", s"q.qv[CAST(bk.sub_idx * $subDim + i AS INT)]")}
+      |      - 2.0 * ${dot8("q.qv", "ca.avec[CAST(i AS INT)]")}
+      |      - 2.0 * ${dot8("q.qv", "bk.bvec[CAST(i AS INT)]")}
+      |      + cons.kv) * 10000 + 0.5) AS BIGINT) AS d_e4
+      |  FROM probed p
+      |  JOIN q ON q.query_id = p.query_id
+      |  CROSS JOIN bk
+      |  JOIN ca ON ca.sub_idx = bk.sub_idx AND ca.cid = p.cid
+      |  JOIN cons ON cons.sub_idx = bk.sub_idx AND cons.cid = p.cid AND cons.code = bk.code),
+      |adc AS (
+      |  SELECT l.query_id, c.vec_id, CAST(sum(l.d_e4) AS BIGINT) AS adc_e4
+      |  FROM codes c JOIN lut l ON c.cid = l.cid AND c.sub_idx = l.sub_idx AND c.code = l.code
+      |  WHERE l.query_id <> c.vec_id
+      |  GROUP BY 1, 2),
+      |short AS (
+      |  SELECT query_id, vec_id FROM adc
+      |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adc_e4, vec_id) <= $rerank),
+      |scored AS (
+      |  SELECT sh.query_id, sh.vec_id,
+      |    list_sum(list_transform(range(1, ${dim + 1}), i -> q.qv[CAST(i AS INT)] * n.v[CAST(i AS INT)])) / (q.qn * n.nrm) AS cos
+      |  FROM short sh JOIN q ON q.query_id = sh.query_id JOIN n ON n.vec_id = sh.vec_id)
+      |SELECT query_id, vec_id,
+      |  CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_e4,
+      |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+      |FROM scored
+      |QUALIFY rank <= $kNN""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_ann_ivf_pq" -> ((s: SparkSession, d: String) => annIvfPq(s, d)),
     "q_sim_ann_ivf_pq_build" -> ((s: SparkSession, d: String) => ivfPqBuildQuery(s, d)),
     "q_sim_ann_ivf_pq_search" -> ((s: SparkSession, d: String) => ivfPqSearchQuery(s, d)),
+    "q_sim_ann_ivf_pq_search_lit" -> ((s: SparkSession, d: String) => ivfPqSearchLitQuery(s, d)),
     "q_emb_pq_adc" -> ((s: SparkSession, d: String) => pqAdcTopK(s, d)),
     "q_emb_pq_encode" -> ((s: SparkSession, d: String) => pqEncode(s, d)),
     "q_sim_topk_brute" -> ((s: SparkSession, d: String) => bruteForceTopK(s, d)),
@@ -903,6 +1054,7 @@ object Similarity {
     "q_emb_jl_project" -> ((s: SparkSession, d: String) => jlProject(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "q_sim_ann_ivf_pq_search_lit" -> ivfPqSearchLitSql(),
     "q_emb_pq_adc" -> pqAdcTopKSql(),
     "q_emb_pq_encode" -> pqEncodeSql(),
     "q_sim_topk_brute" -> bruteForceTopKSql,
