@@ -380,9 +380,15 @@ object Dedup {
     * hash loop has no codegen'd builtin, and making it arithmetic-portable
     * is what gives both SimHash tiers a DuckDB oracle
     * ([[simhashPairsSql]]). */
-  def simhashFingerprints(s: SparkSession, dir: String): DataFrame = {
+  def simhashFingerprints(s: SparkSession, dir: String): DataFrame =
+    simhashFingerprintsOf(s, docs(s, dir))
+
+  /** [[simhashFingerprints]] over a caller-supplied document set — the
+    * collapsed composition tier feeds the exact-dedup survivors through
+    * the identical fingerprint map. */
+  def simhashFingerprintsOf(s: SparkSession, d: DataFrame): DataFrame = {
     import s.implicits._
-    docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+    d.select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) => (id, graft.functions.SimHash.simhash64(text)) }
       .toDF("doc_id", "simhash")
   }
@@ -395,11 +401,21 @@ object Dedup {
     * guarantee (pigeonhole), so their output must EQUAL the all-pairs
     * scan — this gate is precisely the `exact at hamming<=maxHamming`
     * claim. `range(63)` / no `1<<63`: bit 63 is structurally 0. */
-  def simhashPairsSql(maxHamming: Int): String = {
+  def simhashPairsSql(maxHamming: Int, collapsed: Boolean = false): String = {
     import graft.functions.SimHash.{Mod, BaseA, BaseB, BaseC}
-    s"""WITH toks AS (
+    // collapsed tier: same scan, restricted to the exact-dedup survivors
+    // (min doc_id per md5 — mirrors exactDedup's keep_id exactly)
+    val srcCte =
+      if (collapsed)
+        """src AS (
+          |  SELECT d.doc_id, d.text FROM documents d
+          |  JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k
+          |    USING (doc_id)),""".stripMargin
+      else "src AS (SELECT doc_id, text FROM documents),"
+    s"""WITH $srcCte
+       |toks AS (
        |  SELECT doc_id, tok FROM (
-       |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM src)
        |  WHERE len(tok) > 0),
        |th AS (
        |  SELECT doc_id,
@@ -413,7 +429,7 @@ object Dedup {
        |  FROM th, range(63) t(j) GROUP BY doc_id, j),
        |fp AS (
        |  SELECT d.doc_id, coalesce(sum(CASE WHEN v.v > 0 THEN (1::BIGINT << v.j) ELSE 0 END), 0) AS simhash
-       |  FROM documents d LEFT JOIN votes v ON d.doc_id = v.doc_id GROUP BY d.doc_id)
+       |  FROM src d LEFT JOIN votes v ON d.doc_id = v.doc_id GROUP BY d.doc_id)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
@@ -425,9 +441,26 @@ object Dedup {
     * so recall is exact for maxHamming ≤ 7), verified with exact
     * `bit_count(xor) ≤ maxHamming`. Narrower bands ⇒ more candidates; the
     * verification filter keeps output exact. */
-  def simhashPairs(s: SparkSession, dir: String, maxHamming: Int = 7): DataFrame = {
+  def simhashPairs(s: SparkSession, dir: String, maxHamming: Int = 7): DataFrame =
+    simhashPairsFrom(simhashFingerprints(s, dir).cache(), maxHamming)
+
+  /** The composition-discipline tier §8.5.1 prescribes for the narrow
+    * SimHash corner, REGISTERED (`q_dedup_simhash_collapsed`): collapse
+    * exact duplicates first ([[exactDedup]] keyed semi-join — exact and
+    * deterministic), then run the identical banded pipeline over the
+    * surviving representatives. The narrow tier's quadratic term is
+    * `Σ cluster²` over IDENTICAL-fingerprint groups, which exact
+    * duplication dominates — collapsing first removes that mass while
+    * changing no near-dup semantics among survivors, so the oracle is the
+    * same brute-force scan restricted to `min(doc_id) per md5(text)`. */
+  def simhashPairsCollapsed(s: SparkSession, dir: String, maxHamming: Int = 7): DataFrame = {
+    val keep = exactDedup(s, dir).select(col("keep_id").as("doc_id"))
+    val collapsed = docs(s, dir).join(keep, Seq("doc_id"), "left_semi")
+    simhashPairsFrom(simhashFingerprintsOf(s, collapsed).cache(), maxHamming)
+  }
+
+  private def simhashPairsFrom(fps: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= SimhashBands - 1, "recall guarantee needs maxHamming < bands")
-    val fps = simhashFingerprints(s, dir).cache()
     val bands = array((0 until SimhashBands).map { b =>
       struct(lit(b).as("band"),
         shiftrightunsigned(col("simhash"), b * 8).bitwiseAND(0xFFL).as("bkey"))
@@ -1084,6 +1117,7 @@ object Dedup {
     "q_dedup_ngram_jaccard" -> (ngramJaccardPairs _),
     "q_dedup_minhash_lsh" -> ((s: SparkSession, d: String) => minhashLshPairs(s, d)),
     "q_dedup_simhash" -> ((s: SparkSession, d: String) => simhashPairs(s, d)),
+    "q_dedup_simhash_collapsed" -> ((s: SparkSession, d: String) => simhashPairsCollapsed(s, d)),
     "q_dedup_simhash_wide" -> ((s: SparkSession, d: String) => simhashPairsWide(s, d)),
     "q_dedup_embedding" -> ((s: SparkSession, d: String) => embeddingNearDupPairs(s, d)),
     "q_dedup_clusters" -> (nearDupClusters _),
@@ -1109,6 +1143,7 @@ object Dedup {
     // brute-force all-pairs at the tier's radius — the exactness gate for
     // the banded tables (maxHamming kept in sync with the query defaults)
     "q_dedup_simhash" -> simhashPairsSql(maxHamming = 7),
+    "q_dedup_simhash_collapsed" -> simhashPairsSql(maxHamming = 7, collapsed = true),
     "q_dedup_simhash_wide" -> simhashPairsSql(maxHamming = 3),
     // full-algorithm oracles: signatures, banding, candidates, estimates
     // recomputed from the shared portable-hash constants
