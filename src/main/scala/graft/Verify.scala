@@ -29,8 +29,23 @@ object Verify {
       case None => SparkEntry.queries
     }
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir).coalesce(1)
+        df.write.mode("overwrite").parquet(s"$outDir/$name")
+        // A skew guard arming on the GATE corpus (a driver testdata regen
+        // with a >cap duplicate cluster) would trim Spark-side pairs and
+        // fail the DuckDB compare as an opaque hash mismatch. Surface the
+        // armed state identifiably: any nonzero trim observation means
+        // "guard armed — the mismatch is the guard, not the algorithm".
+        graft.Observed.metrics(df).foreach { case (obs, row) =>
+          val trimmed = (obs.startsWith("graft_lsh_trim_") ||
+            obs.startsWith("graft_shingle_trim_")) &&
+            row.toSeq.exists { case l: Long => l != 0L; case _ => false }
+          if (trimmed)
+            System.err.println(s"[verify] GUARD-ARMED $name: $obs=$row — skew guard " +
+              "trimmed rows on the gate corpus; a hash mismatch here is the guard arming")
+        }
+      }
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

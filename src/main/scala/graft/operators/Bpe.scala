@@ -232,6 +232,15 @@ object Bpe {
             }
           }
           if (adopted == 0) done = true
+          // diagnosability sentinel (ADVICE r9): learnMergesBatchedSql's
+          // fixed unrolling assumes every non-final round adopts exactly
+          // `batch` pairs. If a corpus regen ever breaks that, the gate
+          // would fail as an opaque hash mismatch — name the real cause.
+          else if (adopted < batch && learned.length < nMerges)
+            System.err.println(s"[graft] learnMergesBatched: PARTIAL round " +
+              s"(adopted=$adopted < batch=$batch at ${learned.length}/$nMerges merges) — " +
+              "the oracle's fixed unrolling assumes full rounds; a hash mismatch on " +
+              "q_text_bpe_train_batched is this batch-fill assumption, not the algorithm")
         }
       }
       learned.toSeq

@@ -334,7 +334,7 @@ object Dedup {
     import graft.functions.PolyHash.{Mod, BaseA, BaseB}
     val permVals = graft.functions.MinHashSigAggregator.permValuesSql(MinhashPerms)
     s"""WITH shs AS (
-       |  SELECT doc_id, list_transform(range(1, greatest(len(l) - 1, 1)),
+       |  SELECT doc_id, list_transform(range(1, len(l) - 1),
        |                                i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) AS sh
        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
        |  WHERE len(l) >= 3),

@@ -9,8 +9,18 @@ written via SPARK_GRAFT_BENCH_OUT) and the one-line JSON printed by
 graft.StreamBench. Per query the anchor records the MIN of the two sweeps'
 medians (the documented min-of-medians protocol, VERDICT r7 #1); both
 sweeps' raw samples and host telemetry ride along so a contended sweep is
-visible in the artifact itself. Refuses to write if either sweep violates
-the quietness gate (host_before 1-min loadavg >= 1.0) unless --force.
+visible in the artifact itself.
+
+Quietness gate (VERDICT r9 #6): keyed on min(1-min, 5-min) loadavg — a
+single window can be polluted by the protocol itself without the host
+being contended: the bench launcher (sbt/JVM spin-up immediately before
+host_before is sampled) inflates the 1-minute figure (r9 sweep-2: 1-min
+1.93 from the launcher, 5-min 0.51, which forced --force), while a
+just-finished PRIOR sweep inflates the 5-minute figure (r9 sweep-1:
+1-min 0.92, 5-min 1.30, 15-min 5.01 — the tail of sweep work already
+drained). Genuine contention during the sweep raises both windows, so
+min() refuses exactly that case. Refuses to write if either sweep's
+min(1-min, 5-min) >= 1.0 unless --force.
 Driver-side tooling only (not a dependency of the Scala library).
 """
 import json, sys
@@ -31,18 +41,35 @@ def main(argv):
     stream = json.load(open(stream_path))
 
     for name, s in ((s1_path, s1), (s2_path, s2)):
-        load1 = s["host_before"]["loadavg"][0]
-        if load1 >= 1.0 and not force:
-            sys.exit(f"REFUSING: {name} host_before loadavg {load1} >= 1.0 "
-                     "(quietness gate); pass --force to override")
+        load1, load5 = s["host_before"]["loadavg"][0], s["host_before"]["loadavg"][1]
+        if min(load1, load5) >= 1.0 and not force:
+            sys.exit(f"REFUSING: {name} host_before loadavg 1-min {load1} / "
+                     f"5-min {load5}, min >= 1.0 (quietness gate); "
+                     "pass --force to override")
         if s["runs"] != 9 and not force:
             sys.exit(f"REFUSING: {name} runs={s['runs']} != 9; pass --force")
+
+    # the two sweeps must describe the same experiment or min-of-medians
+    # compares apples to oranges
+    if s1["sf"] != s2["sf"]:
+        sys.exit(f"REFUSING: sweep sf disagree ({s1['sf']} vs {s2['sf']})")
+    if s1["runs"] != s2["runs"]:
+        sys.exit(f"REFUSING: sweep runs disagree ({s1['runs']} vs {s2['runs']})")
 
     names = sorted(set(s1["queries"]) | set(s2["queries"]))
     queries = {}
     for q in names:
-        meds = [median([x for x in s["samples"][q] if x is not None])
-                for s in (s1, s2) if q in s["samples"]]
+        meds = []
+        for s_path, s in ((s1_path, s1), (s2_path, s2)):
+            if q not in s["samples"]:
+                continue
+            good = [x for x in s["samples"][q] if x is not None]
+            if not good:
+                # a query that failed EVERY run of a sweep: surface it by
+                # name instead of crashing on median([]) deep in the loop
+                sys.exit(f"REFUSING: {s_path} has no successful sample for {q} "
+                         "(all runs failed); fix or exclude the query first")
+            meds.append(median(good))
         queries[q] = round(min(meds), 3)
 
     anchor = {
@@ -53,11 +80,13 @@ def main(argv):
         "runs": s1["runs"],
         "protocol": ("quiet-host anchor (VERDICT r7 #1): two full 9-run sweeps, "
                      "per-query median within each sweep, min of the two medians; "
-                     "both sweeps' samples + host telemetry retained below"),
+                     "both sweeps' samples + host telemetry retained below; "
+                     "quietness gate keys on min(1-min, 5-min) loadavg (r9 #6)"),
         "queries": queries,
         "sweeps": [
             {"total": round(sum(median([x for x in v if x is not None])
-                                for v in s["samples"].values()), 3),
+                                for v in s["samples"].values() if any(
+                                    x is not None for x in v)), 3),
              "samples": s["samples"],
              "host_before": s["host_before"],
              "host_after": s["host_after"]}
