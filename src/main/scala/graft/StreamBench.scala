@@ -109,16 +109,35 @@ object StreamBench {
     // corpus on hosts/scales where it is absent
     val corpusDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       args.headOption.getOrElse("/root/testdata/sf0.01"))
-    val corpusFps = graft.operators.TextAnalysis
-      .fingerprint(spark, corpusDir).select($"fp_md5")
-    val docSec = timed {
-      val in = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
-      val docs = in.toDF().toDF("doc_id", "text", "event_time")
-      val q = graft.streaming.DocPipeline(docs, corpusFps).writeStream
-        .format("noop").outputMode("append").start()
-      in.addData(docRows)
-      q.processAllAvailable(); q.stop()
+    def docTier(dir: String, rows: Seq[(Long, String, java.sql.Timestamp)]): Double = {
+      val corpusFps = graft.operators.TextAnalysis
+        .fingerprint(spark, dir).select($"fp_md5")
+      timed {
+        val in = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+        val docs = in.toDF().toDF("doc_id", "text", "event_time")
+        val q = graft.streaming.DocPipeline(docs, corpusFps).writeStream
+          .format("noop").outputMode("append").start()
+        in.addData(rows)
+        q.processAllAvailable(); q.stop()
+      }
     }
+    // untimed warm-up on a small prefix: a controlled two-slot experiment
+    // (r10) showed the FIRST DocPipeline run pays ~1.8x in plan/codegen/
+    // state-store init regardless of which corpus it reads (2.9-3.3k vs
+    // 5.1-5.2k docs/s with corpora swapped) — without this, the tier
+    // measures cold-start, and slot order masks any real signal
+    docTier(corpusDir, docRows.take(2000))
+    val docSec = docTier(corpusDir, docRows)
+    // PINNED-fixture twin (VERDICT r9 #1): the corpus anti-join side is
+    // the ONLY StreamBench input the driver regenerates each round (the
+    // message tiers run on the internal deterministic LCG workload), so
+    // this run is comparable round-over-round by construction — a drop
+    // that reproduces here is a code/host effect, never data shift.
+    val fixtureDir = sys.env.getOrElse("SPARK_GRAFT_STREAM_FIXTURE", "fixtures/stream")
+    val fixSec: Option[Double] =
+      if (new java.io.File(s"$fixtureDir/documents.parquet").exists)
+        Some(docTier(fixtureDir, docRows))
+      else { System.err.println(s"[streambench] fixture corpus $fixtureDir absent — skipping pinned tier"); None }
 
     def f0(v: Double): String = String.format(java.util.Locale.ROOT, "%.0f", Double.box(v))
     println(s"""{"metric":"stream_msgs_per_sec","msgs":$n,""" +
@@ -127,6 +146,7 @@ object StreamBench {
       s""""data_driven_sec":${f0(ddSec)},"calendar_append_sec":${f0(calSec)},""" +
       s""""windowed_update_sec":${f0(idSec)},""" +
       s""""doc_pipeline_docs":$nDocs,"doc_pipeline_docs_per_sec":${f0(nDocs / docSec)},""" +
+      s""""doc_pipeline_fixture_docs_per_sec":${fixSec.map(x => f0(nDocs / x)).getOrElse("null")},""" +
       s""""host_before":$hostBefore,"host_after":${Bench.hostSnapshot()}}""")
     spark.stop()
   }
