@@ -374,23 +374,44 @@ object ScaleProbe {
         spark.catalog.clearCache(); Checkpoints.releaseAll()
 
       case "bpetrain" =>
-        // sequential-vs-batched trainer cost at R=32 merges on sf0.1: the
+        // sequential-vs-batched trainer cost at R merges on sf0.1: the
         // claim under measurement is the O(R²) → O(R²/B) re-segmentation
         // cut — rounds (and driver round-trips) fall ~B×, wall-clock
         // follows minus the per-pass fixed cost batching can't remove —
         // and the merge SETS should agree except for the documented
-        // product-pair caveat (report the divergence, don't hide it)
-        val r = 32
+        // product-pair caveat (report the divergence, don't hide it).
+        // R defaults to 32 (the r8 datum); SPARK_GRAFT_BPE_R=512 is the
+        // production-shaped run (r9 verdict task 3), where the sequential
+        // leg is the expensive half — skip it with SPARK_GRAFT_BPE_SEQ=0
+        // only for batched-only curve exploration (the committed datum
+        // must include the sequential base).
+        val r = sys.env.getOrElse("SPARK_GRAFT_BPE_R", "32").toInt
+        val batches = sys.env.getOrElse("SPARK_GRAFT_BPE_B", "4,8,16")
+          .split(",").map(_.trim.toInt).toSeq
+        val runSeq = sys.env.getOrElse("SPARK_GRAFT_BPE_SEQ", "1") == "1"
+        // The raw sf0.1 documents carry a 31-word vocabulary whose merge
+        // capacity is Σ(len−1) = 107 — both trainers exhaust (`done`)
+        // near R≈100, so the production-shaped R=512 run needs the
+        // vocabulary-VARIED replication (flagship's per-replica token
+        // suffixes): SPARK_GRAFT_BPE_VARIED=1 trains on K× suffixed
+        // replicas (vocab 31·K words), which is also the realistic BPE
+        // input shape — real corpora are vocab-rich, not 31 words.
+        val bpeSrc = if (sys.env.getOrElse("SPARK_GRAFT_BPE_VARIED", "0") == "1") {
+          if (!new java.io.File(s"$dst/documents.parquet").exists)
+            time("build")(buildDocs(varied = true))
+          dst
+        } else src
         var seqMerges: Seq[(Int, String, String, Long)] = Nil
-        val seqT = time(s"bpe_seq_R$r") {
-          seqMerges = graft.operators.Bpe.learnMerges(spark, src, r)
-        }
-        println(s"SCALE${k}X[bpetrain] sequential merges=${seqMerges.length} (rounds=${seqMerges.length})")
+        val seqT = if (runSeq) time(s"bpe_seq_R$r") {
+          seqMerges = graft.operators.Bpe.learnMerges(spark, bpeSrc, r)
+        } else Double.NaN
+        if (runSeq)
+          println(s"SCALE${k}X[bpetrain] sequential merges=${seqMerges.length} (rounds=${seqMerges.length})")
         spark.catalog.clearCache(); Checkpoints.releaseAll()
-        for (b <- Seq(4, 8, 16)) {
+        for (b <- batches) {
           var bat: Seq[(Int, String, String, Long)] = Nil
           val batT = time(s"bpe_batched_R${r}_B$b") {
-            bat = graft.operators.Bpe.learnMergesBatched(spark, src, r, batch = b)
+            bat = graft.operators.Bpe.learnMergesBatched(spark, bpeSrc, r, batch = b)
           }
           val s1 = seqMerges.map(m => (m._2, m._3)).toSet
           val s2 = bat.map(m => (m._2, m._3)).toSet

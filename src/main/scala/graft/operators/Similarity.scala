@@ -328,18 +328,35 @@ object Similarity {
     * code), and the residual exports e4-floored. Map-only, one projection,
     * no shuffle — at 100 TB PQ encode is a pure scan like [[quantizeInt8]]. */
   /** The squared distance `‖x_j − c‖²` is computed as
-    * `(xx_j − 2·x_j·c) + ‖c‖²` with each dot a native [[VectorOps.dot]]
-    * loop and `‖c‖²` a precomputed literal — NOT as an unrolled
-    * per-dimension `(x−c)²` fold: the unrolled form is ~24 Catalyst nodes
-    * per (subspace, codeword) (~3k per row), which blows the plan past
+    * `(xx_j − 2·x_j·c) + ‖c‖²` with each dot a RUNTIME loop and `‖c‖²` a
+    * precomputed constant — NOT as an unrolled per-dimension `(x−c)²`
+    * expression fold: the unrolled form is ~24 Catalyst nodes per
+    * (subspace, codeword) (~3k per row), which blows the plan past
     * whole-stage codegen's limits and cost 6.8 s for 2 000 vectors
-    * (compile + interpreted fallback). The dot form is 3 loops + 3
-    * scalar ops per candidate: 0.4 s on the same input. The oracle, the
-    * spec, and the ADC LUT mirror the identical association
-    * `(xx − 2·dot) + cc`, so the reformulation keeps bit parity. */
-  private def pqDist(subVec: Column, xx: Column, cb: Seq[Double]): Column =
-    xx - lit(2.0) * VectorOps.dot(subVec, array(cb.map(lit): _*)) +
-      lit(cb.map(c => c * c).reduce(_ + _))
+    * (compile + interpreted fallback). Round 10 moved the remaining m·k
+    * dot loops out of the expression TREE entirely: the full per-row
+    * argmin/LUT computation is one [[graft.functions.expressions.PqCodeDists]]
+    * call (compiled JVM loops, ~30 lines of generated code per stage), so
+    * the encode stage stays INSIDE whole-stage codegen — the literal-tree
+    * form tripped Janino's 64 KB method limit inside the consuming
+    * `Generate` and fell back (SURVEY §8.4). The oracle, the spec, and
+    * the ADC LUT mirror the identical association `(xx − 2·dot) + cc`,
+    * so the reformulation keeps bit parity (asserted by the
+    * `q_emb_pq_encode`/`q_emb_pq_adc` hash gates). */
+  private def pqCol(vecCol: Column, cidCol: Column, books: Seq[Seq[Double]],
+                    consts: Seq[Double], m: Int, subDim: Int, k: Int,
+                    includeXx: Boolean, argminOnly: Boolean): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expressions.PqCodeDists(
+      ColumnBridge.expression(vecCol), ColumnBridge.expression(cidCol),
+      books, consts, m, subDim, k, includeXx, argminOnly))
+  }
+
+  /** `‖b‖²` per codeword, with the exact Scala fold the former literal
+    * builder used (left-to-right `reduce`), so the data-driven constants
+    * are bit-identical to the literals the oracles mirror. */
+  private def bookNorms(books: Seq[Seq[Double]]): Seq[Double] =
+    books.map(cb => cb.map(c => c * c).reduce(_ + _))
 
   def pqEncode(s: SparkSession, dir: String,
                m: Int = 8, subDim: Int = 8, k: Int = 16): DataFrame =
@@ -351,20 +368,13 @@ object Similarity {
     * encode plan. */
   def pqEncodeWith(embeddings: DataFrame, books: Seq[Seq[Double]],
                    m: Int = 8, subDim: Int = 8, k: Int = 16): DataFrame = {
-    val mins = array((0 until m).map { j =>
-      val sub = slice(col("embedding"), j * subDim + 1, subDim)
-      val xx = VectorOps.dot(sub, sub)
-      val cands = array((0 until k).map { c =>
-        struct(pqDist(sub, xx, books(j * k + c)).as("dist"),
-               lit(c.toLong).as("code"))
-      }: _*)
-      array_min(cands)
-    }: _*)
+    val mins = pqCol(col("embedding"), lit(0), books, bookNorms(books),
+      m, subDim, k, includeXx = true, argminOnly = true)
     embeddings
-      .select(col("vec_id"), posexplode(mins))
-      .select(col("vec_id"), col("pos").cast("long").as("sub_idx"),
-              col("col.code").as("code"),
-              floor(col("col.dist") * lit(10000.0) + lit(0.5)).cast("long").as("dist_e4"))
+      .select(col("vec_id"), explode(mins).as("e"))
+      .select(col("vec_id"), col("e.sub_idx").as("sub_idx"),
+              col("e.code").as("code"),
+              floor(col("e.dist") * lit(10000.0) + lit(0.5)).cast("long").as("dist_e4"))
   }
 
   /** Deterministic capped PQ training sample as `(vec_id, v: array<double>)`
@@ -509,17 +519,13 @@ object Similarity {
                 m: Int = 8, subDim: Int = 8, k: Int = 16): DataFrame = {
     val books = VectorOps.hyperplanes(m * k, subDim, seed = 11L)
     val codes = pqEncode(s, dir, m, subDim, k).select("vec_id", "sub_idx", "code")
-    val lutEntries = array((for { j <- 0 until m; c <- 0 until k } yield {
-      val sub = slice(col("embedding"), j * subDim + 1, subDim)
-      val xx = VectorOps.dot(sub, sub)
-      struct(lit(j.toLong).as("sub_idx"), lit(c.toLong).as("code"),
-             floor(pqDist(sub, xx, books(j * k + c)) * lit(10000.0) + lit(0.5))
-               .cast("long").as("d_e4"))
-    }): _*)
+    val lutEntries = pqCol(col("embedding"), lit(0), books, bookNorms(books),
+      m, subDim, k, includeXx = true, argminOnly = false)
     val lut = Tables(s, dir, "embeddings")
       .filter(col("vec_id") < QueryCount)
       .select(col("vec_id").as("query_id"), explode(lutEntries).as("e"))
-      .select(col("query_id"), col("e.sub_idx"), col("e.code"), col("e.d_e4"))
+      .select(col("query_id"), col("e.sub_idx").as("sub_idx"), col("e.code").as("code"),
+              floor(col("e.dist") * lit(10000.0) + lit(0.5)).cast("long").as("d_e4"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("adc_e4"), col("vec_id"))
     codes.join(broadcast(lut), Seq("sub_idx", "code"))
       .filter(col("query_id") =!= col("vec_id"))
@@ -568,65 +574,44 @@ object Similarity {
     * materialization on the corpus) and inside whole-stage codegen:
     * m·(k + nCentroids + 1) native dot loops per row, the same node-budget
     * discipline that took [[pqEncode]] from 6.8 s to 0.4 s. */
-  private def residualDists(j: Int, cents: Seq[Seq[Double]], books: Seq[Seq[Double]],
-                            subDim: Int, k: Int): Seq[Column] = {
-    val sub = slice(col("embedding"), j * subDim + 1, subDim)
-    val yy = VectorOps.dot(sub, sub)
-    val aSubs = cents.map(_.slice(j * subDim, (j + 1) * subDim))
-    val ya = element_at(array(aSubs.map(a =>
-      VectorOps.dot(sub, array(a.map(lit): _*))): _*), col("cid").cast("int") + 1)
-    (0 until k).map { c =>
-      val b = books(j * k + c)
-      val kConsts = aSubs.map(a =>
-        a.map(x => x * x).sum + 2.0 * a.zip(b).map { case (x, y) => x * y }.sum +
-          b.map(x => x * x).sum)
-      yy - lit(2.0) * ya - lit(2.0) * VectorOps.dot(sub, array(b.map(lit): _*)) +
-        element_at(array(kConsts.map(lit): _*), col("cid").cast("int") + 1)
-    }
-  }
-
-  /** Rank-reduced residual distances for the ENCODE argmin: within one
+  /** Rank-reduced residual ENCODE argmin constants: within one
     * (row, subspace), `y·y` and `y·a(cid)` are constant across all k
     * candidates, so
     * `argmin_c ‖(y−a)−b_c‖² = argmin_c [−2·y·b_c + (2·a·b_c + b_c·b_c)]`
     * — dropping them removes m·(nCentroids+1) dot loops per row from the
-    * corpus-wide hot path and shrinks the expression tree ~40% (compile
-    * time is a real cost at this plan size). Valid ONLY for the argmin:
-    * the values are offset by `yy − 2·y·a + a·a` per (row, cid), so the
-    * ADC LUT (which compares across probed lists) keeps
-    * [[residualDists]]' full values. */
-  private def residualArgminDists(j: Int, cents: Seq[Seq[Double]],
-                                  books: Seq[Seq[Double]],
-                                  subDim: Int, k: Int): Seq[Column] = {
-    val sub = slice(col("embedding"), j * subDim + 1, subDim)
-    val aSubs = cents.map(_.slice(j * subDim, (j + 1) * subDim))
-    (0 until k).map { c =>
+    * corpus-wide hot path. Valid ONLY for the argmin: the values are
+    * offset by `yy − 2·y·a + a·a` per (row, cid); the ADC LUT (which
+    * compares across probed lists) keeps the full linearity decomposition
+    * (see [[ivfPqSearchWith]]'s konst table). The Scala folds below are
+    * the exact expressions the former literal column builder used, so the
+    * data-driven constants stay bit-identical to what the DuckDB twins
+    * (`q_sim_ann_ivf_pq_search_lit`) mirror. Flattened `((cid·m + j)·k + c)`
+    * as [[graft.functions.expressions.PqCodeDists]] expects. */
+  private def residualArgminConsts(cents: Seq[Seq[Double]], books: Seq[Seq[Double]],
+                                   m: Int, subDim: Int, k: Int): Seq[Double] =
+    for { ci <- cents.indices; j <- 0 until m; c <- 0 until k } yield {
+      val a = cents(ci).slice(j * subDim, (j + 1) * subDim)
       val b = books(j * k + c)
-      val consts = aSubs.map(a =>
-        2.0 * a.zip(b).map { case (x, y) => x * y }.sum + b.map(x => x * x).sum)
-      lit(-2.0) * VectorOps.dot(sub, array(b.map(lit): _*)) +
-        element_at(array(consts.map(lit): _*), col("cid").cast("int") + 1)
+      2.0 * a.zip(b).map { case (x, y) => x * y }.sum + b.map(x => x * x).sum
     }
-  }
 
   /** IVFADC storage half: PQ codes of the residual `x − centroid(cid)`
     * (Jégou §IV.A — codebooks cover the residual distribution, which is
     * why they are trained on residuals in [[annIvfPq]]). Input must carry
     * `(vec_id, cid, embedding)`; output `(vec_id, cid, sub_idx, code)` is
     * the persisted index at scale. Map-only, one projection, argmin on
-    * the rank-reduced distances. */
+    * the rank-reduced distances inside one [[graft.functions.expressions.PqCodeDists]]
+    * call (whole-stage codegen survives at any m/k/nCentroids — the
+    * literal-tree form fell back past Janino's 64 KB limit). */
   private def pqEncodeResiduals(assigned: DataFrame, cents: Seq[Seq[Double]],
                                 books: Seq[Seq[Double]],
                                 m: Int, subDim: Int, k: Int): DataFrame = {
-    val mins = array((0 until m).map { j =>
-      val cands = residualArgminDists(j, cents, books, subDim, k).zipWithIndex.map {
-        case (dc, c) => struct(dc.as("dist"), lit(c.toLong).as("code"))
-      }
-      array_min(array(cands: _*))
-    }: _*)
-    assigned.select(col("vec_id"), col("cid"), posexplode(mins))
-      .select(col("vec_id"), col("cid"), col("pos").cast("long").as("sub_idx"),
-              col("col.code").as("code"))
+    val mins = pqCol(col("embedding"), col("cid").cast("int"), books,
+      residualArgminConsts(cents, books, m, subDim, k),
+      m, subDim, k, includeXx = false, argminOnly = true)
+    assigned.select(col("vec_id"), col("cid"), explode(mins).as("e"))
+      .select(col("vec_id"), col("cid"), col("e.sub_idx").as("sub_idx"),
+              col("e.code").as("code"))
   }
 
   /** Deterministic capped sample of coarse-quantizer RESIDUALS
@@ -733,7 +718,7 @@ object Similarity {
     // m·nCentroids·k precomputed constants) and the distance arithmetic is
     // one constant-shape generic expression over array columns, so the
     // compiled plan is small and independent of m/k/nCentroids. Same
-    // linearity decomposition and e4 floor as [[residualDists]]:
+    // linearity decomposition and e4 floor as the residual encode:
     //   ‖(y_j − a_j) − b_c‖² = y·y − 2·y·a − 2·y·b + (a·a + 2·a·b + b·b)
     val centSub = broadcast((for { j <- 0 until m; i <- cents.indices }
       yield (j.toLong, i, cents(i).slice(j * subDim, (j + 1) * subDim)))
@@ -938,7 +923,7 @@ object Similarity {
     * recomputed from first principles against the same literal model:
     * cosine argmax assignment (ties to the higher cid, mirroring
     * [[assignCid]]'s struct-greatest), rank-reduced residual argmin codes
-    * ([[residualArgminDists]]' `(−2·y·b) + (2·a·b + b·b)` association),
+    * ([[residualArgminConsts]]' `(−2·y·b) + (2·a·b + b·b)` association),
     * nProbe centroid probe on `−cos`, the e4-floored integer LUT
     * (`((yy − 2·ya) − 2·yb) + (a·a + 2·a·b + b·b)` exactly as
     * [[ivfPqSearchWith]] associates it), an exact integer ADC sum, and
@@ -964,7 +949,7 @@ object Similarity {
     val consVals = (for { j <- 0 until m; i <- cents.indices; c <- 0 until k } yield {
       val a = cents(i).slice(j * subDim, (j + 1) * subDim)
       val b = books(j * k + c)
-      // av: residualArgminDists' const; kv: ivfPqSearchWith's konst —
+      // av: residualArgminConsts' const; kv: ivfPqSearchWith's konst —
       // both with the exact operation order of their Scala originals
       val av = 2.0 * a.zip(b).map { case (x, y) => x * y }.sum + b.map(x => x * x).sum
       val kv = a.map(x => x * x).sum + 2.0 * a.zip(b).map { case (x, y) => x * y }.sum +

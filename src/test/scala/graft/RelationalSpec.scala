@@ -36,4 +36,35 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
       .map(r => r.getString(0) -> r.getAs[Long]("n_small")).toMap
     assert(got == expect)
   }
+
+  test("approx quantiles observe the percentile_approx rank-error bound per group") {
+    // q_rel_quantiles_approx is rows-only by construction (the GK/quantile
+    // summary is engine-specific — DuckDB's approx sketch is a different
+    // algorithm), so THIS is its gate: percentile_approx(accuracy = A)
+    // guarantees a returned value whose rank is within n/A of the target
+    // rank, and the value must be an actual group member (the sketch
+    // stores observed values, never interpolates).
+    val byFlag = Tables(spark, sf, "lineitem")
+      .select("l_returnflag", "l_extendedprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val got = Relational.quantilesApprox(spark, sf).collect()
+    assert(got.length == byFlag.size)
+    val ps = Seq(("q25", 0.25), ("q50", 0.5), ("q75", 0.75), ("q99", 0.99))
+    got.foreach { r =>
+      val vs = byFlag(r.getString(0))
+      val n = vs.length
+      val tol = n / 10000 + 1 // accuracy = 10000, +1 for rank discreteness
+      ps.foreach { case (colName, p) =>
+        val v = r.getAs[Double](colName)
+        assert(vs.contains(v), s"$colName=$v is not an observed value of the group")
+        // rank window of v among the sorted group vs the target rank p·n
+        val lo = vs.indexWhere(_ == v)
+        val hi = vs.lastIndexWhere(_ == v)
+        val target = p * (n - 1)
+        assert(target >= lo - tol && target <= hi + tol,
+          s"$colName rank [$lo,$hi] misses target $target by more than $tol (n=$n)")
+      }
+    }
+  }
 }
