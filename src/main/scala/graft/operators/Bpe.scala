@@ -208,15 +208,24 @@ object Bpe {
       var done = false
       while (learned.length < nMerges && !done) {
         val cur: Seq[(String, String)] = learned.toSeq.map(m => (m._2, m._3))
-        // one vocab pass; pull enough ordered candidates to fill the batch
-        // even after disjointness skips (worst case each adopted pair
-        // blocks 2 symbols, so 4*batch heads is a comfortable margin)
+        // one vocab pass; pull enough ordered candidates to fill the
+        // batch even after disjointness skips. 4*batch looked like a
+        // comfortable margin ("each adopted pair blocks 2 symbols"), but
+        // symbol sharing is structural, not worst-case: at character
+        // level the top candidates chain through a few hot symbols
+        // ((t,h),(h,e),... all touch 'h'), so on a vocab-rich corpus a
+        // 4*batch pull fills only ~a third of the batch and the round
+        // count balloons (measured at R=512: B=16 ran ~119 effective
+        // rounds instead of 32). 16*batch reaches the deeper candidates
+        // that use OTHER symbols — still a bounded driver transfer
+        // (<=1024 tiny rows), and adoption order over the shared prefix
+        // is unchanged, so the oracle stays bit-identical
         val cands = v.flatMap { case (tok, n) =>
             segment(tok, cur).sliding(2).collect { case Vector(x, y) => (x, y, n) }
           }.toDF("left", "right", "n")
           .groupBy(col("left"), col("right")).agg(sum(col("n")).as("n_pairs"))
           .orderBy(col("n_pairs").desc, col("left"), col("right"))
-          .limit(math.max(4 * batch, 16)).collect()
+          .limit(math.max(16 * batch, 64)).collect()
         if (cands.isEmpty) done = true
         else {
           val used = scala.collection.mutable.Set.empty[String]
@@ -311,7 +320,7 @@ object Bpe {
     * disjointness rule defers it behind `(s,t)` because `(o,w)` already
     * used `o`), so sharing [[learnMergesSql]] would be a wrong oracle, not
     * a strict gate. Per round: candidate pairs ranked `(n DESC, a, b)`
-    * (`cands_r`, top `4·batch`), the greedy disjoint scan as a recursive
+    * (`cands_r`, top `16·batch`), the greedy disjoint scan as a recursive
     * CTE threading the used-symbol list through candidate ranks (`sel_r`),
     * then one leftmost-until-fixpoint application stage per adoption slot
     * (`LEFT JOIN … ON true` passes tokens through unchanged when a slot
@@ -322,7 +331,7 @@ object Bpe {
     * a partial round would end the Scala trainer's round loop later than
     * this fixed unrolling. */
   def learnMergesBatchedSql(nMerges: Int = 12, batch: Int = 4): String = {
-    val head = math.max(4 * batch, 16)
+    val head = math.max(16 * batch, 64)
     val rounds = (nMerges + batch - 1) / batch
     val parts = Seq.newBuilder[String]
     parts += """toks AS MATERIALIZED (
