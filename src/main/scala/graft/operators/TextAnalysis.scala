@@ -839,6 +839,82 @@ object TextAnalysis {
       .toDF("tok", "tf_exact", "tf_cms")
   }
 
+  /** Portable-hash CMS twin (round 10): the SAME count-min semantics —
+    * depth×width counters, each row hashed by an independent 2-universal
+    * function, estimate = min over depth of the bucket totals — but the
+    * hash family is the repo's [[graft.functions.PolyHash]] permutation
+    * family (the MinHash constants, rows 0..depth−1), so the ENTIRE
+    * sketch is reproducible in DuckDB and the query is hash-gated
+    * end-to-end (`q_text_cms_freq` stays registered as the Spark-built-in
+    * tier, rows-only by its engine-private hashes — §8.6). The sketch
+    * here is DATA, not a driver object: the depth×width counter table is
+    * a keyed agg (bounded size regardless of corpus), estimates come from
+    * one broadcast-sized join against it, and nothing corpus-grain ever
+    * reaches the driver — the formulation a 100 TB "how often does token
+    * X appear" scan wants. Counter identity: `counters(d, bkt) = Σ tf` of
+    * all vocabulary rows hashing there, which equals streaming per-token
+    * increments (addition is associative) — so this IS the CMS, not an
+    * approximation of it. */
+  def tokenFreqCmsPoly(s: SparkSession, dir: String, topN: Int = 100,
+                       depth: Int = 4, width: Int = 2048): DataFrame = {
+    import s.implicits._
+    import graft.functions.PolyHash
+    import graft.functions.MinHashSigAggregator.{PermA, PermB, PermC}
+    require(depth <= graft.functions.MinHashSigAggregator.MaxPerms)
+    val tf = docs(s, dir).select(explode(tokens).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("tf_exact"))
+    // vocab-grain typed flatMap (guide tier (d), same justification as
+    // segmentVocab: imperative per-token hashing at vocabulary grain)
+    val bucketed = tf.as[(String, Long)].flatMap { case (tok, n) =>
+      val h = PolyHash.packed60(tok)
+      val hA = h >>> 30
+      val hB = h & 1073741823L
+      (0 until depth).map { d =>
+        (tok, n, d.toLong,
+          ((PermA(d) * hA + PermB(d) * hB + PermC(d)) % PolyHash.Mod) % width)
+      }
+    }.toDF("tok", "tf_exact", "d", "bkt")
+    val counters = bucketed.groupBy(col("d"), col("bkt"))
+      .agg(sum(col("tf_exact")).as("cnt"))
+    bucketed.join(counters, Seq("d", "bkt"))
+      .groupBy(col("tok"), col("tf_exact"))
+      .agg(min(col("cnt")).as("tf_cms"))
+      .orderBy(col("tf_exact").desc, col("tok")).limit(topN)
+      .select(col("tok"), col("tf_exact"), col("tf_cms"))
+  }
+
+  /** DuckDB twin of [[tokenFreqCmsPoly]] — the full sketch: per-token
+    * 30-bit polynomial hash halves, the shared permutation constants as a
+    * VALUES list, bucket assignment, counter table, min-over-depth. */
+  def tokenFreqCmsPolySql(topN: Int = 100, depth: Int = 4, width: Int = 2048): String = {
+    import graft.functions.PolyHash.{Mod, BaseA, BaseB}
+    val permVals = graft.functions.MinHashSigAggregator.permValuesSql(depth)
+    s"""WITH tf AS (
+       |  SELECT tok, count(*) AS tf_exact
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  GROUP BY tok),
+       |h AS (
+       |  SELECT tok, tf_exact,
+       |    list_reduce(list_prepend(0::BIGINT, cps), (a, c) -> (a * $BaseA + c) % $Mod) AS ha,
+       |    list_reduce(list_prepend(0::BIGINT, cps), (a, c) -> (a * $BaseB + c) % $Mod) AS hb
+       |  FROM (SELECT tok, tf_exact,
+       |          [ascii(x)::BIGINT for x in regexp_split_to_array(tok, '')] AS cps
+       |        FROM tf)),
+       |perms(p, a, b, c) AS (VALUES $permVals),
+       |buckets AS (
+       |  SELECT tok, tf_exact, p - 1 AS d,
+       |         ((a * ha + b * hb + c) % $Mod) % $width AS bkt
+       |  FROM h CROSS JOIN perms),
+       |counters AS (
+       |  SELECT d, bkt, CAST(sum(tf_exact) AS BIGINT) AS cnt
+       |  FROM buckets GROUP BY 1, 2),
+       |est AS (
+       |  SELECT b.tok, b.tf_exact, min(c.cnt) AS tf_cms
+       |  FROM buckets b JOIN counters c USING (d, bkt) GROUP BY 1, 2)
+       |SELECT tok, CAST(tf_exact AS BIGINT) AS tf_exact, tf_cms
+       |FROM est ORDER BY tf_exact DESC, tok LIMIT $topN""".stripMargin
+  }
+
   // -----------------------------------------------------------------
   // PII scrubbing
   // -----------------------------------------------------------------
@@ -1026,6 +1102,7 @@ object TextAnalysis {
     "q_text_corpus_stats" -> (corpusStats _),
     "q_text_vocab" -> ((s: SparkSession, d: String) => vocab(s, d)),
     "q_text_cms_freq" -> ((s: SparkSession, d: String) => tokenFreqCms(s, d)),
+    "q_text_cms_freq_poly" -> ((s: SparkSession, d: String) => tokenFreqCmsPoly(s, d)),
     "q_text_pii_scrub" -> (piiScrub _),
     "q_text_seq_pack" -> ((s: SparkSession, d: String) => seqPack(s, d)),
     "q_text_len_hist" -> ((s: SparkSession, d: String) => tokenLengthHistogram(s, d)),
@@ -1045,6 +1122,7 @@ object TextAnalysis {
     "q_text_fingerprint" -> fingerprintSql,
     "q_text_corpus_stats" -> corpusStatsSql,
     "q_text_vocab" -> vocabSql,
+    "q_text_cms_freq_poly" -> tokenFreqCmsPolySql(),
     "q_text_pii_scrub" -> piiScrubSql,
     "q_text_seq_pack" -> seqPackSql(),
     "q_text_len_hist" -> tokenLengthHistogramSql(),

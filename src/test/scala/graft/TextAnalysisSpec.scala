@@ -85,6 +85,39 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("portable-hash CMS equals a local sketch recomputation exactly and is one-sided") {
+    import graft.functions.PolyHash
+    import graft.functions.MinHashSigAggregator.{PermA, PermB, PermC}
+    val (depth, width) = (4, 2048)
+    val exact = TextAnalysis.vocab(spark, sf, topN = 10000).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // local CMS with the same hash family: counters then min-over-depth
+    val counters = scala.collection.mutable.Map.empty[(Int, Long), Long]
+    exact.foreach { case (tok, n) =>
+      val h = PolyHash.packed60(tok)
+      val (hA, hB) = (h >>> 30, h & 1073741823L)
+      (0 until depth).foreach { d =>
+        val bkt = ((PermA(d) * hA + PermB(d) * hB + PermC(d)) % PolyHash.Mod) % width
+        counters((d, bkt)) = counters.getOrElse((d, bkt), 0L) + n
+      }
+    }
+    def localEst(tok: String): Long = {
+      val h = PolyHash.packed60(tok)
+      val (hA, hB) = (h >>> 30, h & 1073741823L)
+      (0 until depth).map { d =>
+        counters((d, ((PermA(d) * hA + PermB(d) * hB + PermC(d)) % PolyHash.Mod) % width))
+      }.min
+    }
+    val rows = TextAnalysis.tokenFreqCmsPoly(spark, sf, topN = 100).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tok, tf, est) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(tf == exact(tok))
+      assert(est == localEst(tok), s"sketch mismatch on $tok: $est != ${localEst(tok)}")
+      assert(est >= tf, s"CMS undercounted $tok: $est < $tf (impossible by construction)")
+    }
+  }
+
   test("fingerprint md5 matches a local MessageDigest on normalized text") {
     val texts = Tables(spark, sf, "documents").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
