@@ -59,6 +59,38 @@ object Sampling {
       .stat.sampleBy("lang", fractions, seed)
       .select(col("doc_id"), col("lang"))
 
+  /** Deterministic stratified sample (round 10): per-stratum keep
+    * fractions by hash THRESHOLD in the shared [[hashOrder]] universe —
+    * keep a doc iff `hashOrder(doc_id) < floor(f_lang · IdMod)`. The
+    * reproducible production alternative to [[stratifiedSample]]'s
+    * Spark-RNG `sampleBy` (rows-only forever by its partition-seeded
+    * RNG): at 100 TB a re-run, a repartition, or an engine swap must not
+    * change which documents a training mix contains, and a hash
+    * threshold can't. Same uniform-rate law over the hash universe
+    * (SamplingSpec pins the binomial bound on BOTH tiers), but exactly
+    * reproducible — so this tier is DuckDB hash-gated end-to-end.
+    * Map-only scan: the per-lang threshold is a small literal CASE. */
+  def stratifiedHashSample(s: SparkSession, dir: String,
+                           fractions: Map[String, Double]): DataFrame = {
+    val thresholds = fractions.toSeq.sortBy(_._1)
+      .map { case (l, f) => (l, math.floor(f * IdMod).toLong) }
+    val thr = thresholds.tail.foldLeft(
+      when(col("lang") === thresholds.head._1, lit(thresholds.head._2))) {
+        case (acc, (l, t)) => acc.when(col("lang") === l, lit(t))
+      }.otherwise(lit(0L))
+    docs(s, dir)
+      .filter(hashOrder < thr)
+      .select(col("doc_id"), col("lang"))
+  }
+
+  def stratifiedHashSampleSql(fractions: Map[String, Double]): String = {
+    val cases = fractions.toSeq.sortBy(_._1)
+      .map { case (l, f) => s"WHEN '$l' THEN ${math.floor(f * IdMod).toLong}" }
+      .mkString(" ")
+    s"""SELECT doc_id, lang FROM documents
+       |WHERE $hashOrderSql < CASE lang $cases ELSE 0 END""".stripMargin
+  }
+
   /** Deterministic pseudo-random total order: the hash-mod key with a
     * doc_id tie-break — the engine-portable stand-in for `rand()` ordering
     * (same overflow-free integer discipline as [[systematicSample]]).
@@ -213,12 +245,19 @@ object Sampling {
     "q_sample_token_budget" -> ((s: SparkSession, d: String) => tokenBudgetSample(s, d)),
     "q_sample_systematic" -> ((s: SparkSession, d: String) => systematicSample(s, d)),
     "q_sample_stratified" -> ((s: SparkSession, d: String) =>
-      stratifiedSample(s, d,
-        Map("en" -> 0.5, "de" -> 1.0, "fr" -> 1.0, "es" -> 0.25, "zh" -> 1.0))),
+      stratifiedSample(s, d, StratifiedFractions)),
+    "q_sample_stratified_hash" -> ((s: SparkSession, d: String) =>
+      stratifiedHashSample(s, d, StratifiedFractions)),
     "q_sample_exact_k" -> ((s: SparkSession, d: String) => exactKSample(s, d)),
     "q_sample_domain_cap" -> ((s: SparkSession, d: String) => domainCapSample(s, d)))
 
+  /** Shared by the RNG tier and its deterministic hash twin, so the two
+    * can never sample different target rates. */
+  val StratifiedFractions: Map[String, Double] =
+    Map("en" -> 0.5, "de" -> 1.0, "fr" -> 1.0, "es" -> 0.25, "zh" -> 1.0)
+
   val oracles: Map[String, String] = Map(
+    "q_sample_stratified_hash" -> stratifiedHashSampleSql(StratifiedFractions),
     "q_sample_temperature_mix" -> temperatureMixSampleSql(),
     "q_sample_token_budget" -> tokenBudgetSampleSql(),
     "q_sample_systematic" -> systematicSampleSql(),

@@ -151,9 +151,19 @@ object Similarity {
     * recall vs brute force is property-tested in SimilaritySpec. */
   def annIvf(s: SparkSession, dir: String, k: Int = DefaultK, nProbe: Int = 2,
              nCentroids: Int = 8, iters: Int = 4): DataFrame = {
-    import s.implicits._
     val e = emb(s, dir)
-    val cents = learnCentroids(s, e, nCentroids, iters)
+    annIvfWith(s, e, learnCentroids(s, e, nCentroids, iters), k, nProbe)
+  }
+
+  /** [[annIvf]]'s search against CALLER-supplied centroids — one plan for
+    * the learned production tier and the literal-model oracle twin
+    * (`q_sim_ann_ivf_lit`), the [[ivfPqSearchLitQuery]] pattern applied to
+    * plain IVF: with the model literal, assignment + probe + probed-list
+    * exact-cosine scan is a deterministic double-arithmetic program both
+    * engines evaluate bit-identically. */
+  def annIvfWith(s: SparkSession, e: DataFrame, cents: Seq[Seq[Double]],
+                 k: Int = DefaultK, nProbe: Int = 2): DataFrame = {
+    import s.implicits._
     val assigned = assignCid(e, cents)
     val centDf = cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cid", "centroid")
     // queries come from the UNassigned table — their cid is never used, and
@@ -1025,7 +1035,60 @@ object Similarity {
       |QUALIFY rank <= $kNN""".stripMargin
   }
 
+  /** The registered literal-centroid IVF twin: [[annIvfWith]] (the
+    * production search plan — assignment, probe, probed-list exact-cosine
+    * scan, top-k) against [[LitCents]] under the DuckDB hash gate. With
+    * this, every ANN tier has a gated twin: brute (●), SRP-LSH (●),
+    * IVF (this), IVF-PQ (`q_sim_ann_ivf_pq_search_lit`). */
+  def annIvfLitQuery(s: SparkSession, dir: String): DataFrame =
+    annIvfWith(s, emb(s, dir), LitCents)
+
+  /** DuckDB twin of [[annIvfLitQuery]]: the [[ivfPqSearchLitSql]]
+    * assignment/probe CTEs (same literal model, same `cid DESC` /
+    * `cid ASC` tie rules) composed with [[bruteForceTopKSql]]'s scoring
+    * recipe over the probed lists. */
+  def annIvfLitSql(kNN: Int = DefaultK, nProbe: Int = 2, dim: Int = 64): String = {
+    val ctVals = LitCents.zipWithIndex.map { case (c, i) =>
+      s"($i, ${VectorSql.planeSql(c)}, ${math.sqrt(c.map(x => x * x).sum)})"
+    }.mkString(",\n  ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+      |ct(cid, cvec, cnorm) AS (VALUES
+      |  $ctVals),
+      |asg AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT n.vec_id, ct.cid,
+      |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+      |        list_sum(list_transform(range(1, ${dim + 1}), i -> n.v[CAST(i AS INT)] * ct.cvec[CAST(i AS INT)]))
+      |          / (n.nrm * ct.cnorm) DESC, ct.cid DESC) AS rn
+      |    FROM n, ct)
+      |  WHERE rn = 1),
+      |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < $QueryCount),
+      |probed AS (
+      |  SELECT query_id, cid FROM (
+      |    SELECT q.query_id, ct.cid,
+      |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+      |        -(list_sum(list_transform(range(1, ${dim + 1}), i -> q.qv[CAST(i AS INT)] * ct.cvec[CAST(i AS INT)]))
+      |          / (q.qn * ct.cnorm)), ct.cid) AS rn
+      |    FROM q, ct)
+      |  WHERE rn <= $nProbe),
+      |scored AS (
+      |  SELECT p.query_id, n.vec_id,
+      |    list_sum(list_transform(range(1, ${dim + 1}), i -> q.qv[CAST(i AS INT)] * n.v[CAST(i AS INT)])) / (q.qn * n.nrm) AS cos
+      |  FROM probed p
+      |  JOIN asg ON asg.cid = p.cid
+      |  JOIN n ON n.vec_id = asg.vec_id
+      |  JOIN q ON q.query_id = p.query_id
+      |  WHERE n.vec_id <> p.query_id)
+      |SELECT query_id, vec_id,
+      |  CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_e4,
+      |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+      |FROM scored
+      |QUALIFY rank <= $kNN""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_ann_ivf_lit" -> ((s: SparkSession, d: String) => annIvfLitQuery(s, d)),
     "q_sim_ann_ivf_pq" -> ((s: SparkSession, d: String) => annIvfPq(s, d)),
     "q_sim_ann_ivf_pq_build" -> ((s: SparkSession, d: String) => ivfPqBuildQuery(s, d)),
     "q_sim_ann_ivf_pq_search" -> ((s: SparkSession, d: String) => ivfPqSearchQuery(s, d)),
@@ -1039,6 +1102,7 @@ object Similarity {
     "q_emb_jl_project" -> ((s: SparkSession, d: String) => jlProject(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "q_sim_ann_ivf_lit" -> annIvfLitSql(),
     "q_sim_ann_ivf_pq_search_lit" -> ivfPqSearchLitSql(),
     "q_emb_pq_adc" -> pqAdcTopKSql(),
     "q_emb_pq_encode" -> pqEncodeSql(),

@@ -43,6 +43,33 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     assert(again == first)
   }
 
+  test("hash-stratified twin obeys the same binomial bound and a local predicate recomputation") {
+    val fr = Sampling.StratifiedFractions
+    val all = Tables(spark, sf, "documents").select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val got = Sampling.stratifiedHashSample(spark, sf, fr).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // exact membership law: hashOrder(doc_id) < floor(f_lang * IdMod)
+    val expect = all.filter { case (id, lang) =>
+      val ho = (java.lang.Math.floorMod(id, Sampling.IdMod) * Sampling.Mix) % Sampling.IdMod
+      ho < math.floor(fr.getOrElse(lang, 0.0) * Sampling.IdMod).toLong
+    }.toSet
+    assert(got == expect, s"hash-threshold membership mismatch: " +
+      s"${(got -- expect).size} extra, ${(expect -- got).size} missing")
+    // same statistical law as the RNG tier: per-stratum rate within 4 sigma
+    val byLang = all.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val sampled = got.toSeq.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    fr.foreach { case (lang, p) =>
+      val n = byLang.getOrElse(lang, 0L)
+      if (n > 0) {
+        val g = sampled.getOrElse(lang, 0L).toDouble
+        val sd = math.sqrt(n * p * (1 - p))
+        assert(math.abs(g - n * p) <= 4 * sd + 1,
+          s"$lang: sampled $g of $n at p=$p (expected ~${n * p} ± ${4 * sd})")
+      }
+    }
+  }
+
   test("exact-K sample returns exactly K reproducible rows") {
     val a = Sampling.exactKSample(spark, sf, k = 100).collect().map(_.getLong(0)).toSeq
     assert(a.length == 100)
