@@ -4,6 +4,58 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Gate-corpus regime pre-flight (round-11 verdict task 2 — the
+    * GUARD-ARMED pattern applied to DATA contracts): several hash gates
+    * are exact only inside a documented corpus regime, and a driver
+    * testdata regen that leaves the regime would otherwise surface as an
+    * opaque hash mismatch. Compute the corpus facts those gates depend
+    * on and print an identifiable `[verify] REGIME-SHIFT` line when a
+    * precondition fails, so the mismatch reads as "contract boundary
+    * crossed — demote per the documented protocol", not "algorithm bug".
+    * Three tiny aggregates at sf0.01; failures here never block the run. */
+  private def preflight(spark: SparkSession, sfDir: String): Unit =
+    try {
+      import org.apache.spark.sql.functions._
+      // 1. DataSketches coupon-exactness contract (SparkEntry cardinality
+      // oracles): q_card_minute_approx / q_card_sketch_rollup assert
+      // sketch == exact, which holds only while distinct users stay far
+      // below the lgK=14 coupon→HLL transition (~thousands; 150 today).
+      val nUsers = Tables(spark, sfDir, "events")
+        .agg(countDistinct(col("user_id"))).head.getLong(0)
+      if (nUsers > 1000)
+        System.err.println(s"[verify] REGIME-SHIFT events.user_id cardinality $nUsers > 1000: " +
+          "q_card_minute_approx / q_card_sketch_rollup approach the DataSketches " +
+          "estimation regime — a hash mismatch there is the contract boundary, " +
+          "not a bug; demote to rows-only per SparkEntry's documented protocol")
+      // 2. Batched-BPE full-round contract: q_text_bpe_train{,_batched}
+      // (nMerges=12, batch=4) assume the vocabulary's merge capacity
+      // Σ(len−1) comfortably exceeds the merges requested (107 today).
+      val docs = Tables(spark, sfDir, "documents")
+      val capacity = docs
+        .select(explode(split(col("text"), " ")).as("w"))
+        .where(length(col("w")) > 1).select(col("w")).distinct()
+        .agg(sum(length(col("w")) - 1)).head.getLong(0)
+      if (capacity < 24)
+        System.err.println(s"[verify] REGIME-SHIFT documents merge capacity $capacity < 24: " +
+          "q_text_bpe_train / q_text_bpe_train_batched may exhaust before 12 merges " +
+          "(batched unrolling assumes full batch-4 rounds) — a mismatch there is " +
+          "the capacity boundary, not the trainer")
+      // 3. Duplication-cluster regime: the LSH skew guards (HotShingleCap
+      // = 1000) arm on any exact-dup cluster above the cap; GUARD-ARMED
+      // covers the runtime signal, this names the corpus-side cause.
+      val maxDup = docs.groupBy(col("text")).count()
+        .agg(max(col("count"))).head.getLong(0)
+      if (maxDup > 1000)
+        System.err.println(s"[verify] REGIME-SHIFT documents max duplicate cluster $maxDup > 1000: " +
+          "dedup skew guards will trim on the gate corpus (expect GUARD-ARMED lines); " +
+          "hash mismatches on LSH-tier gates are the guard arming, not the algorithm")
+      System.err.println(s"[verify] preflight corpus facts: distinct_users=$nUsers " +
+        s"bpe_merge_capacity=$capacity max_dup_cluster=$maxDup")
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[verify] preflight failed (non-blocking): ${e.getMessage}")
+    }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -15,6 +67,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    preflight(spark, sfDir)
     // local-iteration filter: SPARK_GRAFT_VERIFY_ONLY=q_a,q_b runs a subset
     // (the driver sets nothing and gets the full surface)
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")

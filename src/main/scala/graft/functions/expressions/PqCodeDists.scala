@@ -58,6 +58,8 @@ case class PqCodeDists(vec: Expression, cid: Expression,
                        includeXx: Boolean, argminOnly: Boolean)
     extends BinaryExpression {
 
+  require(m > 0 && subDim > 0 && k > 0,
+    s"model shape: m, subDim, k must all be positive, got ($m, $subDim, $k)")
   require(books.length == m * k, s"books: expected ${m * k} rows, got ${books.length}")
   require(books.forall(_.length == subDim), s"books: every row must have $subDim dims")
   require(consts.length % (m * k) == 0 && consts.nonEmpty,

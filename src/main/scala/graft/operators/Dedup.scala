@@ -116,10 +116,16 @@ object Dedup {
     * force no minhash band bucket can exceed [[HotShingleCap]] members.
     * [[HotBucketCap]] is the independent second layer (and the only one
     * on banded paths that don't go through shingle postings). */
-  private def invertedIndex(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    val posting = postings(s, dir)
-    val armed: Boolean = shingleGuardDecision.computeIfAbsent(dir, _ =>
+  private def invertedIndex(s: SparkSession, dir: String): DataFrame =
+    invertedIndexOf(s, docs(s, dir), dir)
+
+  /** [[invertedIndex]] over a caller-supplied document set — the guard
+    * decision memo keys on `memoKey` (the corpus dir for the whole-corpus
+    * path; a `dir#split` tag for the incremental-index sub-corpora, whose
+    * guard regime can differ from the full corpus's). */
+  private def invertedIndexOf(s: SparkSession, d: DataFrame, memoKey: String): DataFrame = {
+    val posting = postingsOf(s, d)
+    val armed: Boolean = shingleGuardDecision.computeIfAbsent(memoKey, _ =>
       d.count() > HotShingleCap && {
         val sampledMax = postingsOf(s,
             d.sample(withReplacement = false, ShingleProbeFraction, seed = 42L))
@@ -127,7 +133,7 @@ object Dedup {
           .agg(coalesce(max(col("count")), lit(0L))).head().getLong(0)
         sampledMax >= ShingleProbeTrigger
       })
-    println(s"[graft] minhash shingle guard ${if (armed) "ARMED" else "skipped"} for $dir")
+    println(s"[graft] minhash shingle guard ${if (armed) "ARMED" else "skipped"} for $memoKey")
     if (!armed) posting
     else {
       val hot = posting.groupBy("sh_hash").count().filter(col("count") > HotShingleCap)
@@ -265,15 +271,64 @@ object Dedup {
     * Aggregator ([[graft.functions.MinHashSigAggregator]] — see its
     * Scaladoc for why not 128 min() columns). One shuffle on doc_id, with
     * partial aggregation (the buffer merges slot-wise). */
-  def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame =
+    minhashSignaturesOf(s, docs(s, dir), dir)
+
+  /** [[minhashSignatures]] over a caller-supplied document set (guard memo
+    * keyed on `memoKey`) — the shared signature builder of the whole-corpus
+    * LSH tier and the incremental index's per-batch leg: a signature is a
+    * pure function of ONE document's shingles, so a batch signed here is
+    * bit-identical to the same docs signed inside a full-corpus run. */
+  def minhashSignaturesOf(s: SparkSession, d: DataFrame, memoKey: String): DataFrame = {
     import s.implicits._
     val agg = new graft.functions.MinHashSigAggregator(MinhashPerms)
     // explicit select: the using-column join in invertedIndex reorders
     // columns to (sh_hash, doc_id)
-    invertedIndex(s, dir).select("doc_id", "sh_hash").as[(Long, Long)]
+    invertedIndexOf(s, d, memoKey).select("doc_id", "sh_hash").as[(Long, Long)]
       .groupByKey(_._1)
       .agg(agg.toColumn.name("sig"))
       .toDF("doc_id", "sig")
+  }
+
+  /** `(doc_id, band, bkey)` band postings of a signature table — the
+    * banding law of the MinHash tier, single-sourced so [[minhashLshPairs]]
+    * and the persisted index ([[buildMinhashIndex]]/[[dedupIncrement]])
+    * cannot derive different bucket keys from the same signatures. */
+  private def bandedOf(sigs: DataFrame): DataFrame = {
+    val M = graft.functions.PolyHash.Mod
+    def fold(b: Int, base: Long): Column =
+      (0 until 4).foldLeft(lit(b.toLong): Column)((acc, r) =>
+        (acc * base + element_at(col("sig"), b * 4 + r + 1)) % M)
+    val bandStructs = array((0 until MinhashBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftleft(fold(b, graft.functions.PolyHash.BaseA), 30)
+          .bitwiseOR(fold(b, graft.functions.PolyHash.BaseB)).as("bkey"))
+    }: _*)
+    sigs.select(col("doc_id"), explode(bandStructs).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
+  }
+
+  /** Signature-verified pairs from a candidate table `(doc_a, doc_b)`:
+    * estimated Jaccard = matching signature-slot fraction, UNROUNDED
+    * (see [[minhashLshPairs]] for why) — shared by the whole-corpus tier
+    * and [[dedupIncrement]]. */
+  private def verifyOnSignatures(cands: DataFrame, sigs: DataFrame,
+                                 threshold: Double,
+                                 broadcastCands: Boolean = false): DataFrame = {
+    // increment path: candidates are batch-bounded, so broadcasting them
+    // turns both verify joins into single passes over the signature table
+    // instead of shuffling the 128-slot arrays (measured 2.7 → <1 s at
+    // the 10× probe); the whole-corpus path keeps AQE's choice, where
+    // candidate volume is corpus-dependent
+    val c = if (broadcastCands) broadcast(cands) else cands
+    c
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          * lit(1.0) / lit(MinhashPerms))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
   }
 
   /** MinHash-LSH near-dup pairs: 32 bands × 4 rows; docs colliding in any
@@ -293,27 +348,8 @@ object Dedup {
   def minhashLshPairs(s: SparkSession, dir: String, threshold: Double = 0.5,
                       bucketCap: Int = HotBucketCap): DataFrame = {
     val sigs = minhashSignatures(s, dir).cache()
-    val M = graft.functions.PolyHash.Mod
-    def fold(b: Int, base: Long): Column =
-      (0 until 4).foldLeft(lit(b.toLong): Column)((acc, r) =>
-        (acc * base + element_at(col("sig"), b * 4 + r + 1)) % M)
-    val bandStructs = array((0 until MinhashBands).map { b =>
-      struct(lit(b).as("band"),
-        shiftleft(fold(b, graft.functions.PolyHash.BaseA), 30)
-          .bitwiseOR(fold(b, graft.functions.PolyHash.BaseB)).as("bkey"))
-    }: _*)
-    val banded = sigs.select(col("doc_id"), explode(bandStructs).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
-    val cands = bandedCandidatePairs(banded, "doc_id", "doc_a", "doc_b", bucketCap)
-    val withSigs = cands
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
-    withSigs
-      .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
-          * lit(1.0) / lit(MinhashPerms))
-      .filter(col("est_jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+    val cands = bandedCandidatePairs(bandedOf(sigs), "doc_id", "doc_a", "doc_b", bucketCap)
+    verifyOnSignatures(cands, sigs, threshold)
   }
 
   /** DuckDB twin of [[minhashLshPairs]] — the ENTIRE tier recomputed from
@@ -330,13 +366,21 @@ object Dedup {
     * scale the shingle guard is un-armed (≤ cap documents) and no band
     * bucket reaches [[HotBucketCap]] — the capped run equals the uncapped
     * algorithm, which is exactly what this SQL computes. */
-  def minhashLshPairsSql(threshold: Double = 0.5): String = {
+  def minhashLshPairsSql(threshold: Double = 0.5): String =
+    minhashBandsCtesSql("") + minhashPairsTailSql(threshold)
+
+  /** The shared CTE prefix of every MinHash oracle — shingles → portable
+    * hashes → signatures → band keys, recomputed from first principles
+    * under the single-sourced constants. `docWhere` restricts the signed
+    * document set (the incremental-index build oracle signs only the
+    * "old" split); the pair tails and the index-build tail append to it. */
+  private def minhashBandsCtesSql(docWhere: String): String = {
     import graft.functions.PolyHash.{Mod, BaseA, BaseB}
     val permVals = graft.functions.MinHashSigAggregator.permValuesSql(MinhashPerms)
     s"""WITH shs AS (
        |  SELECT doc_id, list_transform(range(1, len(l) - 1),
        |                                i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) AS sh
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents$docWhere)
        |  WHERE len(l) >= 3),
        |shh AS (
        |  SELECT DISTINCT doc_id,
@@ -357,7 +401,14 @@ object Dedup {
        |    | list_reduce(list_prepend(0::BIGINT,
        |       [t.band::BIGINT, sl[t.band*4+1], sl[t.band*4+2], sl[t.band*4+3], sl[t.band*4+4]]),
        |       (acc, x) -> (acc * $BaseB + x) % $Mod) AS bkey
-       |  FROM sigl, range($MinhashBands) t(band)),
+       |  FROM sigl, range($MinhashBands) t(band))""".stripMargin
+  }
+
+  /** Candidate + signature-verify tail over [[minhashBandsCtesSql]]'s
+    * `bands`/`sigl`; `pairWhere` further restricts the emitted pairs (the
+    * incremental oracle keeps only pairs touching the "new" split). */
+  private def minhashPairsTailSql(threshold: Double, pairWhere: String = ""): String =
+    s""",
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM bands x JOIN bands y
@@ -365,8 +416,236 @@ object Dedup {
        |SELECT c.doc_a, c.doc_b,
        |       len(list_filter(list_zip(a.sl, b.sl), z -> z[1] = z[2])) * 1.0 / $MinhashPerms AS est_jaccard
        |FROM cand c JOIN sigl a ON a.doc_id = c.doc_a JOIN sigl b ON b.doc_id = c.doc_b
-       |WHERE len(list_filter(list_zip(a.sl, b.sl), z -> z[1] = z[2])) * 1.0 / $MinhashPerms >= $threshold""".stripMargin
+       |WHERE len(list_filter(list_zip(a.sl, b.sl), z -> z[1] = z[2])) * 1.0 / $MinhashPerms >= $threshold$pairWhere""".stripMargin
+
+  // -----------------------------------------------------------------
+  // Persisted / incremental MinHash-LSH index (round-11 verdict task 1)
+  // -----------------------------------------------------------------
+
+  /** Build and PERSIST the MinHash-LSH near-dup index — the
+    * [[graft.operators.Similarity.buildIvfPqIndex]] amortization pattern
+    * applied to dedup: a daily 100 TB ingest must not re-shingle and
+    * re-MinHash yesterday's corpus to dedup today's batch. The index is
+    * two parquet tables plus a meta row:
+    *
+    *  - `signatures.parquet` `(doc_id, sig: array<long>[128])` — what
+    *    candidate verification reads (the raw text never re-enters);
+    *  - `postings.parquet` `(doc_id, band, bkey)` — the banded bucket
+    *    postings a new batch probes. At deployment scale this table would
+    *    be written `bucketBy(bkey)` (the BucketedJoinSpec layout) or as a
+    *    Delta table with a bkey bloom filter so a probe co-locates
+    *    without shuffling the index; plain parquet keeps the oracle
+    *    self-contained here and the probe is still ONE keyed join — the
+    *    expensive work the increment avoids is the signature recompute
+    *    (128 permutations × every shingle of the old corpus), not the
+    *    columnar postings scan;
+    *  - `meta.parquet` pins `(perms, bands)` so an increment against an
+    *    index built under different LSH hyperparameters refuses loudly
+    *    instead of silently mixing incompatible band keys (the
+    *    [[graft.operators.Similarity.annIvfPqSearch]] handshake).
+    *
+    * Signatures are a pure per-document function, so indexed docs carry
+    * bit-identical signatures to a from-scratch full-corpus run — the
+    * invariant [[dedupIncrementSql]]'s oracle (and IncrementalDedupSpec's
+    * "increment ≡ full recompute minus old-old pairs" law) rests on. */
+  def buildMinhashIndex(s: SparkSession, d: DataFrame, indexDir: String,
+                        memoKey: String): Unit = {
+    import s.implicits._
+    val sigs = minhashSignaturesOf(s, d, memoKey).cache()
+    sigs.write.mode("overwrite").parquet(s"$indexDir/signatures.parquet")
+    bandedOf(sigs).write.mode("overwrite").parquet(s"$indexDir/postings.parquet")
+    Seq((MinhashPerms, MinhashBands))
+      .toDF("perms", "bands")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta.parquet")
+    sigs.unpersist()
   }
+
+  /** Dedup a NEW batch of documents against a [[buildMinhashIndex]]
+    * persisted index: sign the batch (cost ∝ batch), probe the index's
+    * postings with the batch's band keys, verify candidates on
+    * signatures, and (when `append`) add the batch to the index so the
+    * next increment sees it. Emits exactly the near-dup pairs that TOUCH
+    * the new batch — new-vs-indexed and new-vs-new; indexed-vs-indexed
+    * pairs were emitted when their own batches arrived. Both skew-guard
+    * layers are inherited: the batch's shingle guard arms per batch
+    * (memoKey-scoped), and [[HotBucketCap]] trims over the UNION of the
+    * batch's postings and the index postings its buckets touch — a
+    * bucket that went hot only cumulatively still trims, observably
+    * (`graft_lsh_trim_*`).
+    *
+    * Scale shape: the only full-index reads are one semi-join of
+    * `postings` against the batch's distinct bucket keys and one keyed
+    * join of `signatures` against the candidate ids — columnar scans of
+    * 8-byte-key tables, NOT a recompute; with the postings bucketed by
+    * `bkey` at deployment scale even the scan prunes. The re-shingling
+    * and 128-permutation signing of already-indexed documents — the cost
+    * that dominates [[minhashLshPairs]] — is never repaid. */
+  def dedupIncrement(s: SparkSession, newDocs: DataFrame, indexDir: String,
+                     memoKey: String, threshold: Double = 0.5,
+                     bucketCap: Int = HotBucketCap,
+                     append: Boolean = true): DataFrame = {
+    val meta = s.read.parquet(s"$indexDir/meta.parquet").head()
+    require(meta.getInt(0) == MinhashPerms && meta.getInt(1) == MinhashBands,
+      s"index at $indexDir built with (perms,bands)=(${meta.getInt(0)},${meta.getInt(1)}); " +
+        s"this build uses ($MinhashPerms,$MinhashBands) — rebuild the index")
+    // SNAPSHOT the index's part files before anything lazy is built over
+    // them: the append at the end must not leak the batch into the
+    // "old" side of a plan the caller evaluates later (explicit file
+    // lists are immutable where directory reads re-list)
+    val oldBanded = s.read.parquet(parquetPartFiles(s, s"$indexDir/postings.parquet"): _*)
+    val oldSigs = s.read.parquet(parquetPartFiles(s, s"$indexDir/signatures.parquet"): _*)
+    val newSigs = minhashSignaturesOf(s, newDocs, memoKey).cache()
+    val nNew = newSigs.count() // forces the cache; sizes the probe plan
+    val newBanded = bandedOf(newSigs).withColumn("is_new", lit(true))
+    // probe: only buckets the batch touches can produce pairs — the semi
+    // join keeps the index-side scan output ∝ touched postings. While the
+    // batch's distinct bucket keys fit an executor (the daily-batch
+    // case), BROADCAST them: the index postings are then scanned in
+    // place, never shuffled — static size estimates behind a cached
+    // explode are too inflated for the planner to see this itself
+    // (measured: the unhinted plan shuffled 1.58M index rows for a
+    // 16k-key probe, 3.7 s → 0.8 s). Backfill-sized batches fall back to
+    // the keyed shuffle; a deployment-scale postings table bucketed by
+    // (band, bkey) would make even that shuffle-free.
+    val probeKeys = newBanded.select(col("band"), col("bkey")).distinct()
+    val touched = oldBanded
+      .join(if (nNew * MinhashBands <= 2000000L) broadcast(probeKeys) else probeKeys,
+        Seq("band", "bkey"), "left_semi")
+      .withColumn("is_new", lit(false))
+    // cached: the union feeds the bucket-count agg AND both sides of the
+    // candidate self-join — uncached, the index semi-join subtree re-runs
+    // three times (measured 7.8 s → 2 s on the sf0.1 increment)
+    // EAGERLY materialized (localCheckpoint, not cache): the union feeds
+    // the bucket-count agg and both sides of the candidate self-join —
+    // left lazy, the index semi-join subtree re-runs for each consumer
+    // (and concurrent cache population from the self-join's two sides
+    // double-computes); one eager pass over the touched postings is the
+    // honest cost. The materialized set is ∝ batch + touched postings,
+    // never ∝ index.
+    val all = touched.unionByName(newBanded).localCheckpoint()
+    val trimmedRaw =
+      if (bucketCap == Int.MaxValue) all
+      else {
+        val hot = all.groupBy(col("band"), col("bkey"))
+          .count().filter(col("count") > bucketCap)
+          .observe(s"graft_lsh_trim_${lshTrimSeq.incrementAndGet()}",
+            count(lit(1)).as("n_hot_buckets"),
+            coalesce(sum(col("count")), lit(0L)).as("n_trimmed_rows"))
+          .select(col("band"), col("bkey"))
+        all.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
+      }
+    val trimmed = trimmedRaw.localCheckpoint()
+    val cands = trimmed.filter(col("is_new")).as("x")
+      .join(trimmed.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+      .distinct()
+    val allSigs = oldSigs.unionByName(newSigs)
+    val result = verifyOnSignatures(cands, allSigs, threshold, broadcastCands = true)
+    if (append) {
+      // safe to append before the caller evaluates `result`: its plan
+      // reads the snapshot file lists, not the directories
+      newSigs.write.mode("append").parquet(s"$indexDir/signatures.parquet")
+      bandedOf(newSigs).write.mode("append").parquet(s"$indexDir/postings.parquet")
+    }
+    result
+  }
+
+  /** Immutable part-file snapshot of a parquet directory (append safety
+    * for [[dedupIncrement]]). */
+  private def parquetPartFiles(s: SparkSession, path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p).map(_.getPath.toString)
+      .filter(_.endsWith(".parquet")).toSeq
+    require(files.nonEmpty, s"$path holds no parquet part files — not a built index")
+    files
+  }
+
+  /** Per-JVM scratch root + per-corpus memo for the registered
+    * build/increment pair — fresh per JVM so a stale index never serves
+    * regenerated testdata (the [[graft.operators.Similarity]] pattern). */
+  private lazy val minhashIndexScratch: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft-mhidx-")
+  private val builtMinhashIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def minhashIndexDirFor(dir: String): String =
+    minhashIndexScratch.resolve(java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir))).toString
+
+  /** Deterministic PROPORTIONAL corpus split for the registered pair:
+    * the bottom 4/5 of the doc_id range is the indexed "old" corpus, the
+    * top 1/5 arrives as the new batch. Proportional (not a fixed id, the
+    * [[crossCorpusNewDocs]] convention) because the bench story is
+    * batch-vs-index SHAPE: a fixed split tuned to the 500-doc gate corpus
+    * would make the sf0.1 bench "batch" 95% of the corpus — an increment
+    * bigger than its index prices nothing. All-integer, so both engines
+    * compute the identical boundary. */
+  val IncrementSplitNum = 4L
+  val IncrementSplitDen = 5L
+
+  /** The split boundary for a corpus dir — one tiny max() action (the
+    * bounded-transfer pattern; 1 row to the driver). */
+  def incrementSplitAt(s: SparkSession, dir: String): Long = {
+    val maxId = docs(s, dir).agg(max(col("doc_id"))).head().getLong(0)
+    (maxId + 1) * IncrementSplitNum / IncrementSplitDen
+  }
+
+  private def buildBaseMinhashIndex(s: SparkSession, dir: String): String = {
+    val idx = minhashIndexDirFor(dir)
+    buildMinhashIndex(s,
+      docs(s, dir).filter(col("doc_id") < incrementSplitAt(s, dir)), idx, s"$dir#old")
+    idx
+  }
+
+  /** Registered BUILD half (`q_dedup_index_build`): persists the index
+    * over the old split and returns per-band posting/bucket counts —
+    * hash-gated (the band keys are the same integer arithmetic the pair
+    * oracle recomputes), and the bench entry prices what a deployment
+    * pays once per corpus version. */
+  def minhashIndexBuildQuery(s: SparkSession, dir: String): DataFrame = {
+    val idx = buildBaseMinhashIndex(s, dir)
+    builtMinhashIndexes.put(dir, idx)
+    s.read.parquet(s"$idx/postings.parquet")
+      .groupBy(col("band").cast("long").as("band"))
+      .agg(count(lit(1)).as("n_postings"), countDistinct(col("bkey")).as("n_buckets"))
+      .orderBy(col("band"))
+  }
+
+  /** The split boundary as portable SQL — `(max(doc_id)+1)·num/den` in
+    * integer arithmetic, the same value [[incrementSplitAt]] computes. */
+  private val incrementSplitSql: String =
+    s"(SELECT ((max(doc_id) + 1) * $IncrementSplitNum) // $IncrementSplitDen FROM documents)"
+
+  def minhashIndexBuildSql(): String =
+    minhashBandsCtesSql(s" WHERE doc_id < $incrementSplitSql") +
+      """
+        |SELECT CAST(band AS BIGINT) AS band, count(*) AS n_postings,
+        |       count(DISTINCT bkey) AS n_buckets
+        |FROM bands GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Registered INCREMENT half (`q_dedup_incremental`): the new split
+    * deduped against the persisted old-split index. Builds the base index
+    * on first use (pure under any run order, like
+    * [[graft.operators.Similarity.ivfPqSearchQuery]]); `append = false`
+    * keeps repeat runs pure. Hash-gated end-to-end: the output law is
+    * "the full-corpus [[minhashLshPairsSql]] pair set, restricted to
+    * pairs touching the new split" — signatures don't depend on the
+    * split, so the incremental path and the full recompute agree pair
+    * for pair, estimate for estimate. */
+  def dedupIncrementQuery(s: SparkSession, dir: String): DataFrame = {
+    val had = builtMinhashIndexes.containsKey(dir)
+    val idx = builtMinhashIndexes.computeIfAbsent(dir, _ => buildBaseMinhashIndex(s, dir))
+    println(s"[graft] q_dedup_incremental: index ${if (had) "cache-hit" else "built-on-first-use"} at $idx")
+    dedupIncrement(s, docs(s, dir).filter(col("doc_id") >= incrementSplitAt(s, dir)),
+      idx, s"$dir#new", append = false)
+  }
+
+  def dedupIncrementSql(threshold: Double = 0.5): String =
+    minhashBandsCtesSql("") + minhashPairsTailSql(threshold,
+      s" AND (c.doc_a >= $incrementSplitSql OR c.doc_b >= $incrementSplitSql)")
 
   // -----------------------------------------------------------------
   // SimHash
@@ -1127,7 +1406,9 @@ object Dedup {
     "q_dedup_contamination" -> ((s: SparkSession, d: String) => contamination(s, d)),
     "q_dedup_spans" -> ((s: SparkSession, d: String) => spanDupStats(s, d)),
     "q_dedup_substrings" -> ((s: SparkSession, d: String) => substringDupStats(s, d)),
-    "q_dedup_clusters_star" -> (nearDupClustersStar _))
+    "q_dedup_clusters_star" -> (nearDupClustersStar _),
+    "q_dedup_index_build" -> (minhashIndexBuildQuery _),
+    "q_dedup_incremental" -> (dedupIncrementQuery _))
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> exactDedupSql,
@@ -1148,5 +1429,10 @@ object Dedup {
     // full-algorithm oracles: signatures, banding, candidates, estimates
     // recomputed from the shared portable-hash constants
     "q_dedup_minhash_lsh" -> minhashLshPairsSql(),
-    "q_dedup_pipeline_lsh" -> dedupPipelineLshSql())
+    "q_dedup_pipeline_lsh" -> dedupPipelineLshSql(),
+    // persisted-index pair: band-key structure of the build, and the
+    // increment's "full pair set restricted to pairs touching the new
+    // split" law — both from the same single-sourced CTE prefix
+    "q_dedup_index_build" -> minhashIndexBuildSql(),
+    "q_dedup_incremental" -> dedupIncrementSql())
 }

@@ -74,10 +74,11 @@ object Sampling {
                            fractions: Map[String, Double]): DataFrame = {
     val thresholds = fractions.toSeq.sortBy(_._1)
       .map { case (l, f) => (l, math.floor(f * IdMod).toLong) }
-    val thr = thresholds.tail.foldLeft(
-      when(col("lang") === thresholds.head._1, lit(thresholds.head._2))) {
-        case (acc, (l, t)) => acc.when(col("lang") === l, lit(t))
-      }.otherwise(lit(0L))
+    // lit(0L) seed so an empty fractions map yields an empty sample
+    // (threshold 0 for every lang) instead of throwing on .head
+    val thr = thresholds.foldLeft(lit(0L): Column) {
+      case (acc, (l, t)) => when(col("lang") === l, lit(t)).otherwise(acc)
+    }
     docs(s, dir)
       .filter(hashOrder < thr)
       .select(col("doc_id"), col("lang"))
@@ -85,10 +86,14 @@ object Sampling {
 
   def stratifiedHashSampleSql(fractions: Map[String, Double]): String = {
     val cases = fractions.toSeq.sortBy(_._1)
-      .map { case (l, f) => s"WHEN '$l' THEN ${math.floor(f * IdMod).toLong}" }
+      .map { case (l, f) =>
+        s"WHEN '${l.replace("'", "''")}' THEN ${math.floor(f * IdMod).toLong}" }
       .mkString(" ")
-    s"""SELECT doc_id, lang FROM documents
-       |WHERE $hashOrderSql < CASE lang $cases ELSE 0 END""".stripMargin
+    if (cases.isEmpty)
+      "SELECT doc_id, lang FROM documents WHERE FALSE"
+    else
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE $hashOrderSql < CASE lang $cases ELSE 0 END""".stripMargin
   }
 
   /** Deterministic pseudo-random total order: the hash-mod key with a

@@ -800,10 +800,18 @@ object Similarity {
   def buildIvfPqIndexWith(s: SparkSession, dir: String, indexDir: String,
                           cents: Seq[Seq[Double]], books: Seq[Seq[Double]],
                           m: Int = 8, subDim: Int = 8,
+                          k: Int = 16): (Seq[Seq[Double]], Seq[Seq[Double]]) =
+    buildIvfPqIndexOver(s, emb(s, dir), indexDir, cents, books, m, subDim, k)
+
+  /** [[buildIvfPqIndexWith]] over a caller-supplied vector set — the
+    * append spec builds its "old"-split base and its same-model full
+    * rebuild through this one path. */
+  def buildIvfPqIndexOver(s: SparkSession, vecs: DataFrame, indexDir: String,
+                          cents: Seq[Seq[Double]], books: Seq[Seq[Double]],
+                          m: Int = 8, subDim: Int = 8,
                           k: Int = 16): (Seq[Seq[Double]], Seq[Seq[Double]]) = {
     import s.implicits._
-    val e = emb(s, dir)
-    pqEncodeResiduals(assignCid(e, cents).select(col("vec_id"), col("cid"), col("embedding")),
+    pqEncodeResiduals(assignCid(vecs, cents).select(col("vec_id"), col("cid"), col("embedding")),
         cents, books, m, subDim, k)
       .write.mode("overwrite").parquet(s"$indexDir/codes.parquet")
     // the meta row pins the build hyperparameters: a search with different
@@ -825,28 +833,59 @@ object Similarity {
   def annIvfPqSearch(s: SparkSession, dir: String, indexDir: String,
                      kNN: Int = DefaultK, nProbe: Int = 2, rerank: Int = 50,
                      m: Int = 8, subDim: Int = 8, k: Int = 16): DataFrame = {
+    val (cents, books) = loadIvfPqModel(s, indexDir, m, subDim, k)
+    val codes = s.read.parquet(s"$indexDir/codes.parquet")
+    ivfPqSearchWith(emb(s, dir), codes, cents, books, kNN, nProbe, rerank, m, subDim, k)(s)
+  }
+
+  /** Load a persisted index's FROZEN model with the hyperparameter
+    * handshake — shared by [[annIvfPqSearch]] and [[appendToIvfPqIndex]]:
+    * refuse to serve or extend an index whose stored (m, subDim, k)
+    * disagree with the caller's — a silent mismatch mis-indexes the
+    * codebooks instead of erroring. The nCentroids leg is an index
+    * SELF-consistency check (stored meta vs the centroid rows loaded from
+    * the same file), not a caller comparison. */
+  private def loadIvfPqModel(s: SparkSession, indexDir: String,
+                             m: Int, subDim: Int,
+                             k: Int): (Seq[Seq[Double]], Seq[Seq[Double]]) = {
     val model = s.read.parquet(s"$indexDir/model.parquet")
       .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getSeq[Double](2).toSeq).toMap
     val cents = (0 until model.count(_._1._1 == "cent")).map(i => model(("cent", i)))
     val books = (0 until model.count(_._1._1 == "book")).map(i => model(("book", i)))
-    // hyperparameter handshake: refuse to serve an index whose stored
-    // (m, subDim, k) disagree with the caller's — a silent mismatch
-    // mis-indexes the codebooks instead of erroring. The nCentroids leg is
-    // an index SELF-consistency check (stored meta vs the centroid rows
-    // loaded from the same file), not a caller comparison — search takes
-    // no nCentroids parameter.
     val meta = model.getOrElse(("meta", 0),
       sys.error(s"$indexDir/model.parquet has no meta row — rebuild with buildIvfPqIndex"))
     require(meta.map(_.toInt).take(3) == Seq(m, subDim, k),
       s"index at $indexDir built with (m,subDim,k)=(${meta.map(_.toInt).take(3).mkString(",")}); " +
-        s"search called with ($m,$subDim,$k)")
+        s"caller passed ($m,$subDim,$k)")
     require(meta.map(_.toInt).drop(3) == Seq(cents.length),
       s"index at $indexDir is self-inconsistent: meta says ${meta(3).toInt} centroids, " +
         s"model file holds ${cents.length}")
     require(books.length == m * k,
       s"index at $indexDir holds ${books.length} codewords, expected m*k=${m * k}")
-    val codes = s.read.parquet(s"$indexDir/codes.parquet")
-    ivfPqSearchWith(emb(s, dir), codes, cents, books, kNN, nProbe, rerank, m, subDim, k)(s)
+    (cents, books)
+  }
+
+  /** APPEND a batch of new vectors to a [[buildIvfPqIndex]]-persisted
+    * index (round-11 verdict task 4): assign + residual-encode ONLY the
+    * batch with the index's FROZEN stored model and append the code
+    * partitions — cost ∝ new rows, never the corpus. The model is never
+    * retrained here (a drifted corpus wants a rebuild, not a silently
+    * re-centered append — the codes already in the index were quantized
+    * against the stored centroids); the [[loadIvfPqModel]] handshake
+    * refuses a hyperparameter mismatch. Because encoding is a pure
+    * per-vector function of (vector, model), a search over the appended
+    * index is EXACTLY a search over a from-scratch build of the full
+    * corpus with the same model — IvfPqAppendSpec pins that equality.
+    * Returns the appended codes (lazy; the write already materialized
+    * them once). */
+  def appendToIvfPqIndex(s: SparkSession, newVecs: DataFrame, indexDir: String,
+                         m: Int = 8, subDim: Int = 8, k: Int = 16): DataFrame = {
+    val (cents, books) = loadIvfPqModel(s, indexDir, m, subDim, k)
+    val codes = pqEncodeResiduals(
+      assignCid(newVecs, cents).select(col("vec_id"), col("cid"), col("embedding")),
+      cents, books, m, subDim, k)
+    codes.write.mode("append").parquet(s"$indexDir/codes.parquet")
+    codes
   }
 
   // -----------------------------------------------------------------
@@ -929,6 +968,47 @@ object Similarity {
     annIvfPqSearch(s, dir, idx)
   }
 
+  /** Deterministic 4/5 vec_id-range split for the registered append pair
+    * (the dedup-index split convention): the bottom 4/5 is the indexed
+    * corpus, the top 1/5 arrives as the new batch. */
+  def ivfPqAppendSplitAt(s: SparkSession, dir: String): Long = {
+    val maxId = emb(s, dir).agg(max(col("vec_id"))).head().getLong(0)
+    (maxId + 1) * 4 / 5
+  }
+
+  /** The registered APPEND query (`q_sim_ann_ivf_pq_append_lit`): the
+    * top-1/5 batch assigned + residual-encoded against a FROZEN
+    * literal-model index built over the bottom 4/5, through the
+    * production [[appendToIvfPqIndex]] path — so the incremental-index
+    * operation itself is under the DuckDB hash gate (encoding is
+    * model-agnostic arithmetic; the learned-model leg differs only in
+    * which constants ride in, and IvfPqAppendSpec pins its
+    * appended-equals-rebuilt law). The bench entry prices exactly what a
+    * growing corpus pays per batch: assign + encode + write ∝ new rows.
+    * Repeat runs re-append the same codes into the per-JVM scratch index
+    * — harmless (nothing searches it; the output is a pure function of
+    * (batch, model), independent of the index contents). */
+  def ivfPqAppendLitQuery(s: SparkSession, dir: String): DataFrame = {
+    val split = ivfPqAppendSplitAt(s, dir)
+    val idx = builtIndexes.computeIfAbsent(dir + "#appendlit", _ => {
+      val p = indexDirFor(dir) + "-appendlit"
+      buildIvfPqIndexOver(s, emb(s, dir).filter(col("vec_id") < split),
+        p, LitCents, LitBooks)
+      p
+    })
+    appendToIvfPqIndex(s, emb(s, dir).filter(col("vec_id") >= split), idx)
+  }
+
+  /** DuckDB twin of [[ivfPqAppendLitQuery]]: the literal-model codes CTE
+    * restricted to the new split — the same per-vector assignment +
+    * argmin-code arithmetic, nothing else (appending changes no code). */
+  def ivfPqAppendLitSql(m: Int = 8, subDim: Int = 8, k: Int = 16,
+                        dim: Int = 64): String =
+    litCodesCtesSql(
+      " WHERE vec_id >= (SELECT ((max(vec_id) + 1) * 4) // 5 FROM embeddings)",
+      m, subDim, k, dim) +
+      "\nSELECT vec_id, cid, sub_idx, code FROM codes"
+
   /** DuckDB twin of [[ivfPqSearchLitQuery]] — the whole IVFADC search
     * recomputed from first principles against the same literal model:
     * cosine argmax assignment (ties to the higher cid, mirroring
@@ -941,9 +1021,16 @@ object Similarity {
     * driver-side constant (centroid norms, LUT constants) is computed by
     * the IDENTICAL left-to-right Scala fold the Spark plan evaluates and
     * embedded as a shortest-roundtrip double literal. */
-  def ivfPqSearchLitSql(kNN: Int = DefaultK, nProbe: Int = 2, rerank: Int = 50,
-                        m: Int = 8, subDim: Int = 8, k: Int = 16,
-                        dim: Int = 64): String = {
+  /** The literal-model CTE prefix shared by [[ivfPqSearchLitSql]] and
+    * [[ivfPqAppendLitSql]]: embeddings (optionally restricted by
+    * `vecWhere`) → norms → literal centroid/codebook/constant tables →
+    * cosine-argmax assignment → residual argmin codes. Every driver-side
+    * constant is computed by the IDENTICAL left-to-right Scala fold the
+    * Spark plan evaluates. Restricting `e` is sound because assignment
+    * and encoding are pure per-vector functions — the appended-split
+    * codes equal the same vectors' codes in a full build. */
+  private def litCodesCtesSql(vecWhere: String, m: Int, subDim: Int, k: Int,
+                              dim: Int): String = {
     val cents = LitCents
     val books = LitBooks
     val ctVals = cents.zipWithIndex.map { case (c, i) =>
@@ -968,7 +1055,7 @@ object Similarity {
     }).mkString(",\n  ")
     def dot8(vec: String, other: String): String =
       s"list_sum(list_transform(range(1, ${subDim + 1}), i -> $vec[CAST(bk.sub_idx * $subDim + i AS INT)] * $other))"
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings$vecWhere),
       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
       |ct(cid, cvec, cnorm) AS (VALUES
       |  $ctVals),
@@ -994,7 +1081,15 @@ object Similarity {
       |  JOIN cons ON cons.sub_idx = bk.sub_idx AND cons.code = bk.code AND cons.cid = asg.cid),
       |codes AS (
       |  SELECT vec_id, cid, sub_idx, code FROM cd
-      |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub_idx ORDER BY dist, code) = 1),
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub_idx ORDER BY dist, code) = 1)""".stripMargin
+  }
+
+  def ivfPqSearchLitSql(kNN: Int = DefaultK, nProbe: Int = 2, rerank: Int = 50,
+                        m: Int = 8, subDim: Int = 8, k: Int = 16,
+                        dim: Int = 64): String = {
+    def dot8(vec: String, other: String): String =
+      s"list_sum(list_transform(range(1, ${subDim + 1}), i -> $vec[CAST(bk.sub_idx * $subDim + i AS INT)] * $other))"
+    litCodesCtesSql("", m, subDim, k, dim) + s""",
       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < $QueryCount),
       |probed AS (
       |  SELECT query_id, cid FROM (
@@ -1093,6 +1188,7 @@ object Similarity {
     "q_sim_ann_ivf_pq_build" -> ((s: SparkSession, d: String) => ivfPqBuildQuery(s, d)),
     "q_sim_ann_ivf_pq_search" -> ((s: SparkSession, d: String) => ivfPqSearchQuery(s, d)),
     "q_sim_ann_ivf_pq_search_lit" -> ((s: SparkSession, d: String) => ivfPqSearchLitQuery(s, d)),
+    "q_sim_ann_ivf_pq_append_lit" -> ((s: SparkSession, d: String) => ivfPqAppendLitQuery(s, d)),
     "q_emb_pq_adc" -> ((s: SparkSession, d: String) => pqAdcTopK(s, d)),
     "q_emb_pq_encode" -> ((s: SparkSession, d: String) => pqEncode(s, d)),
     "q_sim_topk_brute" -> ((s: SparkSession, d: String) => bruteForceTopK(s, d)),
@@ -1104,6 +1200,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "q_sim_ann_ivf_lit" -> annIvfLitSql(),
     "q_sim_ann_ivf_pq_search_lit" -> ivfPqSearchLitSql(),
+    "q_sim_ann_ivf_pq_append_lit" -> ivfPqAppendLitSql(),
     "q_emb_pq_adc" -> pqAdcTopKSql(),
     "q_emb_pq_encode" -> pqEncodeSql(),
     "q_sim_topk_brute" -> bruteForceTopKSql,

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** Laws of the persisted/incremental MinHash-LSH index (round-11 verdict
+  * task 1): an increment against an index must agree pair-for-pair and
+  * estimate-for-estimate with the full-corpus recompute restricted to
+  * pairs touching the batch — signatures are a pure per-document
+  * function, so indexing cannot change what a pair estimates. */
+class IncrementalDedupSpec extends AnyFunSuite with SparkTestBase {
+
+  private def tmpIdx(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"mhidx-spec-$tag-").toString
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+  private def docsAt(dir: String) = Tables(spark, dir, "documents")
+
+  test("increment == full recompute restricted to pairs touching the new split") {
+    val full = pairSet(Dedup.minhashLshPairs(spark, sf))
+    val split = Dedup.incrementSplitAt(spark, sf)
+    val expected = full.filter { case ((a, b), _) => a >= split || b >= split }
+    val idx = tmpIdx("base")
+    Dedup.buildMinhashIndex(spark,
+      docsAt(sf).filter(col("doc_id") < split), idx, s"$idx#old")
+    val inc = pairSet(Dedup.dedupIncrement(spark,
+      docsAt(sf).filter(col("doc_id") >= split), idx, s"$idx#new", append = false))
+    assert(inc == expected,
+      s"missing=${expected.keySet -- inc.keySet} extra=${inc.keySet -- expected.keySet}")
+    assert(expected.nonEmpty, "split should leave pairs touching the new half")
+  }
+
+  test("two appended increments cover exactly the full pair set minus base-internal pairs") {
+    val full = pairSet(Dedup.minhashLshPairs(spark, sf))
+    // three-way split: base [0, 150), batch1 [150, 300), batch2 [300, ...)
+    val idx = tmpIdx("append")
+    Dedup.buildMinhashIndex(spark,
+      docsAt(sf).filter(col("doc_id") < 150), idx, s"$idx#b0")
+    val inc1 = pairSet(Dedup.dedupIncrement(spark,
+      docsAt(sf).filter(col("doc_id") >= 150 && col("doc_id") < 300),
+      idx, s"$idx#b1", append = true))
+    val inc2 = pairSet(Dedup.dedupIncrement(spark,
+      docsAt(sf).filter(col("doc_id") >= 300), idx, s"$idx#b2", append = true))
+    // batch1 pairs touch [150,300) only vs base+itself; batch2 pairs touch
+    // [300,...) vs everything earlier (the append made batch1 visible)
+    val exp1 = full.filter { case ((a, b), _) =>
+      Seq(a, b).exists(i => i >= 150 && i < 300) && a < 300 && b < 300 }
+    val exp2 = full.filter { case ((a, b), _) => a >= 300 || b >= 300 }
+    assert(inc1 == exp1,
+      s"batch1: missing=${exp1.keySet -- inc1.keySet} extra=${inc1.keySet -- exp1.keySet}")
+    assert(inc2 == exp2,
+      s"batch2: missing=${exp2.keySet -- inc2.keySet} extra=${inc2.keySet -- exp2.keySet}")
+    // disjoint emission, and the union is everything except base-internal
+    assert(inc1.keySet.intersect(inc2.keySet).isEmpty)
+    val baseInternal = full.filter { case ((a, b), _) => a < 150 && b < 150 }
+    assert(inc1 ++ inc2 == full -- baseInternal.keySet)
+  }
+
+  test("empty new batch yields an empty result and appends nothing") {
+    val idx = tmpIdx("empty")
+    Dedup.buildMinhashIndex(spark,
+      docsAt(sf).filter(col("doc_id") < 250), idx, s"$idx#old")
+    val before = spark.read.parquet(s"$idx/signatures.parquet").count()
+    val out = Dedup.dedupIncrement(spark,
+      docsAt(sf).filter(lit(false)), idx, s"$idx#none", append = true)
+    assert(out.count() == 0)
+    assert(spark.read.parquet(s"$idx/signatures.parquet").count() == before)
+  }
+
+  test("increment refuses an index built under different LSH hyperparameters") {
+    import spark.implicits._
+    val idx = tmpIdx("meta")
+    Dedup.buildMinhashIndex(spark,
+      docsAt(sf).filter(col("doc_id") < 50), idx, s"$idx#old")
+    // simulate an index from an older build with different (perms, bands)
+    Seq((64, 16)).toDF("perms", "bands")
+      .coalesce(1).write.mode("overwrite").parquet(s"$idx/meta.parquet")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dedupIncrement(spark,
+        docsAt(sf).filter(col("doc_id") >= 50 && col("doc_id") < 60),
+        idx, s"$idx#new", append = false)
+    }
+    assert(e.getMessage.contains("rebuild"))
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorOps
+import graft.operators.Similarity
+
+/** Laws of the persisted IVF-PQ index's append path (round-11 verdict
+  * task 4): appending with the FROZEN stored model must be
+  * indistinguishable from having built the whole index at once with that
+  * model — encoding is a pure per-vector function of (vector, model), so
+  * the law holds for ANY model; the first test uses learned coarse
+  * centroids (the deployment shape: model frozen before the batch
+  * existed) with deterministic codebooks. */
+class IvfPqAppendSpec extends AnyFunSuite with SparkTestBase {
+
+  private def emb = Tables(spark, sf, "embeddings")
+  private def tmpIdx(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"ivfpq-append-$tag-").toString
+
+  private def searchRows(indexDir: String): Seq[(Long, Long, Long, Long)] =
+    Similarity.annIvfPqSearch(spark, sf, indexDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq.sorted
+
+  test("search over an appended index equals search over a same-model full rebuild") {
+    val split = Similarity.ivfPqAppendSplitAt(spark, sf)
+    val old = emb.filter(col("vec_id") < split)
+    val batch = emb.filter(col("vec_id") >= split)
+    // the frozen model: coarse centroids LEARNED on the old split only,
+    // deterministic codebooks (learnPqCodebooks' training-sample plumbing
+    // is exercised by the build queries; the append law is model-agnostic)
+    val cents = Similarity.learnCentroids(spark, old)
+    val books = VectorOps.hyperplanes(8 * 16, 8, seed = 77L)
+    val idxAppended = tmpIdx("appended")
+    Similarity.buildIvfPqIndexOver(spark, old, idxAppended, cents, books)
+    val appended = Similarity.appendToIvfPqIndex(spark, batch, idxAppended)
+    assert(appended.count() == batch.count() * 8, "m codes per appended vector")
+    val idxFull = tmpIdx("full")
+    Similarity.buildIvfPqIndexOver(spark, emb, idxFull, cents, books)
+    assert(searchRows(idxAppended) == searchRows(idxFull),
+      "appended index and same-model full rebuild must serve identical results")
+  }
+
+  test("append refuses an index built under different hyperparameters") {
+    val idx = tmpIdx("mismatch")
+    Similarity.buildIvfPqIndexOver(spark, emb.filter(col("vec_id") < 100), idx,
+      VectorOps.hyperplanes(8, 64, seed = 5L), VectorOps.hyperplanes(8 * 16, 8, seed = 6L))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfPqIndex(spark, emb.filter(col("vec_id") >= 100 && col("vec_id") < 120),
+        idx, m = 4, subDim = 16, k = 16)
+    }
+    assert(e.getMessage.contains("built with"))
+  }
+
+  test("append cost surface touches only the batch (plan reads no old codes)") {
+    // the append's encode plan must scan the batch vectors and the model
+    // only — never the index's existing codes; assert by pointing the
+    // "index" at a dir whose codes are then DELETED: append still works
+    // because nothing reads them
+    val idx = tmpIdx("batchonly")
+    Similarity.buildIvfPqIndexOver(spark, emb.filter(col("vec_id") < 50), idx,
+      VectorOps.hyperplanes(8, 64, seed = 5L), VectorOps.hyperplanes(8 * 16, 8, seed = 6L))
+    val codesDir = new java.io.File(s"$idx/codes.parquet")
+    codesDir.listFiles.foreach(_.delete())
+    codesDir.delete()
+    val appended = Similarity.appendToIvfPqIndex(spark,
+      emb.filter(col("vec_id") >= 50 && col("vec_id") < 60), idx)
+    assert(appended.count() == 10 * 8)
+  }
+}
