@@ -102,6 +102,34 @@ object Bench {
       val good = samples.flatten
       (name, if (good.isEmpty) None else Some(median(good)), samples)
     }
+    // Pinned-fixture dedup rows (round-11 verdict task 5, the streaming
+    // fixture's batch twin): the anchor's dedup entries re-base on every
+    // driver testdata regen, so round-over-round comparisons there can't
+    // separate data shift from regression; these two rows run the same
+    // operators against the COMMITTED fixtures/stream corpus and are the
+    // comparable. Skipped under a BENCH_ONLY filter (partial runs are
+    // local iteration, not anchors) or when the fixture is absent.
+    val fixtureDir = sys.env.getOrElse("SPARK_GRAFT_DEDUP_FIXTURE", "fixtures/stream")
+    val fixtureResults: Seq[(String, Option[Double], Seq[Option[Double]])] =
+      if (only.isDefined || !new java.io.File(s"$fixtureDir/documents.parquet").exists) Nil
+      else Seq[(String, SparkSession => org.apache.spark.sql.DataFrame)](
+        "dedup_minhash_lsh_fixture" -> (s => graft.operators.Dedup.minhashLshPairs(s, fixtureDir)),
+        "dedup_simhash_fixture" -> (s => graft.operators.Dedup.simhashPairs(s, fixtureDir))
+      ).map { case (name, fn) =>
+        val samples: Seq[Option[Double]] = (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          val ok =
+            try { fn(spark).write.format("noop").mode("overwrite").save(); true }
+            catch { case NonFatal(e) =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+          val elapsed = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          Checkpoints.releaseAll()
+          if (ok) Some(elapsed) else None
+        }
+        val good = samples.flatten
+        (name, if (good.isEmpty) None else Some(median(good)), samples)
+      }
     val telemetryAfter = hostSnapshot()
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
     def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -114,8 +142,20 @@ object Bench {
       s""""$k":${samples.map(_.map(f3).getOrElse("null")).mkString("[", ",", "]")}"""
     }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
+    // fixture rows ride in their own section, OUTSIDE `queries`/`value`:
+    // they are round-over-round comparables, not part of the sf total
+    val fixtureJson =
+      if (fixtureResults.isEmpty) ""
+      else {
+        val fq = fixtureResults.map { case (k, v, _) =>
+          s""""$k":${v.map(f3).getOrElse("null")}""" }.mkString("{", ",", "}")
+        val fr = fixtureResults.map { case (k, _, ss) =>
+          s""""$k":${ss.map(_.map(f3).getOrElse("null")).mkString("[", ",", "]")}"""
+        }.mkString("{", ",", "}")
+        s""","dedup_fixture":{"dir":"$fixtureDir","queries":$fq,"samples":$fr}"""
+      }
     val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
-      s""","runs":$runs,"samples":$raw,"host_before":$telemetryBefore,"host_after":$telemetryAfter}"""
+      s""","runs":$runs,"samples":$raw$fixtureJson,"host_before":$telemetryBefore,"host_after":$telemetryAfter}"""
     println(line)
     // the driver's log capture keeps only a ~2 KB TAIL of stdout, so the
     // full line above (8 KB+) always loses its head — including the

@@ -235,6 +235,11 @@ object ScaleProbe {
               "q_sample_token_budget", "q_text_tfidf",
               "q_text_gopher_gates", "q_pipeline_curation"))
           qs.foreach(runQuery(_, dst))
+        } else if (stage == "embbuild") {
+          // embeddings-only build: enough for a recall-stage rerun at a k
+          // where no full flagship build exists (the doc-side queries are
+          // not repaid just to measure ANN recall)
+          time("build")(buildEmbeddings(varied = true))
         } else if (stage != "recall") {
           time("build") { buildDocs(varied = true); buildEmbeddings(varied = true) }
           println(s"SCALE${k}X[flagship] docs=${spark.read.parquet(s"$dst/documents.parquet").count()}" +
@@ -273,7 +278,7 @@ object ScaleProbe {
         // the 100× population, at the bench partitioning (8 lists, probe 2)
         // and at the §8.5.4 sizing rule's setting for this corpus size
         // (finer partitioning, same 0.25 scanned fraction)
-        if (stage != "requery") {
+        if (stage != "requery" && stage != "embbuild") {
         require(new java.io.File(s"$dst/embeddings.parquet").exists,
           s"no flagship build at $dst — run without SPARK_GRAFT_SCALE_STAGE first")
         // 100-query panel (vec_id < 100 are all rep=0 base vectors): 1000
@@ -283,9 +288,10 @@ object ScaleProbe {
         val brute = graft.operators.Similarity.bruteForceTopK(spark, dst, nQueries = nQ)
           .collect()
           .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
-        def recallOf(nc: Int, np: Int): Double = {
+        def recallOf(nc: Int, np: Int, rerank: Int): Double = {
           val got = graft.operators.Similarity
-            .annIvfPq(spark, dst, nProbe = np, nCentroids = nc, nQueries = nQ).collect()
+            .annIvfPq(spark, dst, nProbe = np, nCentroids = nc, rerank = rerank,
+              nQueries = nQ).collect()
             .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
           spark.catalog.clearCache(); Checkpoints.releaseAll()
           val rs = brute.keys.toSeq.map(q =>
@@ -294,11 +300,23 @@ object ScaleProbe {
         }
         // recall/nProbe CURVE (r7 verdict #4): fixed partitioning, rising
         // probe count — the §8.5.4 law is recall beating the scanned
-        // fraction at every point, not a single 1.0 on easy geometry
-        for ((nc, np) <- Seq((8, 1), (8, 2), (8, 4), (32, 4), (32, 8), (32, 16))) {
+        // fraction at every point, not a single 1.0 on easy geometry.
+        // rerank=0 rows apply the ADAPTIVE shortlist rule (r10 verdict
+        // #7): rerank = max(50, 5·k·nProbe) — the residual ~0.005 at 32
+        // lists was re-rank-shortlist-bound, so the shortlist must grow
+        // with the probed candidate pool, not stay a constant.
+        // SPARK_GRAFT_RECALL_ROWS="nc:np:rerank,..." overrides for
+        // targeted reruns.
+        val rows = sys.env.get("SPARK_GRAFT_RECALL_ROWS")
+          .map(_.split(",").toSeq.map { r =>
+            val Array(a, b, c) = r.split(":"); (a.toInt, b.toInt, c.toInt) })
+          .getOrElse(Seq((8, 1, 50), (8, 2, 50), (8, 4, 50), (32, 4, 50),
+            (32, 8, 50), (32, 16, 50), (32, 4, 0), (32, 8, 0), (32, 16, 0)))
+        for ((nc, np, rr) <- rows) {
+          val rerank = if (rr == 0) math.max(50, 5 * 10 * np) else rr
           val sec0 = System.nanoTime()
-          val r = recallOf(nc, np)
-          println(f"SCALE${k}X[flagship] ivfpq_recall_nc${nc}_np$np: $r%.3f " +
+          val r = recallOf(nc, np, rerank)
+          println(f"SCALE${k}X[flagship] ivfpq_recall_nc${nc}_np${np}_rr$rerank: $r%.3f " +
             f"(scanned ~${np.toDouble / nc}%.2f, ${(System.nanoTime() - sec0) / 1e9}%.1f s)")
         }
         }
@@ -431,7 +449,7 @@ object ScaleProbe {
         // must include the sequential base).
         val r = sys.env.getOrElse("SPARK_GRAFT_BPE_R", "32").toInt
         val batches = sys.env.getOrElse("SPARK_GRAFT_BPE_B", "4,8,16")
-          .split(",").map(_.trim.toInt).toSeq
+          .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
         val runSeq = sys.env.getOrElse("SPARK_GRAFT_BPE_SEQ", "1") == "1"
         // The raw sf0.1 documents carry a 31-word vocabulary whose merge
         // capacity is Σ(len−1) = 107 — both trainers exhaust (`done`)
@@ -440,7 +458,44 @@ object ScaleProbe {
         // suffixes): SPARK_GRAFT_BPE_VARIED=1 trains on K× suffixed
         // replicas (vocab 31·K words), which is also the realistic BPE
         // input shape — real corpora are vocab-rich, not 31 words.
-        val bpeSrc = if (sys.env.getOrElse("SPARK_GRAFT_BPE_VARIED", "0") == "1") {
+        // SPARK_GRAFT_BPE_RICH=1: a ≥50k-distinct-word corpus (r10 verdict
+        // #3) — the suffixed-replica corpus only multiplies the 31-word
+        // vocabulary by K, so per-round trainer cost stayed flat and the
+        // O(R²/B) re-segmentation claim went unexercised. Here 20k docs ×
+        // 50 tokens sample a 50 000-word synthetic vocabulary (ids spelled
+        // in letters, 3–5 chars — merge capacity Σ(len−1) ≈ 150k ≫ R=512),
+        // so the vocab-grain re-segmentation term is the dominant
+        // per-round cost and batching's round-count cut is measured where
+        // it matters. Deterministic per-doc PRNG; probe-only corpus.
+        val richSrc = if (sys.env.getOrElse("SPARK_GRAFT_BPE_RICH", "0") != "1") None else {
+          // v2: 200k distinct words × 8 chars (v1's 50k × 3–5-char words
+          // left per-round re-segmentation at ~0.06 s against the ~0.35 s
+          // fixed round cost — real but noise-buried; 8× the per-round
+          // symbol-scan work makes the O(R²) growth unmistakable)
+          val marker = new java.io.File(s"$dst/.built_rich_v2")
+          if (!new java.io.File(s"$dst/documents.parquet").exists || !marker.exists) {
+            time("build") {
+              import spark.implicits._
+              def spell(w: Int): String =
+                java.lang.Long.toString(w + 8031810176L, 26).map { c =>
+                  if (c.isDigit) ('a' + (c - '0')).toChar else ('k' + (c - 'a')).toChar
+                }
+              val docs = spark.range(40000).as[Long].map { id =>
+                val rnd = new scala.util.Random(id * 2654435761L + 12345L)
+                val text = Seq.fill(60)(spell(rnd.nextInt(200000))).mkString(" ")
+                (id, text)
+              }.toDF("doc_id", "text")
+                .withColumn("lang", lit("en")).withColumn("source", lit("bperich"))
+                .withColumn("n_chars", length(col("text")).cast("long"))
+              writeReplicated(docs, s"$dst/documents.parquet")
+            }
+            Option(marker.getParentFile).foreach(_.mkdirs())
+            marker.createNewFile()
+          }
+          Some(dst)
+        }
+        val bpeSrc = if (richSrc.isDefined) richSrc.get
+        else if (sys.env.getOrElse("SPARK_GRAFT_BPE_VARIED", "0") == "1") {
           // The cached corpus is keyed on its build parameters (varied, k,
           // src mtime): a stale $dst from a prior mode/k — or from before a
           // driver testdata regen — would silently train on the wrong

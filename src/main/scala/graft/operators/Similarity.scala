@@ -675,7 +675,14 @@ object Similarity {
     * literals (a fixed compile cost per round at ANY corpus size), and two
     * rounds already land within the distortion spec's margin; the coarse
     * quantizer keeps `iters` = [[annIvf]]'s so both tiers probe the SAME
-    * lists (the recall-law comparison in SimilaritySpec depends on it). */
+    * lists (the recall-law comparison in SimilaritySpec depends on it).
+    *
+    * `rerank` sizing at scale: grow the shortlist with the probed pool —
+    * `rerank = max(50, 5·kNN·nProbe)` (SURVEY §8.5.7, round 11: a fixed
+    * R=50 left ~0.005 recall on the table at 32 lists; the adaptive rule
+    * reaches 1.000 at the same 0.13 scanned fraction). The default stays
+    * 50 for the registered (8-list, nProbe=2) demo configuration, which
+    * is already at its plateau there. */
   def annIvfPq(s: SparkSession, dir: String, kNN: Int = DefaultK, nProbe: Int = 2,
                nCentroids: Int = 8, iters: Int = 4, pqIters: Int = 2, rerank: Int = 50,
                m: Int = 8, subDim: Int = 8, k: Int = 16,

@@ -93,6 +93,22 @@ def main(argv):
             for s in (s1, s2)
         ],
         "stream": stream,
+        # pinned-fixture dedup comparables (r11 #5): min of the two sweeps'
+        # medians per fixture query, both sweeps' samples retained
+        "dedup_fixture": (
+            {
+                "dir": s1["dedup_fixture"]["dir"],
+                "queries": {
+                    q: round(min(
+                        median([x for x in s["dedup_fixture"]["samples"][q]
+                                if x is not None])
+                        for s in (s1, s2) if q in s.get(
+                            "dedup_fixture", {}).get("samples", {})), 3)
+                    for q in sorted(s1["dedup_fixture"]["samples"])
+                },
+                "samples": [s["dedup_fixture"]["samples"] for s in (s1, s2)],
+            }
+            if "dedup_fixture" in s1 and "dedup_fixture" in s2 else None),
         "stream_protocol": ("StreamBench tiers run on the same quiet host as the "
                             "batch sweeps, same host-telemetry fields (host_before "
                             "is the quietness gate; host_after reflects the bench's "
