@@ -535,6 +535,21 @@ object Dedup {
         all.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
       }
     val trimmed = trimmedRaw.localCheckpoint()
+    // The checkpoint CUTS the plan: the trim observation fires during the
+    // eager materialization above and would be invisible to a metrics
+    // walk over the RETURNED result (Verify's generic GUARD-ARMED reader
+    // sees only LogicalRDD there). Surface it here, at the moment it is
+    // collected, so an armed guard on an increment is as identifiable as
+    // on the whole-corpus path.
+    if (bucketCap != Int.MaxValue)
+      graft.Observed.metrics(trimmedRaw).foreach { case (name, row) =>
+        val armed = name.startsWith("graft_lsh_trim_") &&
+          row.toSeq.exists { case l: Long => l != 0L; case _ => false }
+        if (armed)
+          System.err.println(s"[graft] dedupIncrement GUARD-ARMED $name: $row — " +
+            "hot-bucket trim on the increment probe; missing pairs are the guard arming, " +
+            "not the algorithm")
+      }
     val cands = trimmed.filter(col("is_new")).as("x")
       .join(trimmed.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&

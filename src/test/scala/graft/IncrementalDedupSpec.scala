@@ -71,6 +71,21 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.parquet(s"$idx/signatures.parquet").count() == before)
   }
 
+  test("increment bucket cap trims hot buckets (smaller cap can only shrink the pair set)") {
+    val idx = tmpIdx("cap")
+    Dedup.buildMinhashIndex(spark,
+      docsAt(sf).filter(col("doc_id") < 250), idx, s"$idx#old")
+    val batch = docsAt(sf).filter(col("doc_id") >= 250)
+    val uncapped = pairSet(Dedup.dedupIncrement(spark, batch, idx, s"$idx#u",
+      bucketCap = Int.MaxValue, append = false))
+    val capped = pairSet(Dedup.dedupIncrement(spark, batch, idx, s"$idx#c",
+      bucketCap = 1, append = false))
+    // cap=1 forbids any bucket with >1 member — every candidate pair lived
+    // in such a bucket, so the trim empties the result (LshSkewSpec's
+    // corner, on the increment path)
+    assert(capped.isEmpty && uncapped.nonEmpty)
+  }
+
   test("increment refuses an index built under different LSH hyperparameters") {
     import spark.implicits._
     val idx = tmpIdx("meta")
