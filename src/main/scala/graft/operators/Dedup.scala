@@ -497,31 +497,52 @@ object Dedup {
     val newSigs = minhashSignaturesOf(s, newDocs, memoKey).cache()
     val nNew = newSigs.count() // forces the cache; sizes the probe plan
     val newBanded = bandedOf(newSigs).withColumn("is_new", lit(true))
-    // probe: only buckets the batch touches can produce pairs — the semi
-    // join keeps the index-side scan output ∝ touched postings. While the
-    // batch's distinct bucket keys fit an executor (the daily-batch
-    // case), BROADCAST them: the index postings are then scanned in
-    // place, never shuffled — static size estimates behind a cached
-    // explode are too inflated for the planner to see this itself
-    // (measured: the unhinted plan shuffled 1.58M index rows for a
-    // 16k-key probe, 3.7 s → 0.8 s). Backfill-sized batches fall back to
-    // the keyed shuffle; a deployment-scale postings table bucketed by
-    // (band, bkey) would make even that shuffle-free.
+    val cands = incrementCandidates(oldBanded, newBanded,
+      nNew * MinhashBands, bucketCap, "dedupIncrement")
+    val allSigs = oldSigs.unionByName(newSigs)
+    val result = verifyOnSignatures(cands, allSigs, threshold, broadcastCands = true)
+    if (append) {
+      // safe to append before the caller evaluates `result`: its plan
+      // reads the snapshot file lists, not the directories
+      newSigs.write.mode("append").parquet(s"$indexDir/signatures.parquet")
+      bandedOf(newSigs).write.mode("append").parquet(s"$indexDir/postings.parquet")
+    }
+    result
+  }
+
+  /** The shared candidate machinery of the incremental indexes
+    * ([[dedupIncrement]] and [[simhashDedupIncrement]]): probe the stored
+    * postings with the batch's bucket keys, trim hot buckets over the
+    * union, self-join for pairs touching the batch.
+    *
+    *  - probe: only buckets the batch touches can produce pairs — the
+    *    semi join keeps the index-side scan output ∝ touched postings.
+    *    While the batch's distinct keys fit an executor (`nNewKeys` ≤ 2M
+    *    — the daily-batch case) they BROADCAST, so the index postings are
+    *    scanned in place, never shuffled; static size estimates behind a
+    *    cached explode are too inflated for the planner to see this
+    *    itself (measured: the unhinted plan shuffled 1.58M index rows for
+    *    a 16k-key probe, 3.7 → 0.8 s). Backfill-sized batches fall back
+    *    to the keyed shuffle; a deployment-scale postings table bucketed
+    *    by (band, bkey) would make even that shuffle-free.
+    *  - the union and its trimmed form are EAGERLY materialized
+    *    (localCheckpoint, not cache): left lazy, the semi-join subtree
+    *    re-runs for every consumer and concurrent cache population from
+    *    the self-join's two sides double-computes (measured 10.3 →
+    *    6.4 s); the materialized set is ∝ batch + touched postings,
+    *    never ∝ index.
+    *  - the checkpoint CUTS the plan, so the trim observation fires
+    *    during materialization and would be invisible to a metrics walk
+    *    over the returned result — it is surfaced HERE as a GUARD-ARMED
+    *    stderr line at collection time. */
+  private def incrementCandidates(oldBanded: DataFrame, newBanded: DataFrame,
+                                  nNewKeys: Long, bucketCap: Int,
+                                  tag: String): DataFrame = {
     val probeKeys = newBanded.select(col("band"), col("bkey")).distinct()
     val touched = oldBanded
-      .join(if (nNew * MinhashBands <= 2000000L) broadcast(probeKeys) else probeKeys,
+      .join(if (nNewKeys <= 2000000L) broadcast(probeKeys) else probeKeys,
         Seq("band", "bkey"), "left_semi")
       .withColumn("is_new", lit(false))
-    // cached: the union feeds the bucket-count agg AND both sides of the
-    // candidate self-join — uncached, the index semi-join subtree re-runs
-    // three times (measured 7.8 s → 2 s on the sf0.1 increment)
-    // EAGERLY materialized (localCheckpoint, not cache): the union feeds
-    // the bucket-count agg and both sides of the candidate self-join —
-    // left lazy, the index semi-join subtree re-runs for each consumer
-    // (and concurrent cache population from the self-join's two sides
-    // double-computes); one eager pass over the touched postings is the
-    // honest cost. The materialized set is ∝ batch + touched postings,
-    // never ∝ index.
     val all = touched.unionByName(newBanded).localCheckpoint()
     val trimmedRaw =
       if (bucketCap == Int.MaxValue) all
@@ -535,37 +556,22 @@ object Dedup {
         all.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
       }
     val trimmed = trimmedRaw.localCheckpoint()
-    // The checkpoint CUTS the plan: the trim observation fires during the
-    // eager materialization above and would be invisible to a metrics
-    // walk over the RETURNED result (Verify's generic GUARD-ARMED reader
-    // sees only LogicalRDD there). Surface it here, at the moment it is
-    // collected, so an armed guard on an increment is as identifiable as
-    // on the whole-corpus path.
     if (bucketCap != Int.MaxValue)
       graft.Observed.metrics(trimmedRaw).foreach { case (name, row) =>
         val armed = name.startsWith("graft_lsh_trim_") &&
           row.toSeq.exists { case l: Long => l != 0L; case _ => false }
         if (armed)
-          System.err.println(s"[graft] dedupIncrement GUARD-ARMED $name: $row — " +
+          System.err.println(s"[graft] $tag GUARD-ARMED $name: $row — " +
             "hot-bucket trim on the increment probe; missing pairs are the guard arming, " +
             "not the algorithm")
       }
-    val cands = trimmed.filter(col("is_new")).as("x")
+    trimmed.filter(col("is_new")).as("x")
       .join(trimmed.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") =!= col("y.doc_id"))
       .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
       .distinct()
-    val allSigs = oldSigs.unionByName(newSigs)
-    val result = verifyOnSignatures(cands, allSigs, threshold, broadcastCands = true)
-    if (append) {
-      // safe to append before the caller evaluates `result`: its plan
-      // reads the snapshot file lists, not the directories
-      newSigs.write.mode("append").parquet(s"$indexDir/signatures.parquet")
-      bandedOf(newSigs).write.mode("append").parquet(s"$indexDir/postings.parquet")
-    }
-    result
   }
 
   /** Immutable part-file snapshot of a parquet directory (append safety
@@ -602,11 +608,15 @@ object Dedup {
   val IncrementSplitDen = 5L
 
   /** The split boundary for a corpus dir — one tiny max() action (the
-    * bounded-transfer pattern; 1 row to the driver). */
-  def incrementSplitAt(s: SparkSession, dir: String): Long = {
-    val maxId = docs(s, dir).agg(max(col("doc_id"))).head().getLong(0)
-    (maxId + 1) * IncrementSplitNum / IncrementSplitDen
-  }
+    * bounded-transfer pattern; 1 row to the driver), memoized per JVM:
+    * the boundary is a pure function of the corpus, and the registered
+    * increment queries would otherwise pay the scan on every bench run. */
+  private val splitMemo = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  def incrementSplitAt(s: SparkSession, dir: String): Long =
+    splitMemo.computeIfAbsent(dir, _ => {
+      val maxId = docs(s, dir).agg(max(col("doc_id"))).head().getLong(0)
+      (maxId + 1) * IncrementSplitNum / IncrementSplitDen
+    }).longValue
 
   private def buildBaseMinhashIndex(s: SparkSession, dir: String): String = {
     val idx = minhashIndexDirFor(dir)
@@ -796,23 +806,8 @@ object Dedup {
   def simhashPairsWide(s: SparkSession, dir: String, maxHamming: Int = 3,
                        nBlocks: Int = 6,
                        bucketCap: Int = HotBucketCap): DataFrame = {
-    require(maxHamming < nBlocks, "pigeonhole exactness needs more blocks than flipped bits")
-    require(nBlocks <= SimhashBits, "at most one bit per block")
-    // block i spans bits [bounds(i), bounds(i+1)) — as even as 64/nBlocks allows
-    val bounds = (0 to nBlocks).map(i => i * SimhashBits / nBlocks)
-    def block(i: Int): Column =
-      shiftrightunsigned(col("simhash"), bounds(i))
-        .bitwiseAND(lit((1L << (bounds(i + 1) - bounds(i))) - 1L))
     val fps = simhashFingerprints(s, dir).cache()
-    val subsets = (0 until nBlocks).combinations(nBlocks - maxHamming).toSeq
-    val bandStructs = subsets.zipWithIndex.map { case (ss, bi) =>
-      // concatenate the subset's blocks into one ≤ 44-bit key
-      val key = ss.foldLeft(lit(0L): Column)((acc, i) =>
-        shiftleft(acc, bounds(i + 1) - bounds(i)).bitwiseOR(block(i)))
-      struct(lit(bi).as("band"), key.as("bkey"))
-    }
-    val banded = fps.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
+    val banded = simhashWideBandedOf(fps, maxHamming, nBlocks)
     bandedCandidatePairs(banded, "doc_id", "doc_a", "doc_b", bucketCap)
       .join(fps.select(col("doc_id").as("doc_a"), col("simhash").as("fp_a")), "doc_a")
       .join(fps.select(col("doc_id").as("doc_b"), col("simhash").as("fp_b")), "doc_b")
@@ -820,6 +815,137 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
+
+  /** Block boundaries of the wide-key family: block i spans bits
+    * `[bounds(i), bounds(i+1))`, as even as 64/nBlocks allows — the ONE
+    * home of the layout, shared by the Spark banding and the index-build
+    * oracle's SQL generator so the two cannot disagree on a bit. */
+  private def wideBlockBounds(nBlocks: Int): IndexedSeq[Int] =
+    (0 to nBlocks).map(i => i * SimhashBits / nBlocks)
+
+  private def wideSubsets(maxHamming: Int, nBlocks: Int): Seq[Seq[Int]] = {
+    require(maxHamming < nBlocks, "pigeonhole exactness needs more blocks than flipped bits")
+    require(nBlocks <= SimhashBits, "at most one bit per block")
+    (0 until nBlocks).combinations(nBlocks - maxHamming).map(_.toSeq).toSeq
+  }
+
+  /** `(doc_id, band, bkey)` wide-key band postings of a fingerprint table
+    * — the banding law of the production SimHash tier, single-sourced for
+    * [[simhashPairsWide]] and the persisted index
+    * ([[buildSimhashIndex]]/[[simhashDedupIncrement]]). */
+  private def simhashWideBandedOf(fps: DataFrame, maxHamming: Int,
+                                  nBlocks: Int): DataFrame = {
+    val bounds = wideBlockBounds(nBlocks)
+    def block(i: Int): Column =
+      shiftrightunsigned(col("simhash"), bounds(i))
+        .bitwiseAND(lit((1L << (bounds(i + 1) - bounds(i))) - 1L))
+    val bandStructs = wideSubsets(maxHamming, nBlocks).zipWithIndex.map { case (ss, bi) =>
+      // concatenate the subset's blocks into one ≤ 44-bit key
+      val key = ss.foldLeft(lit(0L): Column)((acc, i) =>
+        shiftleft(acc, bounds(i + 1) - bounds(i)).bitwiseOR(block(i)))
+      struct(lit(bi).as("band"), key.as("bkey"))
+    }
+    fps.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
+  }
+
+  // -----------------------------------------------------------------
+  // Persisted / incremental SimHash-wide index (round 11, beyond-verdict
+  // symmetry: the second production dedup family gets the same daily-
+  // ingest shape as the MinHash index)
+  // -----------------------------------------------------------------
+
+  /** Persist the production SimHash-wide near-dup index: fingerprints
+    * (one 64-bit long per doc — 16× smaller than the MinHash signature
+    * table), wide-key band postings, and a `(bits, n_blocks, max_hamming)`
+    * meta handshake (the band-key LAYOUT depends on all three — an
+    * increment against a different layout would probe garbage keys, so it
+    * refuses instead). Fingerprints are pure per-document functions, so
+    * the same increment ≡ restricted-full-recompute law holds — and here
+    * the full-recompute comparison is the brute-force all-pairs oracle
+    * itself, because the wide tier is pigeonhole-EXACT at ≤ maxHamming. */
+  def buildSimhashIndex(s: SparkSession, d: DataFrame, indexDir: String,
+                        maxHamming: Int = 3, nBlocks: Int = 6): Unit = {
+    import s.implicits._
+    val fps = simhashFingerprintsOf(s, d).cache()
+    fps.write.mode("overwrite").parquet(s"$indexDir/fingerprints.parquet")
+    simhashWideBandedOf(fps, maxHamming, nBlocks)
+      .write.mode("overwrite").parquet(s"$indexDir/postings.parquet")
+    Seq((SimhashBits, nBlocks, maxHamming))
+      .toDF("bits", "n_blocks", "max_hamming")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta.parquet")
+    fps.unpersist()
+  }
+
+  /** Dedup a NEW batch against a [[buildSimhashIndex]] persisted index —
+    * the [[dedupIncrement]] machinery on the SimHash-wide family:
+    * fingerprint the batch (one long per doc), probe the stored postings
+    * with the batch's wide keys, verify candidates with the exact
+    * `bit_count(xor) ≤ maxHamming` test on fingerprints, append when
+    * asked. Pigeonhole exactness survives the split: a ≤ maxHamming pair
+    * agrees on some (nBlocks − maxHamming)-block subset REGARDLESS of
+    * which side is indexed, so the emitted pairs are exactly the
+    * brute-force pairs touching the batch (the hash gate's law). Probe
+    * cost ∝ batch + touched postings; the 64-bit fingerprint re-verify
+    * reads 8 bytes per candidate side. */
+  def simhashDedupIncrement(s: SparkSession, newDocs: DataFrame, indexDir: String,
+                            maxHamming: Int = 3, nBlocks: Int = 6,
+                            bucketCap: Int = HotBucketCap,
+                            append: Boolean = true): DataFrame = {
+    val meta = s.read.parquet(s"$indexDir/meta.parquet").head()
+    require(meta.getInt(0) == SimhashBits && meta.getInt(1) == nBlocks &&
+        meta.getInt(2) == maxHamming,
+      s"index at $indexDir built with (bits,blocks,maxHamming)=" +
+        s"(${meta.getInt(0)},${meta.getInt(1)},${meta.getInt(2)}); " +
+        s"caller passed ($SimhashBits,$nBlocks,$maxHamming) — rebuild the index")
+    val oldBanded = s.read.parquet(parquetPartFiles(s, s"$indexDir/postings.parquet"): _*)
+    val oldFps = s.read.parquet(parquetPartFiles(s, s"$indexDir/fingerprints.parquet"): _*)
+    val newFps = simhashFingerprintsOf(s, newDocs).cache()
+    val nNew = newFps.count()
+    val nBands = wideSubsets(maxHamming, nBlocks).length
+    val newBanded = simhashWideBandedOf(newFps, maxHamming, nBlocks)
+      .withColumn("is_new", lit(true))
+    val cands = incrementCandidates(oldBanded, newBanded,
+      nNew * nBands, bucketCap, "simhashDedupIncrement")
+    val allFps = oldFps.unionByName(newFps)
+    val result = broadcast(cands)
+      .join(allFps.select(col("doc_id").as("doc_a"), col("simhash").as("fp_a")), "doc_a")
+      .join(allFps.select(col("doc_id").as("doc_b"), col("simhash").as("fp_b")), "doc_b")
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+    if (append) {
+      newFps.write.mode("append").parquet(s"$indexDir/fingerprints.parquet")
+      simhashWideBandedOf(newFps, maxHamming, nBlocks)
+        .write.mode("append").parquet(s"$indexDir/postings.parquet")
+    }
+    result
+  }
+
+  private val builtSimhashIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Registered increment (`q_dedup_simhash_inc`): the top-1/5 split
+    * deduped against the persisted bottom-4/5 SimHash-wide index (base
+    * built on first use per JVM; `append = false` keeps repeat runs
+    * pure). Hash-gated: the wide tier is pigeonhole-exact, so the oracle
+    * is the brute-force all-pairs scan at the radius, restricted to pairs
+    * touching the new split. */
+  def simhashIncrementQuery(s: SparkSession, dir: String): DataFrame = {
+    val had = builtSimhashIndexes.containsKey(dir)
+    val idx = builtSimhashIndexes.computeIfAbsent(dir, _ => {
+      val p = minhashIndexDirFor(dir) + "-simhash"
+      buildSimhashIndex(s, docs(s, dir).filter(col("doc_id") < incrementSplitAt(s, dir)), p)
+      p
+    })
+    println(s"[graft] q_dedup_simhash_inc: index ${if (had) "cache-hit" else "built-on-first-use"} at $idx")
+    simhashDedupIncrement(s, docs(s, dir).filter(col("doc_id") >= incrementSplitAt(s, dir)),
+      idx, append = false)
+  }
+
+  def simhashIncrementSql(maxHamming: Int = 3): String =
+    simhashPairsSql(maxHamming) +
+      s"\n  AND (a.doc_id >= $incrementSplitSql OR b.doc_id >= $incrementSplitSql)"
 
   // -----------------------------------------------------------------
   // Embedding cosine near-dup
@@ -1423,7 +1549,8 @@ object Dedup {
     "q_dedup_substrings" -> ((s: SparkSession, d: String) => substringDupStats(s, d)),
     "q_dedup_clusters_star" -> (nearDupClustersStar _),
     "q_dedup_index_build" -> (minhashIndexBuildQuery _),
-    "q_dedup_incremental" -> (dedupIncrementQuery _))
+    "q_dedup_incremental" -> (dedupIncrementQuery _),
+    "q_dedup_simhash_inc" -> (simhashIncrementQuery _))
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> exactDedupSql,
@@ -1449,5 +1576,8 @@ object Dedup {
     // increment's "full pair set restricted to pairs touching the new
     // split" law — both from the same single-sourced CTE prefix
     "q_dedup_index_build" -> minhashIndexBuildSql(),
-    "q_dedup_incremental" -> dedupIncrementSql())
+    "q_dedup_incremental" -> dedupIncrementSql(),
+    // the wide tier is pigeonhole-exact, so its increment's oracle is the
+    // brute-force radius scan restricted to pairs touching the new split
+    "q_dedup_simhash_inc" -> simhashIncrementSql())
 }

@@ -86,6 +86,50 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(capped.isEmpty && uncapped.nonEmpty)
   }
 
+  private def hamSet(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Long] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+  test("simhash increment == wide-tier recompute restricted to pairs touching the new split") {
+    val full = hamSet(Dedup.simhashPairsWide(spark, sf))
+    val split = Dedup.incrementSplitAt(spark, sf)
+    val expected = full.filter { case ((a, b), _) => a >= split || b >= split }
+    val idx = tmpIdx("sh")
+    Dedup.buildSimhashIndex(spark, docsAt(sf).filter(col("doc_id") < split), idx)
+    val inc = hamSet(Dedup.simhashDedupIncrement(spark,
+      docsAt(sf).filter(col("doc_id") >= split), idx, append = false))
+    assert(inc == expected,
+      s"missing=${expected.keySet -- inc.keySet} extra=${inc.keySet -- expected.keySet}")
+    assert(expected.nonEmpty)
+  }
+
+  test("simhash increment appends: second batch sees the first") {
+    val full = hamSet(Dedup.simhashPairsWide(spark, sf))
+    val idx = tmpIdx("sh2")
+    Dedup.buildSimhashIndex(spark, docsAt(sf).filter(col("doc_id") < 150), idx)
+    val inc1 = Dedup.simhashDedupIncrement(spark,
+      docsAt(sf).filter(col("doc_id") >= 150 && col("doc_id") < 300), idx).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inc2 = Dedup.simhashDedupIncrement(spark,
+      docsAt(sf).filter(col("doc_id") >= 300), idx).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exp1 = full.keySet.filter { case (a, b) =>
+      Seq(a, b).exists(i => i >= 150 && i < 300) && a < 300 && b < 300 }
+    val exp2 = full.keySet.filter { case (a, b) => a >= 300 || b >= 300 }
+    assert(inc1 == exp1 && inc2 == exp2)
+  }
+
+  test("simhash increment refuses a different band-key layout") {
+    val idx = tmpIdx("shmeta")
+    Dedup.buildSimhashIndex(spark, docsAt(sf).filter(col("doc_id") < 50), idx,
+      maxHamming = 3, nBlocks = 6)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simhashDedupIncrement(spark,
+        docsAt(sf).filter(col("doc_id") >= 50 && col("doc_id") < 60), idx,
+        maxHamming = 2, nBlocks = 6, append = false)
+    }
+    assert(e.getMessage.contains("rebuild"))
+  }
+
   test("increment refuses an index built under different LSH hyperparameters") {
     import spark.implicits._
     val idx = tmpIdx("meta")
