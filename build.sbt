@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench's machine-readable LAST stdout line must survive a consumer that
+// keeps only a small tail and parses the final line: pass the forked
+// program's stdout through raw (no "[info] " logger prefix) and drop the
+// "[success] Total time" banner that would otherwise land AFTER it.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -133,6 +133,9 @@ object Bench {
     val telemetryAfter = hostSnapshot()
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
     def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // env-supplied strings go through a JSON string escape — a quote or
+    // backslash in a path must not break the anchor tooling's parse
+    def jstr(v: String): String = v.replace("\\", "\\\\").replace("\"", "\\\"")
     val qs = results.map { case (k, v, _) => s""""$k":${v.map(f3).getOrElse("null")}""" }
       .mkString("{", ",", "}")
     // failed runs ride as null so the array length ALWAYS equals `runs` —
@@ -152,9 +155,9 @@ object Bench {
         val fr = fixtureResults.map { case (k, _, ss) =>
           s""""$k":${ss.map(_.map(f3).getOrElse("null")).mkString("[", ",", "]")}"""
         }.mkString("{", ",", "}")
-        s""","dedup_fixture":{"dir":"$fixtureDir","queries":$fq,"samples":$fr}"""
+        s""","dedup_fixture":{"dir":"${jstr(fixtureDir)}","queries":$fq,"samples":$fr}"""
       }
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"${jstr(sfDir)}"""" +
       s""","runs":$runs,"samples":$raw$fixtureJson,"host_before":$telemetryBefore,"host_after":$telemetryAfter}"""
     println(line)
     // the driver's log capture keeps only a ~2 KB TAIL of stdout, so the
@@ -180,8 +183,8 @@ object Bench {
     val slowest = results.collect { case (k, Some(v), _) => (k, v) }
       .sortBy(-_._2).take(10)
       .map { case (k, v) => s""""$k":${f3(v)}""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","runs":$runs""" +
-      s""","n_queries":${results.size},"queries_file":"$out","slowest":$slowest""" +
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"${jstr(sfDir)}","runs":$runs""" +
+      s""","n_queries":${results.size},"queries_file":"${jstr(out)}","slowest":$slowest""" +
       s""","host_before":$telemetryBefore,"host_after":$telemetryAfter}""")
     spark.stop()
   }

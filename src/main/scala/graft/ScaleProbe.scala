@@ -24,6 +24,14 @@ import org.apache.spark.sql.functions._
   *    Θ(k²·n) output of a copied corpus.
   */
 object ScaleProbe {
+  /** Drop EVERY `.built_*` corpus-cache marker (rich and varied) in `dir`:
+    * any rebuild of `documents.parquet` invalidates all modes' caches, so a
+    * marker from another mode surviving a rebuild would let that mode
+    * silently train on the wrong corpus. */
+  private def clearBuiltMarkers(dir: java.io.File): Unit =
+    Option(dir.listFiles).toSeq.flatten
+      .filter(_.getName.startsWith(".built_")).foreach(_.delete())
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -490,6 +498,10 @@ object ScaleProbe {
               writeReplicated(docs, s"$dst/documents.parquet")
             }
             Option(marker.getParentFile).foreach(_.mkdirs())
+            // the rebuild overwrote documents.parquet, so EVERY mode's
+            // marker is now stale — a surviving .built_varied_* would let a
+            // later VARIED run skip its own rebuild and train on this corpus
+            clearBuiltMarkers(marker.getParentFile)
             marker.createNewFile()
           }
           Some(dst)
@@ -505,8 +517,8 @@ object ScaleProbe {
           if (!new java.io.File(s"$dst/documents.parquet").exists || !marker.exists) {
             time("build")(buildDocs(varied = true))
             Option(marker.getParentFile).foreach(_.mkdirs())
-            marker.getParentFile.listFiles.filter(_.getName.startsWith(".built_varied"))
-              .foreach(_.delete())
+            // clear rich AND varied markers: this rebuild invalidates both
+            clearBuiltMarkers(marker.getParentFile)
             marker.createNewFile()
           }
           dst

@@ -500,7 +500,12 @@ object Dedup {
     val cands = incrementCandidates(oldBanded, newBanded,
       nNew * MinhashBands, bucketCap, "dedupIncrement")
     val allSigs = oldSigs.unionByName(newSigs)
-    val result = verifyOnSignatures(cands, allSigs, threshold, broadcastCands = true)
+    // broadcast the candidate pairs only while the batch is daily-sized
+    // (same 2M bound as the probe side): a backfill batch's candidate set
+    // can exceed the 8 GB broadcast hard limit, and the doc contract says
+    // backfills fall back to the keyed shuffle, not fail
+    val result = verifyOnSignatures(cands, allSigs, threshold,
+      broadcastCands = nNew * MinhashBands <= 2000000L)
     if (append) {
       // safe to append before the caller evaluates `result`: its plan
       // reads the snapshot file lists, not the directories
@@ -543,7 +548,7 @@ object Dedup {
       .join(if (nNewKeys <= 2000000L) broadcast(probeKeys) else probeKeys,
         Seq("band", "bkey"), "left_semi")
       .withColumn("is_new", lit(false))
-    val all = touched.unionByName(newBanded).localCheckpoint()
+    val all = graft.Checkpoints.local(touched.unionByName(newBanded))
     val trimmedRaw =
       if (bucketCap == Int.MaxValue) all
       else {
@@ -555,7 +560,7 @@ object Dedup {
           .select(col("band"), col("bkey"))
         all.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
       }
-    val trimmed = trimmedRaw.localCheckpoint()
+    val trimmed = graft.Checkpoints.local(trimmedRaw)
     if (bucketCap != Int.MaxValue)
       graft.Observed.metrics(trimmedRaw).foreach { case (name, row) =>
         val armed = name.startsWith("graft_lsh_trim_") &&
@@ -908,7 +913,10 @@ object Dedup {
     val cands = incrementCandidates(oldBanded, newBanded,
       nNew * nBands, bucketCap, "simhashDedupIncrement")
     val allFps = oldFps.unionByName(newFps)
-    val result = broadcast(cands)
+    // same backfill guard as dedupIncrement's verify: broadcast only while
+    // the batch is under the probe bound, else let AQE pick the join
+    val cands2 = if (nNew * nBands <= 2000000L) broadcast(cands) else cands
+    val result = cands2
       .join(allFps.select(col("doc_id").as("doc_a"), col("simhash").as("fp_a")), "doc_a")
       .join(allFps.select(col("doc_id").as("doc_b"), col("simhash").as("fp_b")), "doc_b")
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))

@@ -32,6 +32,19 @@ def median(xs):
     return s[n // 2] if n % 2 == 1 else (s[n // 2 - 1] + s[n // 2]) / 2.0
 
 
+def fixture_min_median(q, s1, s2):
+    """Min of the sweeps' fixture-row medians; sweeps where every run of the
+    row failed (all-null samples) are skipped rather than crashing median([]),
+    and a row with no data in EITHER sweep records null."""
+    meds = []
+    for s in (s1, s2):
+        samples = s.get("dedup_fixture", {}).get("samples", {})
+        good = [x for x in samples.get(q, []) if x is not None]
+        if good:
+            meds.append(median(good))
+    return round(min(meds), 3) if meds else None
+
+
 def main(argv):
     force = "--force" in argv
     argv = [a for a in argv if a != "--force"]
@@ -99,11 +112,7 @@ def main(argv):
             {
                 "dir": s1["dedup_fixture"]["dir"],
                 "queries": {
-                    q: round(min(
-                        median([x for x in s["dedup_fixture"]["samples"][q]
-                                if x is not None])
-                        for s in (s1, s2) if q in s.get(
-                            "dedup_fixture", {}).get("samples", {})), 3)
+                    q: fixture_min_median(q, s1, s2)
                     for q in sorted(s1["dedup_fixture"]["samples"])
                 },
                 "samples": [s["dedup_fixture"]["samples"] for s in (s1, s2)],
@@ -114,6 +123,23 @@ def main(argv):
                             "is the quietness gate; host_after reflects the bench's "
                             "own 32-thread load)"),
     }
+    # fixture-first regression alarm (r11 verdict #5): the fixture corpus is
+    # COMMITTED, so a fixture row moving >1.5x round-over-round is code (or
+    # host), never a driver testdata regen — print it loudly before the old
+    # anchor's datum is overwritten.
+    import os
+    if anchor["dedup_fixture"] and os.path.exists(out_path):
+        try:
+            prev = json.load(open(out_path)).get("dedup_fixture") or {}
+        except Exception:
+            prev = {}
+        for q, old in (prev.get("queries") or {}).items():
+            new = anchor["dedup_fixture"]["queries"].get(q)
+            if old and new and (new / old > 1.5 or old / new > 1.5):
+                print(f"!!! FIXTURE DRIFT: {q} {old}s -> {new}s "
+                      f"({new / old:.2f}x) on the COMMITTED fixture corpus — "
+                      "this is code or host contention, NOT a data regen; "
+                      "investigate before committing this anchor")
     with open(out_path, "w") as f:
         json.dump(anchor, f)
         f.write("\n")
