@@ -17,6 +17,9 @@ run / fork := true
 // "[success] Total time" banner that would otherwise land AFTER it.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 ThisBuild / showSuccess := false
+// showSuccess is consumed by sbt's command layer, which the unused-key
+// lint cannot see
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

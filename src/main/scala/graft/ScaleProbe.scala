@@ -424,12 +424,33 @@ object ScaleProbe {
             .write.format("noop").mode("overwrite").save()
         }
         spark.catalog.clearCache(); Checkpoints.releaseAll()
+        // decision-layer baseline (r12 task 1): what a from-scratch daily
+        // run pays AFTER the pairs — full-corpus connected components
+        val tClusterFull = time("full_recluster") {
+          graft.operators.Dedup.clusterPairsStar(
+            graft.operators.Dedup.minhashLshPairs(spark, dst)
+              .select(col("doc_a"), col("doc_b")))
+            .write.format("noop").mode("overwrite").save()
+        }
+        spark.catalog.clearCache(); Checkpoints.releaseAll()
         val idxDir = s"$dst/mhindex"
         val nOld = d.filter(!isBatch).count()
         val nNew = d.filter(isBatch).count()
         val tBuild = time("index_build") {
           graft.operators.Dedup.buildMinhashIndex(spark,
             d.filter(!isBatch), idxDir, s"$dst#old")
+        }
+        spark.catalog.clearCache(); Checkpoints.releaseAll()
+        val tState = time("cluster_state_build") {
+          graft.operators.Dedup.buildClusterState(spark, idxDir)
+        }
+        spark.catalog.clearCache(); Checkpoints.releaseAll()
+        // cluster merge over the old-only state BEFORE the pair-append leg
+        // mutates the index; fresh memoKey so batch signing is billed here
+        val tClusterInc = time("cluster_increment") {
+          val out = graft.operators.Dedup.clusterIncrement(spark,
+            d.filter(isBatch), idxDir, s"$dst#newc", append = false)
+          println(s"SCALE${k}X[incdedup] cluster increment labels: ${out.count()}")
         }
         spark.catalog.clearCache(); Checkpoints.releaseAll()
         val tInc = time("increment_with_append") {
@@ -442,6 +463,9 @@ object ScaleProbe {
           f"(${nNew * 100.0 / (nOld + nNew)}%.1f%%): increment ${tInc}%.2f s vs " +
           f"full recompute ${tFull}%.2f s (${tFull / tInc}%.1f x; index build ${tBuild}%.2f s " +
           "paid once per corpus version)")
+        println(f"SCALE${k}X[incdedup] decision layer: cluster increment ${tClusterInc}%.2f s " +
+          f"vs full pairs+recluster ${tClusterFull}%.2f s (${tClusterFull / tClusterInc}%.1f x; " +
+          f"state build ${tState}%.2f s paid once per corpus version)")
 
       case "bpetrain" =>
         // sequential-vs-batched trainer cost at R merges on sf0.1: the

@@ -678,6 +678,134 @@ object Dedup {
       s" AND (c.doc_a >= $incrementSplitSql OR c.doc_b >= $incrementSplitSql)")
 
   // -----------------------------------------------------------------
+  // Persisted / incremental dedup CLUSTER state (round-12 verdict
+  // task 1: the DECISION layer of the daily-ingest story — the pair
+  // indexes removed the signature recompute; this removes the
+  // full-corpus re-clustering that followed it)
+  // -----------------------------------------------------------------
+
+  /** Build and persist the near-dup CLUSTER state of a
+    * [[buildMinhashIndex]] index: `clusters.parquet`
+    * `(doc_id, cluster_id, keep)` — connected-component labels over the
+    * indexed corpus's LSH pairs, `cluster_id` = the component's minimum
+    * doc_id and `keep` its canonical-representative flag (the decision a
+    * curation pass reads directly). Pairs are derived from the index's
+    * OWN stored signatures and postings (the text never re-enters), so
+    * building state on an existing index costs one banded self-join +
+    * verify + the O(log n) star alternation — no re-shingling. Only
+    * documents appearing in ≥1 pair are stored: an absent doc_id is its
+    * own singleton cluster with `keep = true` by convention, which keeps
+    * state ∝ near-dup mass, not ∝ corpus. */
+  def buildClusterState(s: SparkSession, indexDir: String,
+                        threshold: Double = 0.5,
+                        bucketCap: Int = HotBucketCap): Unit = {
+    val sigs = s.read.parquet(s"$indexDir/signatures.parquet")
+    val banded = s.read.parquet(s"$indexDir/postings.parquet")
+    val cands = bandedCandidatePairs(banded, "doc_id", "doc_a", "doc_b", bucketCap)
+    val pairs = verifyOnSignatures(cands, sigs, threshold)
+    clusterPairsStar(pairs.select(col("doc_a"), col("doc_b")))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+      .write.mode("overwrite").parquet(s"$indexDir/clusters.parquet")
+  }
+
+  /** Merge one ingest batch into persisted cluster state: run
+    * [[dedupIncrement]] for the batch's pairs, then re-run the star
+    * alternation over ONLY the components those pairs touch — never the
+    * corpus. Old components enter the subgraph as their STAR EDGES
+    * (member → stored label), which preserve exactly their connectivity,
+    * so the alternation sees the same component structure a full
+    * recompute would and emits the same minimum-id labels; components no
+    * new pair touches are untouched by construction and keep their
+    * stored rows verbatim. Cost ∝ batch + touched components.
+    *
+    * Returns the recomputed labels `(doc_id, cluster_id, keep)` for every
+    * member of a batch-touching component (old and new). When `append`,
+    * the persisted state is REWRITTEN as untouched ∪ recomputed — at
+    * deployment scale this rewrite is the one batch-shaped step left
+    * (a label table of three thin columns; a Delta/Iceberg MERGE keyed
+    * on doc_id replaces it without changing the dataflow). */
+  def clusterIncrement(s: SparkSession, newDocs: DataFrame, indexDir: String,
+                       memoKey: String, threshold: Double = 0.5,
+                       bucketCap: Int = HotBucketCap,
+                       append: Boolean = true): DataFrame = {
+    // snapshot the state part files FIRST: the append path rewrites them,
+    // and the untouched side must read the pre-batch state
+    val state = s.read.parquet(parquetPartFiles(s, s"$indexDir/clusters.parquet"): _*)
+      .select(col("doc_id"), col("cluster_id"))
+    val newPairs = graft.Checkpoints.local(
+      dedupIncrement(s, newDocs, indexDir, memoKey, threshold, bucketCap, append)
+        .select(col("doc_a"), col("doc_b")))
+    val nPairs = newPairs.count() // checkpointed above — a metadata count
+    // labels of components adjacent to any new pair; bounded by 2·pairs,
+    // so the daily-batch case broadcasts (the incrementCandidates bound)
+    val touchedDocs = newPairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+    val touchedLabelsRaw = state.join(touchedDocs, Seq("doc_id"), "left_semi")
+      .select(col("cluster_id")).distinct()
+    val touchedLabels =
+      if (2 * nPairs <= 2000000L) broadcast(touchedLabelsRaw) else touchedLabelsRaw
+    val touchedState = state.join(touchedLabels, Seq("cluster_id"), "left_semi")
+    val starEdges = touchedState.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
+    // clusterPairsStar eagerly checkpoints its input, so the returned
+    // labels no longer reference the snapshot files the append overwrites
+    val relabeled = clusterPairsStar(starEdges.unionByName(newPairs))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+    if (append) {
+      val untouched = state.join(touchedLabels, Seq("cluster_id"), "left_anti")
+        .withColumn("keep", col("doc_id") === col("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"), col("keep"))
+      val merged = graft.Checkpoints.local(
+        untouched.unionByName(relabeled.select(col("doc_id"), col("cluster_id"), col("keep"))))
+      merged.write.mode("overwrite").parquet(s"$indexDir/clusters.parquet")
+    }
+    relabeled.select(col("doc_id"), col("cluster_id"))
+  }
+
+  private val builtClusterStates =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Registered increment (`q_dedup_cluster_inc`): the top-1/5 split's
+    * pairs merged into the persisted bottom-4/5 cluster state (index and
+    * state built on first use per JVM; `append = false` keeps repeat runs
+    * pure). Hash-gated: the output law is "the full-corpus LSH closure's
+    * labels, restricted to components containing a batch document" —
+    * star edges preserve old-component connectivity and [[dedupIncrement]]
+    * supplies exactly the full pair set touching the batch, so the merged
+    * subgraph's components (and their minimum-id labels) equal the full
+    * recompute's. */
+  def clusterIncrementQuery(s: SparkSession, dir: String): DataFrame = {
+    val idx = builtMinhashIndexes.computeIfAbsent(dir, _ => buildBaseMinhashIndex(s, dir))
+    val had = builtClusterStates.containsKey(dir)
+    builtClusterStates.computeIfAbsent(dir, _ => { buildClusterState(s, idx); idx })
+    println(s"[graft] q_dedup_cluster_inc: state ${if (had) "cache-hit" else "built-on-first-use"} at $idx")
+    clusterIncrement(s, docs(s, dir).filter(col("doc_id") >= incrementSplitAt(s, dir)),
+      idx, s"$dir#new", append = false)
+  }
+
+  /** DuckDB twin of [[clusterIncrementQuery]]: the full-corpus
+    * [[minhashLshPairsSql]] pair oracle, the [[nearDupClustersSql]]
+    * reachability closure, restricted to components containing any
+    * new-split document. */
+  def clusterIncrementSql(threshold: Double = 0.5): String = {
+    val pairsSubquery = "(" + minhashLshPairsSql(threshold) + ")"
+    """WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM __PAIRS__ p),
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |          UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |clusters AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+      |             FROM reach GROUP BY src)
+      |SELECT doc_id, cluster_id FROM clusters
+      |WHERE cluster_id IN (
+      |  SELECT cluster_id FROM clusters WHERE doc_id >= __SPLIT__)""".stripMargin
+      .replace("__PAIRS__", pairsSubquery)
+      .replace("__SPLIT__", incrementSplitSql)
+  }
+
+  // -----------------------------------------------------------------
   // SimHash
   // -----------------------------------------------------------------
 
@@ -1558,7 +1686,8 @@ object Dedup {
     "q_dedup_clusters_star" -> (nearDupClustersStar _),
     "q_dedup_index_build" -> (minhashIndexBuildQuery _),
     "q_dedup_incremental" -> (dedupIncrementQuery _),
-    "q_dedup_simhash_inc" -> (simhashIncrementQuery _))
+    "q_dedup_simhash_inc" -> (simhashIncrementQuery _),
+    "q_dedup_cluster_inc" -> (clusterIncrementQuery _))
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> exactDedupSql,
@@ -1587,5 +1716,9 @@ object Dedup {
     "q_dedup_incremental" -> dedupIncrementSql(),
     // the wide tier is pigeonhole-exact, so its increment's oracle is the
     // brute-force radius scan restricted to pairs touching the new split
-    "q_dedup_simhash_inc" -> simhashIncrementSql())
+    "q_dedup_simhash_inc" -> simhashIncrementSql(),
+    // decision layer: the full closure restricted to components containing
+    // a batch document — the increment merge must reproduce it label for
+    // label
+    "q_dedup_cluster_inc" -> clusterIncrementSql())
 }

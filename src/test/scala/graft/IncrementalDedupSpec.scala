@@ -130,6 +130,66 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("rebuild"))
   }
 
+  private def labelSet(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.select("doc_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("cluster increment == full-closure labels on components touching the batch") {
+    val split = Dedup.incrementSplitAt(spark, sf)
+    val fullLabels = labelSet(Dedup.clusterPairsStar(
+      Dedup.minhashLshPairs(spark, sf).select(col("doc_a"), col("doc_b"))))
+    val touchingClusters = fullLabels.collect {
+      case (doc, c) if doc >= split => c }.toSet
+    val expected = fullLabels.filter { case (_, c) => touchingClusters(c) }
+    val idx = tmpIdx("clusters")
+    Dedup.buildMinhashIndex(spark,
+      docsAt(sf).filter(col("doc_id") < split), idx, s"$idx#old")
+    Dedup.buildClusterState(spark, idx)
+    val inc = labelSet(Dedup.clusterIncrement(spark,
+      docsAt(sf).filter(col("doc_id") >= split), idx, s"$idx#new", append = false))
+    assert(inc == expected,
+      s"missing=${expected.toSet -- inc.toSet} extra=${inc.toSet -- expected.toSet}")
+    assert(expected.nonEmpty, "split should touch at least one component")
+  }
+
+  test("appended cluster increments converge to the full-rebuild state") {
+    val idx = tmpIdx("clstate")
+    Dedup.buildMinhashIndex(spark,
+      docsAt(sf).filter(col("doc_id") < 150), idx, s"$idx#c0")
+    Dedup.buildClusterState(spark, idx)
+    Dedup.clusterIncrement(spark,
+      docsAt(sf).filter(col("doc_id") >= 150 && col("doc_id") < 300),
+      idx, s"$idx#c1", append = true).collect()
+    Dedup.clusterIncrement(spark,
+      docsAt(sf).filter(col("doc_id") >= 300), idx, s"$idx#c2", append = true).collect()
+    val incremental = spark.read.parquet(s"$idx/clusters.parquet")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    // ground truth: state built in one shot over an index of the whole corpus
+    val full = tmpIdx("clfull")
+    Dedup.buildMinhashIndex(spark, docsAt(sf), full, s"$full#all")
+    Dedup.buildClusterState(spark, full)
+    val rebuilt = spark.read.parquet(s"$full/clusters.parquet")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(incremental == rebuilt,
+      s"missing=${rebuilt -- incremental} extra=${incremental -- rebuilt}")
+    assert(rebuilt.nonEmpty)
+  }
+
+  test("cluster increment with a pairless batch is empty and leaves state unchanged") {
+    val idx = tmpIdx("clempty")
+    Dedup.buildMinhashIndex(spark,
+      docsAt(sf).filter(col("doc_id") < 250), idx, s"$idx#old")
+    Dedup.buildClusterState(spark, idx)
+    val before = spark.read.parquet(s"$idx/clusters.parquet")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val out = Dedup.clusterIncrement(spark,
+      docsAt(sf).filter(lit(false)), idx, s"$idx#noop", append = true)
+    assert(out.count() == 0)
+    val after = spark.read.parquet(s"$idx/clusters.parquet")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == before)
+  }
+
   test("increment refuses an index built under different LSH hyperparameters") {
     import spark.implicits._
     val idx = tmpIdx("meta")
