@@ -114,7 +114,13 @@ object Bench {
       if (only.isDefined || !new java.io.File(s"$fixtureDir/documents.parquet").exists) Nil
       else Seq[(String, SparkSession => org.apache.spark.sql.DataFrame)](
         "dedup_minhash_lsh_fixture" -> (s => graft.operators.Dedup.minhashLshPairs(s, fixtureDir)),
-        "dedup_simhash_fixture" -> (s => graft.operators.Dedup.simhashPairs(s, fixtureDir))
+        "dedup_simhash_fixture" -> (s => graft.operators.Dedup.simhashPairs(s, fixtureDir)),
+        // the two regen-sensitive COMPOSITES (r11 verdict #5 follow-up):
+        // the production LSH pipeline and the star-alternation clusters,
+        // pinned on the committed corpus so their anchor drift is
+        // attributable round-over-round
+        "dedup_pipeline_lsh_fixture" -> (s => graft.operators.Dedup.dedupPipelineLsh(s, fixtureDir)),
+        "dedup_clusters_star_fixture" -> (s => graft.operators.Dedup.nearDupClustersStar(s, fixtureDir))
       ).map { case (name, fn) =>
         val samples: Seq[Option[Double]] = (1 to runs).map { _ =>
           val t0 = System.nanoTime()

@@ -329,6 +329,75 @@ object ScaleProbe {
         }
         }
 
+      case "appendpq" =>
+        // IVF-PQ append at scale and over repetition (round-12 verdict
+        // task 6): a FIXED batch (the vec_id%10==9 slice of replica 0,
+        // ~500 vectors at every k) appended to an index that grows with
+        // k — run the mode at two k values and append cost must stay
+        // flat while index build grows ∝ corpus. Then the REPETITION leg:
+        // the same batch split into 5 sequential appends, after which the
+        // multi-appended index must serve IDENTICAL results to a fresh
+        // same-model rebuild (the per-vector purity law, demonstrated at
+        // hard interpolated-mixture geometry where drift would actually
+        // show), with recall@10 vs brute force reported for both.
+        time("build")(buildEmbeddings(varied = true))
+        val ee = Tables(spark, dst, "embeddings")
+        val isB = col("vec_id") < 1000000L && col("vec_id") % 10 === 9
+        val oldE = ee.filter(!isB)
+        val nOldE = oldE.count(); val nBatch = ee.filter(isB).count()
+        val cents = graft.operators.Similarity.learnCentroids(spark, oldE)
+        val books = graft.functions.VectorOps.hyperplanes(8 * 16, 8, seed = 77L)
+        def freshDir(name: String): String = {
+          val p = new org.apache.hadoop.fs.Path(s"$dst/$name")
+          val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fsys.exists(p)) fsys.delete(p, true)
+          p.toString
+        }
+        val idxOne = freshDir("pqidx_one")
+        val tIdx = time("index_build") {
+          graft.operators.Similarity.buildIvfPqIndexOver(spark, oldE, idxOne, cents, books)
+        }
+        spark.catalog.clearCache(); Checkpoints.releaseAll()
+        val tApp = time("append_batch") {
+          graft.operators.Similarity.appendToIvfPqIndex(spark, ee.filter(isB), idxOne)
+        }
+        spark.catalog.clearCache(); Checkpoints.releaseAll()
+        println(f"SCALE${k}X[appendpq] batch $nBatch onto $nOldE-vector index: " +
+          f"append ${tApp}%.2f s vs index build ${tIdx}%.2f s")
+        // repetition leg: 5 sequential sub-batch appends
+        val idxMulti = freshDir("pqidx_multi")
+        graft.operators.Similarity.buildIvfPqIndexOver(spark, oldE, idxMulti, cents, books)
+        for (j <- 0 until 5) {
+          time(f"append_sub_$j") {
+            graft.operators.Similarity.appendToIvfPqIndex(spark,
+              ee.filter(isB && (col("vec_id") / 10) % 5 === j), idxMulti)
+          }
+          spark.catalog.clearCache(); Checkpoints.releaseAll()
+        }
+        val idxFull = freshDir("pqidx_full")
+        graft.operators.Similarity.buildIvfPqIndexOver(spark, ee, idxFull, cents, books)
+        val nQr = 100
+        def rowsOf(idx: String): Map[Long, Set[Long]] = {
+          val m = graft.operators.Similarity
+            .annIvfPqSearch(spark, dst, idx, nProbe = 2, nQueries = nQr).collect()
+            .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+          spark.catalog.clearCache(); Checkpoints.releaseAll()
+          m
+        }
+        val multiRows = rowsOf(idxMulti)
+        val fullRows = rowsOf(idxFull)
+        val brutePq = graft.operators.Similarity
+          .bruteForceTopK(spark, dst, nQueries = nQr).collect()
+          .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+        def recallVs(got: Map[Long, Set[Long]]): Double = {
+          val rs = brutePq.keys.toSeq.map(q =>
+            got.getOrElse(q, Set.empty).intersect(brutePq(q)).size.toDouble / brutePq(q).size)
+          rs.sum / rs.size
+        }
+        println(f"SCALE${k}X[appendpq] after 5 appends: identical to same-model " +
+          f"rebuild = ${multiRows == fullRows}; recall@10 multi ${recallVs(multiRows)}%.3f " +
+          f"vs rebuild ${recallVs(fullRows)}%.3f over $nQr queries")
+
       case "pqtrain" =>
         // marginal PQ-training iteration cost on sf0.1 residual-free input:
         // with the broadcast-codebook join assign the per-iteration plan is
@@ -466,6 +535,63 @@ object ScaleProbe {
         println(f"SCALE${k}X[incdedup] decision layer: cluster increment ${tClusterInc}%.2f s " +
           f"vs full pairs+recluster ${tClusterFull}%.2f s (${tClusterFull / tClusterInc}%.1f x; " +
           f"state build ${tState}%.2f s paid once per corpus version)")
+
+      case "appendseq" =>
+        // Index maintenance under REPETITION (round-12 verdict task 3):
+        // §8.5.8 measured ONE batch against a prebuilt index; production
+        // is N appends/day. Ten sequential 250-doc appends onto an index
+        // of the varied corpus — per-append cost must stay ≈ flat while
+        // part files accumulate linearly, then compactIndex collapses the
+        // accumulation and the next probe must be unchanged (and no
+        // slower). Base = all replicas ≥ 1 plus half of replica 0, so
+        // every batch's near-dup partners live mostly in the index.
+        time("build")(buildDocs(varied = true))
+        val dd = Tables(spark, dst, "documents")
+        val idxDir = s"$dst/mhidx_seq"
+        // fresh index per run — a stale one would absorb the appends
+        locally {
+          val p = new org.apache.hadoop.fs.Path(idxDir)
+          val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fsys.exists(p)) fsys.delete(p, true)
+        }
+        val inBase = col("doc_id") >= 1000000L || col("doc_id") % 20 < 10
+        time("index_build") {
+          graft.operators.Dedup.buildMinhashIndex(spark,
+            dd.filter(inBase), idxDir, s"$dst#sq-base")
+        }
+        spark.catalog.clearCache(); Checkpoints.releaseAll()
+        val postingsPath = s"$idxDir/postings.parquet"
+        def files() = graft.operators.IndexMaintenance.partFileCount(spark, postingsPath)
+        println(s"SCALE${k}X[appendseq] base postings part files: ${files()}")
+        for (j <- 0 until 10) {
+          val batch = dd.filter(col("doc_id") < 1000000L && col("doc_id") % 20 === (10 + j))
+          time(f"append_$j%02d") {
+            graft.operators.Dedup.dedupIncrement(spark, batch, idxDir,
+              s"$dst#sq$j", append = true)
+              .write.format("noop").mode("overwrite").save()
+          }
+          println(s"SCALE${k}X[appendseq] after append $j: part files = ${files()}")
+          spark.catalog.clearCache(); Checkpoints.releaseAll()
+        }
+        // same probe before/after compaction: append=false keeps it pure;
+        // batch 9 is already indexed, so its pairs are stable across the
+        // compaction (id-equality excludes self-matches)
+        def probe(tag: String): Long = {
+          var n = 0L
+          time(tag) {
+            n = graft.operators.Dedup.dedupIncrement(spark,
+              dd.filter(col("doc_id") < 1000000L && col("doc_id") % 20 === 19),
+              idxDir, s"$dst#sq-probe-$tag", append = false).count()
+          }
+          spark.catalog.clearCache(); Checkpoints.releaseAll()
+          n
+        }
+        val nPre = probe("probe_precompact")
+        val preFiles = files()
+        time("compact")(graft.operators.Dedup.compactIndex(spark, idxDir))
+        val nPost = probe("probe_postcompact")
+        println(s"SCALE${k}X[appendseq] compaction: $preFiles -> ${files()} part files; " +
+          s"probe pairs $nPre -> $nPost (must be equal: ${nPre == nPost})")
 
       case "bpetrain" =>
         // sequential-vs-batched trainer cost at R merges on sf0.1: the

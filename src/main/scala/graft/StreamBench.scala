@@ -139,6 +139,34 @@ object StreamBench {
         Some(docTier(fixtureDir, docRows))
       else { System.err.println(s"[streambench] fixture corpus $fixtureDir absent — skipping pinned tier"); None }
 
+    // NEAR-dup ingest tier (r12 task 2): the full at-ingest path — gates,
+    // exact dedup, corpus anti-join, then the per-micro-batch MinHash-index
+    // probe (DocPipeline.withNearDupIndex) against an index of the PINNED
+    // fixture corpus, so the row is comparable round-over-round like the
+    // fixture twin above. Warm-up runs append=false so the timed run probes
+    // a clean index.
+    val nearDupSec: Option[Double] =
+      if (new java.io.File(s"$fixtureDir/documents.parquet").exists) {
+        val idx = java.nio.file.Files.createTempDirectory("sb-mhidx-").toString
+        graft.operators.Dedup.buildMinhashIndex(spark,
+          Tables(spark, fixtureDir, "documents"), idx, s"$idx#base")
+        val corpusFps = graft.operators.TextAnalysis
+          .fingerprint(spark, fixtureDir).select($"fp_md5")
+        def run(rows: Seq[(Long, String, java.sql.Timestamp)], tag: String,
+                doAppend: Boolean): Double = timed {
+          val in = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+          val docs = in.toDF().toDF("doc_id", "text", "event_time")
+          val q = graft.streaming.DocPipeline.withNearDupIndex(docs, corpusFps,
+              idx, s"$idx#$tag", append = doAppend) { kept =>
+            kept.write.format("noop").mode("overwrite").save()
+          }.start()
+          in.addData(rows)
+          q.processAllAvailable(); q.stop()
+        }
+        run(docRows.take(2000), "warm", doAppend = false)
+        Some(run(docRows, "timed", doAppend = true))
+      } else None
+
     def f0(v: Double): String = String.format(java.util.Locale.ROOT, "%.0f", Double.box(v))
     println(s"""{"metric":"stream_msgs_per_sec","msgs":$n,""" +
       s""""data_driven":${f0(n / ddSec)},"calendar_append":${f0(n / calSec)},""" +
@@ -147,6 +175,7 @@ object StreamBench {
       s""""windowed_update_sec":${f0(idSec)},""" +
       s""""doc_pipeline_docs":$nDocs,"doc_pipeline_docs_per_sec":${f0(nDocs / docSec)},""" +
       s""""doc_pipeline_fixture_docs_per_sec":${fixSec.map(x => f0(nDocs / x)).getOrElse("null")},""" +
+      s""""doc_pipeline_neardup_docs_per_sec":${nearDupSec.map(x => f0(nDocs / x)).getOrElse("null")},""" +
       s""""host_before":$hostBefore,"host_after":${Bench.hostSnapshot()}}""")
     spark.stop()
   }

@@ -508,12 +508,26 @@ object Dedup {
       broadcastCands = nNew * MinhashBands <= 2000000L)
     if (append) {
       // safe to append before the caller evaluates `result`: its plan
-      // reads the snapshot file lists, not the directories
-      newSigs.write.mode("append").parquet(s"$indexDir/signatures.parquet")
-      bandedOf(newSigs).write.mode("append").parquet(s"$indexDir/postings.parquet")
+      // reads the snapshot file lists, not the directories. Appends are
+      // SIZED to the batch: an unsized write adds a full shuffle-width of
+      // part files per append regardless of batch size (measured: 32
+      // files per 250-doc append — 10 appends tripled the probe's file
+      // listing), so a daily-sized batch lands as few files and only
+      // backfill-sized ones fan out; compactIndex owns the long-run
+      // layout either way.
+      newSigs.coalesce(appendFileCount(nNew))
+        .write.mode("append").parquet(s"$indexDir/signatures.parquet")
+      bandedOf(newSigs).coalesce(appendFileCount(nNew * MinhashBands))
+        .write.mode("append").parquet(s"$indexDir/postings.parquet")
     }
     result
   }
+
+  /** Part files an append of `rows` rows deserves: one per ~1M rows,
+    * capped at 32 (the local shuffle width) — tiny batches must not fan
+    * out into shuffle-width file counts. */
+  private def appendFileCount(rows: Long): Int =
+    math.min(32L, rows / 1000000L + 1L).toInt
 
   /** The shared candidate machinery of the incremental indexes
     * ([[dedupIncrement]] and [[simhashDedupIncrement]]): probe the stored
@@ -580,15 +594,9 @@ object Dedup {
   }
 
   /** Immutable part-file snapshot of a parquet directory (append safety
-    * for [[dedupIncrement]]). */
-  private def parquetPartFiles(s: SparkSession, path: String): Seq[String] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(p).map(_.getPath.toString)
-      .filter(_.endsWith(".parquet")).toSeq
-    require(files.nonEmpty, s"$path holds no parquet part files — not a built index")
-    files
-  }
+    * for [[dedupIncrement]]) — shared with the maintenance machinery. */
+  private def parquetPartFiles(s: SparkSession, path: String): Seq[String] =
+    IndexMaintenance.parquetPartFiles(s, path)
 
   /** Per-JVM scratch root + per-corpus memo for the registered
     * build/increment pair — fresh per JVM so a stale index never serves
@@ -760,6 +768,41 @@ object Dedup {
       merged.write.mode("overwrite").parquet(s"$indexDir/clusters.parquet")
     }
     relabeled.select(col("doc_id"), col("cluster_id"))
+  }
+
+  /** At-ingest near-dup dedup of one batch against a [[buildMinhashIndex]]
+    * index: the batch minus the documents [[dedupIncrement]]'s pairs
+    * convict. The drop rule is per-PAIR (the at-ingest approximation, not
+    * the full closure): a batch doc pairing with an indexed doc drops; of
+    * a batch-internal pair the larger id drops. Chains the rule can't see
+    * (A indexed ~ B ~ C with A !~ C) are the downstream batch pass's job —
+    * [[clusterIncrement]] owns closure-consistent decisions; this is the
+    * ingest pre-filter that keeps obvious near-dups of the corpus out of
+    * the stream. When `append`, the WHOLE batch (survivors and dropped)
+    * joins the index: dropped docs must stay probe-able or a later doc
+    * near-dupping only the dropped one would wrongly survive.
+    *
+    * This is the per-micro-batch body of
+    * [[graft.streaming.StreamDedup.nearDupAgainstIndex]]; batch callers
+    * can use it directly for the same semantics. */
+  def nearDupIncrementSurvivors(s: SparkSession, newDocs: DataFrame,
+                                indexDir: String, memoKey: String,
+                                threshold: Double = 0.5,
+                                bucketCap: Int = HotBucketCap,
+                                append: Boolean = true): DataFrame = {
+    val pairs = dedupIncrement(s, newDocs, indexDir, memoKey, threshold, bucketCap, append)
+    val ids = newDocs.select(col("doc_id")).distinct()
+    val flagged = pairs
+      .join(ids.select(col("doc_id").as("doc_a"), lit(true).as("a_new")), Seq("doc_a"), "left")
+      .join(ids.select(col("doc_id").as("doc_b"), lit(true).as("b_new")), Seq("doc_b"), "left")
+    // pairs are emitted doc_a < doc_b, so "both new -> drop the larger"
+    // is doc_b; "one side new" (the only other case an increment emits)
+    // drops the new side
+    val drops = flagged.select(
+      when(coalesce(col("a_new"), lit(false)) && coalesce(col("b_new"), lit(false)), col("doc_b"))
+        .when(coalesce(col("a_new"), lit(false)), col("doc_a"))
+        .otherwise(col("doc_b")).as("doc_id")).distinct()
+    newDocs.join(drops, Seq("doc_id"), "left_anti")
   }
 
   private val builtClusterStates =
@@ -1051,8 +1094,11 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
     if (append) {
-      newFps.write.mode("append").parquet(s"$indexDir/fingerprints.parquet")
+      // batch-sized appends, like dedupIncrement's (see appendFileCount)
+      newFps.coalesce(appendFileCount(nNew))
+        .write.mode("append").parquet(s"$indexDir/fingerprints.parquet")
       simhashWideBandedOf(newFps, maxHamming, nBlocks)
+        .coalesce(appendFileCount(nNew * nBands))
         .write.mode("append").parquet(s"$indexDir/postings.parquet")
     }
     result
@@ -1082,6 +1128,121 @@ object Dedup {
   def simhashIncrementSql(maxHamming: Int = 3): String =
     simhashPairsSql(maxHamming) +
       s"\n  AND (a.doc_id >= $incrementSplitSql OR b.doc_id >= $incrementSplitSql)"
+
+  // -----------------------------------------------------------------
+  // Dedup-index maintenance: compaction + deletion (round-12 verdict
+  // tasks 3–4; shared by the MinHash-LSH and SimHash-wide index layouts)
+  // -----------------------------------------------------------------
+
+  /** The index's per-document table: signatures (MinHash layout) or
+    * fingerprints (SimHash layout). */
+  private def perDocTableOf(s: SparkSession, indexDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/signatures.parquet")
+    if (p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p))
+      "signatures.parquet"
+    else "fingerprints.parquet"
+  }
+
+  /** COMPACT a dedup index: N appends/day accumulate part files linearly
+    * ([[dedupIncrement]] writes `mode("append")`), and a probe over
+    * hundreds of unordered files loses the pruning the layout promises.
+    * Rewrites the postings repartitioned AND sorted by `(band, bkey)` —
+    * the probe key, so parquet rowgroup min/max stats skip files/groups a
+    * batch's buckets never touch (the deployment `bucketBy` layout
+    * realized in plain parquet) — and the per-doc table by `doc_id` (the
+    * verify join's key). Pure reorganization: contents are row-identical,
+    * so the next increment is unchanged (IndexMaintenanceSpec pins it).
+    * Uses [[IndexMaintenance.rewriteSwap]]'s crash-parking swap. */
+  def compactIndex(s: SparkSession, indexDir: String, nFiles: Int = 8): Unit = {
+    IndexMaintenance.rewriteSwap(s, s"$indexDir/postings.parquet")(
+      _.repartition(nFiles, col("band"), col("bkey"))
+        .sortWithinPartitions("band", "bkey"))
+    IndexMaintenance.rewriteSwap(s, s"$indexDir/${perDocTableOf(s, indexDir)}")(
+      _.repartition(nFiles, col("doc_id")).sortWithinPartitions("doc_id"))
+  }
+
+  /** Telemetry-driven compaction trigger: compacts when the postings
+    * directory's part-file count exceeds `maxPartFiles` (the signal that
+    * actually degrades — each append adds a full shuffle-width of files
+    * whether the batch was 500 docs or 5M). Returns whether it fired. */
+  def compactIfNeeded(s: SparkSession, indexDir: String,
+                      maxPartFiles: Int = 64, nFiles: Int = 8): Boolean = {
+    val n = IndexMaintenance.partFileCount(s, s"$indexDir/postings.parquet")
+    val fire = n > maxPartFiles
+    if (fire) {
+      System.err.println(s"[graft] compactIndex($indexDir): " +
+        s"$n postings part files > $maxPartFiles — compacting to $nFiles")
+      compactIndex(s, indexDir, nFiles)
+    }
+    fire
+  }
+
+  /** DELETE documents from a dedup index (takedown /
+    * right-to-be-forgotten): rewrite-filter the postings and the per-doc
+    * table — the bytes actually leave the disk, which tombstones don't do
+    * (trade-off argued in [[IndexMaintenance]]'s doc). Because signatures
+    * and fingerprints are pure per-document functions, the filtered index
+    * is BIT-IDENTICAL to one rebuilt from the surviving documents, so
+    * every increment law carries over unchanged (IndexMaintenanceSpec
+    * pins post-delete increment ≡ rebuild-without-deleted).
+    *
+    * When cluster state ([[buildClusterState]]) is present, deletion can
+    * split components and re-elect minima, which labels alone cannot
+    * express — the state of TOUCHED components (those containing a
+    * deleted doc) is re-derived from the post-delete index: surviving
+    * members' postings re-enter the banded candidate join, verify on the
+    * stored signatures, and the star alternation relabels them; untouched
+    * components keep their rows. Cost ∝ touched components, like
+    * [[clusterIncrement]]. `threshold`/`bucketCap` must match the state's
+    * build parameters (MinHash layout only — the SimHash index carries no
+    * state). */
+  def deleteFromDedupIndex(s: SparkSession, indexDir: String, docIds: DataFrame,
+                           threshold: Double = 0.5,
+                           bucketCap: Int = HotBucketCap): Unit = {
+    val idsRaw = docIds.select(col("doc_id")).distinct()
+    val ids = if (idsRaw.count() <= 2000000L) broadcast(idsRaw) else idsRaw
+    // park the pre-delete state snapshot FIRST: the touched-component
+    // computation needs pre-delete membership, the pair recompute needs
+    // the post-delete index
+    val statePath = s"$indexDir/clusters.parquet"
+    val stateP = new org.apache.hadoop.fs.Path(statePath)
+    val hasState = stateP.getFileSystem(s.sparkContext.hadoopConfiguration).exists(stateP)
+    val state: Option[DataFrame] =
+      if (hasState)
+        Some(graft.Checkpoints.local(
+          s.read.parquet(parquetPartFiles(s, statePath): _*)
+            .select(col("doc_id"), col("cluster_id"))))
+      else None
+    IndexMaintenance.rewriteSwap(s, s"$indexDir/postings.parquet")(
+      _.join(ids, Seq("doc_id"), "left_anti"))
+    IndexMaintenance.rewriteSwap(s, s"$indexDir/${perDocTableOf(s, indexDir)}")(
+      _.join(ids, Seq("doc_id"), "left_anti"))
+    state.foreach { st =>
+      val touchedLabels = broadcast(
+        st.join(ids, Seq("doc_id"), "left_semi").select(col("cluster_id")).distinct())
+      val memberIds = st.join(touchedLabels, Seq("cluster_id"), "left_semi")
+        .join(ids, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"))
+      // candidates among touched-component survivors over the POST-delete
+      // index; a candidate against an untouched component would fail
+      // verify anyway (different components can't clear the threshold, or
+      // they'd have been one component)
+      val banded = s.read.parquet(parquetPartFiles(s, s"$indexDir/postings.parquet"): _*)
+        .join(memberIds, Seq("doc_id"), "left_semi")
+      val sigs = s.read.parquet(
+        parquetPartFiles(s, s"$indexDir/signatures.parquet"): _*)
+      val pairs = verifyOnSignatures(
+        bandedCandidatePairs(banded, "doc_id", "doc_a", "doc_b", bucketCap),
+        sigs, threshold)
+      val relabeled = clusterPairsStar(pairs.select(col("doc_a"), col("doc_b")))
+      val untouched = st.join(touchedLabels, Seq("cluster_id"), "left_anti")
+        .select(col("doc_id"), col("cluster_id"))
+      val merged = graft.Checkpoints.local(
+        untouched.unionByName(relabeled)
+          .withColumn("keep", col("doc_id") === col("cluster_id")))
+      merged.write.mode("overwrite").parquet(statePath)
+    }
+  }
 
   // -----------------------------------------------------------------
   // Embedding cosine near-dup

@@ -839,10 +839,12 @@ object Similarity {
     * production deployment actually pays. */
   def annIvfPqSearch(s: SparkSession, dir: String, indexDir: String,
                      kNN: Int = DefaultK, nProbe: Int = 2, rerank: Int = 50,
-                     m: Int = 8, subDim: Int = 8, k: Int = 16): DataFrame = {
+                     m: Int = 8, subDim: Int = 8, k: Int = 16,
+                     nQueries: Int = QueryCount): DataFrame = {
     val (cents, books) = loadIvfPqModel(s, indexDir, m, subDim, k)
     val codes = s.read.parquet(s"$indexDir/codes.parquet")
-    ivfPqSearchWith(emb(s, dir), codes, cents, books, kNN, nProbe, rerank, m, subDim, k)(s)
+    ivfPqSearchWith(emb(s, dir), codes, cents, books, kNN, nProbe, rerank,
+      m, subDim, k, nQueries)(s)
   }
 
   /** Load a persisted index's FROZEN model with the hyperparameter
@@ -893,6 +895,28 @@ object Similarity {
       cents, books, m, subDim, k)
     codes.write.mode("append").parquet(s"$indexDir/codes.parquet")
     codes
+  }
+
+  /** DELETE vectors from a persisted IVF-PQ index (round-12 verdict
+    * task 4): rewrite-filter the code table through
+    * [[IndexMaintenance.rewriteSwap]] — same trade as the dedup indexes
+    * (takedown bytes leave the disk; a tombstone would tax every search's
+    * code scan with an anti-join instead). The model is untouched: codes
+    * are a pure per-vector function of (vector, frozen model), so the
+    * filtered table is bit-identical to encoding the surviving vectors
+    * from scratch with the same model, and a search over the post-delete
+    * index ≡ a search over a rebuild-without-deleted
+    * (IndexMaintenanceSpec pins it). Deleting training-set vectors does
+    * NOT degrade the stored model's validity for the survivors — it was
+    * frozen at build; heavy deletion changing the distribution is the
+    * same situation as corpus drift under [[appendToIvfPqIndex]], and the
+    * answer is the same: rebuild when drift telemetry says so. */
+  def deleteFromIvfPqIndex(s: SparkSession, indexDir: String,
+                           vecIds: DataFrame): Unit = {
+    val idsRaw = vecIds.select(col("vec_id")).distinct()
+    val ids = if (idsRaw.count() <= 2000000L) broadcast(idsRaw) else idsRaw
+    IndexMaintenance.rewriteSwap(s, s"$indexDir/codes.parquet")(
+      _.join(ids, Seq("vec_id"), "left_anti"))
   }
 
   // -----------------------------------------------------------------

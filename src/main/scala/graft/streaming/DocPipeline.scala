@@ -55,4 +55,26 @@ object DocPipeline {
       StreamDedup.withinWatermark(scored, watermark, keys = Seq("fp_md5"))
     StreamDedup.againstCorpus(inStreamDeduped, corpusFps)
   }
+
+  /** [[apply]] extended with the NEAR-dup index probe (round-12 verdict
+    * task 2): the exact stages run as the continuous streaming plan above,
+    * then each micro-batch of exact-survivors is near-dup-deduped against
+    * (and appended to) the persisted [[graft.operators.Dedup.buildMinhashIndex]]
+    * index via [[StreamDedup.nearDupAgainstIndex]]. The stream leg thereby
+    * enforces the same corpus-history near-dup policy the batch
+    * `dedupIncrement` enforces — ingest no longer admits a document that
+    * merely avoids EXACT fingerprint equality with the corpus. Returns the
+    * un-started writer; the caller picks checkpointing and calls
+    * `.start()`. */
+  def withNearDupIndex(docs: DataFrame, corpusFps: DataFrame,
+                       indexDir: String, memoPrefix: String,
+                       gates: Seq[String] = Curation.SyntheticGates,
+                       watermark: String = "10 minutes",
+                       threshold: Double = 0.5,
+                       append: Boolean = true)
+                      (sink: DataFrame => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    StreamDedup.nearDupAgainstIndex(
+      apply(docs, corpusFps, gates, watermark), indexDir, memoPrefix, threshold,
+      append)(sink)
 }

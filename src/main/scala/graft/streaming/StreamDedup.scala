@@ -39,4 +39,38 @@ object StreamDedup {
   def againstCorpus(stream: DataFrame, corpusFps: DataFrame,
                     fpCol: String = "fp_md5"): DataFrame =
     stream.join(corpusFps.select(fpCol), Seq(fpCol), "left_anti")
+
+  /** NEAR-dup streaming dedup against the persisted MinHash-LSH index
+    * (round-12 verdict task 2): each micro-batch runs
+    * [[graft.operators.Dedup.nearDupIncrementSurvivors]] — sign the batch,
+    * probe the stored postings with the batch's band keys, verify on
+    * signatures, drop convicted docs, append the batch to the index so the
+    * NEXT micro-batch (and tomorrow's) sees it. The per-batch plan is
+    * byte-for-byte the batch increment's (shared `incrementCandidates`
+    * core: bounded broadcast probe, eager touched-∪-batch materialization,
+    * GUARD-ARMED hot-bucket trim), so stream-kept ≡ batch-kept by
+    * construction — StreamingSpec pins the law against an independent
+    * full-pair oracle anyway.
+    *
+    * Aggregation-bearing batch code can't ride inside a continuous
+    * streaming plan (a banded self-join + signature verify is neither
+    * stateless nor watermark-windowed), so this leg is a `foreachBatch`
+    * writer — Spark's idiomatic reuse-batch-operators-per-micro-batch
+    * mechanism, the same shape as [[IdempotentSink]]. The caller supplies
+    * the sink body and starts the returned writer (choosing checkpoint
+    * location etc.); `memoPrefix#batchId` scopes the per-batch shingle
+    * guard. Index appends are idempotent-UNSAFE under micro-batch replay
+    * (mode("append") re-adds files): production pairs this with
+    * [[IdempotentSink]]'s run-tag discipline or a transactional table
+    * format; the spec exercises the happy path. */
+  def nearDupAgainstIndex(stream: DataFrame, indexDir: String,
+                          memoPrefix: String, threshold: Double = 0.5,
+                          append: Boolean = true)
+                         (sink: DataFrame => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(graft.operators.Dedup.nearDupIncrementSurvivors(
+        batch.sparkSession, batch, indexDir, s"$memoPrefix#$batchId",
+        threshold, append = append))
+    }
 }

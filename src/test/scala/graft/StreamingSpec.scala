@@ -465,6 +465,87 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream near-dup leg == pair-rule survivors from the full pair set (multi-batch, appending)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val Dedup = graft.operators.Dedup
+    val split = Dedup.incrementSplitAt(spark, sf)
+    val docs = Tables(spark, sf, "documents")
+    // arrival order: indexed corpus = batch 0; the new split streams in two
+    // micro-batches split by id parity
+    val streamedDocs = docs.filter(col("doc_id") >= split)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (batch1, batch2) = streamedDocs.partition(_._1 % 2 == 0)
+    val arrival: Map[Long, Int] =
+      (batch1.map(_._1 -> 1) ++ batch2.map(_._1 -> 2)).toMap
+    // independent oracle: FULL corpus pair set + the documented drop rule —
+    // d drops iff some partner arrived strictly earlier, or in the same
+    // micro-batch with a smaller id (batch 0 = the index)
+    val fullPairs = Dedup.minhashLshPairs(spark, sf)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def arr(id: Long): Int = arrival.getOrElse(id, 0)
+    val dropped = streamedDocs.map(_._1).filter { d =>
+      fullPairs.exists { case (a, b) =>
+        val e = if (a == d) Some(b) else if (b == d) Some(a) else None
+        e.exists(o => arr(o) < arr(d) || (arr(o) == arr(d) && o < d))
+      }
+    }.toSet
+    val expected = streamedDocs.map(_._1).toSet -- dropped
+    // stream side: index the bottom split, stream the two batches through
+    // the foreachBatch near-dup leg with append (batch 2 must see batch 1)
+    val idx = java.nio.file.Files.createTempDirectory("mhidx-stream-").toString
+    Dedup.buildMinhashIndex(spark, docs.filter(col("doc_id") < split), idx, s"$idx#base")
+    val survivors = scala.collection.mutable.Set.empty[Long]
+    val input = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.StreamDedup.nearDupAgainstIndex(
+        input.toDF().toDF("doc_id", "text"), idx, s"$idx#mb") { kept =>
+      survivors ++= kept.select("doc_id").collect().map(_.getLong(0))
+    }.start()
+    try {
+      input.addData(batch1.toSeq: _*)
+      q.processAllAvailable()
+      input.addData(batch2.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(dropped.nonEmpty, "fixture should convict at least one streamed doc")
+    assert(survivors.toSet == expected,
+      s"stream-only=${survivors.toSet -- expected} batch-only=${expected -- survivors.toSet}")
+  }
+
+  test("DocPipeline near-dup leg drops a near (non-exact) duplicate of an indexed doc") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val Dedup = graft.operators.Dedup
+    // an indexed corpus doc that passes the shared gate battery
+    val baseText = graft.operators.TextAnalysis
+      .gopherGatesOn(spark, Tables(spark, sf, "documents"), carry = Seq("text"))
+      .filter(graft.operators.Curation.SyntheticGates.map(col).reduce(_ && _))
+      .select(col("text")).head().getString(0)
+    val idx = java.nio.file.Files.createTempDirectory("mhidx-dp-").toString
+    Dedup.buildMinhashIndex(spark,
+      Seq((1L, baseText)).toDF("doc_id", "text"), idx, s"$idx#base")
+    // near-dup: same text with the last word changed — not an exact
+    // fingerprint match, but far over the 0.5 estimated-Jaccard threshold
+    val nearDup = baseText.split(" ").dropRight(1).mkString(" ") + " zzzaltered"
+    val novel = (1 to 60).map(i => s"fresh$i").mkString(" ")
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val kept = scala.collection.mutable.Set.empty[Long]
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    val q = graft.streaming.DocPipeline.withNearDupIndex(
+        input.toDF().toDF("doc_id", "text", "event_time"),
+        Seq.empty[String].toDF("fp_md5"), idx, s"$idx#dp") { survivors =>
+      kept ++= survivors.select("doc_id").collect().map(_.getLong(0))
+    }.start()
+    try {
+      input.addData((10L, nearDup, t0), (11L, novel, t0))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(kept.toSet == Set(11L),
+      s"near-dup should drop at the index probe, novel should survive: kept=$kept")
+  }
+
   test("streaming and batch curation agree on which documents the gates admit") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
