@@ -345,8 +345,9 @@ object ScaleProbe {
         val isB = col("vec_id") < 1000000L && col("vec_id") % 10 === 9
         val oldE = ee.filter(!isB)
         val nOldE = oldE.count(); val nBatch = ee.filter(isB).count()
-        val cents = graft.operators.Similarity.learnCentroids(spark, oldE)
-        val books = graft.functions.VectorOps.hyperplanes(8 * 16, 8, seed = 77L)
+        // the production shape: FULL model (centroids + residual
+        // codebooks) learned on the old corpus only, frozen for appends
+        val (cents, books) = graft.operators.Similarity.learnIvfPqModel(spark, oldE)
         def freshDir(name: String): String = {
           val p = new org.apache.hadoop.fs.Path(s"$dst/$name")
           val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -369,8 +370,10 @@ object ScaleProbe {
         graft.operators.Similarity.buildIvfPqIndexOver(spark, oldE, idxMulti, cents, books)
         for (j <- 0 until 5) {
           time(f"append_sub_$j") {
+            // batch ids are ≡9 (mod 10); sub-batch j = ids ≡ 9+10j (mod 50)
+            // (integer modulo — col/10 would be DOUBLE division)
             graft.operators.Similarity.appendToIvfPqIndex(spark,
-              ee.filter(isB && (col("vec_id") / 10) % 5 === j), idxMulti)
+              ee.filter(isB && col("vec_id") % 50 === (9 + 10 * j)), idxMulti)
           }
           spark.catalog.clearCache(); Checkpoints.releaseAll()
         }

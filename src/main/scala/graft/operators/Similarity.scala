@@ -792,11 +792,23 @@ object Similarity {
                       nCentroids: Int = 8, iters: Int = 4, pqIters: Int = 2,
                       m: Int = 8, subDim: Int = 8, k: Int = 16,
                       maxTrainRows: Int = 65536): (Seq[Seq[Double]], Seq[Seq[Double]]) = {
-    val e = emb(s, dir)
-    val cents = learnCentroids(s, e, nCentroids, iters)
-    val books = learnPqCodebooks(s, residualTrainingSample(e, cents, maxTrainRows),
-      m, subDim, k, iters = pqIters)
+    val (cents, books) = learnIvfPqModel(s, emb(s, dir), nCentroids, iters,
+      pqIters, m, subDim, k, maxTrainRows)
     buildIvfPqIndexWith(s, dir, indexDir, cents, books, m, subDim, k)
+  }
+
+  /** Learn a full IVF-PQ model (coarse centroids + residual codebooks)
+    * over a CALLER-SUPPLIED vector set — the train-on-yesterday's-corpus
+    * shape [[appendToIvfPqIndex]] freezes; shared by [[buildIvfPqIndex]]
+    * and the append-at-scale probe. */
+  def learnIvfPqModel(s: SparkSession, vecs: DataFrame,
+                      nCentroids: Int = 8, iters: Int = 4, pqIters: Int = 2,
+                      m: Int = 8, subDim: Int = 8, k: Int = 16,
+                      maxTrainRows: Int = 65536): (Seq[Seq[Double]], Seq[Seq[Double]]) = {
+    val cents = learnCentroids(s, vecs, nCentroids, iters)
+    val books = learnPqCodebooks(s, residualTrainingSample(vecs, cents, maxTrainRows),
+      m, subDim, k, iters = pqIters)
+    (cents, books)
   }
 
   /** Persistence half of [[buildIvfPqIndex]] against a CALLER-SUPPLIED
