@@ -849,6 +849,74 @@ object Dedup {
   }
 
   // -----------------------------------------------------------------
+  // Incremental end-to-end dedup pipeline (round 12, beyond-verdict: the
+  // composition the decision layer exists FOR — the daily-ingest keep
+  // list, computed without touching the corpus)
+  // -----------------------------------------------------------------
+
+  /** The PRODUCTION dedup pipeline ([[dedupPipelineLsh]]'s keep/drop
+    * policy) applied INCREMENTALLY to one ingest batch: returns the batch
+    * doc_ids the full-corpus pipeline would keep, at batch-proportional
+    * cost. Composition:
+    *
+    *  - near-dup leg: [[clusterIncrement]]'s labels — a batch doc drops
+    *    iff it sits in a batch-touching component with a smaller minimum
+    *    (old minima are always smaller than the batch under the arrival
+    *    convention, so restricted-closure labels decide exactly what the
+    *    full closure decides);
+    *  - exact leg: a batch doc drops iff its `md5(text)` exists in the
+    *    corpus fingerprint set (`corpusFps`, column `text_hash` — at
+    *    deployment the persisted fingerprint index, here derivable from
+    *    [[exactDedup]]) or a smaller-id batch doc carries the same hash —
+    *    exactly "keep the group minimum" restricted to the batch, because
+    *    every corpus id precedes every batch id.
+    *
+    * Both legs are keyed probes ∝ batch; nothing rescans the corpus. */
+  def dedupPipelineIncrement(s: SparkSession, newDocs: DataFrame,
+                             corpusFps: DataFrame, indexDir: String,
+                             memoKey: String, threshold: Double = 0.5,
+                             bucketCap: Int = HotBucketCap,
+                             append: Boolean = true): DataFrame = {
+    val labels = clusterIncrement(s, newDocs, indexDir, memoKey,
+      threshold, bucketCap, append)
+    val nearDrops = labels.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    val hashed = newDocs.select(col("doc_id"), md5(col("text")).as("text_hash"))
+    val groupMin = hashed.groupBy(col("text_hash"))
+      .agg(min(col("doc_id")).as("batch_min"))
+    val exactDrops = hashed
+      .join(corpusFps.select(col("text_hash")).distinct()
+        .withColumn("in_corpus", lit(true)), Seq("text_hash"), "left")
+      .join(groupMin, Seq("text_hash"))
+      .filter(coalesce(col("in_corpus"), lit(false)) ||
+        col("doc_id") =!= col("batch_min"))
+      .select(col("doc_id"))
+    newDocs.select(col("doc_id"))
+      .join(nearDrops.unionByName(exactDrops).distinct(), Seq("doc_id"), "left_anti")
+  }
+
+  /** Registered composition (`q_dedup_pipeline_inc`): the top-1/5 split's
+    * keep list against the persisted bottom-4/5 index + state, exact leg
+    * probing the old split's fingerprints. Hash-gated against the FULL
+    * [[dedupPipelineLshSql]] restricted to batch doc_ids. */
+  def dedupPipelineIncrementQuery(s: SparkSession, dir: String): DataFrame = {
+    val idx = builtMinhashIndexes.computeIfAbsent(dir, _ => buildBaseMinhashIndex(s, dir))
+    builtClusterStates.computeIfAbsent(dir, _ => { buildClusterState(s, idx); idx })
+    val split = incrementSplitAt(s, dir)
+    val corpusFps = docs(s, dir).filter(col("doc_id") < split)
+      .select(md5(col("text")).as("text_hash"))
+    dedupPipelineIncrement(s, docs(s, dir).filter(col("doc_id") >= split),
+      corpusFps, idx, s"$dir#new", append = false)
+  }
+
+  // concatenation, not an interpolated stripMargin: the embedded pipeline
+  // SQL's own bitwise-OR line starts would be swallowed (the
+  // dedupPipelineLshSql trap)
+  def dedupPipelineIncrementSql(threshold: Double = 0.5): String =
+    "SELECT doc_id FROM (" + dedupPipelineLshSql(threshold) + ") p\n" +
+      s"WHERE doc_id >= $incrementSplitSql"
+
+  // -----------------------------------------------------------------
   // SimHash
   // -----------------------------------------------------------------
 
@@ -1848,7 +1916,8 @@ object Dedup {
     "q_dedup_index_build" -> (minhashIndexBuildQuery _),
     "q_dedup_incremental" -> (dedupIncrementQuery _),
     "q_dedup_simhash_inc" -> (simhashIncrementQuery _),
-    "q_dedup_cluster_inc" -> (clusterIncrementQuery _))
+    "q_dedup_cluster_inc" -> (clusterIncrementQuery _),
+    "q_dedup_pipeline_inc" -> (dedupPipelineIncrementQuery _))
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> exactDedupSql,
@@ -1881,5 +1950,8 @@ object Dedup {
     // decision layer: the full closure restricted to components containing
     // a batch document — the increment merge must reproduce it label for
     // label
-    "q_dedup_cluster_inc" -> clusterIncrementSql())
+    "q_dedup_cluster_inc" -> clusterIncrementSql(),
+    // the composed daily-ingest keep list: the WHOLE production pipeline's
+    // oracle, restricted to batch doc_ids
+    "q_dedup_pipeline_inc" -> dedupPipelineIncrementSql())
 }

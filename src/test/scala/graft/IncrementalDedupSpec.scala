@@ -175,6 +175,27 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(rebuilt.nonEmpty)
   }
 
+  test("pipeline increment == full production pipeline's keep list restricted to the batch") {
+    import org.apache.spark.sql.functions.md5
+    val split = Dedup.incrementSplitAt(spark, sf)
+    val fullKeep = Dedup.dedupPipelineLsh(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val expected = fullKeep.filter(_ >= split)
+    val idx = tmpIdx("pipe")
+    Dedup.buildMinhashIndex(spark,
+      docsAt(sf).filter(col("doc_id") < split), idx, s"$idx#old")
+    Dedup.buildClusterState(spark, idx)
+    val corpusFps = docsAt(sf).filter(col("doc_id") < split)
+      .select(md5(col("text")).as("text_hash"))
+    val inc = Dedup.dedupPipelineIncrement(spark,
+      docsAt(sf).filter(col("doc_id") >= split), corpusFps, idx, s"$idx#new",
+      append = false).collect().map(_.getLong(0)).toSet
+    assert(inc == expected,
+      s"missing=${expected -- inc} extra=${inc -- expected}")
+    val batchSize = docsAt(sf).filter(col("doc_id") >= split).count()
+    assert(expected.size < batchSize, "the pipeline should drop at least one batch doc")
+  }
+
   test("cluster increment with a pairless batch is empty and leaves state unchanged") {
     val idx = tmpIdx("clempty")
     Dedup.buildMinhashIndex(spark,
