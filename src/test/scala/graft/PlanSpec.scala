@@ -67,6 +67,17 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("LeftAnti"), p.take(500))
   }
 
+  test("cluster-increment and pipeline-increment plans have no pair explosion") {
+    // the decision-layer increments must stay keyed joins + the star
+    // alternation — a cartesian or BNLJ anywhere means the touched-subgraph
+    // restriction regressed to corpus-grain work
+    for (q <- Seq("q_dedup_cluster_inc", "q_dedup_pipeline_inc")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"cartesian product in $q")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"all-pairs BNLJ in $q")
+    }
+  }
+
   test("embedding near-dup has no all-pairs join (LSH-bucketed candidates)") {
     val p = plan("q_dedup_embedding")
     assert(!p.contains("BroadcastNestedLoopJoin"), "all-pairs BNLJ in the plan")
