@@ -931,6 +931,19 @@ object Similarity {
       _.join(ids, Seq("vec_id"), "left_anti"))
   }
 
+  /** COMPACT a persisted IVF-PQ index's code table — the
+    * [[graft.operators.Dedup.compactIndex]] shape on the third growing
+    * index: appends accumulate part files, and a search scans codes BY
+    * LIST (`cid` is the ADC join's leading key), so the compacted layout
+    * repartitions+sorts by `(cid, vec_id, sub_idx)` — rowgroup stats then
+    * prune unprobed lists from the scan, which is exactly the pruning the
+    * probed-list semantics promise. Pure reorganization
+    * (IndexMaintenanceSpec pins search-identical). */
+  def compactIvfPqIndex(s: SparkSession, indexDir: String, nFiles: Int = 8): Unit =
+    IndexMaintenance.rewriteSwap(s, s"$indexDir/codes.parquet")(
+      _.repartition(nFiles, col("cid"))
+        .sortWithinPartitions("cid", "vec_id", "sub_idx"))
+
   // -----------------------------------------------------------------
   // Registered build/search query pair for the persisted index
   // -----------------------------------------------------------------

@@ -131,6 +131,26 @@ class IndexMaintenanceSpec extends AnyFunSuite with SparkTestBase {
       s"missing=${rebuilt -- after} extra=${after -- rebuilt}")
   }
 
+  test("ivf-pq compaction: search results identical, fewer part files") {
+    val idx = tmpIdx("pqcompact")
+    val emb = Tables(spark, sf, "embeddings")
+    val split = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
+    val cents = Similarity.learnCentroids(spark, emb)
+    val books = graft.functions.VectorOps.hyperplanes(8 * 16, 8, seed = 77L)
+    Similarity.buildIvfPqIndexOver(spark, emb.filter(col("vec_id") <= split),
+      idx, cents, books)
+    Similarity.appendToIvfPqIndex(spark, emb.filter(col("vec_id") > split), idx)
+    def rows() = Similarity.annIvfPqSearch(spark, sf, idx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq.sorted
+    val before = rows()
+    val filesBefore = IndexMaintenance.partFileCount(spark, s"$idx/codes.parquet")
+    Similarity.compactIvfPqIndex(spark, idx, nFiles = 1)
+    val filesAfter = IndexMaintenance.partFileCount(spark, s"$idx/codes.parquet")
+    assert(filesAfter < filesBefore && filesAfter == 1,
+      s"$filesBefore -> $filesAfter part files")
+    assert(rows() == before && before.nonEmpty)
+  }
+
   test("ivf-pq delete: filtered codes == same-model rebuild over survivors") {
     val idx = tmpIdx("pqdel")
     val emb = Tables(spark, sf, "embeddings")
