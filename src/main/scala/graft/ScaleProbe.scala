@@ -329,6 +329,76 @@ object ScaleProbe {
         }
         }
 
+      case "clusterseq" =>
+        // The DECISION layer under repetition and deletion (round 12,
+        // §8.5.9 extension): ten sequential cluster-state merges must stay
+        // ≈ flat per merge AND the final persisted state must equal a
+        // one-shot build over the whole corpus (the IncrementalDedupSpec
+        // convergence law, demonstrated at corpus grain); then a takedown
+        // of one batch is priced (rewrite-filter + touched-component state
+        // re-derivation) and checked against the rebuild-without-deleted.
+        time("build")(buildDocs(varied = true))
+        val dcl = Tables(spark, dst, "documents")
+        val idxC = s"$dst/mhidx_cluster"
+        locally {
+          val p = new org.apache.hadoop.fs.Path(idxC)
+          val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fsys.exists(p)) fsys.delete(p, true)
+        }
+        val inBaseC = col("doc_id") >= 1000000L || col("doc_id") % 20 < 10
+        time("index_build") {
+          graft.operators.Dedup.buildMinhashIndex(spark,
+            dcl.filter(inBaseC), idxC, s"$dst#cl-base")
+        }
+        spark.catalog.clearCache(); Checkpoints.releaseAll()
+        time("cluster_state_build") {
+          graft.operators.Dedup.buildClusterState(spark, idxC)
+        }
+        spark.catalog.clearCache(); Checkpoints.releaseAll()
+        for (j <- 0 until 10) {
+          val batch = dcl.filter(col("doc_id") < 1000000L && col("doc_id") % 20 === (10 + j))
+          time(f"cluster_merge_$j%02d") {
+            graft.operators.Dedup.clusterIncrement(spark, batch, idxC,
+              s"$dst#cl$j", append = true).write.format("noop").mode("overwrite").save()
+          }
+          spark.catalog.clearCache(); Checkpoints.releaseAll()
+        }
+        val incState = spark.read.parquet(s"$idxC/clusters.parquet")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        // one-shot ground truth over the whole corpus
+        val idxFullC = s"$dst/mhidx_cluster_full"
+        locally {
+          val p = new org.apache.hadoop.fs.Path(idxFullC)
+          val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fsys.exists(p)) fsys.delete(p, true)
+        }
+        graft.operators.Dedup.buildMinhashIndex(spark, dcl, idxFullC, s"$dst#cl-all")
+        graft.operators.Dedup.buildClusterState(spark, idxFullC)
+        val fullState = spark.read.parquet(s"$idxFullC/clusters.parquet")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        println(s"SCALE${k}X[clusterseq] after 10 merges: state rows ${incState.size}, " +
+          s"== one-shot full build: ${incState == fullState}")
+        spark.catalog.clearCache(); Checkpoints.releaseAll()
+        // takedown: delete one batch slice from the merged index + state
+        val delIds = dcl.filter(col("doc_id") < 1000000L && col("doc_id") % 20 === 10)
+          .select(col("doc_id"))
+        time("delete_batch") {
+          graft.operators.Dedup.deleteFromDedupIndex(spark, idxC, delIds)
+        }
+        spark.catalog.clearCache(); Checkpoints.releaseAll()
+        val delState = spark.read.parquet(s"$idxC/clusters.parquet")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val idsGone = delIds.collect().map(_.getLong(0)).toSet
+        graft.operators.Dedup.buildMinhashIndex(spark,
+          dcl.filter(!(col("doc_id") < 1000000L && col("doc_id") % 20 === 10)),
+          idxFullC, s"$dst#cl-surv")
+        graft.operators.Dedup.buildClusterState(spark, idxFullC)
+        val survState = spark.read.parquet(s"$idxFullC/clusters.parquet")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        println(s"SCALE${k}X[clusterseq] post-delete state rows ${delState.size} " +
+          s"(no deleted ids: ${delState.forall(p => !idsGone(p._1))}), " +
+          s"== rebuild-without-deleted: ${delState == survState}")
+
       case "appendpq" =>
         // IVF-PQ append at scale and over repetition (round-12 verdict
         // task 6): a FIXED batch (the vec_id%10==9 slice of replica 0,
