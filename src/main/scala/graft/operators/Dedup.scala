@@ -1222,11 +1222,18 @@ object Dedup {
     * so the next increment is unchanged (IndexMaintenanceSpec pins it).
     * Uses [[IndexMaintenance.rewriteSwap]]'s crash-parking swap. */
   def compactIndex(s: SparkSession, indexDir: String, nFiles: Int = 8): Unit = {
+    // distinct() also REPAIRS torn stream appends (a crash between a
+    // micro-batch's append and its ledger marker can duplicate rows —
+    // semantically harmless, see StreamDedup.nearDupAgainstIndex, but
+    // wasted bytes): rows are naturally unique per (doc, band) on a clean
+    // index, so this is a no-op there and the purity law holds either way
     IndexMaintenance.rewriteSwap(s, s"$indexDir/postings.parquet")(
-      _.repartition(nFiles, col("band"), col("bkey"))
+      _.distinct()
+        .repartition(nFiles, col("band"), col("bkey"))
         .sortWithinPartitions("band", "bkey"))
     IndexMaintenance.rewriteSwap(s, s"$indexDir/${perDocTableOf(s, indexDir)}")(
-      _.repartition(nFiles, col("doc_id")).sortWithinPartitions("doc_id"))
+      _.distinct()
+        .repartition(nFiles, col("doc_id")).sortWithinPartitions("doc_id"))
   }
 
   /** Telemetry-driven compaction trigger: compacts when the postings

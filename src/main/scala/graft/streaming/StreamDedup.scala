@@ -59,18 +59,46 @@ object StreamDedup {
     * mechanism, the same shape as [[IdempotentSink]]. The caller supplies
     * the sink body and starts the returned writer (choosing checkpoint
     * location etc.); `memoPrefix#batchId` scopes the per-batch shingle
-    * guard. Index appends are idempotent-UNSAFE under micro-batch replay
-    * (mode("append") re-adds files): production pairs this with
-    * [[IdempotentSink]]'s run-tag discipline or a transactional table
-    * format; the spec exercises the happy path. */
+    * guard.
+    *
+    * REPLAY safety (the [[IdempotentSink]] batch-skip guard applied to
+    * index growth): Structured Streaming redelivers a micro-batch after
+    * recovery, and a naive re-append would add the batch's rows twice.
+    * [[nearDupBatch]] records each appended `batchId` as a marker file in
+    * `indexDir/_stream_appends/` and replays skip the append (survivors
+    * are still computed and re-delivered to the sink — at-least-once
+    * OUTPUT, exactly-once index growth per completed batch). The residual
+    * torn-commit window (crash between append and marker) can only
+    * duplicate index ROWS, which provably cannot change any drop decision
+    * — candidate pairs and the drop set are `distinct()` sets —
+    * and [[graft.operators.Dedup.compactIndex]] removes the duplicates. */
   def nearDupAgainstIndex(stream: DataFrame, indexDir: String,
                           memoPrefix: String, threshold: Double = 0.5,
                           append: Boolean = true)
                          (sink: DataFrame => Unit):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      sink(graft.operators.Dedup.nearDupIncrementSurvivors(
-        batch.sparkSession, batch, indexDir, s"$memoPrefix#$batchId",
-        threshold, append = append))
+      sink(nearDupBatch(batch, batchId, indexDir, memoPrefix, threshold, append))
     }
+
+  /** One micro-batch of [[nearDupAgainstIndex]] — factored out so the
+    * replay guard is testable without a streaming restart. */
+  private[graft] def nearDupBatch(batch: DataFrame, batchId: Long,
+                                  indexDir: String, memoPrefix: String,
+                                  threshold: Double = 0.5,
+                                  append: Boolean = true): DataFrame = {
+    val ledger = new org.apache.hadoop.fs.Path(s"$indexDir/_stream_appends")
+    val marker = new org.apache.hadoop.fs.Path(ledger, batchId.toString)
+    val fs = ledger.getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    val replay = append && fs.exists(marker)
+    val survivors = graft.operators.Dedup.nearDupIncrementSurvivors(
+      batch.sparkSession, batch, indexDir, s"$memoPrefix#$batchId",
+      threshold, append = append && !replay)
+    if (append && !replay) {
+      fs.mkdirs(ledger)
+      fs.create(marker, true).close()
+    }
+    survivors
+  }
 }

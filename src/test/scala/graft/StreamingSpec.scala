@@ -514,6 +514,31 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       s"stream-only=${survivors.toSet -- expected} batch-only=${expected -- survivors.toSet}")
   }
 
+  test("near-dup index append is replay-idempotent per micro-batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val Dedup = graft.operators.Dedup
+    val idx = java.nio.file.Files.createTempDirectory("mhidx-replay-").toString
+    val docs = Tables(spark, sf, "documents")
+    Dedup.buildMinhashIndex(spark, docs.filter(col("doc_id") < 400), idx, s"$idx#base")
+    val batch = docs.filter(col("doc_id") >= 400).select(col("doc_id"), col("text"))
+    def counts() = (
+      spark.read.parquet(s"$idx/signatures.parquet").count(),
+      spark.read.parquet(s"$idx/postings.parquet").count())
+    val first = graft.streaming.StreamDedup.nearDupBatch(batch, 7L, idx, s"$idx#r")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val afterFirst = counts()
+    // redelivery of the SAME micro-batch id: no index growth, same output
+    val replay = graft.streaming.StreamDedup.nearDupBatch(batch, 7L, idx, s"$idx#r2")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(counts() == afterFirst, "replay must not grow the index")
+    assert(replay == first, "replayed survivors must match the original delivery")
+    // a genuinely NEW batch id still appends
+    graft.streaming.StreamDedup.nearDupBatch(
+      batch.limit(0), 8L, idx, s"$idx#r3").collect()
+    assert(new java.io.File(s"$idx/_stream_appends/8").exists)
+  }
+
   test("DocPipeline near-dup leg drops a near (non-exact) duplicate of an indexed doc") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
