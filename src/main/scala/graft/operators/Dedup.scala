@@ -711,7 +711,7 @@ object Dedup {
     val banded = s.read.parquet(s"$indexDir/postings.parquet")
     val cands = bandedCandidatePairs(banded, "doc_id", "doc_a", "doc_b", bucketCap)
     val pairs = verifyOnSignatures(cands, sigs, threshold)
-    clusterPairsStar(pairs.select(col("doc_a"), col("doc_b")))
+    clusterPairsTiered(pairs.select(col("doc_a"), col("doc_b")))
       .withColumn("keep", col("doc_id") === col("cluster_id"))
       .write.mode("overwrite").parquet(s"$indexDir/clusters.parquet")
   }
@@ -755,9 +755,12 @@ object Dedup {
     val touchedState = state.join(touchedLabels, Seq("cluster_id"), "left_semi")
     val starEdges = touchedState.filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
-    // clusterPairsStar eagerly checkpoints its input, so the returned
-    // labels no longer reference the snapshot files the append overwrites
-    val relabeled = clusterPairsStar(starEdges.unionByName(newPairs))
+    // clusterPairsTiered materializes its input up front (collected under
+    // the local bound, checkpointed above it), so the returned labels no
+    // longer reference the snapshot files the append overwrites; the
+    // touched subgraph of a daily batch sits under the bound and takes the
+    // job-launch-free local tier
+    val relabeled = clusterPairsTiered(starEdges.unionByName(newPairs))
       .withColumn("keep", col("doc_id") === col("cluster_id"))
     if (append) {
       val untouched = state.join(touchedLabels, Seq("cluster_id"), "left_anti")
@@ -1309,7 +1312,7 @@ object Dedup {
       val pairs = verifyOnSignatures(
         bandedCandidatePairs(banded, "doc_id", "doc_a", "doc_b", bucketCap),
         sigs, threshold)
-      val relabeled = clusterPairsStar(pairs.select(col("doc_a"), col("doc_b")))
+      val relabeled = clusterPairsTiered(pairs.select(col("doc_a"), col("doc_b")))
       val untouched = st.join(touchedLabels, Seq("cluster_id"), "left_anti")
         .select(col("doc_id"), col("cluster_id"))
       val merged = graft.Checkpoints.local(
@@ -1496,7 +1499,86 @@ object Dedup {
     * self-pair — re-enters the output as its own root, so the two
     * connected-components tiers agree on all inputs, not just the
     * `doc_a < doc_b` streams our pair generators emit. */
-  def clusterPairsStar(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+  def clusterPairsStar(pairs: DataFrame, maxRounds: Int = 50): DataFrame =
+    clusterPairsStarOn(graft.Checkpoints.local(
+      pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))), maxRounds)
+
+  /** Driver-side bound for the LOCAL connected-components tier, in EDGES —
+    * the same 2M convention as the library's broadcast bounds
+    * ([[incrementCandidates]], [[clusterIncrement]]'s touched-label
+    * probe): collecting a bounded edge list to the driver is the same
+    * size-class of trust as broadcasting it to every executor (~32 MB at
+    * 16 B/edge). Above the bound the alternation runs distributed. */
+  val LocalCcEdgeBound = 2000000L
+
+  /** Bounded LOCAL tier of connected components: collects the edge list
+    * and runs union-find (path halving) on the driver, labeling each node
+    * with its component minimum — the exact contract of
+    * [[clusterPairsStar]], including self-pair singletons. Exists for the
+    * INCREMENT path: a daily batch's touched subgraph is edge-bounded
+    * (∝ batch near-dup mass, not corpus), and the star alternation's
+    * per-round job launches (~10 tiny jobs at convergence) dominate its
+    * cost at that size. Callers should dispatch via [[clusterPairsTiered]]
+    * unless the input is known-bounded. */
+  def clusterPairsLocal(pairs: DataFrame): DataFrame =
+    localCcLabels(pairs.sparkSession,
+      pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))))
+
+  /** Two-tier connected components: one count of the (materialized) edge
+    * list decides between the driver-local union-find (≤ `localBelow`
+    * edges) and the distributed star alternation. Both tiers emit
+    * identical `(doc_id, cluster_id = component min)` labels
+    * (DedupSpec pins the law), so the dispatch is purely a cost choice —
+    * the increment path's touched subgraphs take the local tier and skip
+    * ~10 tiny convergence jobs; backfill-sized graphs fall back to the
+    * O(log n) alternation. Either way the result no longer references the
+    * input plan (collected or checkpointed), which [[clusterIncrement]]'s
+    * snapshot-overwrite discipline relies on. */
+  def clusterPairsTiered(pairs: DataFrame,
+                         localBelow: Long = LocalCcEdgeBound,
+                         maxRounds: Int = 50): DataFrame = {
+    val base = graft.Checkpoints.local(
+      pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+    if (base.count() <= localBelow) {
+      val edges = base.collect().map(r => (r.getLong(0), r.getLong(1)))
+      graft.Checkpoints.release(base)
+      localCcLabels(base.sparkSession, edges)
+    } else clusterPairsStarOn(base, maxRounds)
+  }
+
+  /** Union-find with path halving + union by minimum-carrying root; labels
+    * are component minima, nodes are every endpoint seen (a self-pair
+    * contributes its node, matching both distributed tiers). */
+  private def localCcLabels(s: SparkSession,
+                            edges: Array[(Long, Long)]): DataFrame = {
+    import s.implicits._
+    val idx = scala.collection.mutable.LongMap.empty[Int]
+    val nodes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val parent = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def intern(x: Long): Int =
+      idx.getOrElseUpdate(x, { nodes += x; parent += parent.length; parent.length - 1 })
+    def find(i0: Int): Int = {
+      var i = i0
+      while (parent(i) != i) { parent(i) = parent(parent(i)); i = parent(i) }
+      i
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(intern(a)); val rb = find(intern(b))
+      if (ra != rb) parent(ra) = rb
+    }
+    val minLabel = Array.fill(nodes.length)(Long.MaxValue)
+    var i = 0
+    while (i < nodes.length) {
+      val r = find(i)
+      if (nodes(i) < minLabel(r)) minLabel(r) = nodes(i)
+      i += 1
+    }
+    nodes.indices.map(j => (nodes(j), minLabel(find(j))))
+      .toDF("doc_id", "cluster_id")
+  }
+
+  private def clusterPairsStarOn(base: DataFrame, maxRounds: Int): DataFrame = {
     def canon(e: DataFrame): DataFrame =
       e.filter(col("u") =!= col("v")).distinct()
     def largeStar(e: DataFrame): DataFrame = {
@@ -1529,12 +1611,11 @@ object Dedup {
        if (r.isNullAt(1)) 0L else r.getLong(1),
        if (r.isNullAt(2)) BigDecimal(0) else BigDecimal(r.getDecimal(2)))
     }
-    // materialize the RAW pair list once: `canon` below and the singleton
-    // guard at the end both need it, and each un-checkpointed reference
-    // would re-execute the whole upstream pair pipeline (the LSH path, in
-    // production — the pre-fix shape paid three full evaluations per run)
-    val base = graft.Checkpoints.local(
-      pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+    // `base` arrives materialized (checkpointed by the public wrappers):
+    // `canon` below and the singleton guard at the end both read it, and
+    // each un-checkpointed reference would re-execute the whole upstream
+    // pair pipeline (the LSH path, in production — the pre-fix shape paid
+    // three full evaluations per run)
     var edges = graft.Checkpoints.local(canon(base))
     var edgesSig = sig(edges)
     var round = 0

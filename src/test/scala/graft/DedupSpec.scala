@@ -62,6 +62,26 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(lbls(Dedup.nearDupClustersStar(spark, sf)) == lbls(Dedup.nearDupClusters(spark, sf)))
   }
 
+  test("local union-find tier matches the distributed tiers, and tiered dispatches both ways") {
+    import spark.implicits._
+    def lbls(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // corpus-grain agreement on the real LSH pair set
+    val pairs = Dedup.minhashLshPairs(spark, sf).select("doc_a", "doc_b")
+    val star = lbls(Dedup.clusterPairsStar(pairs))
+    assert(lbls(Dedup.clusterPairsLocal(pairs)) == star)
+    // tiered: default bound -> local branch; bound 0 -> star branch; equal
+    assert(lbls(Dedup.clusterPairsTiered(pairs)) == star)
+    assert(lbls(Dedup.clusterPairsTiered(pairs, localBelow = 0L)) == star)
+    // adversarial corners: self-pair singleton, chain, disjoint components
+    val tricky = (Seq((7L, 7L), (9L, 9L), (20L, 30L)) ++
+      (0L until 64L).map(i => (i + 100L, i + 101L))).toDF("doc_a", "doc_b")
+    assert(lbls(Dedup.clusterPairsLocal(tricky)) == lbls(Dedup.clusterPairsStar(tricky)))
+    // empty edge list: empty result, correct schema
+    val empty = Dedup.clusterPairsLocal(Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"))
+    assert(empty.columns.toSeq == Seq("doc_id", "cluster_id") && empty.count() == 0)
+  }
+
   test("span-dup stats match a local span computation") {
     val texts = Tables(spark, sf, "documents").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
