@@ -1201,16 +1201,168 @@ object Dedup {
       s"\n  AND (a.doc_id >= $incrementSplitSql OR b.doc_id >= $incrementSplitSql)"
 
   // -----------------------------------------------------------------
-  // Dedup-index maintenance: compaction + deletion (round-12 verdict
-  // tasks 3–4; shared by the MinHash-LSH and SimHash-wide index layouts)
+  // Persisted / incremental embedding (SRP-LSH) index (round 12, beyond-
+  // verdict symmetry: the THIRD dedup family gets the daily-ingest shape —
+  // MinHash and SimHash-wide landed in rounds 11; embedding near-dup was
+  // the one production tier still re-projecting the whole corpus per run)
   // -----------------------------------------------------------------
 
-  /** The index's per-document table: signatures (MinHash layout) or
-    * fingerprints (SimHash layout). */
+  /** Persist the embedding-cosine near-dup index: `vectors.parquet`
+    * `(doc_id, embedding, norm)` — cosine verification reads the vectors
+    * themselves, so unlike the MinHash layout the per-doc table IS the
+    * raw data plus its precomputed L2 norm — `postings.parquet`
+    * `(doc_id, band, bkey)` SRP bucket postings, and an
+    * `(n_bands, band_bits, dim)` meta handshake. The hyperplanes are a
+    * deterministic literal function of `(nBands·bandBits, dim)`
+    * ([[VectorOps.hyperplanes]]), so an increment re-derives bit-identical
+    * bucket keys without storing planes; the handshake pins the three
+    * parameters that derivation depends on and refuses a mismatch loudly.
+    * `doc_id` is the embeddings table's `vec_id` — the shared maintenance
+    * machinery ([[compactIndex]], [[deleteFromDedupIndex]]) is keyed on
+    * `doc_id` across all three layouts. */
+  def buildEmbeddingIndex(s: SparkSession, vecs: DataFrame, indexDir: String,
+                          nBands: Int = 16, bandBits: Int = 4,
+                          dim: Int = 64): Unit = {
+    import s.implicits._
+    val e = vecs.select(col("vec_id").as("doc_id"), col("embedding"),
+      VectorOps.l2Norm(col("embedding")).as("norm")).cache()
+    e.write.mode("overwrite").parquet(s"$indexDir/vectors.parquet")
+    embeddingBandedOf(e, nBands, bandBits, dim)
+      .write.mode("overwrite").parquet(s"$indexDir/postings.parquet")
+    Seq((nBands, bandBits, dim)).toDF("n_bands", "band_bits", "dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta.parquet")
+    e.unpersist()
+  }
+
+  /** SRP band postings of a `(doc_id, embedding, …)` frame — the same
+    * banding arithmetic as [[embeddingNearDupPairs]], single-sourced so
+    * the index build, the increment probe, and the full-corpus tier can
+    * never drift. */
+  private def embeddingBandedOf(e: DataFrame, nBands: Int, bandBits: Int,
+                                dim: Int): DataFrame = {
+    val planes = VectorOps.hyperplanes(nBands * bandBits, dim)
+    val bandArr = array((0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        VectorOps.srpBucket(col("embedding"),
+          planes.slice(b * bandBits, (b + 1) * bandBits)).as("bkey"))
+    }: _*)
+    e.select(col("doc_id"), explode(bandArr).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
+  }
+
+  /** Near-dup a NEW batch of vectors against a [[buildEmbeddingIndex]]
+    * persisted index — [[dedupIncrement]]'s machinery on the embedding
+    * family: project only the batch onto the hyperplanes (cost ∝ batch),
+    * probe the stored postings with the batch's bucket keys through the
+    * shared [[incrementCandidates]] core (broadcast-bounded, index never
+    * shuffled), verify candidates with exact cosine on stored vectors,
+    * append when asked. NO bucket cap, matching the batch tier's contract
+    * (2^bandBits buckets per band: bucket size tracks population, not
+    * similarity — widen `bandBits` at scale) — which also makes the
+    * increment ≡ the full-corpus pair set restricted to pairs touching the
+    * batch: bucket keys are pure per-vector functions, so the emitted
+    * candidates and the verify arithmetic agree pair for pair with
+    * [[embeddingNearDupPairs]] (the hash gate's law). Emits
+    * `(id_a, id_b, cos_e4)`, the family's column convention. */
+  def embeddingDedupIncrement(s: SparkSession, newVecs: DataFrame,
+                              indexDir: String, threshold: Double = 0.4,
+                              nBands: Int = 16, bandBits: Int = 4,
+                              dim: Int = 64,
+                              append: Boolean = true): DataFrame = {
+    val meta = s.read.parquet(s"$indexDir/meta.parquet").head()
+    require(meta.getInt(0) == nBands && meta.getInt(1) == bandBits &&
+        meta.getInt(2) == dim,
+      s"index at $indexDir built with (bands,bits,dim)=" +
+        s"(${meta.getInt(0)},${meta.getInt(1)},${meta.getInt(2)}); " +
+        s"caller passed ($nBands,$bandBits,$dim) — rebuild the index")
+    val oldBanded = s.read.parquet(parquetPartFiles(s, s"$indexDir/postings.parquet"): _*)
+    val oldVecs = s.read.parquet(parquetPartFiles(s, s"$indexDir/vectors.parquet"): _*)
+    val newE = newVecs.select(col("vec_id").as("doc_id"), col("embedding"),
+      VectorOps.l2Norm(col("embedding")).as("norm")).cache()
+    val nNew = newE.count()
+    val newBanded = embeddingBandedOf(newE, nBands, bandBits, dim)
+      .withColumn("is_new", lit(true))
+    val cands = incrementCandidates(oldBanded, newBanded,
+      nNew * nBands, Int.MaxValue, "embeddingDedupIncrement")
+    val allVecs = oldVecs.unionByName(newE)
+    // the backfill guard of the sibling increments: broadcast candidate
+    // pairs only while the batch is daily-sized
+    val cands2 = if (nNew * nBands <= 2000000L) broadcast(cands) else cands
+    val result = cands2
+      .join(allVecs.select(col("doc_id").as("doc_a"),
+        col("embedding").as("v_a"), col("norm").as("n_a")), "doc_a")
+      .join(allVecs.select(col("doc_id").as("doc_b"),
+        col("embedding").as("v_b"), col("norm").as("n_b")), "doc_b")
+      .withColumn("cos_sim",
+        VectorOps.cosinePrenormed(col("v_a"), col("v_b"), col("n_a"), col("n_b")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"),
+        floor(col("cos_sim") * lit(10000.0) + lit(0.5)).cast("long").as("cos_e4"))
+    if (append) {
+      newE.coalesce(appendFileCount(nNew))
+        .write.mode("append").parquet(s"$indexDir/vectors.parquet")
+      embeddingBandedOf(newE, nBands, bandBits, dim)
+        .coalesce(appendFileCount(nNew * nBands))
+        .write.mode("append").parquet(s"$indexDir/postings.parquet")
+    }
+    result
+  }
+
+  private val builtEmbeddingIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The [[incrementSplitAt]] convention on the embeddings table
+    * (vec_id grain): bottom 4/5 indexed, top 1/5 arrives as the batch. */
+  private val embSplitMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  def embIncrementSplitAt(s: SparkSession, dir: String): Long =
+    embSplitMemo.computeIfAbsent(dir, _ => {
+      val maxId = Tables(s, dir, "embeddings").agg(max(col("vec_id"))).head().getLong(0)
+      (maxId + 1) * IncrementSplitNum / IncrementSplitDen
+    }).longValue
+
+  private val embIncrementSplitSql: String =
+    s"(SELECT ((max(vec_id) + 1) * $IncrementSplitNum) // $IncrementSplitDen FROM embeddings)"
+
+  /** Registered increment (`q_dedup_embedding_inc`): the top-1/5 vec_id
+    * split near-duped against the persisted bottom-4/5 embedding index
+    * (base built on first use per JVM; `append = false` keeps repeat runs
+    * pure). Hash-gated: the oracle is the full-corpus
+    * [[embeddingNearDupSql]] — LSH bucketing, candidate join, and
+    * bit-exact cosine arithmetic — restricted to pairs touching the new
+    * split. */
+  def embeddingIncrementQuery(s: SparkSession, dir: String): DataFrame = {
+    val had = builtEmbeddingIndexes.containsKey(dir)
+    val idx = builtEmbeddingIndexes.computeIfAbsent(dir, _ => {
+      val p = minhashIndexDirFor(dir) + "-emb"
+      buildEmbeddingIndex(s, Tables(s, dir, "embeddings")
+        .filter(col("vec_id") < embIncrementSplitAt(s, dir)), p)
+      p
+    })
+    println(s"[graft] q_dedup_embedding_inc: index ${if (had) "cache-hit" else "built-on-first-use"} at $idx")
+    embeddingDedupIncrement(s, Tables(s, dir, "embeddings")
+      .filter(col("vec_id") >= embIncrementSplitAt(s, dir)), idx, append = false)
+  }
+
+  def embeddingIncrementSql(threshold: Double = 0.4): String =
+    embeddingNearDupSql(threshold) +
+      s"\n  AND (id_a >= $embIncrementSplitSql OR id_b >= $embIncrementSplitSql)"
+
+  // -----------------------------------------------------------------
+  // Dedup-index maintenance: compaction + deletion (round-12 verdict
+  // tasks 3–4; shared by the MinHash-LSH, SimHash-wide, and embedding
+  // index layouts)
+  // -----------------------------------------------------------------
+
+  /** The index's per-document table: signatures (MinHash layout), vectors
+    * (embedding layout), or fingerprints (SimHash layout). */
   private def perDocTableOf(s: SparkSession, indexDir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$indexDir/signatures.parquet")
-    if (p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p))
-      "signatures.parquet"
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def has(t: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/$t"))
+    if (has("signatures.parquet")) "signatures.parquet"
+    else if (has("vectors.parquet")) "vectors.parquet"
     else "fingerprints.parquet"
   }
 
@@ -2005,7 +2157,8 @@ object Dedup {
     "q_dedup_incremental" -> (dedupIncrementQuery _),
     "q_dedup_simhash_inc" -> (simhashIncrementQuery _),
     "q_dedup_cluster_inc" -> (clusterIncrementQuery _),
-    "q_dedup_pipeline_inc" -> (dedupPipelineIncrementQuery _))
+    "q_dedup_pipeline_inc" -> (dedupPipelineIncrementQuery _),
+    "q_dedup_embedding_inc" -> (embeddingIncrementQuery _))
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> exactDedupSql,
@@ -2041,5 +2194,8 @@ object Dedup {
     "q_dedup_cluster_inc" -> clusterIncrementSql(),
     // the composed daily-ingest keep list: the WHOLE production pipeline's
     // oracle, restricted to batch doc_ids
-    "q_dedup_pipeline_inc" -> dedupPipelineIncrementSql())
+    "q_dedup_pipeline_inc" -> dedupPipelineIncrementSql(),
+    // third index family: the full embedding-LSH + exact-cosine oracle
+    // restricted to pairs touching the new vec_id split
+    "q_dedup_embedding_inc" -> embeddingIncrementSql())
 }

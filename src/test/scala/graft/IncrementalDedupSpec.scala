@@ -226,4 +226,50 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(e.getMessage.contains("rebuild"))
   }
+
+  // ---- third index family: embedding SRP-LSH (round 12) ----
+
+  private def vecsAt(dir: String) = Tables(spark, dir, "embeddings")
+
+  private def cosSet(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Long] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+  test("embedding increment == full recompute restricted to pairs touching the new split") {
+    val full = cosSet(Dedup.embeddingNearDupPairs(spark, sf))
+    val split = Dedup.embIncrementSplitAt(spark, sf)
+    val expected = full.filter { case ((a, b), _) => a >= split || b >= split }
+    val idx = tmpIdx("emb")
+    Dedup.buildEmbeddingIndex(spark, vecsAt(sf).filter(col("vec_id") < split), idx)
+    val inc = cosSet(Dedup.embeddingDedupIncrement(spark,
+      vecsAt(sf).filter(col("vec_id") >= split), idx, append = false))
+    assert(inc == expected,
+      s"missing=${expected.keySet -- inc.keySet} extra=${inc.keySet -- expected.keySet}")
+    assert(expected.nonEmpty, "split should leave pairs touching the new half")
+  }
+
+  test("embedding increment appends: second batch sees the first") {
+    val full = cosSet(Dedup.embeddingNearDupPairs(spark, sf))
+    val idx = tmpIdx("emb2")
+    Dedup.buildEmbeddingIndex(spark, vecsAt(sf).filter(col("vec_id") < 150), idx)
+    val inc1 = cosSet(Dedup.embeddingDedupIncrement(spark,
+      vecsAt(sf).filter(col("vec_id") >= 150 && col("vec_id") < 300), idx))
+    val inc2 = cosSet(Dedup.embeddingDedupIncrement(spark,
+      vecsAt(sf).filter(col("vec_id") >= 300), idx))
+    val exp1 = full.filter { case ((a, b), _) =>
+      Seq(a, b).exists(i => i >= 150 && i < 300) && a < 300 && b < 300 }
+    val exp2 = full.filter { case ((a, b), _) => a >= 300 || b >= 300 }
+    assert(inc1 == exp1 && inc2 == exp2,
+      s"b1 missing=${exp1.keySet -- inc1.keySet} b2 missing=${exp2.keySet -- inc2.keySet}")
+  }
+
+  test("embedding increment refuses a different hyperplane layout") {
+    val idx = tmpIdx("embmeta")
+    Dedup.buildEmbeddingIndex(spark, vecsAt(sf).filter(col("vec_id") < 100), idx)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.embeddingDedupIncrement(spark,
+        vecsAt(sf).filter(col("vec_id") >= 100 && col("vec_id") < 120), idx,
+        nBands = 8, bandBits = 8, append = false)
+    }
+    assert(e.getMessage.contains("rebuild"))
+  }
 }

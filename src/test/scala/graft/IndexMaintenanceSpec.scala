@@ -102,6 +102,31 @@ class IndexMaintenanceSpec extends AnyFunSuite with SparkTestBase {
     assert(incA == incB)
   }
 
+  test("embedding delete + compaction: next increment == against rebuild-without-deleted") {
+    val split = Dedup.embIncrementSplitAt(spark, sf)
+    import spark.implicits._
+    def vecs = Tables(spark, sf, "embeddings")
+    val deleted = vecs.filter(col("vec_id") < split)
+      .select(col("vec_id")).collect().map(_.getLong(0)).filter(_ % 6 == 0)
+    def cosSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val idxA = tmpIdx("embdel-a")
+    Dedup.buildEmbeddingIndex(spark, vecs.filter(col("vec_id") < split), idxA)
+    Dedup.deleteFromDedupIndex(spark, idxA, deleted.toSeq.toDF("doc_id"))
+    Dedup.compactIndex(spark, idxA, nFiles = 2)
+    val incA = cosSet(Dedup.embeddingDedupIncrement(spark,
+      vecs.filter(col("vec_id") >= split), idxA, append = false))
+    val idxB = tmpIdx("embdel-b")
+    Dedup.buildEmbeddingIndex(spark,
+      vecs.filter(col("vec_id") < split && !col("vec_id").isin(deleted: _*)), idxB)
+    val incB = cosSet(Dedup.embeddingDedupIncrement(spark,
+      vecs.filter(col("vec_id") >= split), idxB, append = false))
+    assert(incA == incB && incB.nonEmpty,
+      s"missing=${incB.keySet -- incA.keySet} extra=${incA.keySet -- incB.keySet}")
+    assert(spark.read.parquet(s"$idxA/vectors.parquet")
+      .filter(col("doc_id").isin(deleted: _*)).count() == 0)
+  }
+
   test("delete re-derives cluster state for touched components only") {
     import spark.implicits._
     val idx = tmpIdx("delstate")
