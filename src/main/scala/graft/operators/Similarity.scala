@@ -92,13 +92,18 @@ object Similarity {
   /** Assign each vector its nearest centroid id by cosine (argmax via an
     * orderable struct — ties break toward the higher cid, deterministic).
     * Centroids are literals, so assignment is one map-only pass. */
-  private def assignCid(e: DataFrame, cents: Seq[Seq[Double]]): DataFrame = {
-    val scored = cents.zipWithIndex.map { case (c, i) =>
+  private def assignCid(e: DataFrame, cents: Seq[Seq[Double]]): DataFrame =
+    e.withColumn("cid", greatest(centroidScores(cents): _*).getField("cid"))
+
+  /** Per-centroid `(sim, cid)` orderable structs over `embedding` — the
+    * single-sourced scoring arithmetic of [[assignCid]] and
+    * [[ivfPqAssignmentFit]] (the drift statistic must measure exactly
+    * what assignment maximizes, or it measures nothing). */
+  private def centroidScores(cents: Seq[Seq[Double]]): Seq[Column] =
+    cents.zipWithIndex.map { case (c, i) =>
       struct(VectorOps.cosine(col("embedding"), array(c.map(lit): _*)).as("sim"),
              lit(i).as("cid"))
     }
-    e.withColumn("cid", greatest(scored: _*).getField("cid"))
-  }
 
   /** Lloyd's k-means coarse quantizer in DataFrame ops, trained on a
     * deterministic hash-mod SAMPLE of the corpus (same integer-mod
@@ -833,10 +838,19 @@ object Similarity {
     pqEncodeResiduals(assignCid(vecs, cents).select(col("vec_id"), col("cid"), col("embedding")),
         cents, books, m, subDim, k)
       .write.mode("overwrite").parquet(s"$indexDir/codes.parquet")
+    // drift baselines: the build corpus's assignment fit and IVF list
+    // occupancy under the model just frozen — what ivfPqDriftCheck
+    // compares every future append against (bounded sampled scans;
+    // NaN-guarded for empty builds)
+    val fit = ivfPqAssignmentFit(s, vecs, cents)
+    val occ = if (fit.isNaN) Nil
+              else Seq(("fit", 0, Seq(fit)),
+                       ("occ", 0, ivfPqOccupancy(s, vecs, cents)))
     // the meta row pins the build hyperparameters: a search with different
     // (m, subDim, k, nCentroids) would mis-index books(j·k + c) and return
     // plausible-but-wrong neighbors — annIvfPqSearch require()s agreement
     (Seq(("meta", 0, Seq(m.toDouble, subDim.toDouble, k.toDouble, cents.length.toDouble))) ++
+      occ ++
       cents.zipWithIndex.map { case (c, i) => ("cent", i, c) } ++
       books.zipWithIndex.map { case (b, i) => ("book", i, b) })
       .toDF("kind", "idx", "vec")
@@ -900,8 +914,19 @@ object Similarity {
     * Returns the appended codes (lazy; the write already materialized
     * them once). */
   def appendToIvfPqIndex(s: SparkSession, newVecs: DataFrame, indexDir: String,
-                         m: Int = 8, subDim: Int = 8, k: Int = 16): DataFrame = {
+                         m: Int = 8, subDim: Int = 8, k: Int = 16,
+                         driftTolerance: Double = 0.05): DataFrame = {
     val (cents, books) = loadIvfPqModel(s, indexDir, m, subDim, k)
+    // the rebuild trigger, armed per append (bounded sampled scan of the
+    // batch): appends keep working under drift — stale quantization is a
+    // recall degradation, not an error — but the operator says so loudly
+    ivfPqDriftCheck(s, indexDir, newVecs, m, subDim, k, driftTolerance)
+      .filter(_.drifted).foreach { d =>
+        System.err.println(f"[graft] appendToIvfPqIndex DRIFT-ARMED: batch fit " +
+          f"${d.batchFit}%.4f vs baseline ${d.baselineFit}%.4f, occupancy TV " +
+          f"${d.occupancyTv}%.3f — the frozen model is stale for this batch; " +
+          "rebuild the index")
+      }
     val codes = pqEncodeResiduals(
       assignCid(newVecs, cents).select(col("vec_id"), col("cid"), col("embedding")),
       cents, books, m, subDim, k)
@@ -943,6 +968,103 @@ object Similarity {
     IndexMaintenance.rewriteSwap(s, s"$indexDir/codes.parquet")(
       _.repartition(nFiles, col("cid"))
         .sortWithinPartitions("cid", "vec_id", "sub_idx"))
+
+  // -----------------------------------------------------------------
+  // Drift telemetry: WHEN to rebuild instead of append (round 12 — the
+  // §8.5.10 rebuild-trigger sentence made executable)
+  // -----------------------------------------------------------------
+
+  /** "Assignment fit" of a vector set under frozen coarse centroids: the
+    * mean best-centroid cosine — exactly the statistic [[assignCid]]
+    * maximizes per row, so a batch whose distribution has drifted away
+    * from the training corpus scores measurably lower (its vectors land
+    * far from every centroid and their residuals blow past what the PQ
+    * codebooks were trained to cover). Computed on a deterministic
+    * hash-ordered sample capped at `maxRows` (the [[learnCentroids]]
+    * bounded-training discipline): a fit ESTIMATE needs a fixed number of
+    * points, so the statistic costs O(1) at any corpus size. */
+  def ivfPqAssignmentFit(s: SparkSession, vecs: DataFrame,
+                         cents: Seq[Seq[Double]],
+                         maxRows: Int = 65536): Double = {
+    val sampled = vecs.select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id"), lit(7)), col("vec_id"))
+      .limit(maxRows)
+    val row = sampled
+      .select(greatest(centroidScores(cents): _*).getField("sim").as("csim"))
+      .agg(avg(col("csim"))).head()
+    if (row.isNullAt(0)) Double.NaN else row.getDouble(0)
+  }
+
+  /** Centroid OCCUPANCY of a vector set under frozen centroids: the
+    * fraction of (sampled) vectors assigned to each coarse list, in cid
+    * order — the IVF list-size profile. Complements the fit statistic:
+    * a distribution that COLLAPSES onto few lists keeps its per-vector
+    * fit (each vector is still near some centroid) while hot lists
+    * destroy probed-search selectivity; occupancy shift catches it. Same
+    * bounded-sample discipline as [[ivfPqAssignmentFit]]. */
+  def ivfPqOccupancy(s: SparkSession, vecs: DataFrame,
+                     cents: Seq[Seq[Double]],
+                     maxRows: Int = 65536): Seq[Double] = {
+    val sampled = vecs.select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id"), lit(7)), col("vec_id"))
+      .limit(maxRows)
+    val counts = sampled
+      .select(greatest(centroidScores(cents): _*).getField("cid").as("cid"))
+      .groupBy(col("cid")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = math.max(1L, counts.values.sum)
+    cents.indices.map(i => counts.getOrElse(i, 0L).toDouble / total)
+  }
+
+  /** One drift measurement against a persisted index's stored build-time
+    * baselines, two complementary legs — the rebuild trigger
+    * ([[appendToIvfPqIndex]] freezes the model BY DESIGN; this is the
+    * telemetry that says the freeze has gone stale):
+    *
+    *  - fit leg: the batch's mean best-centroid cosine sits more than
+    *    `fitTolerance` below the build corpus's (vectors the centroids
+    *    no longer cover — residuals outrun the codebooks, recall decays).
+    *    The baseline includes the k-means training sample; at deployment
+    *    scale that sample is a ≤64k drop in the corpus so the baseline is
+    *    effectively held-out, but on corpora comparable to the training
+    *    sample it is optimistic by the overfit margin — size
+    *    `fitTolerance` accordingly there;
+    *  - occupancy leg: total-variation distance between the batch's and
+    *    the build's IVF list profiles exceeds `occTolerance` (hot lists —
+    *    probed search loses selectivity even though per-vector fit holds). */
+  case class IvfPqDrift(baselineFit: Double, batchFit: Double,
+                        occupancyTv: Double,
+                        fitTolerance: Double, occTolerance: Double) {
+    def fitDrifted: Boolean = batchFit < baselineFit - fitTolerance
+    def occDrifted: Boolean = occupancyTv > occTolerance
+    def drifted: Boolean = fitDrifted || occDrifted
+  }
+
+  /** Measure a batch's drift against a persisted index's stored
+    * baselines. `None` when the index predates drift telemetry (no `fit`
+    * row in its model table) — append still works, it just can't tell you
+    * when to stop appending. Cost: one bounded sampled scan of the batch
+    * per leg. */
+  def ivfPqDriftCheck(s: SparkSession, indexDir: String, newVecs: DataFrame,
+                      m: Int = 8, subDim: Int = 8, k: Int = 16,
+                      fitTolerance: Double = 0.05,
+                      occTolerance: Double = 0.25): Option[IvfPqDrift] = {
+    val (cents, _) = loadIvfPqModel(s, indexDir, m, subDim, k)
+    val stored = s.read.parquet(s"$indexDir/model.parquet")
+      .filter(col("kind").isin("fit", "occ"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](2).toSeq).toMap
+    stored.get("fit").map { fitRow =>
+      val occTv = stored.get("occ") match {
+        case Some(baseOcc) =>
+          val batchOcc = ivfPqOccupancy(s, newVecs, cents)
+          0.5 * baseOcc.zipAll(batchOcc, 0.0, 0.0)
+            .map { case (p, q) => math.abs(p - q) }.sum
+        case None => 0.0
+      }
+      IvfPqDrift(fitRow.head, ivfPqAssignmentFit(s, newVecs, cents),
+        occTv, fitTolerance, occTolerance)
+    }
+  }
 
   // -----------------------------------------------------------------
   // Registered build/search query pair for the persisted index

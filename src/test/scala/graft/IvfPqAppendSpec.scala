@@ -68,4 +68,31 @@ class IvfPqAppendSpec extends AnyFunSuite with SparkTestBase {
       emb.filter(col("vec_id") >= 50 && col("vec_id") < 60), idx)
     assert(appended.count() == 10 * 8)
   }
+
+  test("drift telemetry: same-distribution batch is in-fit, a collapsed batch arms the trigger") {
+    val split = Similarity.ivfPqAppendSplitAt(spark, sf)
+    val old = emb.filter(col("vec_id") < split)
+    val batch = emb.filter(col("vec_id") >= split)
+    val idx = tmpIdx("drift")
+    // centroids learned over the FULL corpus so both splits face the model
+    // symmetrically: the fit law under test is "same distribution ⇒ fit ≈
+    // baseline", not the small-corpus overfit margin (which the scaladoc
+    // documents — at spec scale the k-means training sample IS the build
+    // corpus, so a model trained on `old` alone scores `old` optimistically)
+    Similarity.buildIvfPqIndexOver(spark, old, idx,
+      Similarity.learnCentroids(spark, emb),
+      VectorOps.hyperplanes(8 * 16, 8, seed = 77L))
+    val same = Similarity.ivfPqDriftCheck(spark, idx, batch)
+    assert(same.isDefined, "build must store drift baselines")
+    assert(!same.get.drifted,
+      s"same-distribution batch flagged drifted: $same")
+    // a COLLAPSED batch — every vector identical, so the whole batch lands
+    // in one IVF list: per-vector fit stays healthy (it IS near a
+    // centroid), but the occupancy leg sees the hot-list profile
+    val collapsed = batch.select(col("vec_id"),
+      transform(col("embedding"), x => lit(0.1)).as("embedding"))
+    val drift = Similarity.ivfPqDriftCheck(spark, idx, collapsed)
+    assert(drift.exists(_.occDrifted), s"collapsed batch not flagged: $drift")
+    assert(drift.get.occupancyTv > 0.25)
+  }
 }
