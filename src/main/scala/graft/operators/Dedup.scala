@@ -1812,6 +1812,14 @@ object Dedup {
   def nearDupClustersStar(s: SparkSession, dir: String): DataFrame =
     clusterPairsStar(ngramJaccardPairs(s, dir))
 
+  /** [[nearDupClusters]] computed by the round-12 bounded LOCAL tier —
+    * the THIRD independent connected-components implementation under the
+    * same recursive-CTE oracle (the tier the decision-layer increments
+    * actually run on their touched subgraphs, priced in the anchor on
+    * corpus pairs). */
+  def nearDupClustersLocal(s: SparkSession, dir: String): DataFrame =
+    clusterPairsLocal(ngramJaccardPairs(s, dir))
+
   val nearDupClustersSql: String = {
     // embed the jaccard-pair oracle as a CTE, then a recursive reachability
     // closure; cluster id = min reachable doc_id (incl. self)
@@ -2158,7 +2166,8 @@ object Dedup {
     "q_dedup_simhash_inc" -> (simhashIncrementQuery _),
     "q_dedup_cluster_inc" -> (clusterIncrementQuery _),
     "q_dedup_pipeline_inc" -> (dedupPipelineIncrementQuery _),
-    "q_dedup_embedding_inc" -> (embeddingIncrementQuery _))
+    "q_dedup_embedding_inc" -> (embeddingIncrementQuery _),
+    "q_dedup_clusters_local" -> (nearDupClustersLocal _))
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> exactDedupSql,
@@ -2197,5 +2206,7 @@ object Dedup {
     "q_dedup_pipeline_inc" -> dedupPipelineIncrementSql(),
     // third index family: the full embedding-LSH + exact-cosine oracle
     // restricted to pairs touching the new vec_id split
-    "q_dedup_embedding_inc" -> embeddingIncrementSql())
+    "q_dedup_embedding_inc" -> embeddingIncrementSql(),
+    // third CC tier under the SAME closure oracle as clusters/clusters_star
+    "q_dedup_clusters_local" -> nearDupClustersSql)
 }
