@@ -770,6 +770,44 @@ object ScaleProbe {
           spark.catalog.clearCache(); Checkpoints.releaseAll()
         }
 
+      case "semdedup" =>
+        // SemDeDup's published cost model made a measured law: the only
+        // super-linear work is the per-cluster pairwise matrix, Σ sᵢ(sᵢ−1)/2,
+        // governed by the cluster count K. Two legs: (a) the K KNOB — same
+        // grown corpus, K 16 → 64 should cut candidate-pair mass ~4× and
+        // wall time with it; (b) LINEARITY — base corpus at K=8 vs the k×
+        // corpus at K=64 holds E[cluster size] ≈ constant, so a 10× corpus
+        // should cost ~10× (pair-mass ratio), not 100× (an n² ratio). The
+        // grown corpus is the interpolated-mixture geometry (real cluster
+        // structure for the quantizer to find, not perturbation clouds).
+        time("build")(buildEmbeddings(varied = true))
+        def probeSem(tag: String, dir: String, kc: Int): Unit = {
+          val e = Tables(spark, dir, "embeddings")
+            .select(col("vec_id"), col("embedding"))
+          val n = e.count()
+          var cents: Seq[Seq[Double]] = Seq.empty
+          time(s"${tag}_train_k$kc") {
+            cents = graft.operators.Similarity.learnCentroids(spark, e, kc)
+          }
+          var occ: Array[Long] = Array.empty
+          var kept = 0L
+          time(s"${tag}_semdedup_k$kc") {
+            val agg = graft.operators.Dedup.semanticDedupWith(spark, e, cents)
+              .groupBy(col("cid"))
+              .agg(count(lit(1)).as("members"), sum(col("keep")).as("kept"))
+              .collect()
+            occ = agg.map(_.getLong(1))
+            kept = agg.map(_.getLong(2)).sum
+          }
+          val mass = occ.map(c => c * (c - 1) / 2).sum
+          println(f"SCALE${k}X[semdedup] $tag n=$n K=$kc: " +
+            f"candidate pair mass $mass, max cell ${occ.max}, kept $kept/$n")
+          spark.catalog.clearCache(); Checkpoints.releaseAll()
+        }
+        probeSem("base", src, 8)    // E[cell] matched with grown@64 (leg b)
+        probeSem("grown", dst, 16)  // knob leg (a): vs grown@64
+        probeSem("grown", dst, 64)
+
       case other => sys.error(s"unknown SPARK_GRAFT_SCALE_MODE: $other")
     }
     spark.stop()

@@ -1308,6 +1308,31 @@ object Dedup {
     result
   }
 
+  /** At-ingest near-dup dedup of one VECTOR batch against a
+    * [[buildEmbeddingIndex]] index — [[nearDupIncrementSurvivors]]'s drop
+    * rule on the embedding family: an indexed partner convicts the new
+    * vector; of a batch-internal pair the larger id drops; the WHOLE batch
+    * joins the index when `append` (dropped vectors must stay probe-able
+    * or a later near-dup of only-the-dropped-one would wrongly survive).
+    * Per-micro-batch body of
+    * [[graft.streaming.StreamDedup.embeddingAgainstIndex]]. */
+  def embeddingIncrementSurvivors(s: SparkSession, newVecs: DataFrame,
+                                  indexDir: String, threshold: Double = 0.4,
+                                  append: Boolean = true): DataFrame = {
+    val pairs = embeddingDedupIncrement(s, newVecs, indexDir, threshold, append = append)
+    val ids = newVecs.select(col("vec_id")).distinct()
+    val flagged = pairs
+      .join(ids.select(col("vec_id").as("id_a"), lit(true).as("a_new")), Seq("id_a"), "left")
+      .join(ids.select(col("vec_id").as("id_b"), lit(true).as("b_new")), Seq("id_b"), "left")
+    // pairs are emitted id_a < id_b: both new -> drop the larger (id_b);
+    // one side new (the only other increment case) -> drop the new side
+    val drops = flagged.select(
+      when(coalesce(col("a_new"), lit(false)) && coalesce(col("b_new"), lit(false)), col("id_b"))
+        .when(coalesce(col("a_new"), lit(false)), col("id_a"))
+        .otherwise(col("id_b")).as("vec_id")).distinct()
+    newVecs.join(drops, Seq("vec_id"), "left_anti")
+  }
+
   private val builtEmbeddingIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -1569,6 +1594,169 @@ object Dedup {
       |  JOIN n nb ON nb.vec_id = c.id_b)
       |SELECT id_a, id_b, CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_e4
       |FROM scored WHERE cos >= $threshold""".stripMargin
+  }
+
+  // -----------------------------------------------------------------
+  // Semantic dedup (SemDeDup — Abbas et al. 2023, arXiv:2303.09540)
+  // -----------------------------------------------------------------
+
+  /** Literal centroid model for the hash-gated semantic-dedup twin — the
+    * `annIvfLit` convention: a deterministic k×dim double model both engines
+    * inline, making assignment + pairing + closure + keep-rule a pure double
+    * program DuckDB re-evaluates bit-identically. */
+  private val SemLitCents: Seq[Seq[Double]] = VectorOps.hyperplanes(8, 64, seed = 31L)
+
+  /** Intra-cluster cosine threshold for the registered semantic-dedup
+    * queries — kept at the embedding-near-dup family's radius so the two
+    * tiers are comparable on the same corpus (the published method uses
+    * 0.95+ on L2-normalized CLIP embeddings; the knob is corpus-dependent). */
+  val SemDedupTau = 0.4
+
+  /** SemDeDup with caller-supplied centroids — ONE plan for the learned
+    * production tier ([[semanticDedup]]) and the literal-model oracle twin
+    * (`q_dedup_semantic_lit`). The published algorithm, re-expressed in
+    * keyed joins:
+    *
+    *  1. assign every embedding its argmax-cosine centroid (map-only pass,
+    *     k literal dot products per row — ties break toward the higher cid,
+    *     the [[Similarity.learnCentroids]] assignment rule);
+    *  2. WITHIN each cluster, compute the full pairwise cosine matrix and
+    *     keep pairs ≥ `tau` (the paper's intra-cluster similarity matrix:
+    *     a self-join keyed on `cid` — ids only ride the quadratic join,
+    *     vectors attach to the surviving candidate rows);
+    *  3. semantic groups = connected components of the ≥ tau graph
+    *     ([[clusterPairsTiered]] — the paper's greedy grouping made
+    *     order-independent);
+    *  4. per group, KEEP the member with the LOWEST cosine to its centroid
+    *     (the paper's rule: retain the most atypical exemplar, preserving
+    *     distribution tails), tie-break to the lower vec_id. Singletons
+    *     keep themselves.
+    *
+    * Scale: the only unkeyed work is step 2's per-cluster quadratic — the
+    * algorithm's published cost model, governed by k (clusters average
+    * n/k; SemDeDup ran K=50 000 over 5 B LAION embeddings on exactly this
+    * shape). The join shuffles ids on `cid` once; the candidate count
+    * (Σ sᵢ·(sᵢ−1)/2 — the realized quadratic mass) is surfaced as an
+    * `observe` metric so a skewed quantizer is visible in query metrics,
+    * and the mitigation is the paper's own knob: raise k (or pre-split hot
+    * clusters with the [[embeddingNearDupPairs]] SRP bands, which bound
+    * bucket size by construction).
+    *
+    * Returns `(vec_id, cid, cluster_id, cent_e4, keep)`: the k-means cell,
+    * the semantic-group label (component min), the e4-floored centroid
+    * cosine the keep rule ordered on, and keep ∈ {0,1}. */
+  def semanticDedupWith(s: SparkSession, e: DataFrame, cents: Seq[Seq[Double]],
+                        tau: Double = SemDedupTau): DataFrame = {
+    val best = greatest(cents.zipWithIndex.map { case (c, i) =>
+      struct(VectorOps.cosine(col("embedding"), array(c.map(lit): _*)).as("sim"),
+             lit(i.toLong).as("cid"))
+    }: _*)
+    val asg = e.select(col("vec_id"), col("embedding"),
+        VectorOps.l2Norm(col("embedding")).as("norm"),
+        best.getField("cid").as("cid"),
+        // e4-floored for the keep ORDERING — integer order parity is
+        // engine-stable where raw-double ties would not be
+        floor(best.getField("sim") * lit(10000.0) + lit(0.5)).cast("long").as("cent_e4"))
+      .cache()
+    val keys = asg.select(col("vec_id"), col("cid"))
+    val cands = keys.select(col("cid"), col("vec_id").as("id_a"))
+      .join(keys.select(col("cid"), col("vec_id").as("id_b")), Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      // the realized quadratic mass, observable per-run (skew telemetry)
+      .observe(s"graft_sem_pairs_${lshTrimSeq.incrementAndGet()}",
+        count(lit(1)).as("n_candidate_pairs"))
+    val vecs = asg.select(col("vec_id"), col("embedding"), col("norm"))
+    val pairs = cands
+      .join(vecs.select(col("vec_id").as("id_a"), col("embedding").as("v_a"),
+        col("norm").as("n_a")), "id_a")
+      .join(vecs.select(col("vec_id").as("id_b"), col("embedding").as("v_b"),
+        col("norm").as("n_b")), "id_b")
+      .filter(VectorOps.cosinePrenormed(col("v_a"), col("v_b"),
+        col("n_a"), col("n_b")) >= tau)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    // tiered CC materializes `pairs` eagerly (count + checkpoint), so the
+    // cached assignment is fully reused before it is released below
+    val labels = clusterPairsTiered(pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+    val lab = graft.Checkpoints.local(
+      asg.select(col("vec_id"), col("cid"), col("cent_e4"))
+        .join(labels, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cid"), col("cent_e4"),
+          coalesce(col("cluster_id"), col("vec_id")).as("cluster_id")))
+    asg.unpersist()
+    val pick = lab.groupBy(col("cluster_id"))
+      .agg(min(struct(col("cent_e4"), col("vec_id"))).as("pick"))
+    lab.join(pick, Seq("cluster_id"))
+      .select(col("vec_id"), col("cid"), col("cluster_id"), col("cent_e4"),
+        (col("vec_id") === col("pick.vec_id")).cast("int").as("keep"))
+  }
+
+  /** Production tier: [[semanticDedupWith]] under a LEARNED k-means model
+    * ([[Similarity.learnCentroids]] — sample-trained, O(1) at any corpus
+    * size). Registered rows-only: the model is not SQL-derivable, so the
+    * hash gate rides the literal twin, which shares this exact code path
+    * (§8.6 convention — the IVF/IVF-PQ learned tiers' argument). */
+  def semanticDedup(s: SparkSession, dir: String, k: Int = 8, iters: Int = 4,
+                    tau: Double = SemDedupTau): DataFrame = {
+    val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    semanticDedupWith(s, e, Similarity.learnCentroids(s, e, k, iters), tau)
+  }
+
+  /** The hash-gated twin: [[semanticDedupWith]] against [[SemLitCents]]. */
+  def semanticDedupLitQuery(s: SparkSession, dir: String): DataFrame =
+    semanticDedupWith(s,
+      Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+      SemLitCents)
+
+  /** DuckDB twin of [[semanticDedupLitQuery]]: literal-centroid argmax
+    * assignment (the [[Similarity.annIvfLitSql]] `asg` recipe — same
+    * `sim DESC, cid DESC` tie rule as `greatest(struct(sim, cid))`),
+    * within-cluster exact-cosine pairs, the recursive reachability closure
+    * ([[nearDupClustersSql]]'s), and the per-component
+    * `(cent_e4, vec_id)`-minimum keep rule. One hash gate over the entire
+    * published algorithm. */
+  def semanticDedupLitSql(tau: Double = SemDedupTau, dim: Int = 64): String = {
+    val ctVals = SemLitCents.zipWithIndex.map { case (c, i) =>
+      s"($i, ${VectorSql.planeSql(c)}, ${math.sqrt(c.map(x => x * x).sum)})"
+    }.mkString(",\n  ")
+    val centSim =
+      s"""list_sum(list_transform(range(1, ${dim + 1}), i -> n.v[CAST(i AS INT)] * ct.cvec[CAST(i AS INT)]))
+        |        / (n.nrm * ct.cnorm)""".stripMargin
+    s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+      |ct(cid, cvec, cnorm) AS (VALUES
+      |  $ctVals),
+      |asg AS (
+      |  SELECT vec_id, CAST(cid AS BIGINT) AS cid,
+      |         CAST(floor(sim * 10000 + 0.5) AS BIGINT) AS cent_e4 FROM (
+      |    SELECT n.vec_id, ct.cid,
+      |      $centSim AS sim,
+      |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+      |        $centSim DESC, ct.cid DESC) AS rn
+      |    FROM n, ct)
+      |  WHERE rn = 1),
+      |pairs AS (
+      |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+      |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      |  JOIN n na ON na.vec_id = a.vec_id
+      |  JOIN n nb ON nb.vec_id = b.vec_id
+      |  WHERE list_sum(list_transform(range(1, ${dim + 1}), i -> na.v[CAST(i AS INT)] * nb.v[CAST(i AS INT)]))
+      |        / (na.nrm * nb.nrm) >= $tau),
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |          UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
+      |comp AS (SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+      |         FROM reach GROUP BY src),
+      |lab AS (SELECT asg.vec_id, asg.cid, asg.cent_e4,
+      |               COALESCE(comp.cluster_id, asg.vec_id) AS cluster_id
+      |        FROM asg LEFT JOIN comp ON comp.vec_id = asg.vec_id)
+      |SELECT vec_id, cid, cluster_id, cent_e4,
+      |  CAST(CASE WHEN row_number() OVER (PARTITION BY cluster_id
+      |         ORDER BY cent_e4, vec_id) = 1 THEN 1 ELSE 0 END AS INT) AS keep
+      |FROM lab""".stripMargin
   }
 
   // -----------------------------------------------------------------
@@ -2167,7 +2355,9 @@ object Dedup {
     "q_dedup_cluster_inc" -> (clusterIncrementQuery _),
     "q_dedup_pipeline_inc" -> (dedupPipelineIncrementQuery _),
     "q_dedup_embedding_inc" -> (embeddingIncrementQuery _),
-    "q_dedup_clusters_local" -> (nearDupClustersLocal _))
+    "q_dedup_clusters_local" -> (nearDupClustersLocal _),
+    "q_dedup_semantic" -> ((s: SparkSession, d: String) => semanticDedup(s, d)),
+    "q_dedup_semantic_lit" -> (semanticDedupLitQuery _))
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> exactDedupSql,
@@ -2208,5 +2398,10 @@ object Dedup {
     // restricted to pairs touching the new vec_id split
     "q_dedup_embedding_inc" -> embeddingIncrementSql(),
     // third CC tier under the SAME closure oracle as clusters/clusters_star
-    "q_dedup_clusters_local" -> nearDupClustersSql)
+    "q_dedup_clusters_local" -> nearDupClustersSql,
+    // the whole published SemDeDup algorithm under one hash gate:
+    // literal-centroid assignment, intra-cluster cosine matrix, closure,
+    // keep-farthest-from-centroid (the learned tier shares the code path
+    // and is bounded by this twin — §8.6)
+    "q_dedup_semantic_lit" -> semanticDedupLitSql())
 }

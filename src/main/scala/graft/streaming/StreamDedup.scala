@@ -81,24 +81,66 @@ object StreamDedup {
       sink(nearDupBatch(batch, batchId, indexDir, memoPrefix, threshold, append))
     }
 
-  /** One micro-batch of [[nearDupAgainstIndex]] — factored out so the
-    * replay guard is testable without a streaming restart. */
-  private[graft] def nearDupBatch(batch: DataFrame, batchId: Long,
-                                  indexDir: String, memoPrefix: String,
-                                  threshold: Double = 0.5,
-                                  append: Boolean = true): DataFrame = {
+  /** The batchId-ledger replay guard shared by every index-appending
+    * stream leg: on first delivery run the body with appends ON and record
+    * the batchId marker AFTER the append (so a torn commit replays — the
+    * duplicated-rows residue is argued at [[nearDupAgainstIndex]]); on
+    * redelivery run it with appends OFF (survivors are recomputed and
+    * re-delivered — at-least-once output, exactly-once index growth). With
+    * `append = false` the guard is inert: no appends, no markers. */
+  private def replayGuarded(batch: DataFrame, batchId: Long, indexDir: String,
+                            append: Boolean)
+                           (run: Boolean => DataFrame): DataFrame = {
     val ledger = new org.apache.hadoop.fs.Path(s"$indexDir/_stream_appends")
     val marker = new org.apache.hadoop.fs.Path(ledger, batchId.toString)
     val fs = ledger.getFileSystem(
       batch.sparkSession.sparkContext.hadoopConfiguration)
-    val replay = append && fs.exists(marker)
-    val survivors = graft.operators.Dedup.nearDupIncrementSurvivors(
-      batch.sparkSession, batch, indexDir, s"$memoPrefix#$batchId",
-      threshold, append = append && !replay)
-    if (append && !replay) {
+    val doAppend = append && !fs.exists(marker)
+    val survivors = run(doAppend)
+    if (doAppend) {
       fs.mkdirs(ledger)
       fs.create(marker, true).close()
     }
     survivors
   }
+
+  /** One micro-batch of [[nearDupAgainstIndex]] — factored out so the
+    * replay guard is testable without a streaming restart. */
+  private[graft] def nearDupBatch(batch: DataFrame, batchId: Long,
+                                  indexDir: String, memoPrefix: String,
+                                  threshold: Double = 0.5,
+                                  append: Boolean = true): DataFrame =
+    replayGuarded(batch, batchId, indexDir, append) { doAppend =>
+      graft.operators.Dedup.nearDupIncrementSurvivors(
+        batch.sparkSession, batch, indexDir, s"$memoPrefix#$batchId",
+        threshold, append = doAppend)
+    }
+
+  /** NEAR-dup streaming dedup of a VECTOR stream (`vec_id`, `embedding`)
+    * against the persisted embedding (SRP-LSH) index — the
+    * [[nearDupAgainstIndex]] shape on the third index family: each
+    * micro-batch runs
+    * [[graft.operators.Dedup.embeddingIncrementSurvivors]] (project only
+    * the batch, probe the stored postings, verify with exact cosine on
+    * stored vectors, drop convicted vectors, append the batch so the next
+    * micro-batch sees it), under the same batchId-ledger replay guard. */
+  def embeddingAgainstIndex(stream: DataFrame, indexDir: String,
+                            threshold: Double = 0.4,
+                            append: Boolean = true)
+                           (sink: DataFrame => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(embeddingBatch(batch, batchId, indexDir, threshold, append))
+    }
+
+  /** One micro-batch of [[embeddingAgainstIndex]] (testable without a
+    * streaming restart). */
+  private[graft] def embeddingBatch(batch: DataFrame, batchId: Long,
+                                    indexDir: String,
+                                    threshold: Double = 0.4,
+                                    append: Boolean = true): DataFrame =
+    replayGuarded(batch, batchId, indexDir, append) { doAppend =>
+      graft.operators.Dedup.embeddingIncrementSurvivors(
+        batch.sparkSession, batch, indexDir, threshold, append = doAppend)
+    }
 }

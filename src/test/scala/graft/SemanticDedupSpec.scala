@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorOps
+import graft.operators.Dedup
+
+/** SemDeDup (semantic dedup over the embedding space): the keep rule on a
+  * hand-built geometry, a full driver-side re-implementation of the literal
+  * tier (assignment, intra-cluster matrix, closure, keep rule — an
+  * independent oracle beyond the DuckDB hash gate), and the structural
+  * invariants of the learned tier.
+  */
+class SemanticDedupSpec extends AnyFunSuite with SparkTestBase {
+
+  // mirror of the native DotProduct loop: sequential left fold, per-element
+  // float->double widening — the arithmetic-order contract the parity
+  // assertions below depend on
+  private def dot(a: Seq[Double], b: Seq[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+  private def cos(a: Seq[Double], b: Seq[Double]): Double =
+    dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+  test("keep rule retains the farthest-from-centroid member, not the min id") {
+    import spark.implicits._
+    // one tight semantic group assigned to centroid (1,0,0,0): cent-cosine
+    // DECREASES with id (v12 is the most atypical), so the paper's rule must
+    // keep the LARGEST id — distinguishing it from a min-id keep policy
+    val vecs = Seq(
+      10L -> Array(1.0f, 0.0f, 0.0f, 0.0f),
+      11L -> Array(0.95f, 0.05f, 0.0f, 0.0f),
+      12L -> Array(0.9f, 0.1f, 0.0f, 0.0f),
+      20L -> Array(0.0f, 1.0f, 0.0f, 0.0f)) // other cell, singleton
+      .toDF("vec_id", "embedding")
+    val cents = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0))
+    val out = Dedup.semanticDedupWith(spark, vecs, cents, tau = 0.9)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("cid"), r.getAs[Long]("cluster_id"), r.getAs[Int]("keep")))).toMap
+    assert(out(10L) == ((0L, 10L, 0)))
+    assert(out(11L) == ((0L, 10L, 0)))
+    assert(out(12L) == ((0L, 10L, 1)), "the farthest-from-centroid member must be kept")
+    assert(out(20L) == ((1L, 20L, 1)), "a singleton keeps itself")
+  }
+
+  test("literal tier matches an independent driver-side reference end to end") {
+    val cents = VectorOps.hyperplanes(8, 64, seed = 31L) // SemLitCents
+    val tau = Dedup.SemDedupTau
+    val e = Tables(spark, sf, "embeddings").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toSeq)
+      .sortBy(_._1)
+    // assignment: argmax cosine, ties toward the higher cid
+    val asg = e.map { case (id, v) =>
+      val best = cents.zipWithIndex.map { case (c, i) => (cos(v, c), i) }.max
+      (id, v, best._2.toLong, math.floor(best._1 * 10000.0 + 0.5).toLong)
+    }
+    // intra-cluster pairs >= tau, then union-find to component minima
+    val byCell = asg.groupBy(_._3)
+    val parent = scala.collection.mutable.Map(asg.map(a => a._1 -> a._1): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    for (cell <- byCell.values; i <- cell.indices; j <- (i + 1) until cell.length
+         if cos(cell(i)._2, cell(j)._2) >= tau) {
+      val (ra, rb) = (find(cell(i)._1), find(cell(j)._1))
+      if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb)); parent(hi) = lo }
+    }
+    val expected = asg.groupBy(a => find(a._1)).toSeq.flatMap { case (root, members) =>
+      val pick = members.map(m => (m._4, m._1)).min
+      members.map(m => (m._1, m._3, root, m._4, if (m._1 == pick._2) 1 else 0))
+    }.toSet
+    val got = Dedup.semanticDedupLitQuery(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cid"),
+        r.getAs[Long]("cluster_id"), r.getAs[Long]("cent_e4"),
+        r.getAs[Int]("keep"))).toSet
+    assert(got == expected)
+    assert(got.count(_._5 == 1) < got.size, "corpus must contain semantic groups")
+  }
+
+  test("learned tier: groups lie inside one k-means cell, exactly one keep each") {
+    val rows = Dedup.semanticDedup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cid"),
+        r.getAs[Long]("cluster_id"), r.getAs[Int]("keep")))
+    assert(rows.length == Tables(spark, sf, "embeddings").count())
+    rows.groupBy(_._3).foreach { case (cl, members) =>
+      assert(members.count(_._4 == 1) == 1, s"group $cl must keep exactly one member")
+      assert(members.map(_._2).distinct.length == 1,
+        s"group $cl spans k-means cells — pairs are intra-cluster by construction")
+      assert(members.map(_._1).min == cl, "group label is the member minimum")
+    }
+  }
+}

@@ -539,6 +539,71 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(new java.io.File(s"$idx/_stream_appends/8").exists)
   }
 
+  test("embedding stream leg == pair-rule survivors from the full pair set (multi-batch)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val Dedup = graft.operators.Dedup
+    val vecs = Tables(spark, sf, "embeddings")
+    val split = 400L
+    val streamed = vecs.filter(col("vec_id") >= split).collect()
+      .map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray))
+    val (batch1, batch2) = streamed.partition(_._1 % 2 == 0)
+    val arrival: Map[Long, Int] =
+      (batch1.map(_._1 -> 1) ++ batch2.map(_._1 -> 2)).toMap
+    // independent oracle: FULL corpus pair set + the documented drop rule
+    val fullPairs = Dedup.embeddingNearDupPairs(spark, sf)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def arr(id: Long): Int = arrival.getOrElse(id, 0)
+    val dropped = streamed.map(_._1).filter { d =>
+      fullPairs.exists { case (a, b) =>
+        val e = if (a == d) Some(b) else if (b == d) Some(a) else None
+        e.exists(o => arr(o) < arr(d) || (arr(o) == arr(d) && o < d))
+      }
+    }.toSet
+    val expected = streamed.map(_._1).toSet -- dropped
+    val idx = java.nio.file.Files.createTempDirectory("embidx-stream-").toString
+    Dedup.buildEmbeddingIndex(spark, vecs.filter(col("vec_id") < split), idx)
+    val survivors = scala.collection.mutable.Set.empty[Long]
+    val input = MemoryStream[(Long, Array[Float])](spark)
+    val q = graft.streaming.StreamDedup.embeddingAgainstIndex(
+        input.toDF().toDF("vec_id", "embedding"), idx) { kept =>
+      survivors ++= kept.select("vec_id").collect().map(_.getLong(0))
+    }.start()
+    try {
+      input.addData(batch1.toSeq: _*)
+      q.processAllAvailable()
+      input.addData(batch2.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(dropped.nonEmpty, "fixture should convict at least one streamed vector")
+    assert(survivors.toSet == expected,
+      s"stream-only=${survivors.toSet -- expected} batch-only=${expected -- survivors.toSet}")
+  }
+
+  test("embedding index append is replay-idempotent per micro-batch") {
+    import org.apache.spark.sql.functions.col
+    val Dedup = graft.operators.Dedup
+    val idx = java.nio.file.Files.createTempDirectory("embidx-replay-").toString
+    val vecs = Tables(spark, sf, "embeddings")
+    Dedup.buildEmbeddingIndex(spark, vecs.filter(col("vec_id") < 400), idx)
+    val batch = vecs.filter(col("vec_id") >= 400)
+      .select(col("vec_id"), col("embedding"))
+    def counts() = (
+      spark.read.parquet(s"$idx/vectors.parquet").count(),
+      spark.read.parquet(s"$idx/postings.parquet").count())
+    val first = graft.streaming.StreamDedup.embeddingBatch(batch, 7L, idx)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val afterFirst = counts()
+    val replay = graft.streaming.StreamDedup.embeddingBatch(batch, 7L, idx)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(counts() == afterFirst, "replay must not grow the index")
+    assert(replay == first, "replayed survivors must match the original delivery")
+    graft.streaming.StreamDedup.embeddingBatch(batch.limit(0), 8L, idx).collect()
+    assert(new java.io.File(s"$idx/_stream_appends/8").exists)
+  }
+
   test("DocPipeline near-dup leg drops a near (non-exact) duplicate of an indexed doc") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
