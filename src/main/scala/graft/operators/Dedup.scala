@@ -1645,19 +1645,26 @@ object Dedup {
     * Returns `(vec_id, cid, cluster_id, cent_e4, keep)`: the k-means cell,
     * the semantic-group label (component min), the e4-floored centroid
     * cosine the keep rule ordered on, and keep ∈ {0,1}. */
-  def semanticDedupWith(s: SparkSession, e: DataFrame, cents: Seq[Seq[Double]],
-                        tau: Double = SemDedupTau): DataFrame = {
+  /** Argmax-cosine cell assignment shared by every semantic-dedup tier
+    * (from-scratch, index build, increment): `(vec_id, embedding, norm,
+    * cid, cent_e4)` — one map-only pass, k literal dot products per row,
+    * ties toward the higher cid; `cent_e4` is the e4-floored centroid
+    * cosine the keep rule orders on (integer order parity is engine-stable
+    * where raw-double ties would not be). */
+  private def semAssign(e: DataFrame, cents: Seq[Seq[Double]]): DataFrame = {
     val best = greatest(cents.zipWithIndex.map { case (c, i) =>
       struct(VectorOps.cosine(col("embedding"), array(c.map(lit): _*)).as("sim"),
              lit(i.toLong).as("cid"))
     }: _*)
-    val asg = e.select(col("vec_id"), col("embedding"),
-        VectorOps.l2Norm(col("embedding")).as("norm"),
-        best.getField("cid").as("cid"),
-        // e4-floored for the keep ORDERING — integer order parity is
-        // engine-stable where raw-double ties would not be
-        floor(best.getField("sim") * lit(10000.0) + lit(0.5)).cast("long").as("cent_e4"))
-      .cache()
+    e.select(col("vec_id"), col("embedding"),
+      VectorOps.l2Norm(col("embedding")).as("norm"),
+      best.getField("cid").as("cid"),
+      floor(best.getField("sim") * lit(10000.0) + lit(0.5)).cast("long").as("cent_e4"))
+  }
+
+  def semanticDedupWith(s: SparkSession, e: DataFrame, cents: Seq[Seq[Double]],
+                        tau: Double = SemDedupTau): DataFrame = {
+    val asg = semAssign(e, cents).cache()
     val keys = asg.select(col("vec_id"), col("cid"))
     val cands = keys.select(col("cid"), col("vec_id").as("id_a"))
       .join(keys.select(col("cid"), col("vec_id").as("id_b")), Seq("cid"))
@@ -1752,11 +1759,180 @@ object Dedup {
       |         FROM reach GROUP BY src),
       |lab AS (SELECT asg.vec_id, asg.cid, asg.cent_e4,
       |               COALESCE(comp.cluster_id, asg.vec_id) AS cluster_id
-      |        FROM asg LEFT JOIN comp ON comp.vec_id = asg.vec_id)
-      |SELECT vec_id, cid, cluster_id, cent_e4,
-      |  CAST(CASE WHEN row_number() OVER (PARTITION BY cluster_id
-      |         ORDER BY cent_e4, vec_id) = 1 THEN 1 ELSE 0 END AS INT) AS keep
-      |FROM lab""".stripMargin
+      |        FROM asg LEFT JOIN comp ON comp.vec_id = asg.vec_id),
+      |fin AS (
+      |  SELECT vec_id, cid, cluster_id, cent_e4,
+      |    CAST(CASE WHEN row_number() OVER (PARTITION BY cluster_id
+      |           ORDER BY cent_e4, vec_id) = 1 THEN 1 ELSE 0 END AS INT) AS keep
+      |  FROM lab)
+      |SELECT vec_id, cid, cluster_id, cent_e4, keep FROM fin""".stripMargin
+  }
+
+  /** DuckDB twin of [[semanticIncrementQuery]]: the full
+    * [[semanticDedupLitSql]] program, restricted to semantic groups
+    * containing a new-split vector — the decision-layer law
+    * ([[clusterIncrementSql]]'s) applied to the semantic family, keep
+    * re-election included. */
+  def semanticIncrementSql(tau: Double = SemDedupTau, dim: Int = 64): String =
+    semanticDedupLitSql(tau, dim) +
+      s"""
+        |WHERE cluster_id IN (
+        |  SELECT cluster_id FROM fin WHERE vec_id >= $embIncrementSplitSql)""".stripMargin
+
+  /** Persist the semantic-dedup decision state next to its frozen model —
+    * the [[buildMinhashIndex]] daily-ingest shape on the SEMANTIC family:
+    *
+    *  - `model.parquet`: the k×dim centroid model (FROZEN — increments
+    *    must assign with the build's model or cell-locality breaks; the
+    *    increment reads it back rather than accepting a caller model, so
+    *    a mismatch is impossible by construction);
+    *  - `vectors.parquet`: [[semAssign]] of the corpus — embeddings,
+    *    norms, cell ids, centroid cosines, all pure per-row functions
+    *    (deletion/rebuild equivalence follows as for the other indexes);
+    *  - `groups.parquet`: `(vec_id, cluster_id, keep)` for members of
+    *    MULTI-member semantic groups only (absent ⇒ own singleton, keep)
+    *    — state ∝ semantic-dup mass, the [[buildClusterState]] contract;
+    *  - `meta.parquet`: `(k, dim, tau)` — the increment re-derives
+    *    everything else from these plus the stored model. */
+  def buildSemanticIndex(s: SparkSession, vecs: DataFrame, indexDir: String,
+                         cents: Seq[Seq[Double]], tau: Double = SemDedupTau,
+                         dim: Int = 64): Unit = {
+    import s.implicits._
+    semAssign(vecs, cents)
+      .write.mode("overwrite").parquet(s"$indexDir/vectors.parquet")
+    val state = semanticDedupWith(s, vecs, cents, tau)
+      .select(col("vec_id"), col("cluster_id"), col("keep"))
+    val multi = state.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).select(col("cluster_id"))
+    state.join(multi, Seq("cluster_id"), "left_semi")
+      // explicit select: the using-column join moves cluster_id first, and
+      // the increment's state rewrite must produce the same column order
+      .select(col("vec_id"), col("cluster_id"), col("keep"))
+      .write.mode("overwrite").parquet(s"$indexDir/groups.parquet")
+    cents.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+      .toDF("cid", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/model.parquet")
+    Seq((cents.length, dim, tau)).toDF("k", "dim", "tau")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta.parquet")
+  }
+
+  /** Merge one ingest batch into a [[buildSemanticIndex]] index at
+    * batch-proportional cost — SemDeDup's daily-ingest shape:
+    *
+    *  1. assign ONLY the batch under the stored frozen model (∝ batch);
+    *  2. candidate pairs: same-cell pairs with at least one batch side,
+    *     restricted to cells the batch touches (the stored assignment is
+    *     the "postings" here — a cell semi-join keeps the corpus-side
+    *     scan ∝ touched cells; the batch side broadcasts under the 2M
+    *     convention), verified with exact cosine;
+    *  3. decision merge ([[clusterIncrement]]'s argument, keep re-election
+    *     included): new pairs ∪ member→label star edges of touched groups
+    *     → tiered CC over the touched subgraph only; old components enter
+    *     connectivity-preserving, so merged components and labels equal a
+    *     full recompute's restricted to groups containing a batch vector,
+    *     and — because `cent_e4` is a pure per-vector function available
+    *     for every member from the stored assignment — the re-elected
+    *     keeps equal the full recompute's too;
+    *  4. when `append`: batch assignment appended (sized), state rewritten
+    *     as untouched ∪ relabeled multi-member groups (Delta MERGE at
+    *     deployment).
+    *
+    * Returns the full-output schema `(vec_id, cid, cluster_id, cent_e4,
+    * keep)` over touched-group members ∪ batch singletons. */
+  def semanticDedupIncrement(s: SparkSession, newVecs: DataFrame,
+                             indexDir: String,
+                             append: Boolean = true): DataFrame = {
+    val meta = s.read.parquet(s"$indexDir/meta.parquet").head()
+    val tau = meta.getDouble(2)
+    val cents: Seq[Seq[Double]] = s.read.parquet(s"$indexDir/model.parquet")
+      .orderBy(col("cid")).collect()
+      .map(r => r.getSeq[Double](1).toSeq).toSeq
+    require(cents.length == meta.getInt(0),
+      s"semantic index at $indexDir: model has ${cents.length} centroids, " +
+        s"meta says ${meta.getInt(0)} — index is corrupt, rebuild it")
+    val oldAsg = s.read.parquet(parquetPartFiles(s, s"$indexDir/vectors.parquet"): _*)
+    val groups = s.read.parquet(parquetPartFiles(s, s"$indexDir/groups.parquet"): _*)
+    val newAsg = graft.Checkpoints.local(semAssign(newVecs, cents))
+    val nNew = newAsg.count()
+    // cells the batch touches (≤ k rows — always broadcastable)
+    val batchCells = broadcast(newAsg.select(col("cid")).distinct())
+    val touchedOld = oldAsg.join(batchCells, Seq("cid"), "left_semi")
+      .withColumn("is_new", lit(false))
+    val allSide = touchedOld.unionByName(newAsg.withColumn("is_new", lit(true)))
+    val l = allSide.select(col("cid"), col("vec_id").as("id_a"),
+      col("embedding").as("v_a"), col("norm").as("n_a"), col("is_new").as("new_a"))
+    val rRaw = newAsg.select(col("cid"), col("vec_id").as("id_b"),
+      col("embedding").as("v_b"), col("norm").as("n_b"))
+    val r = if (nNew <= 2000000L) broadcast(rRaw) else rRaw
+    // old–new pairs generate once (old never on the right); new–new pairs
+    // dedupe by id order — canonicalized to id_a < id_b on emit
+    val newPairs = graft.Checkpoints.local(l.join(r, Seq("cid"))
+      .filter((!col("new_a") && col("id_a") =!= col("id_b")) ||
+        col("id_a") < col("id_b"))
+      .filter(VectorOps.cosinePrenormed(col("v_a"), col("v_b"),
+        col("n_a"), col("n_b")) >= tau)
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b")))
+    val nPairs = newPairs.count() // checkpointed — a metadata count
+    val touchedDocs = newPairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("vec_id")).distinct()
+    val touchedLabelsRaw = groups.join(touchedDocs, Seq("vec_id"), "left_semi")
+      .select(col("cluster_id")).distinct()
+    val touchedLabels =
+      if (2 * nPairs <= 2000000L) broadcast(touchedLabelsRaw) else touchedLabelsRaw
+    val touchedState = groups.join(touchedLabels, Seq("cluster_id"), "left_semi")
+    val starEdges = touchedState.filter(col("vec_id") =!= col("cluster_id"))
+      .select(col("vec_id").as("doc_a"), col("cluster_id").as("doc_b"))
+    val relabeled = clusterPairsTiered(starEdges.unionByName(newPairs))
+    val centE = oldAsg.select(col("vec_id"), col("cid"), col("cent_e4"))
+      .unionByName(newAsg.select(col("vec_id"), col("cid"), col("cent_e4")))
+    val labCore = relabeled.select(col("doc_id").as("vec_id"), col("cluster_id"))
+      .join(centE, Seq("vec_id"))
+      .select(col("vec_id"), col("cid"), col("cent_e4"), col("cluster_id"))
+    val singles = newAsg.select(col("vec_id"), col("cid"), col("cent_e4"))
+      .join(labCore.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .withColumn("cluster_id", col("vec_id"))
+    val lab = graft.Checkpoints.local(labCore.unionByName(singles))
+    val pick = lab.groupBy(col("cluster_id"))
+      .agg(min(struct(col("cent_e4"), col("vec_id"))).as("pick"))
+    val out = lab.join(pick, Seq("cluster_id"))
+      .select(col("vec_id"), col("cid"), col("cluster_id"), col("cent_e4"),
+        (col("vec_id") === col("pick.vec_id")).cast("int").as("keep"))
+    if (append && nNew > 0) { // an empty batch must be a true no-op
+      newAsg.coalesce(appendFileCount(nNew))
+        .write.mode("append").parquet(s"$indexDir/vectors.parquet")
+      val untouched = groups.join(touchedLabels, Seq("cluster_id"), "left_anti")
+        .select(col("vec_id"), col("cluster_id"), col("keep"))
+      val multi = out.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1).select(col("cluster_id"))
+      val newState = out.join(multi, Seq("cluster_id"), "left_semi")
+        .select(col("vec_id"), col("cluster_id"), col("keep"))
+      val merged = graft.Checkpoints.local(untouched.unionByName(newState))
+      merged.write.mode("overwrite").parquet(s"$indexDir/groups.parquet")
+    }
+    out
+  }
+
+  private val builtSemanticIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Registered increment (`q_dedup_semantic_inc`): the top-1/5 vec_id
+    * split merged into the persisted bottom-4/5 semantic index under the
+    * literal model (built on first use per JVM; `append = false` keeps
+    * repeat runs pure). Hash-gated: [[semanticIncrementSql]] — the whole
+    * SemDeDup program restricted to groups containing a batch vector. */
+  def semanticIncrementQuery(s: SparkSession, dir: String): DataFrame = {
+    val split = embIncrementSplitAt(s, dir)
+    val idx = builtSemanticIndexes.computeIfAbsent(dir, _ => {
+      val p = minhashIndexDirFor(dir) + "-sem"
+      buildSemanticIndex(s,
+        Tables(s, dir, "embeddings").filter(col("vec_id") < split)
+          .select(col("vec_id"), col("embedding")), p, SemLitCents)
+      p
+    })
+    semanticDedupIncrement(s,
+      Tables(s, dir, "embeddings").filter(col("vec_id") >= split)
+        .select(col("vec_id"), col("embedding")), idx, append = false)
   }
 
   // -----------------------------------------------------------------
@@ -2357,7 +2533,8 @@ object Dedup {
     "q_dedup_embedding_inc" -> (embeddingIncrementQuery _),
     "q_dedup_clusters_local" -> (nearDupClustersLocal _),
     "q_dedup_semantic" -> ((s: SparkSession, d: String) => semanticDedup(s, d)),
-    "q_dedup_semantic_lit" -> (semanticDedupLitQuery _))
+    "q_dedup_semantic_lit" -> (semanticDedupLitQuery _),
+    "q_dedup_semantic_inc" -> (semanticIncrementQuery _))
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> exactDedupSql,
@@ -2403,5 +2580,9 @@ object Dedup {
     // literal-centroid assignment, intra-cluster cosine matrix, closure,
     // keep-farthest-from-centroid (the learned tier shares the code path
     // and is bounded by this twin — §8.6)
-    "q_dedup_semantic_lit" -> semanticDedupLitSql())
+    "q_dedup_semantic_lit" -> semanticDedupLitSql(),
+    // the semantic family's decision-layer increment: the whole SemDeDup
+    // program restricted to groups containing a batch vector, keep
+    // re-election included
+    "q_dedup_semantic_inc" -> semanticIncrementSql())
 }

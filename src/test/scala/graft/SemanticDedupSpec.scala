@@ -78,6 +78,63 @@ class SemanticDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(got.count(_._5 == 1) < got.size, "corpus must contain semantic groups")
   }
 
+  test("semantic increment == full recompute restricted to touched groups") {
+    import org.apache.spark.sql.functions.col
+    val cents = VectorOps.hyperplanes(8, 64, seed = 31L)
+    val split = 400L
+    val vecs = Tables(spark, sf, "embeddings").select(col("vec_id"), col("embedding"))
+    val idx = java.nio.file.Files.createTempDirectory("semidx-law-").toString
+    Dedup.buildSemanticIndex(spark, vecs.filter(col("vec_id") < split), idx, cents)
+    val got = Dedup.semanticDedupIncrement(spark,
+        vecs.filter(col("vec_id") >= split), idx, append = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4))).toSet
+    val full = Dedup.semanticDedupWith(spark, vecs, cents).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cid"),
+        r.getAs[Long]("cluster_id"), r.getAs[Long]("cent_e4"),
+        r.getAs[Int]("keep")))
+    val batchClusters = full.filter(_._1 >= split).map(_._3).toSet
+    val expected = full.filter(t => batchClusters(t._3)).toSet
+    assert(got == expected)
+    assert(expected.exists(t => t._1 < split && t._5 == 0) ||
+           expected.exists(t => t._1 < split),
+      "fixture should touch at least one pre-existing group")
+  }
+
+  test("appended semantic increments converge to the one-shot rebuild state") {
+    import org.apache.spark.sql.functions.col
+    val cents = VectorOps.hyperplanes(8, 64, seed = 31L)
+    val vecs = Tables(spark, sf, "embeddings").select(col("vec_id"), col("embedding"))
+    def stateOf(dir: String): Set[(Long, Long, Int)] =
+      spark.read.parquet(s"$dir/groups.parquet").collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster_id"),
+          r.getAs[Int]("keep"))).toSet
+    val inc = java.nio.file.Files.createTempDirectory("semidx-inc-").toString
+    Dedup.buildSemanticIndex(spark, vecs.filter(col("vec_id") < 300), inc, cents)
+    Dedup.semanticDedupIncrement(spark,
+      vecs.filter(col("vec_id") >= 300 && col("vec_id") < 400), inc).collect()
+    Dedup.semanticDedupIncrement(spark, vecs.filter(col("vec_id") >= 400), inc).collect()
+    val oneShot = java.nio.file.Files.createTempDirectory("semidx-full-").toString
+    Dedup.buildSemanticIndex(spark, vecs, oneShot, cents)
+    assert(stateOf(inc) == stateOf(oneShot))
+    assert(spark.read.parquet(s"$inc/vectors.parquet").count() == vecs.count())
+  }
+
+  test("an empty batch is a no-op on the semantic index") {
+    import org.apache.spark.sql.functions.col
+    val cents = VectorOps.hyperplanes(8, 64, seed = 31L)
+    val vecs = Tables(spark, sf, "embeddings").select(col("vec_id"), col("embedding"))
+    val idx = java.nio.file.Files.createTempDirectory("semidx-empty-").toString
+    Dedup.buildSemanticIndex(spark, vecs, idx, cents)
+    val before = spark.read.parquet(s"$idx/groups.parquet").collect()
+      .map(_.toString).sorted.toSeq
+    val out = Dedup.semanticDedupIncrement(spark, vecs.limit(0), idx)
+    assert(out.count() == 0)
+    val after = spark.read.parquet(s"$idx/groups.parquet").collect()
+      .map(_.toString).sorted.toSeq
+    assert(after == before, "state must survive an empty increment verbatim")
+  }
+
   test("learned tier: groups lie inside one k-means cell, exactly one keep each") {
     val rows = Dedup.semanticDedup(spark, sf).collect()
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cid"),
