@@ -807,6 +807,35 @@ object ScaleProbe {
         probeSem("base", src, 8)    // E[cell] matched with grown@64 (leg b)
         probeSem("grown", dst, 16)  // knob leg (a): vs grown@64
         probeSem("grown", dst, 64)
+        // increment leg: a FIXED batch (the base corpus's vec_id%10==9
+        // slice, same rows at every k) merged into semantic indexes built
+        // over the base corpus vs the k× corpus — daily-ingest cost must
+        // track the batch and its touched cells, not the corpus (compare
+        // the two increment rows against their index_build rows)
+        val litCents = graft.functions.VectorOps.hyperplanes(8, 64, seed = 31L)
+        val batchSem = Tables(spark, dst, "embeddings")
+          .filter(col("vec_id") < 1000000L && col("vec_id") % 10 === 9)
+          .select(col("vec_id") + lit(100000000L) as "vec_id", col("embedding"))
+        for ((tag, dir) <- Seq(("base", src), ("grown", dst))) {
+          val corpus = Tables(spark, dir, "embeddings")
+            .select(col("vec_id"), col("embedding"))
+          val n = corpus.count()
+          val semIdx = {
+            val p = new org.apache.hadoop.fs.Path(s"$dst/semidx_$tag")
+            val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            if (fsys.exists(p)) fsys.delete(p, true)
+            p.toString
+          }
+          time(s"${tag}_sem_index_build") {
+            graft.operators.Dedup.buildSemanticIndex(spark, corpus, semIdx, litCents)
+          }
+          spark.catalog.clearCache(); Checkpoints.releaseAll()
+          time(s"${tag}_sem_increment_n$n") {
+            graft.operators.Dedup.semanticDedupIncrement(spark, batchSem, semIdx)
+              .write.format("noop").mode("overwrite").save()
+          }
+          spark.catalog.clearCache(); Checkpoints.releaseAll()
+        }
 
       case other => sys.error(s"unknown SPARK_GRAFT_SCALE_MODE: $other")
     }

@@ -1913,6 +1913,76 @@ object Dedup {
     out
   }
 
+  /** COMPACT a semantic index: appended assignment files accumulate like
+    * every other family's; rewrite `vectors.parquet` repartitioned+sorted
+    * by `(cid, vec_id)` — `cid` is the increment probe's leading key, so
+    * rowgroup stats prune cells a batch never touches — and the group
+    * state by `cluster_id`. Pure reorganization (`distinct()` also repairs
+    * any torn-append duplication, as for [[compactIndex]]). */
+  def compactSemanticIndex(s: SparkSession, indexDir: String, nFiles: Int = 8): Unit = {
+    IndexMaintenance.rewriteSwap(s, s"$indexDir/vectors.parquet")(
+      _.distinct()
+        .repartition(nFiles, col("cid")).sortWithinPartitions("cid", "vec_id"))
+    IndexMaintenance.rewriteSwap(s, s"$indexDir/groups.parquet")(
+      _.distinct()
+        .repartition(1, col("cluster_id")).sortWithinPartitions("cluster_id", "vec_id"))
+  }
+
+  /** DELETE vectors from a semantic index (takedown): rewrite-filter the
+    * assignment table — pure per-row functions, so the filtered table is
+    * bit-identical to a rebuild from the survivors — then re-derive the
+    * state of TOUCHED groups, because deletion can SPLIT a semantic group
+    * and RE-ELECT its keep (deleting the farthest-from-centroid member
+    * hands keep to the next-farthest), which labels alone cannot express.
+    * Surviving members of touched groups re-enter the same-cell pair join
+    * over the post-delete assignment (a candidate against an untouched
+    * group cannot clear τ, or they'd have been one group), the tiered
+    * alternation relabels them, and keeps are re-elected from the stored
+    * `cent_e4`. Cost ∝ touched groups — the [[deleteFromDedupIndex]]
+    * shape with re-election. */
+  def deleteFromSemanticIndex(s: SparkSession, indexDir: String,
+                              vecIds: DataFrame): Unit = {
+    val tau = s.read.parquet(s"$indexDir/meta.parquet").head().getDouble(2)
+    val idsRaw = vecIds.select(col("vec_id")).distinct()
+    val ids = if (idsRaw.count() <= 2000000L) broadcast(idsRaw) else idsRaw
+    val statePath = s"$indexDir/groups.parquet"
+    val stFull = graft.Checkpoints.local(
+      s.read.parquet(parquetPartFiles(s, statePath): _*)
+        .select(col("vec_id"), col("cluster_id"), col("keep")))
+    IndexMaintenance.rewriteSwap(s, s"$indexDir/vectors.parquet")(
+      _.join(ids, Seq("vec_id"), "left_anti"))
+    val touchedLabels = broadcast(
+      stFull.join(ids, Seq("vec_id"), "left_semi")
+        .select(col("cluster_id")).distinct())
+    val memberIds = stFull.join(touchedLabels, Seq("cluster_id"), "left_semi")
+      .join(ids, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"))
+    // post-delete assignment of touched-group survivors
+    val asg = s.read.parquet(parquetPartFiles(s, s"$indexDir/vectors.parquet"): _*)
+      .join(memberIds, Seq("vec_id"), "left_semi")
+    val l = asg.select(col("cid"), col("vec_id").as("id_a"),
+      col("embedding").as("v_a"), col("norm").as("n_a"))
+    val r = asg.select(col("cid"), col("vec_id").as("id_b"),
+      col("embedding").as("v_b"), col("norm").as("n_b"))
+    val pairs = l.join(r, Seq("cid")).filter(col("id_a") < col("id_b"))
+      .filter(VectorOps.cosinePrenormed(col("v_a"), col("v_b"),
+        col("n_a"), col("n_b")) >= tau)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val relabeled = clusterPairsTiered(pairs) // every node here is in ≥1 pair
+    val centE = asg.select(col("vec_id"), col("cent_e4"))
+    val lab = relabeled.select(col("doc_id").as("vec_id"), col("cluster_id"))
+      .join(centE, Seq("vec_id"))
+    val pick = lab.groupBy(col("cluster_id"))
+      .agg(min(struct(col("cent_e4"), col("vec_id"))).as("pick"))
+    val relState = lab.join(pick, Seq("cluster_id"))
+      .select(col("vec_id"), col("cluster_id"),
+        (col("vec_id") === col("pick.vec_id")).cast("int").as("keep"))
+    val untouched = stFull.join(touchedLabels, Seq("cluster_id"), "left_anti")
+      .select(col("vec_id"), col("cluster_id"), col("keep"))
+    val merged = graft.Checkpoints.local(untouched.unionByName(relState))
+    merged.write.mode("overwrite").parquet(statePath)
+  }
+
   private val builtSemanticIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 

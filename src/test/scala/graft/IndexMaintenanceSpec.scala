@@ -156,6 +156,44 @@ class IndexMaintenanceSpec extends AnyFunSuite with SparkTestBase {
       s"missing=${rebuilt -- after} extra=${after -- rebuilt}")
   }
 
+  test("semantic delete + compaction: increment and re-elected state == rebuild-without-deleted") {
+    import spark.implicits._
+    val cents = graft.functions.VectorOps.hyperplanes(8, 64, seed = 31L)
+    val split = 400L
+    def vecs = Tables(spark, sf, "embeddings").select(col("vec_id"), col("embedding"))
+    def stateOf(d: String) = spark.read.parquet(s"$d/groups.parquet").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Int]("keep"))).toSet
+    def tuples(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cid"),
+        r.getAs[Long]("cluster_id"), r.getAs[Long]("cent_e4"),
+        r.getAs[Int]("keep"))).toSet
+    val idxA = tmpIdx("semdel-a")
+    Dedup.buildSemanticIndex(spark, vecs.filter(col("vec_id") < split), idxA, cents)
+    val state = stateOf(idxA)
+    assert(state.nonEmpty, "fixture should contain semantic groups below the split")
+    // delete a group's KEEP (forces keep re-election) and a group ROOT
+    // (its vec_id == cluster_id — forces label re-election / group split)
+    val keeper = state.find(_._3 == 1).get._1
+    val root = state.map(_._2).min
+    val deleted = Set(keeper, root).toSeq
+    Dedup.deleteFromSemanticIndex(spark, idxA, deleted.toDF("vec_id"))
+    Dedup.compactSemanticIndex(spark, idxA, nFiles = 2)
+    val idxB = tmpIdx("semdel-b")
+    Dedup.buildSemanticIndex(spark,
+      vecs.filter(col("vec_id") < split && !col("vec_id").isin(deleted: _*)), idxB, cents)
+    assert(stateOf(idxA) == stateOf(idxB),
+      "post-delete state must equal the one-shot rebuild's (keeps re-elected)")
+    assert(spark.read.parquet(s"$idxA/vectors.parquet")
+      .filter(col("vec_id").isin(deleted: _*)).count() == 0)
+    val incA = tuples(Dedup.semanticDedupIncrement(spark,
+      vecs.filter(col("vec_id") >= split), idxA, append = false))
+    val incB = tuples(Dedup.semanticDedupIncrement(spark,
+      vecs.filter(col("vec_id") >= split), idxB, append = false))
+    assert(incA == incB && incA.nonEmpty,
+      s"missing=${incB -- incA} extra=${incA -- incB}")
+  }
+
   test("ivf-pq compaction: search results identical, fewer part files") {
     val idx = tmpIdx("pqcompact")
     val emb = Tables(spark, sf, "embeddings")
