@@ -167,6 +167,59 @@ object StreamBench {
         Some(run(docRows, "timed", doAppend = true))
       } else None
 
+    // VECTOR-ingest tiers (round-12 late): the embedding and semantic
+    // stream legs measured on a fully SYNTHETIC deterministic workload —
+    // index side and streamed batch both LCG-generated, so these rows are
+    // comparable round-over-round by construction (no fixture file, no
+    // testdata). Stream = 2000 vectors, every 10th an exact copy of an
+    // indexed vector (convicted at the probe; the rest survive).
+    def synthVec(id: Long): Array[Float] = {
+      var x = id * 6364136223846793005L + 1442695040888963407L
+      Array.tabulate(64) { _ =>
+        x = x * 6364136223846793005L + 1442695040888963407L
+        ((x >>> 40).toInt % 2048) / 1024.0f - 1.0f
+      }
+    }
+    val nIdxVecs = 5000
+    val nStreamVecs = 2000
+    val idxVecs = (0 until nIdxVecs).map(i => (i.toLong, synthVec(i.toLong)))
+    val streamVecs = (0 until nStreamVecs).map { i =>
+      val v = if (i % 10 == 0) synthVec(i.toLong) // exact copy of indexed i
+              else synthVec(1000000L + i)
+      (100000L + i, v)
+    }
+    def vecTier(buildIdx: String => Unit)
+               (start: (org.apache.spark.sql.DataFrame, String, Boolean) =>
+                 org.apache.spark.sql.streaming.StreamingQuery): Double = {
+      val idx = java.nio.file.Files.createTempDirectory("sb-vecidx-").toString
+      buildIdx(idx)
+      def run(rows: Seq[(Long, Array[Float])], doAppend: Boolean): Double =
+        timed {
+          val in = MemoryStream[(Long, Array[Float])](spark)
+          val q = start(in.toDF().toDF("vec_id", "embedding"), idx, doAppend)
+          in.addData(rows)
+          q.processAllAvailable(); q.stop()
+        }
+      run(streamVecs.take(500), doAppend = false) // warm-up, clean index
+      run(streamVecs, doAppend = true)
+    }
+    val idxVecDf = idxVecs.toDF("vec_id", "embedding")
+    val embIngestSec = vecTier(
+      idx => graft.operators.Dedup.buildEmbeddingIndex(spark, idxVecDf, idx)) {
+      (vecs, idx, doAppend) =>
+        graft.streaming.StreamDedup.embeddingAgainstIndex(vecs, idx, append = doAppend) {
+          kept => kept.write.format("noop").mode("overwrite").save()
+        }.start()
+    }
+    val semIngestSec = vecTier(
+      idx => graft.operators.Dedup.buildSemanticIndex(spark, idxVecDf, idx,
+        graft.functions.VectorOps.hyperplanes(8, 64, seed = 31L))) {
+      (vecs, idx, doAppend) =>
+        graft.streaming.StreamDedup.semanticAgainstIndex(vecs, idx, append = doAppend) {
+          out => out.write.format("noop").mode("overwrite").save()
+        }.start()
+    }
+
     def f0(v: Double): String = String.format(java.util.Locale.ROOT, "%.0f", Double.box(v))
     println(s"""{"metric":"stream_msgs_per_sec","msgs":$n,""" +
       s""""data_driven":${f0(n / ddSec)},"calendar_append":${f0(n / calSec)},""" +
@@ -176,6 +229,8 @@ object StreamBench {
       s""""doc_pipeline_docs":$nDocs,"doc_pipeline_docs_per_sec":${f0(nDocs / docSec)},""" +
       s""""doc_pipeline_fixture_docs_per_sec":${fixSec.map(x => f0(nDocs / x)).getOrElse("null")},""" +
       s""""doc_pipeline_neardup_docs_per_sec":${nearDupSec.map(x => f0(nDocs / x)).getOrElse("null")},""" +
+      s""""embedding_ingest_vecs_per_sec":${f0(nStreamVecs / embIngestSec)},""" +
+      s""""semantic_ingest_vecs_per_sec":${f0(nStreamVecs / semIngestSec)},""" +
       s""""host_before":$hostBefore,"host_after":${Bench.hostSnapshot()}}""")
     spark.stop()
   }

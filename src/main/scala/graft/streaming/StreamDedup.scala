@@ -143,4 +143,30 @@ object StreamDedup {
       graft.operators.Dedup.embeddingIncrementSurvivors(
         batch.sparkSession, batch, indexDir, threshold, append = doAppend)
     }
+
+  /** SEMANTIC streaming ingest: each micro-batch of vectors merges into a
+    * persisted [[graft.operators.Dedup.buildSemanticIndex]] index via
+    * [[graft.operators.Dedup.semanticDedupIncrement]] (frozen stored
+    * model, touched-cell probe, decision merge with keep re-election),
+    * under the same batchId-ledger replay guard as the other index
+    * families. The sink receives the increment's full decision output
+    * (`vec_id, cid, cluster_id, cent_e4, keep`) — downstream chooses
+    * whether to act on `keep` or store the group labels. */
+  def semanticAgainstIndex(stream: DataFrame, indexDir: String,
+                           append: Boolean = true)
+                          (sink: DataFrame => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(semanticBatch(batch, batchId, indexDir, append))
+    }
+
+  /** One micro-batch of [[semanticAgainstIndex]] (testable without a
+    * streaming restart). */
+  private[graft] def semanticBatch(batch: DataFrame, batchId: Long,
+                                   indexDir: String,
+                                   append: Boolean = true): DataFrame =
+    replayGuarded(batch, batchId, indexDir, append) { doAppend =>
+      graft.operators.Dedup.semanticDedupIncrement(
+        batch.sparkSession, batch, indexDir, append = doAppend)
+    }
 }

@@ -78,6 +78,18 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("semantic dedup tiers stay cid-keyed: no cartesian, no all-pairs BNLJ") {
+    // the intra-cluster matrix is quadratic ONLY per cell and must reach
+    // the executor as a keyed join on cid; the increment's probe must stay
+    // a keyed/broadcast join — a cartesian or BNLJ anywhere means the
+    // cell restriction fell out of the plan
+    for (q <- Seq("q_dedup_semantic_lit", "q_dedup_semantic_inc")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"cartesian product in $q")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"all-pairs BNLJ in $q")
+    }
+  }
+
   test("embedding near-dup has no all-pairs join (LSH-bucketed candidates)") {
     val p = plan("q_dedup_embedding")
     assert(!p.contains("BroadcastNestedLoopJoin"), "all-pairs BNLJ in the plan")

@@ -604,6 +604,48 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(new java.io.File(s"$idx/_stream_appends/8").exists)
   }
 
+  test("semantic stream ingest converges to the one-shot index and replays grow nothing") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val Dedup = graft.operators.Dedup
+    val cents = graft.functions.VectorOps.hyperplanes(8, 64, seed = 31L)
+    val vecs = Tables(spark, sf, "embeddings").select(col("vec_id"), col("embedding"))
+    def collectVecs(lo: Long, hi: Long) =
+      vecs.filter(col("vec_id") >= lo && col("vec_id") < hi).collect()
+        .map(r => (r.getLong(0),
+          r.getAs[scala.collection.Seq[Float]]("embedding").toArray))
+    val idx = java.nio.file.Files.createTempDirectory("semidx-stream-").toString
+    Dedup.buildSemanticIndex(spark, vecs.filter(col("vec_id") < 300), idx, cents)
+    val input = MemoryStream[(Long, Array[Float])](spark)
+    var delivered = 0
+    val q = graft.streaming.StreamDedup.semanticAgainstIndex(
+        input.toDF().toDF("vec_id", "embedding"), idx) { out =>
+      delivered += out.count().toInt
+    }.start()
+    try {
+      input.addData(collectVecs(300, 400).toSeq: _*)
+      q.processAllAvailable()
+      input.addData(collectVecs(400, Long.MaxValue).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(delivered > 0, "each micro-batch must deliver its decision output")
+    def stateOf(d: String) = spark.read.parquet(s"$d/groups.parquet").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Int]("keep"))).toSet
+    val oneShot = java.nio.file.Files.createTempDirectory("semidx-oneshot-").toString
+    Dedup.buildSemanticIndex(spark, vecs, oneShot, cents)
+    assert(stateOf(idx) == stateOf(oneShot),
+      "streamed appends must converge to the one-shot rebuild state")
+    val nVecs = spark.read.parquet(s"$idx/vectors.parquet").count()
+    assert(nVecs == vecs.count())
+    // redelivery of an already-ledgered micro-batch id grows nothing
+    val batch = vecs.filter(col("vec_id") >= 400)
+    graft.streaming.StreamDedup.semanticBatch(batch, 1L, idx).collect()
+    assert(spark.read.parquet(s"$idx/vectors.parquet").count() == nVecs,
+      "replay must not grow the index")
+    assert(stateOf(idx) == stateOf(oneShot), "replay must not disturb state")
+  }
+
   test("DocPipeline near-dup leg drops a near (non-exact) duplicate of an indexed doc") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
