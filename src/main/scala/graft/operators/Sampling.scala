@@ -245,7 +245,84 @@ object Sampling {
       |FROM p JOIN b USING (lang, source)
       |WHERE p.tok_before < b.budget""".stripMargin
 
+  /** Leakage-safe train/holdout split (round 12): partition the corpus so
+    * that NO exact- or near-duplicate pair straddles the split — the
+    * contamination-safe eval carve-out every training pipeline needs
+    * (a held-out doc whose near-dup twin stayed in train is a leaked
+    * answer key, invisible to doc-level random splits).
+    *
+    * Split UNIT is the duplication component, not the document: edges are
+    * the production MinHash-LSH near-dup pairs ([[Dedup.minhashLshPairs]])
+    * plus the exact-dup edges ([[Dedup.exactDedup]] — sub-shingle docs
+    * have no signature, exactly [[Dedup.dedupPipelineLsh]]'s composition),
+    * components come from the tiered connected-components dispatcher, and
+    * the component LABEL (its minimum doc_id) is hashed with the shared
+    * [[hashPct]] integer discipline — so membership is engine-portable
+    * and re-run/repartition-stable, and the whole operator sits under the
+    * DuckDB hash gate end-to-end ([[leakageSafeSplitSql]]).
+    *
+    * The guarantee is with respect to the pair GENERATOR's edge set (LSH
+    * at `threshold` + exact dups) — the same contract as the dedup
+    * pipeline itself; a pair the banding cannot surface is by definition
+    * also invisible to the dedup path. Scale shape: the expensive part IS
+    * the pair generation the pipeline already pays (banded, never
+    * all-pairs); the split adds one component labeling + one map-only
+    * hash — no new shuffle class. */
+  def leakageSafeSplit(s: SparkSession, dir: String, holdoutPct: Int = 20,
+                       threshold: Double = 0.5): DataFrame = {
+    import graft.operators.{Dedup => D}
+    val near = D.minhashLshPairs(s, dir, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val exact = docs(s, dir)
+      .select(col("doc_id"), md5(col("text")).as("text_hash"))
+      .join(D.exactDedup(s, dir).select(col("text_hash"), col("keep_id")),
+            Seq("text_hash"))
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id").as("doc_a"), col("keep_id").as("doc_b"))
+    val labels = D.clusterPairsTiered(near.unionByName(exact))
+    docs(s, dir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("split",
+        when(hashPct(col("cluster_id"), holdoutPct), lit("holdout"))
+          .otherwise(lit("train")))
+  }
+
+  /** DuckDB twin of [[leakageSafeSplit]]: the full-algorithm
+    * [[Dedup.minhashLshPairsSql]] pair oracle unioned with the exact-dup
+    * edges, the same recursive min-reachable-id closure as
+    * [[Dedup.dedupPipelineLshSql]], singletons labeled by their own id,
+    * and the [[hashPct]] predicate on the component label. */
+  def leakageSafeSplitSql(holdoutPct: Int = 20, threshold: Double = 0.5): String = {
+    // substituted AFTER stripMargin (the embedded SQL's bitwise-OR lines
+    // start with '|' — the dedupPipelineLshSql trap)
+    val pairsSubquery = "(" + graft.operators.Dedup.minhashLshPairsSql(threshold) + ")"
+    s"""WITH RECURSIVE pairs AS (
+      |  SELECT doc_a, doc_b FROM __PAIRS__ p
+      |  UNION
+      |  SELECT d.doc_id AS doc_a, k.keep_id AS doc_b
+      |  FROM documents d
+      |  JOIN (SELECT md5(text) AS h, min(doc_id) AS keep_id
+      |        FROM documents GROUP BY 1) k
+      |    ON md5(d.text) = k.h AND d.doc_id <> k.keep_id),
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |          UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |clusters AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+      |             FROM reach GROUP BY src)
+      |SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+      |  CASE WHEN (coalesce(c.cluster_id, d.doc_id) % $IdMod) * $Mix % 100 < $holdoutPct
+      |       THEN 'holdout' ELSE 'train' END AS split
+      |FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id""".stripMargin
+      .replace("__PAIRS__", pairsSubquery)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_leak_split" -> ((s: SparkSession, d: String) => leakageSafeSplit(s, d)),
     "q_sample_temperature_mix" -> ((s: SparkSession, d: String) => temperatureMixSample(s, d)),
     "q_sample_token_budget" -> ((s: SparkSession, d: String) => tokenBudgetSample(s, d)),
     "q_sample_systematic" -> ((s: SparkSession, d: String) => systematicSample(s, d)),
@@ -262,6 +339,7 @@ object Sampling {
     Map("en" -> 0.5, "de" -> 1.0, "fr" -> 1.0, "es" -> 0.25, "zh" -> 1.0)
 
   val oracles: Map[String, String] = Map(
+    "q_sample_leak_split" -> leakageSafeSplitSql(),
     "q_sample_stratified_hash" -> stratifiedHashSampleSql(StratifiedFractions),
     "q_sample_temperature_mix" -> temperatureMixSampleSql(),
     "q_sample_token_budget" -> tokenBudgetSampleSql(),

@@ -171,4 +171,47 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     val again = Sampling.temperatureMixSample(spark, sf, B).collect()
     assert(got.map(_.getLong(0)).sorted.toSeq == again.map(_.getLong(0)).sorted.toSeq)
   }
+
+  test("leakage-safe split: partitions the corpus and no dup pair straddles the split") {
+    import org.apache.spark.sql.functions.{col, md5}
+    val D = graft.operators.Dedup
+    val split = Sampling.leakageSafeSplit(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // a partition: every document appears exactly once, labels total
+    val total = Tables(spark, sf, "documents").count()
+    assert(split.size.toLong == total, "split must cover every doc exactly once")
+    assert(split.values.forall(v => v._2 == "train" || v._2 == "holdout"))
+    // THE guarantee: both endpoints of every generator edge share a split
+    val near = D.minhashLshPairs(spark, sf)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val docs = Tables(spark, sf, "documents")
+    val exact = docs.select(col("doc_id"), md5(col("text")).as("h")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val exactPairs = exact.groupBy(_._2).values.filter(_.length > 1)
+      .flatMap { g => val keep = g.map(_._1).min
+                      g.map(_._1).filter(_ != keep).map((_, keep)) }
+    for ((a, b) <- near ++ exactPairs) {
+      assert(split(a)._2 == split(b)._2,
+        s"dup pair ($a, $b) straddles the split: ${split(a)._2} vs ${split(b)._2}")
+      assert(split(a)._1 == split(b)._1, s"dup pair ($a, $b) in different clusters")
+    }
+    // within-cluster consistency comes from hashing the LABEL, not the doc
+    split.values.groupBy(_._1).foreach { case (cid, members) =>
+      assert(members.map(_._2).toSet.size == 1, s"cluster $cid spans both splits")
+    }
+    // non-degenerate on this corpus at 20%: both labels appear, and the
+    // holdout CLUSTER rate obeys a loose binomial band over clusters
+    val clusters = split.values.groupBy(_._1).view.mapValues(_.head._2).toMap
+    val nHold = clusters.values.count(_ == "holdout")
+    val n = clusters.size
+    val (mean, sd) = (n * 0.2, math.sqrt(n * 0.2 * 0.8))
+    assert(math.abs(nHold - mean) <= 5 * sd + 1,
+      s"holdout clusters $nHold/$n far from 20%")
+    // membership law is locally recomputable: hashPct on the cluster label
+    split.foreach { case (_, (cid, sp)) =>
+      val hold = (java.lang.Math.floorMod(cid, Sampling.IdMod) * Sampling.Mix) % 100 < 20
+      assert((sp == "holdout") == hold, s"cluster $cid split disagrees with hashPct")
+    }
+  }
 }
