@@ -245,6 +245,41 @@ object Sampling {
       |FROM p JOIN b USING (lang, source)
       |WHERE p.tok_before < b.budget""".stripMargin
 
+  /** Deterministic global-shuffle shard layout (round 12): the last mile
+    * of a training-data pipeline — assign every document to one of
+    * `nShards` output shards and a position within it, such that the
+    * concatenated shard order is a pseudo-random PERMUTATION of the
+    * corpus (training dataloaders must not see the corpus's crawl/source
+    * order — that is curriculum leakage), yet fully deterministic: the
+    * same corpus yields byte-identical shards on any engine, any re-run,
+    * any partitioning ([[hashOrder]] is the one shuffle-order authority,
+    * shared with every sampler here so "shard 17 of the 10% sample" and
+    * "the 10% sample of shard 17" agree).
+    *
+    * Scale shape: shard assignment is a MAP-ONLY mod on the hash
+    * (uniform over shards by the multiplicative-hash mix); the in-shard
+    * position is a per-shard window — `nShards` independent partitions,
+    * no global sort, no driver state. At 100 TB this is
+    * `repartitionByRange`-free: each shard's writer task sorts only its
+    * own slice. */
+  def shardLayout(s: SparkSession, dir: String, nShards: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard_id")).orderBy(hashOrder, col("doc_id"))
+    docs(s, dir)
+      .select(col("doc_id"),
+        pmod(hashOrder, lit(nShards.toLong)).as("shard_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard_id"), col("pos"), col("n_tok"))
+  }
+
+  def shardLayoutSql(nShards: Int = 16): String =
+    s"""SELECT doc_id, $hashOrderSql % $nShards AS shard_id,
+      |  CAST(row_number() OVER (PARTITION BY $hashOrderSql % $nShards
+      |    ORDER BY $hashOrderSql, doc_id) AS BIGINT) AS pos,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |FROM documents""".stripMargin
+
   /** Leakage-safe train/holdout split (round 12): partition the corpus so
     * that NO exact- or near-duplicate pair straddles the split — the
     * contamination-safe eval carve-out every training pipeline needs
@@ -323,6 +358,7 @@ object Sampling {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_leak_split" -> ((s: SparkSession, d: String) => leakageSafeSplit(s, d)),
+    "q_sample_shard_layout" -> ((s: SparkSession, d: String) => shardLayout(s, d)),
     "q_sample_temperature_mix" -> ((s: SparkSession, d: String) => temperatureMixSample(s, d)),
     "q_sample_token_budget" -> ((s: SparkSession, d: String) => tokenBudgetSample(s, d)),
     "q_sample_systematic" -> ((s: SparkSession, d: String) => systematicSample(s, d)),
@@ -340,6 +376,7 @@ object Sampling {
 
   val oracles: Map[String, String] = Map(
     "q_sample_leak_split" -> leakageSafeSplitSql(),
+    "q_sample_shard_layout" -> shardLayoutSql(),
     "q_sample_stratified_hash" -> stratifiedHashSampleSql(StratifiedFractions),
     "q_sample_temperature_mix" -> temperatureMixSampleSql(),
     "q_sample_token_budget" -> tokenBudgetSampleSql(),

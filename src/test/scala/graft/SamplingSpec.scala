@@ -172,6 +172,44 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     assert(got.map(_.getLong(0)).sorted.toSeq == again.map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("shard layout: a deterministic permutation into balanced shards") {
+    val nShards = 4
+    val rows = Sampling.shardLayout(spark, sf, nShards).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = Tables(spark, sf, "documents").count()
+    // a permutation: every doc exactly once, (shard, pos) unique, and
+    // each shard's positions are exactly 1..|shard|
+    assert(rows.length.toLong == total)
+    assert(rows.map(_._1).distinct.length == rows.length, "doc appears twice")
+    assert(rows.map(r => (r._2, r._3)).distinct.length == rows.length,
+      "(shard, pos) collision")
+    rows.groupBy(_._2).foreach { case (sid, g) =>
+      assert(g.map(_._3).sorted.toSeq == (1L to g.length).toSeq,
+        s"shard $sid positions not contiguous from 1")
+    }
+    // shard id is the locally recomputable hash law (the membership
+    // authority shared with every sampler)
+    rows.foreach { case (id, sid, _, _) =>
+      val ho = (java.lang.Math.floorMod(id, Sampling.IdMod) * Sampling.Mix) % Sampling.IdMod
+      assert(sid == ho % nShards, s"doc $id shard law mismatch")
+    }
+    // it is a SHUFFLE: the concatenated (shard, pos) order must not be
+    // the corpus's own id order (curriculum leakage is the failure mode)
+    val concatOrder = rows.sortBy(r => (r._2, r._3)).map(_._1).toSeq
+    assert(concatOrder != concatOrder.sorted, "layout preserved corpus order")
+    // balance: loose binomial band per shard
+    val mean = total.toDouble / nShards
+    val sd = math.sqrt(total * (1.0 / nShards) * (1 - 1.0 / nShards))
+    rows.groupBy(_._2).foreach { case (sid, g) =>
+      assert(math.abs(g.length - mean) <= 4 * sd + 1,
+        s"shard $sid size ${g.length} far from $mean")
+    }
+    // deterministic: re-run identical
+    val again = Sampling.shardLayout(spark, sf, nShards).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("leakage-safe split: partitions the corpus and no dup pair straddles the split") {
     import org.apache.spark.sql.functions.{col, md5}
     val D = graft.operators.Dedup
