@@ -608,6 +608,29 @@ object ScaleProbe {
         println(f"SCALE${k}X[incdedup] decision layer: cluster increment ${tClusterInc}%.2f s " +
           f"vs full pairs+recluster ${tClusterFull}%.2f s (${tClusterFull / tClusterInc}%.1f x; " +
           f"state build ${tState}%.2f s paid once per corpus version)")
+        // SIMHASH-wide family leg (round 12): same fixed batch, same law —
+        // run at two k values: full recompute re-fingerprints the corpus
+        // (∝ corpus), the increment fingerprints only the batch and probes
+        // stored postings (≈ flat)
+        val tShFull = time("full_simhash_wide_pairs") {
+          graft.operators.Dedup.simhashPairsWide(spark, dst)
+            .write.format("noop").mode("overwrite").save()
+        }
+        spark.catalog.clearCache(); Checkpoints.releaseAll()
+        val shIdx = s"$dst/shindex"
+        val tShBuild = time("simhash_index_build") {
+          graft.operators.Dedup.buildSimhashIndex(spark, d.filter(!isBatch), shIdx)
+        }
+        spark.catalog.clearCache(); Checkpoints.releaseAll()
+        val tShInc = time("simhash_increment") {
+          val out = graft.operators.Dedup.simhashDedupIncrement(spark,
+            d.filter(isBatch), shIdx)
+          println(s"SCALE${k}X[incdedup] simhash increment pairs: ${out.count()}")
+        }
+        spark.catalog.clearCache(); Checkpoints.releaseAll()
+        println(f"SCALE${k}X[incdedup] simhash-wide: increment ${tShInc}%.2f s vs " +
+          f"full recompute ${tShFull}%.2f s (${tShFull / tShInc}%.1f x; index build " +
+          f"${tShBuild}%.2f s paid once per corpus version)")
 
       case "appendseq" =>
         // Index maintenance under REPETITION (round-12 verdict task 3):
@@ -835,6 +858,35 @@ object ScaleProbe {
               .write.format("noop").mode("overwrite").save()
           }
           spark.catalog.clearCache(); Checkpoints.releaseAll()
+          // EMBEDDING (SRP-LSH) index family leg (round 12): same fixed
+          // batch against the base-corpus vs grown-corpus index — the
+          // fourth family's increment-vs-index-size law (full recompute
+          // re-bands the corpus ∝ n; the increment bands only the batch
+          // and probes stored postings)
+          val tEmbFull = time(s"${tag}_emb_full_pairs_n$n") {
+            graft.operators.Dedup.embeddingNearDupPairs(spark, dir)
+              .write.format("noop").mode("overwrite").save()
+          }
+          spark.catalog.clearCache(); Checkpoints.releaseAll()
+          val embIdx = {
+            val p = new org.apache.hadoop.fs.Path(s"$dst/embidx_$tag")
+            val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            if (fsys.exists(p)) fsys.delete(p, true)
+            p.toString
+          }
+          val tEmbBuild = time(s"${tag}_emb_index_build") {
+            graft.operators.Dedup.buildEmbeddingIndex(spark, corpus, embIdx)
+          }
+          spark.catalog.clearCache(); Checkpoints.releaseAll()
+          val tEmbInc = time(s"${tag}_emb_increment_n$n") {
+            graft.operators.Dedup.embeddingDedupIncrement(spark, batchSem, embIdx)
+              .write.format("noop").mode("overwrite").save()
+          }
+          spark.catalog.clearCache(); Checkpoints.releaseAll()
+          println(f"SCALE${k}X[semdedup] $tag embedding family (n=$n): increment " +
+            f"${tEmbInc}%.2f s vs full recompute ${tEmbFull}%.2f s " +
+            f"(${tEmbFull / tEmbInc}%.1f x; index build ${tEmbBuild}%.2f s " +
+            "paid once per corpus version)")
         }
 
       case other => sys.error(s"unknown SPARK_GRAFT_SCALE_MODE: $other")

@@ -90,6 +90,15 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("shard layout is one hash exchange, never a global sort") {
+    // the permutation is per-shard by construction: a rangepartitioning
+    // exchange (global sort) in the plan means the window lost its
+    // partition key and the whole corpus funnels through one ordering
+    val p = plan("q_sample_shard_layout")
+    assert(!p.contains("rangepartitioning"), "global sort in shard layout")
+    assert(p.contains("hashpartitioning"), "expected per-shard hash exchange")
+  }
+
   test("embedding near-dup has no all-pairs join (LSH-bucketed candidates)") {
     val p = plan("q_dedup_embedding")
     assert(!p.contains("BroadcastNestedLoopJoin"), "all-pairs BNLJ in the plan")
