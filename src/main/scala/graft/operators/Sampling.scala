@@ -324,6 +324,64 @@ object Sampling {
           .otherwise(lit("train")))
   }
 
+  /** Per-JVM scratch + per-corpus memo for [[leakageSafeSplitFromIndex]]'s
+    * registered query (the [[graft.operators.Dedup]] index-query pattern:
+    * fresh per JVM so a stale index never serves regenerated testdata). */
+  private lazy val splitIdxScratch: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft-splitidx-")
+  private val builtSplitIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def fullIndexWithState(s: SparkSession, dir: String): String =
+    builtSplitIndexes.computeIfAbsent(dir, _ => {
+      val idx = splitIdxScratch.resolve(java.lang.Integer.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(dir))).toString
+      graft.operators.Dedup.buildMinhashIndex(s, docs(s, dir), idx, s"$dir#leaksplit")
+      graft.operators.Dedup.buildClusterState(s, idx)
+      idx
+    })
+
+  /** [[leakageSafeSplit]] answered from PERSISTED dedup state instead of a
+    * pair recompute — the shape a 100 TB deployment actually runs: the
+    * MinHash index and its cluster state are already maintained daily
+    * ([[graft.operators.Dedup.buildClusterState]] /
+    * [[graft.operators.Dedup.clusterIncrement]]), so carving an eval
+    * holdout must not re-shingle and re-sign the corpus (the §8.5.8
+    * feasibility line). Stored labels enter as STAR EDGES (member → label),
+    * which preserve each component's connectivity exactly, union the
+    * exact-dup edges (sub-shingle docs have no signature, so they are
+    * invisible to the index), and the tiered CC re-derives component
+    * minima — so the output is IDENTICAL to [[leakageSafeSplit]]'s, which
+    * is the registered gate: `q_sample_leak_split_idx` runs THIS path
+    * under the SAME DuckDB oracle, and `SamplingSpec` pins the
+    * path-equality law directly. */
+  def leakageSafeSplitFromIndex(s: SparkSession, dir: String, indexDir: String,
+                                holdoutPct: Int = 20): DataFrame = {
+    import graft.operators.{Dedup => D}
+    val state = s.read.parquet(s"$indexDir/clusters.parquet")
+      .select(col("doc_id"), col("cluster_id"))
+    val starEdges = state.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
+    val exact = docs(s, dir)
+      .select(col("doc_id"), md5(col("text")).as("text_hash"))
+      .join(D.exactDedup(s, dir).select(col("text_hash"), col("keep_id")),
+            Seq("text_hash"))
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id").as("doc_a"), col("keep_id").as("doc_b"))
+    val labels = D.clusterPairsTiered(starEdges.unionByName(exact))
+    docs(s, dir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("split",
+        when(hashPct(col("cluster_id"), holdoutPct), lit("holdout"))
+          .otherwise(lit("train")))
+  }
+
+  /** Registered wrapper: builds (memoized per corpus) the full-corpus
+    * index + cluster state, then splits from the stored labels. */
+  def leakageSafeSplitIdxQuery(s: SparkSession, dir: String): DataFrame =
+    leakageSafeSplitFromIndex(s, dir, fullIndexWithState(s, dir))
+
   /** DuckDB twin of [[leakageSafeSplit]]: the full-algorithm
     * [[Dedup.minhashLshPairsSql]] pair oracle unioned with the exact-dup
     * edges, the same recursive min-reachable-id closure as
@@ -358,6 +416,7 @@ object Sampling {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_leak_split" -> ((s: SparkSession, d: String) => leakageSafeSplit(s, d)),
+    "q_sample_leak_split_idx" -> (leakageSafeSplitIdxQuery _),
     "q_sample_shard_layout" -> ((s: SparkSession, d: String) => shardLayout(s, d)),
     "q_sample_temperature_mix" -> ((s: SparkSession, d: String) => temperatureMixSample(s, d)),
     "q_sample_token_budget" -> ((s: SparkSession, d: String) => tokenBudgetSample(s, d)),
@@ -376,6 +435,10 @@ object Sampling {
 
   val oracles: Map[String, String] = Map(
     "q_sample_leak_split" -> leakageSafeSplitSql(),
+    // the index-backed path must reproduce the recompute path exactly
+    // (star edges preserve connectivity; exact edges identical) — same
+    // oracle, independently gated (the nearDupClustersSql convention)
+    "q_sample_leak_split_idx" -> leakageSafeSplitSql(),
     "q_sample_shard_layout" -> shardLayoutSql(),
     "q_sample_stratified_hash" -> stratifiedHashSampleSql(StratifiedFractions),
     "q_sample_temperature_mix" -> temperatureMixSampleSql(),

@@ -210,6 +210,20 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("leakage-safe split from the persisted index equals the recompute path") {
+    // the 100 TB shape: stored cluster labels enter as star edges and the
+    // split must be IDENTICAL to the pair-recompute path, tuple for tuple
+    val Dedup = graft.operators.Dedup
+    val idx = java.nio.file.Files.createTempDirectory("leakidx-").toString
+    Dedup.buildMinhashIndex(spark, Tables(spark, sf, "documents"), idx, s"$sf#leakspec")
+    Dedup.buildClusterState(spark, idx)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(rowsOf(Sampling.leakageSafeSplitFromIndex(spark, sf, idx)) ==
+           rowsOf(Sampling.leakageSafeSplit(spark, sf)),
+      "index-backed split diverged from the recompute split")
+  }
+
   test("leakage-safe split: partitions the corpus and no dup pair straddles the split") {
     import org.apache.spark.sql.functions.{col, md5}
     val D = graft.operators.Dedup
