@@ -2431,6 +2431,92 @@ object Dedup {
       |FROM spans JOIN dps USING (span)
       |GROUP BY doc_id""".stripMargin
 
+  /** Occurrence-encoding modulus for the canonical-copy rule: `(doc_id,
+    * span_idx)` packs into one BIGINT as `doc_id · 1e6 + idx` so BOTH
+    * engines pick the identical minimum occurrence with plain integer
+    * `min()` (no struct-ordering portability bet). Bounds: ids ~1e10 at
+    * 100 TB × 1e6 < 2^63; a doc would need >1e6 spans (>1e7 tokens) to
+    * wrap — refuse rather than mis-canonicalize. */
+  private val SpanCanonMod = 1000000L
+
+  /** Duplicate-span REMOVAL (round 12) — the cleanup step the span STATS
+    * above only measure (Lee et al. 2021's within-corpus exact-substring
+    * dedup as an actual text transform): tokenize into consecutive
+    * `spanLen`-token chunks, and for every chunk whose text occurs in >1
+    * distinct document, keep ONE canonical occurrence corpus-wide (the
+    * minimum `(doc_id, idx)` — content is never lost entirely, the
+    * all-but-one rule) and remove the rest; each document's clean text is
+    * its kept chunks rejoined in order. Non-overlapping chunks make the
+    * rewrite well-defined: a chunk is kept or dropped whole, so docs with
+    * nothing removed round-trip byte-identically (DedupSpec law).
+    *
+    * Scale shape: one tokenize pass (the [[spanDupStats]] cache pattern —
+    * the span set feeds both the duplication aggregate and the join probe
+    * side), the aggregate keyed on the 64-bit span hash (8-byte shuffle
+    * key, not the text; same collision contract as [[spanDupStats]]),
+    * one keyed join back, one per-doc aggregation. No windows, no driver
+    * state, no quadratic term — duplication cost lands on the dup-span
+    * groups only. */
+  def removeDuplicateSpans(s: SparkSession, dir: String, spanLen: Int = 10): DataFrame = {
+    import s.implicits._
+    val spans = docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        text.split(" ", -1).grouped(spanLen).zipWithIndex
+          .map { case (g, i) =>
+            val span = g.mkString(" ")
+            (id, i.toLong, span, graft.functions.Hll.hash(span))
+          }
+      }.toDF("doc_id", "i", "span", "span_h").cache()
+    val occ = col("doc_id") * lit(SpanCanonMod) + col("i")
+    val agg = spans
+      .select(col("doc_id"), col("i"), col("span_h"))
+      .groupBy(col("span_h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"), min(occ).as("canon"),
+           max(col("i")).as("max_i"))
+    spans.join(agg, Seq("span_h"))
+      .withColumn("keep", col("n_docs") === 1 || occ === col("canon"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+           count_if(!col("keep")).as("n_removed"),
+           array_join(transform(array_sort(collect_list(
+             when(col("keep"), struct(col("i"), col("span"))))),
+             x => x("span")), " ").as("clean_text"),
+           max(col("max_i")).as("max_i"))
+      // canon-packing bound enforced IN the value path (a detached
+      // assert_true filter would be constant-folded away)
+      .select(col("doc_id"), col("n_spans"), col("n_removed"),
+        when(col("max_i") < SpanCanonMod, col("clean_text"))
+          .otherwise(raise_error(lit(
+            s"doc exceeds $SpanCanonMod spans — canon packing would wrap")))
+          .as("clean_text"))
+  }
+
+  /** DuckDB twin of [[removeDuplicateSpans]]: same chunking as
+    * [[spanDupStatsSql]], the packed-integer canonical-occurrence rule,
+    * ordered `string_agg` reconstruction. (The oracle groups by the span
+    * TEXT where the Spark side groups by its 64-bit hash — the
+    * [[spanDupStats]] collision contract, hash-gate-verified.) */
+  def removeDuplicateSpansSql(spanLen: Int = 10): String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |spans AS (
+      |  SELECT doc_id, i,
+      |    array_to_string(w[(i * $spanLen + 1):((i + 1) * $spanLen)], ' ') AS span
+      |  FROM (SELECT doc_id, w, unnest(range(0, (len(w) + ${spanLen - 1}) // $spanLen)) AS i
+      |        FROM toks)),
+      |agg AS (
+      |  SELECT span, count(DISTINCT doc_id) AS n_docs,
+      |    min(doc_id * $SpanCanonMod + i) AS canon
+      |  FROM spans GROUP BY 1),
+      |k AS (
+      |  SELECT s.doc_id, s.i, s.span,
+      |    (a.n_docs = 1 OR s.doc_id * $SpanCanonMod + s.i = a.canon) AS keep
+      |  FROM spans s JOIN agg a USING (span))
+      |SELECT doc_id, count(*) AS n_spans,
+      |  CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_removed,
+      |  coalesce(string_agg(span, ' ' ORDER BY i) FILTER (WHERE keep), '') AS clean_text
+      |FROM k GROUP BY doc_id""".stripMargin
+
   /** Multi-scale exact substring duplication (the Lee et al. 2021,
     * "Deduplicating Training Data Makes Language Models Better", family):
     * real pipelines dedup exact substrings of VARIABLE length, not one
@@ -2593,6 +2679,7 @@ object Dedup {
     "q_dedup_cross_corpus" -> ((s: SparkSession, d: String) => crossCorpusNewDocs(s, d)),
     "q_dedup_contamination" -> ((s: SparkSession, d: String) => contamination(s, d)),
     "q_dedup_spans" -> ((s: SparkSession, d: String) => spanDupStats(s, d)),
+    "q_dedup_span_removal" -> ((s: SparkSession, d: String) => removeDuplicateSpans(s, d)),
     "q_dedup_substrings" -> ((s: SparkSession, d: String) => substringDupStats(s, d)),
     "q_dedup_clusters_star" -> (nearDupClustersStar _),
     "q_dedup_index_build" -> (minhashIndexBuildQuery _),
@@ -2614,6 +2701,7 @@ object Dedup {
     "q_dedup_cross_corpus" -> crossCorpusNewDocsSql,
     "q_dedup_contamination" -> contaminationSql(),
     "q_dedup_spans" -> spanDupStatsSql(),
+    "q_dedup_span_removal" -> removeDuplicateSpansSql(),
     "q_dedup_substrings" -> substringDupStatsSql(),
     "q_dedup_clusters_star" -> nearDupClustersSql,
     "q_dedup_embedding" -> embeddingNearDupSql(),

@@ -336,4 +336,46 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(got.size >= math.ceil(0.6 * exact.size).toInt,
       s"recall too low: ${got.size}/${exact.size}")
   }
+
+  test("duplicate-span removal matches a local re-implementation and round-trips clean docs") {
+    import org.apache.spark.sql.functions.col
+    val L = 10
+    val got = Dedup.removeDuplicateSpans(spark, sf, L).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // independent driver-side re-implementation of the whole rule
+    val texts = Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val spans = texts.flatMap { case (id, t) =>
+      t.split(" ", -1).grouped(L).zipWithIndex.map { case (g, i) =>
+        (id, i.toLong, g.mkString(" ")) }
+    }
+    val bySpan = spans.groupBy(_._3)
+    val keepOcc = bySpan.values.flatMap { occs =>
+      if (occs.map(_._1).distinct.length == 1) occs
+      else occs.filter(o => (o._1, o._2) == occs.map(x => (x._1, x._2)).min)
+    }.map(o => (o._1, o._2)).toSet
+    val expect = spans.groupBy(_._1).map { case (id, ss) =>
+      val kept = ss.sortBy(_._2).filter(o => keepOcc((o._1, o._2)))
+      id -> (ss.length.toLong, (ss.length - kept.length).toLong,
+             kept.map(_._3).mkString(" "))
+    }
+    // NOTE: scalatest clues evaluate eagerly — keep this Option-safe
+    val bad = expect.keys.find(k => got.get(k) != expect.get(k))
+    assert(got == expect,
+      s"first differing doc: ${bad.map(k => (k, got.get(k), expect.get(k)))}")
+    // round-trip: a doc with nothing removed reproduces its text exactly
+    val untouched = texts.filter { case (id, _) => got(id)._2 == 0L }
+    assert(untouched.nonEmpty, "fixture lost its clean docs")
+    untouched.foreach { case (id, t) =>
+      assert(got(id)._3 == t, s"clean doc $id did not round-trip")
+    }
+    // all-but-one: every cross-doc duplicated span keeps exactly one
+    // occurrence corpus-wide
+    val dupSpans = bySpan.filter(_._2.map(_._1).distinct.length > 1).keySet
+    val keptPerSpan = spans.filter(o => keepOcc((o._1, o._2)))
+      .groupBy(_._3).view.mapValues(_.length).toMap
+    dupSpans.foreach { sp =>
+      assert(keptPerSpan(sp) == 1, s"dup span kept ${keptPerSpan(sp)} copies")
+    }
+  }
 }
