@@ -162,7 +162,13 @@ object ScaleProbe {
                       "q_text_gopher_gates", "q_sample_temperature_mix",
                       "q_pipeline_curation", "q_emb_pq_encode", "q_emb_pq_adc",
                       "q_sim_ann_ivf_pq", "q_dedup_substrings", "q_pipeline_curation_full",
-                      "q_dedup_pipeline_lsh"))
+                      "q_dedup_pipeline_lsh",
+                      // round-12 additions: span removal (keyed like
+                      // q_dedup_spans but carries text through the
+                      // join-back), shard layout (map-only + per-shard
+                      // windows), leak split (pairs + CC + hash)
+                      "q_dedup_span_removal", "q_sample_shard_layout",
+                      "q_sample_leak_split"))
           runQuery(q, dst)
 
       case "compose" =>
