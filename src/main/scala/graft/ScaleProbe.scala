@@ -637,6 +637,28 @@ object ScaleProbe {
         println(f"SCALE${k}X[incdedup] simhash-wide: increment ${tShInc}%.2f s vs " +
           f"full recompute ${tShFull}%.2f s (${tShFull / tShInc}%.1f x; index build " +
           f"${tShBuild}%.2f s paid once per corpus version)")
+        // SPAN family leg (round 12, fifth family): full removal re-chunks
+        // the corpus; the increment chunks only the batch and probes the
+        // stored per-span aggregate
+        val tSpFull = time("full_span_removal") {
+          graft.operators.Dedup.removeDuplicateSpans(spark, dst)
+            .write.format("noop").mode("overwrite").save()
+        }
+        spark.catalog.clearCache(); Checkpoints.releaseAll()
+        val spIdx = s"$dst/spanindex"
+        val tSpBuild = time("span_index_build") {
+          graft.operators.Dedup.buildSpanIndex(spark, d.filter(!isBatch), spIdx)
+        }
+        spark.catalog.clearCache(); Checkpoints.releaseAll()
+        val tSpInc = time("span_increment") {
+          val out = graft.operators.Dedup.spanRemovalIncrement(spark,
+            d.filter(isBatch), spIdx, append = false)
+          println(s"SCALE${k}X[incdedup] span increment docs: ${out.count()}")
+        }
+        spark.catalog.clearCache(); Checkpoints.releaseAll()
+        println(f"SCALE${k}X[incdedup] span family: increment ${tSpInc}%.2f s vs " +
+          f"full removal ${tSpFull}%.2f s (${tSpFull / tSpInc}%.1f x; index build " +
+          f"${tSpBuild}%.2f s paid once per corpus version)")
 
       case "appendseq" =>
         // Index maintenance under REPETITION (round-12 verdict task 3):

@@ -2457,16 +2457,25 @@ object Dedup {
     * one keyed join back, one per-doc aggregation. No windows, no driver
     * state, no quadratic term — duplication cost lands on the dup-span
     * groups only. */
-  def removeDuplicateSpans(s: SparkSession, dir: String, spanLen: Int = 10): DataFrame = {
+  /** Chunk a `(doc_id, text)` frame into `(doc_id, i, span, span_h)`
+    * occurrence rows — the ONE home of the chunking rule, shared by the
+    * removal transform, the span-index build, and its increment so the
+    * three can never chunk differently. */
+  private def spanOccurrencesOf(s: SparkSession, d: DataFrame,
+                                spanLen: Int): DataFrame = {
     import s.implicits._
-    val spans = docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+    d.select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
         text.split(" ", -1).grouped(spanLen).zipWithIndex
           .map { case (g, i) =>
             val span = g.mkString(" ")
             (id, i.toLong, span, graft.functions.Hll.hash(span))
           }
-      }.toDF("doc_id", "i", "span", "span_h").cache()
+      }.toDF("doc_id", "i", "span", "span_h")
+  }
+
+  def removeDuplicateSpans(s: SparkSession, dir: String, spanLen: Int = 10): DataFrame = {
+    val spans = spanOccurrencesOf(s, docs(s, dir), spanLen).cache()
     val occ = col("doc_id") * lit(SpanCanonMod) + col("i")
     val agg = spans
       .select(col("doc_id"), col("i"), col("span_h"))
@@ -2516,6 +2525,214 @@ object Dedup {
       |  CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_removed,
       |  coalesce(string_agg(span, ' ' ORDER BY i) FILTER (WHERE keep), '') AS clean_text
       |FROM k GROUP BY doc_id""".stripMargin
+
+  // -----------------------------------------------------------------
+  // Persisted / incremental SPAN index (the FIFTH index family):
+  // C4-style boilerplate removal at ingest — a daily batch must not
+  // re-chunk yesterday's corpus to know which of ITS chunks are
+  // boilerplate
+  // -----------------------------------------------------------------
+
+  /** Build the persisted span index over a `(doc_id, text)` corpus:
+    *  - `spans.parquet` — per-OCCURRENCE rows `(doc_id, i, span_h)`, pure
+    *    per-row functions of the document (so delete ≡ rebuild, the
+    *    [[deleteFromDedupIndex]] argument); the maintenance table.
+    *  - `postings.parquet` — the per-span aggregate the increment probes:
+    *    `(span_h, n_docs, canon)` with `canon` the packed minimum
+    *    `(doc_id · SpanCanonMod + i)` occurrence (the
+    *    [[removeDuplicateSpans]] canonical-copy rule).
+    *  - `meta.parquet` — `spanLen` handshake; a mismatched increment
+    *    refuses loudly (the index-family convention). */
+  def buildSpanIndex(s: SparkSession, d: DataFrame, indexDir: String,
+                     spanLen: Int = 10): Unit = {
+    import s.implicits._
+    val occs = spanOccurrencesOf(s, d, spanLen)
+      .select(col("doc_id"), col("i"), col("span_h")).cache()
+    occs.write.mode("overwrite").parquet(s"$indexDir/spans.parquet")
+    occs.groupBy(col("span_h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+           min(col("doc_id") * lit(SpanCanonMod) + col("i")).as("canon"))
+      .write.mode("overwrite").parquet(s"$indexDir/postings.parquet")
+    Seq((spanLen, SpanCanonMod)).toDF("span_len", "canon_mod")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta.parquet")
+    occs.unpersist()
+  }
+
+  /** Duplicate-span removal of ONE ingest batch against the stored span
+    * index — [[removeDuplicateSpans]]'s semantics at batch cost: chunk
+    * only the batch, probe the per-span aggregate (keyed join on the
+    * 8-byte hash; batch side broadcasts under the 2M convention), and
+    * decide each batch chunk under the GLOBAL rule — kept iff its span is
+    * unique corpus-wide (`n_docs_index + n_docs_batch == 1`) or it is the
+    * global canonical occurrence (`least(canon_index, canon_batch)`).
+    * Batch doc_ids must be new to the index (every family's append
+    * contract) — with the registered proportional split they are also
+    * LARGER, so an indexed span's canon stays in the corpus and the
+    * already-shipped clean text of old documents is never invalidated.
+    * Returns `(doc_id, n_spans, n_removed, clean_text)` for the batch;
+    * when `append`, occurrence rows append and the aggregate is rewritten
+    * as untouched ∪ merged-touched ∪ new (the [[clusterIncrement]]
+    * snapshot-overwrite discipline). */
+  def spanRemovalIncrement(s: SparkSession, newDocs: DataFrame,
+                           indexDir: String, spanLen: Int = 10,
+                           append: Boolean = true): DataFrame = {
+    val meta = s.read.parquet(s"$indexDir/meta.parquet").head()
+    require(meta.getInt(0) == spanLen && meta.getLong(1) == SpanCanonMod,
+      s"index at $indexDir built with (spanLen,canonMod)=" +
+        s"(${meta.getInt(0)},${meta.getLong(1)}); caller passed " +
+        s"($spanLen,$SpanCanonMod) — rebuild the index")
+    val postings = s.read.parquet(
+      parquetPartFiles(s, s"$indexDir/postings.parquet"): _*)
+    val batchOcc = graft.Checkpoints.local(
+      spanOccurrencesOf(s, newDocs, spanLen))
+    val occ = col("doc_id") * lit(SpanCanonMod) + col("i")
+    val batchAggRaw = batchOcc
+      .groupBy(col("span_h"))
+      .agg(countDistinct(col("doc_id")).as("n_new"), min(occ).as("canon_new"),
+           max(col("i")).as("max_i"))
+    val nKeys = batchAggRaw.count()
+    val batchAgg = if (nKeys <= 2000000L) broadcast(batchAggRaw) else batchAggRaw
+    // eagerly materialized: both the returned result and the aggregate
+    // rewrite consume it, and the rewrite OVERWRITES the snapshot files
+    // this join reads — a lazy plan would re-execute over deleted parts
+    // (the clusterIncrement snapshot-overwrite discipline)
+    val merged = graft.Checkpoints.local(batchAgg
+      .join(postings, Seq("span_h"), "left")
+      .select(col("span_h"),
+        (coalesce(col("n_docs"), lit(0L)) + col("n_new")).as("n_total"),
+        least(col("canon"), col("canon_new")).as("canon_total"),
+        col("max_i")))
+    val out = batchOcc.join(merged, Seq("span_h"))
+      .withColumn("keep", col("n_total") === 1 || occ === col("canon_total"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+           count_if(!col("keep")).as("n_removed"),
+           array_join(transform(array_sort(collect_list(
+             when(col("keep"), struct(col("i"), col("span"))))),
+             x => x("span")), " ").as("clean_text"),
+           max(col("max_i")).as("max_i"))
+      .select(col("doc_id"), col("n_spans"), col("n_removed"),
+        when(col("max_i") < SpanCanonMod, col("clean_text"))
+          .otherwise(raise_error(lit(
+            s"doc exceeds $SpanCanonMod spans — canon packing would wrap")))
+          .as("clean_text"))
+    if (append) {
+      batchOcc.select(col("doc_id"), col("i"), col("span_h"))
+        .write.mode("append").parquet(s"$indexDir/spans.parquet")
+      val untouched = postings.join(
+        batchAgg.select(col("span_h")), Seq("span_h"), "left_anti")
+      val rewritten = graft.Checkpoints.local(untouched.unionByName(
+        merged.select(col("span_h"), col("n_total").as("n_docs"),
+                      col("canon_total").as("canon"))))
+      rewritten.write.mode("overwrite").parquet(s"$indexDir/postings.parquet")
+    }
+    out
+  }
+
+  /** DELETE documents from the span index: rewrite-filter the
+    * per-occurrence table (pure per-row, so filtered ≡ rebuilt), then
+    * re-aggregate ONLY the spans the deleted docs touched — a span losing
+    * all occurrences leaves the aggregate; one losing a doc gets its
+    * `n_docs`/`canon` re-elected from survivors (deletion can DEMOTE a
+    * span below the duplication bar or move its canonical copy — both are
+    * re-derived, not patched). Cost ∝ deleted docs' span mass. */
+  def deleteFromSpanIndex(s: SparkSession, indexDir: String,
+                          docIds: DataFrame): Unit = {
+    val idsRaw = docIds.select(col("doc_id")).distinct()
+    val ids = if (idsRaw.count() <= 2000000L) broadcast(idsRaw) else idsRaw
+    val pre = s.read.parquet(parquetPartFiles(s, s"$indexDir/spans.parquet"): _*)
+    val touchedKeys = graft.Checkpoints.local(
+      pre.join(ids, Seq("doc_id"), "left_semi").select(col("span_h")).distinct())
+    IndexMaintenance.rewriteSwap(s, s"$indexDir/spans.parquet")(
+      _.join(ids, Seq("doc_id"), "left_anti"))
+    val post = s.read.parquet(parquetPartFiles(s, s"$indexDir/spans.parquet"): _*)
+    val recomputed = graft.Checkpoints.local(
+      post.join(touchedKeys, Seq("span_h"), "left_semi")
+        .groupBy(col("span_h"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+             min(col("doc_id") * lit(SpanCanonMod) + col("i")).as("canon")))
+    IndexMaintenance.rewriteSwap(s, s"$indexDir/postings.parquet")(p =>
+      p.join(touchedKeys, Seq("span_h"), "left_anti").unionByName(recomputed))
+  }
+
+  /** COMPACT the span index: occurrences repartitioned+sorted by
+    * `doc_id` (the delete filter's key), the aggregate by `span_h` (the
+    * increment probe's key); `distinct()` on occurrences repairs torn
+    * stream appends exactly as [[compactIndex]] argues (occurrence rows
+    * are naturally unique per `(doc_id, i)`). The aggregate takes
+    * max-merge instead: a torn re-append would have double-counted
+    * `n_docs` at APPEND time, not here — the stream leg's ledger prevents
+    * that (same-batch redelivery skips the append wholesale), so compact
+    * is pure reorganization (IndexMaintenanceSpec pins the next increment
+    * unchanged). */
+  def compactSpanIndex(s: SparkSession, indexDir: String, nFiles: Int = 8): Unit = {
+    IndexMaintenance.rewriteSwap(s, s"$indexDir/spans.parquet")(
+      _.distinct()
+        .repartition(nFiles, col("doc_id")).sortWithinPartitions("doc_id", "i"))
+    IndexMaintenance.rewriteSwap(s, s"$indexDir/postings.parquet")(
+      _.repartition(nFiles, col("span_h")).sortWithinPartitions("span_h"))
+  }
+
+  /** Registered pair for the span index (the [[minhashIndexBuildQuery]]
+    * convention): build over the proportional old split (memoized per
+    * corpus per JVM), returning a hash-independent summary the oracle can
+    * recompute from span TEXTS — the `n_docs` histogram with the packed
+    * canon extrema per bucket (hash-gateable because counts and canons
+    * don't depend on the hash, only on the chunking; a hash collision
+    * would surface as a histogram mismatch). */
+  def spanIndexBuildQuery(s: SparkSession, dir: String): DataFrame = {
+    val idx = buildBaseSpanIndex(s, dir)
+    s.read.parquet(s"$idx/postings.parquet")
+      .groupBy(col("n_docs"))
+      .agg(count(lit(1)).as("n_spans"),
+           min(col("canon")).as("min_canon"), max(col("canon")).as("max_canon"))
+      .orderBy(col("n_docs"))
+  }
+
+  def spanIndexBuildSql(spanLen: Int = 10): String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE doc_id < $incrementSplitSql),
+      |spans AS (
+      |  SELECT doc_id, i,
+      |    array_to_string(w[(i * $spanLen + 1):((i + 1) * $spanLen)], ' ') AS span
+      |  FROM (SELECT doc_id, w, unnest(range(0, (len(w) + ${spanLen - 1}) // $spanLen)) AS i
+      |        FROM toks)),
+      |agg AS (
+      |  SELECT span, count(DISTINCT doc_id) AS n_docs,
+      |    min(doc_id * $SpanCanonMod + i) AS canon
+      |  FROM spans GROUP BY 1)
+      |SELECT n_docs, count(*) AS n_spans,
+      |  min(canon) AS min_canon, max(canon) AS max_canon
+      |FROM agg GROUP BY n_docs""".stripMargin
+
+  private val builtSpanIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def buildBaseSpanIndex(s: SparkSession, dir: String): String =
+    builtSpanIndexes.computeIfAbsent(dir, _ => {
+      val idx = minhashIndexScratch.resolve("span-" +
+        java.lang.Integer.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir))).toString
+      buildSpanIndex(s,
+        docs(s, dir).filter(col("doc_id") < incrementSplitAt(s, dir)), idx)
+      idx
+    })
+
+  /** Registered INCREMENT half: the batch (the proportional new split)
+    * cleaned against the stored index. Oracle =
+    * [[removeDuplicateSpansSql]] — the WHOLE algorithm over the full
+    * corpus — restricted to batch doc_ids: the increment must reproduce
+    * the global decision exactly, reconstructed text included. */
+  def spanRemovalIncrementQuery(s: SparkSession, dir: String): DataFrame = {
+    val idx = buildBaseSpanIndex(s, dir)
+    spanRemovalIncrement(s,
+      docs(s, dir).filter(col("doc_id") >= incrementSplitAt(s, dir)), idx,
+      append = false)
+  }
+
+  def spanRemovalIncrementSql(spanLen: Int = 10): String =
+    "SELECT * FROM (" + removeDuplicateSpansSql(spanLen) + ") r\n" +
+      s"WHERE doc_id >= $incrementSplitSql"
 
   /** Multi-scale exact substring duplication (the Lee et al. 2021,
     * "Deduplicating Training Data Makes Language Models Better", family):
@@ -2680,6 +2897,8 @@ object Dedup {
     "q_dedup_contamination" -> ((s: SparkSession, d: String) => contamination(s, d)),
     "q_dedup_spans" -> ((s: SparkSession, d: String) => spanDupStats(s, d)),
     "q_dedup_span_removal" -> ((s: SparkSession, d: String) => removeDuplicateSpans(s, d)),
+    "q_dedup_span_index_build" -> (spanIndexBuildQuery _),
+    "q_dedup_span_removal_inc" -> (spanRemovalIncrementQuery _),
     "q_dedup_substrings" -> ((s: SparkSession, d: String) => substringDupStats(s, d)),
     "q_dedup_clusters_star" -> (nearDupClustersStar _),
     "q_dedup_index_build" -> (minhashIndexBuildQuery _),
@@ -2702,6 +2921,11 @@ object Dedup {
     "q_dedup_contamination" -> contaminationSql(),
     "q_dedup_spans" -> spanDupStatsSql(),
     "q_dedup_span_removal" -> removeDuplicateSpansSql(),
+    // fifth index family: hash-independent n_docs histogram of the stored
+    // aggregate (counts/canons depend only on the chunking), and the
+    // whole-algorithm removal oracle restricted to batch doc_ids
+    "q_dedup_span_index_build" -> spanIndexBuildSql(),
+    "q_dedup_span_removal_inc" -> spanRemovalIncrementSql(),
     "q_dedup_substrings" -> substringDupStatsSql(),
     "q_dedup_clusters_star" -> nearDupClustersSql,
     "q_dedup_embedding" -> embeddingNearDupSql(),

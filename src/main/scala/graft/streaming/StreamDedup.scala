@@ -169,4 +169,30 @@ object StreamDedup {
       graft.operators.Dedup.semanticDedupIncrement(
         batch.sparkSession, batch, indexDir, append = doAppend)
     }
+
+  /** SPAN-boilerplate removal at ingest: each micro-batch of `(doc_id,
+    * text)` documents is cleaned against the persisted
+    * [[graft.operators.Dedup.buildSpanIndex]] index via
+    * [[graft.operators.Dedup.spanRemovalIncrement]] (chunk the batch
+    * only, probe the stored per-span aggregate, keep-one-canonical rule),
+    * under the shared batchId-ledger replay guard. The sink receives
+    * `(doc_id, n_spans, n_removed, clean_text)` — the C4-style line-dedup
+    * step applied at the stream boundary instead of a nightly rewrite. */
+  def spanRemovalAgainstIndex(stream: DataFrame, indexDir: String,
+                              append: Boolean = true)
+                             (sink: DataFrame => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(spanBatch(batch, batchId, indexDir, append))
+    }
+
+  /** One micro-batch of [[spanRemovalAgainstIndex]] (testable without a
+    * streaming restart). */
+  private[graft] def spanBatch(batch: DataFrame, batchId: Long,
+                               indexDir: String,
+                               append: Boolean = true): DataFrame =
+    replayGuarded(batch, batchId, indexDir, append) { doAppend =>
+      graft.operators.Dedup.spanRemovalIncrement(
+        batch.sparkSession, batch, indexDir, append = doAppend)
+    }
 }

@@ -234,6 +234,51 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestBase {
   private def cosSet(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Long] =
     df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
 
+  private def removalRows(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long, String)] =
+    df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+
+  test("span increment == full removal restricted to the batch; appends converge; mismatch refuses") {
+    val split = Dedup.incrementSplitAt(spark, sf)
+    val expected = removalRows(Dedup.removeDuplicateSpans(spark, sf))
+      .filter { case (id, _) => id >= split }
+    val idx = tmpIdx("span")
+    Dedup.buildSpanIndex(spark, docsAt(sf).filter(col("doc_id") < split), idx)
+    val inc = removalRows(Dedup.spanRemovalIncrement(spark,
+      docsAt(sf).filter(col("doc_id") >= split), idx, append = false))
+    assert(inc == expected && expected.nonEmpty,
+      s"first diff: ${expected.keys.find(k => inc.get(k) != expected.get(k))}")
+    // hyperparameter handshake: a different spanLen must refuse loudly
+    intercept[IllegalArgumentException] {
+      Dedup.spanRemovalIncrement(spark,
+        docsAt(sf).filter(col("doc_id") >= split), idx, spanLen = 25, append = false)
+    }
+    // two appended increments converge to the one-shot rebuild state
+    def postingsOf(d: String) = spark.read.parquet(s"$d/postings.parquet")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def occsOf(d: String) = spark.read.parquet(s"$d/spans.parquet")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val idx2 = tmpIdx("span-append")
+    Dedup.buildSpanIndex(spark, docsAt(sf).filter(col("doc_id") < split), idx2)
+    Dedup.spanRemovalIncrement(spark,
+      docsAt(sf).filter(col("doc_id") >= split && col("doc_id") % 2 === 0),
+      idx2, append = true).collect()
+    Dedup.spanRemovalIncrement(spark,
+      docsAt(sf).filter(col("doc_id") >= split && col("doc_id") % 2 === 1),
+      idx2, append = true).collect()
+    val oneShot = tmpIdx("span-oneshot")
+    Dedup.buildSpanIndex(spark, docsAt(sf), oneShot)
+    assert(postingsOf(idx2) == postingsOf(oneShot),
+      "appended aggregate diverged from one-shot rebuild")
+    assert(occsOf(idx2) == occsOf(oneShot),
+      "appended occurrences diverged from one-shot rebuild")
+    // empty batch: empty output, aggregate content unchanged
+    val before = postingsOf(idx2)
+    val emptyOut = Dedup.spanRemovalIncrement(spark,
+      docsAt(sf).filter(col("doc_id") < -1), idx2, append = true)
+    assert(emptyOut.count() == 0)
+    assert(postingsOf(idx2) == before, "empty batch disturbed the aggregate")
+  }
+
   test("embedding increment == full recompute restricted to pairs touching the new split") {
     val full = cosSet(Dedup.embeddingNearDupPairs(spark, sf))
     val split = Dedup.embIncrementSplitAt(spark, sf)

@@ -194,6 +194,33 @@ class IndexMaintenanceSpec extends AnyFunSuite with SparkTestBase {
       s"missing=${incB -- incA} extra=${incA -- incB}")
   }
 
+  test("span delete + compaction: state and next increment == rebuild-without-deleted") {
+    val split = Dedup.incrementSplitAt(spark, sf)
+    import spark.implicits._
+    val deleted = docsAt(sf).filter(col("doc_id") < split)
+      .select(col("doc_id")).collect().map(_.getLong(0)).filter(_ % 3 == 0)
+    val delDf = deleted.toSeq.toDF("doc_id")
+    val idxA = tmpIdx("spandel-a")
+    Dedup.buildSpanIndex(spark, docsAt(sf).filter(col("doc_id") < split), idxA)
+    Dedup.deleteFromSpanIndex(spark, idxA, delDf)
+    Dedup.compactSpanIndex(spark, idxA)
+    val idxB = tmpIdx("spandel-b")
+    Dedup.buildSpanIndex(spark,
+      docsAt(sf).filter(col("doc_id") < split && !col("doc_id").isin(deleted: _*)), idxB)
+    def postingsOf(d: String) = spark.read.parquet(s"$d/postings.parquet")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def occsOf(d: String) = spark.read.parquet(s"$d/spans.parquet")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(postingsOf(idxA) == postingsOf(idxB),
+      "post-delete aggregate != rebuild over survivors (canon/n_docs re-election)")
+    assert(occsOf(idxA) == occsOf(idxB), "post-delete occurrences != rebuild")
+    def incRows(idx: String) = Dedup.spanRemovalIncrement(spark,
+      docsAt(sf).filter(col("doc_id") >= split), idx, append = false)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val a = incRows(idxA); val b = incRows(idxB)
+    assert(a == b && a.nonEmpty, "next increment diverged after delete+compact")
+  }
+
   test("ivf-pq compaction: search results identical, fewer part files") {
     val idx = tmpIdx("pqcompact")
     val emb = Tables(spark, sf, "embeddings")

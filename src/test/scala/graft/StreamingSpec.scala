@@ -646,6 +646,46 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(stateOf(idx) == stateOf(oneShot), "replay must not disturb state")
   }
 
+  test("span-removal stream ingest converges to the one-shot index and replays grow nothing") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val Dedup = graft.operators.Dedup
+    val docs = Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
+    def collectDocs(lo: Long, hi: Long) =
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+    val idx = java.nio.file.Files.createTempDirectory("spanidx-stream-").toString
+    Dedup.buildSpanIndex(spark, docs.filter(col("doc_id") < 30), idx)
+    val input = MemoryStream[(Long, String)](spark)
+    var delivered = 0L
+    val q = graft.streaming.StreamDedup.spanRemovalAgainstIndex(
+        input.toDF().toDF("doc_id", "text"), idx) { out =>
+      delivered += out.count()
+    }.start()
+    try {
+      input.addData(collectDocs(30, 40).toSeq: _*)
+      q.processAllAvailable()
+      input.addData(collectDocs(40, Long.MaxValue).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val total = docs.count()
+    assert(delivered == total - 30,
+      s"every streamed doc must be delivered cleaned: $delivered")
+    def postingsOf(d: String) = spark.read.parquet(s"$d/postings.parquet")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val oneShot = java.nio.file.Files.createTempDirectory("spanidx-oneshot-").toString
+    Dedup.buildSpanIndex(spark, docs, oneShot)
+    assert(postingsOf(idx) == postingsOf(oneShot),
+      "streamed appends must converge to the one-shot rebuild aggregate")
+    val nOcc = spark.read.parquet(s"$idx/spans.parquet").count()
+    // redelivery of an already-ledgered micro-batch id grows nothing
+    graft.streaming.StreamDedup.spanBatch(
+      docs.filter(col("doc_id") >= 40), 1L, idx).collect()
+    assert(spark.read.parquet(s"$idx/spans.parquet").count() == nOcc,
+      "replay must not grow the index")
+    assert(postingsOf(idx) == postingsOf(oneShot), "replay must not disturb state")
+  }
+
   test("DocPipeline near-dup leg drops a near (non-exact) duplicate of an indexed doc") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
