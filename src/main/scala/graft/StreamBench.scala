@@ -167,6 +167,30 @@ object StreamBench {
         Some(run(docRows, "timed", doAppend = true))
       } else None
 
+    // SPAN-ingest tier (round-12, fifth index family): boilerplate
+    // removal at ingest against a span index of the PINNED fixture
+    // corpus — comparable round-over-round like the near-dup tier.
+    // Streamed ids are shifted out of the fixture id range (the
+    // increment's disjoint-ids contract).
+    val spanIngestSec: Option[Double] =
+      if (new java.io.File(s"$fixtureDir/documents.parquet").exists) {
+        val idx = java.nio.file.Files.createTempDirectory("sb-spanidx-").toString
+        graft.operators.Dedup.buildSpanIndex(spark,
+          Tables(spark, fixtureDir, "documents").select($"doc_id", $"text"), idx)
+        val spanRows = docRows.map(r => (r._1 + 10000000L, r._2))
+        def run(rows: Seq[(Long, String)], doAppend: Boolean): Double = timed {
+          val in = MemoryStream[(Long, String)](spark)
+          val q = graft.streaming.StreamDedup.spanRemovalAgainstIndex(
+              in.toDF().toDF("doc_id", "text"), idx, append = doAppend) { out =>
+            out.write.format("noop").mode("overwrite").save()
+          }.start()
+          in.addData(rows)
+          q.processAllAvailable(); q.stop()
+        }
+        run(spanRows.take(2000), doAppend = false) // warm-up, clean index
+        Some(run(spanRows, doAppend = true))
+      } else None
+
     // VECTOR-ingest tiers (round-12 late): the embedding and semantic
     // stream legs measured on a fully SYNTHETIC deterministic workload —
     // index side and streamed batch both LCG-generated, so these rows are
@@ -229,6 +253,7 @@ object StreamBench {
       s""""doc_pipeline_docs":$nDocs,"doc_pipeline_docs_per_sec":${f0(nDocs / docSec)},""" +
       s""""doc_pipeline_fixture_docs_per_sec":${fixSec.map(x => f0(nDocs / x)).getOrElse("null")},""" +
       s""""doc_pipeline_neardup_docs_per_sec":${nearDupSec.map(x => f0(nDocs / x)).getOrElse("null")},""" +
+      s""""span_ingest_docs_per_sec":${spanIngestSec.map(x => f0(nDocs / x)).getOrElse("null")},""" +
       s""""embedding_ingest_vecs_per_sec":${f0(nStreamVecs / embIngestSec)},""" +
       s""""semantic_ingest_vecs_per_sec":${f0(nStreamVecs / semIngestSec)},""" +
       s""""host_before":$hostBefore,"host_after":${Bench.hostSnapshot()}}""")
