@@ -2460,7 +2460,11 @@ object Dedup {
   /** Chunk a `(doc_id, text)` frame into `(doc_id, i, span, span_h)`
     * occurrence rows — the ONE home of the chunking rule, shared by the
     * removal transform, the span-index build, and its increment so the
-    * three can never chunk differently. */
+    * three can never chunk differently. The [[SpanCanonMod]] packing bound
+    * is enforced HERE, executor-side, before any occurrence can reach an
+    * index write or a keep decision — a doc with ≥ 1e6 chunks fails the
+    * job loudly instead of wrapping into a neighboring doc's packed canon
+    * range (refuse rather than mis-canonicalize). */
   private def spanOccurrencesOf(s: SparkSession, d: DataFrame,
                                 spanLen: Int): DataFrame = {
     import s.implicits._
@@ -2468,6 +2472,8 @@ object Dedup {
       .flatMap { case (id, text) =>
         text.split(" ", -1).grouped(spanLen).zipWithIndex
           .map { case (g, i) =>
+            if (i >= SpanCanonMod) throw new IllegalStateException(
+              s"doc $id exceeds $SpanCanonMod spans — canon packing would wrap")
             val span = g.mkString(" ")
             (id, i.toLong, span, graft.functions.Hll.hash(span))
           }
@@ -2475,13 +2481,16 @@ object Dedup {
   }
 
   def removeDuplicateSpans(s: SparkSession, dir: String, spanLen: Int = 10): DataFrame = {
-    val spans = spanOccurrencesOf(s, docs(s, dir), spanLen).cache()
+    // eagerly materialized AND releasable (Checkpoints.releaseAll) — a
+    // bare cache() here would pin the tokenized corpus until someone
+    // happens to clearCache; the canon-packing bound already fired inside
+    // spanOccurrencesOf during this materialization
+    val spans = graft.Checkpoints.local(spanOccurrencesOf(s, docs(s, dir), spanLen))
     val occ = col("doc_id") * lit(SpanCanonMod) + col("i")
     val agg = spans
       .select(col("doc_id"), col("i"), col("span_h"))
       .groupBy(col("span_h"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"), min(occ).as("canon"),
-           max(col("i")).as("max_i"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"), min(occ).as("canon"))
     spans.join(agg, Seq("span_h"))
       .withColumn("keep", col("n_docs") === 1 || occ === col("canon"))
       .groupBy(col("doc_id"))
@@ -2489,15 +2498,7 @@ object Dedup {
            count_if(!col("keep")).as("n_removed"),
            array_join(transform(array_sort(collect_list(
              when(col("keep"), struct(col("i"), col("span"))))),
-             x => x("span")), " ").as("clean_text"),
-           max(col("max_i")).as("max_i"))
-      // canon-packing bound enforced IN the value path (a detached
-      // assert_true filter would be constant-folded away)
-      .select(col("doc_id"), col("n_spans"), col("n_removed"),
-        when(col("max_i") < SpanCanonMod, col("clean_text"))
-          .otherwise(raise_error(lit(
-            s"doc exceeds $SpanCanonMod spans — canon packing would wrap")))
-          .as("clean_text"))
+             x => x("span")), " ").as("clean_text"))
   }
 
   /** DuckDB twin of [[removeDuplicateSpans]]: same chunking as
@@ -2572,7 +2573,12 @@ object Dedup {
     * Returns `(doc_id, n_spans, n_removed, clean_text)` for the batch;
     * when `append`, occurrence rows append and the aggregate is rewritten
     * as untouched ∪ merged-touched ∪ new (the [[clusterIncrement]]
-    * snapshot-overwrite discipline). */
+    * snapshot-overwrite discipline). Torn-commit contract for the stream
+    * leg: a crash between these writes and the replay-ledger marker
+    * redelivers the batch, which can double-merge `n_docs` — provably
+    * decision-neutral (any touched span probes at `n_total ≥ 2` either
+    * way) and REPAIRED by [[compactSpanIndex]], which recomputes the
+    * aggregate from the duplication-proof occurrence table. */
   def spanRemovalIncrement(s: SparkSession, newDocs: DataFrame,
                            indexDir: String, spanLen: Int = 10,
                            append: Boolean = true): DataFrame = {
@@ -2586,11 +2592,13 @@ object Dedup {
     val batchOcc = graft.Checkpoints.local(
       spanOccurrencesOf(s, newDocs, spanLen))
     val occ = col("doc_id") * lit(SpanCanonMod) + col("i")
-    val batchAggRaw = batchOcc
+    // checkpointed: the broadcast-threshold count, the merge join, and the
+    // untouched anti-join all consume it — lazy, the batch groupBy would
+    // run three times (the clusterIncrement metadata-count discipline)
+    val batchAggRaw = graft.Checkpoints.local(batchOcc
       .groupBy(col("span_h"))
-      .agg(countDistinct(col("doc_id")).as("n_new"), min(occ).as("canon_new"),
-           max(col("i")).as("max_i"))
-    val nKeys = batchAggRaw.count()
+      .agg(countDistinct(col("doc_id")).as("n_new"), min(occ).as("canon_new")))
+    val nKeys = batchAggRaw.count() // checkpointed above — a metadata count
     val batchAgg = if (nKeys <= 2000000L) broadcast(batchAggRaw) else batchAggRaw
     // eagerly materialized: both the returned result and the aggregate
     // rewrite consume it, and the rewrite OVERWRITES the snapshot files
@@ -2600,8 +2608,7 @@ object Dedup {
       .join(postings, Seq("span_h"), "left")
       .select(col("span_h"),
         (coalesce(col("n_docs"), lit(0L)) + col("n_new")).as("n_total"),
-        least(col("canon"), col("canon_new")).as("canon_total"),
-        col("max_i")))
+        least(col("canon"), col("canon_new")).as("canon_total")))
     val out = batchOcc.join(merged, Seq("span_h"))
       .withColumn("keep", col("n_total") === 1 || occ === col("canon_total"))
       .groupBy(col("doc_id"))
@@ -2609,13 +2616,7 @@ object Dedup {
            count_if(!col("keep")).as("n_removed"),
            array_join(transform(array_sort(collect_list(
              when(col("keep"), struct(col("i"), col("span"))))),
-             x => x("span")), " ").as("clean_text"),
-           max(col("max_i")).as("max_i"))
-      .select(col("doc_id"), col("n_spans"), col("n_removed"),
-        when(col("max_i") < SpanCanonMod, col("clean_text"))
-          .otherwise(raise_error(lit(
-            s"doc exceeds $SpanCanonMod spans — canon packing would wrap")))
-          .as("clean_text"))
+             x => x("span")), " ").as("clean_text"))
     if (append) {
       batchOcc.select(col("doc_id"), col("i"), col("span_h"))
         .write.mode("append").parquet(s"$indexDir/spans.parquet")
@@ -2655,22 +2656,31 @@ object Dedup {
       p.join(touchedKeys, Seq("span_h"), "left_anti").unionByName(recomputed))
   }
 
-  /** COMPACT the span index: occurrences repartitioned+sorted by
-    * `doc_id` (the delete filter's key), the aggregate by `span_h` (the
-    * increment probe's key); `distinct()` on occurrences repairs torn
-    * stream appends exactly as [[compactIndex]] argues (occurrence rows
-    * are naturally unique per `(doc_id, i)`). The aggregate takes
-    * max-merge instead: a torn re-append would have double-counted
-    * `n_docs` at APPEND time, not here — the stream leg's ledger prevents
-    * that (same-batch redelivery skips the append wholesale), so compact
-    * is pure reorganization (IndexMaintenanceSpec pins the next increment
-    * unchanged). */
+  /** COMPACT the span index: occurrences `distinct()`-ed and
+    * repartitioned+sorted by `doc_id` (the delete filter's key), and the
+    * aggregate RECOMPUTED from those occurrences, repartitioned+sorted by
+    * `span_h` (the increment probe's key). Recompute-not-reshuffle is the
+    * repair contract: a crash in [[spanRemovalIncrement]]'s append window
+    * (occurrences appended and/or aggregate rewritten, ledger marker not
+    * yet written) redelivers the batch, which can duplicate occurrence
+    * rows AND double-merge `n_new` into `n_docs`. Neither corruption can
+    * flip a keep decision — `countDistinct`/`min` are duplication-proof,
+    * and inflation only affects spans the batch touched, which any later
+    * probe sees at `n_total ≥ 2` regardless — but the state-equality law
+    * (postings ≡ one-shot rebuild) would stay broken forever under a pure
+    * reorganization. Recomputing from the distinct()-ed occurrences (a
+    * pure function of them) restores it, so compact is the torn-commit
+    * repair for BOTH tables (IndexMaintenanceSpec pins it). */
   def compactSpanIndex(s: SparkSession, indexDir: String, nFiles: Int = 8): Unit = {
     IndexMaintenance.rewriteSwap(s, s"$indexDir/spans.parquet")(
       _.distinct()
         .repartition(nFiles, col("doc_id")).sortWithinPartitions("doc_id", "i"))
-    IndexMaintenance.rewriteSwap(s, s"$indexDir/postings.parquet")(
-      _.repartition(nFiles, col("span_h")).sortWithinPartitions("span_h"))
+    val occs = s.read.parquet(parquetPartFiles(s, s"$indexDir/spans.parquet"): _*)
+    IndexMaintenance.rewriteSwap(s, s"$indexDir/postings.parquet")(_ =>
+      occs.groupBy(col("span_h"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+             min(col("doc_id") * lit(SpanCanonMod) + col("i")).as("canon"))
+        .repartition(nFiles, col("span_h")).sortWithinPartitions("span_h"))
   }
 
   /** Registered pair for the span index (the [[minhashIndexBuildQuery]]

@@ -308,13 +308,7 @@ object Sampling {
     import graft.operators.{Dedup => D}
     val near = D.minhashLshPairs(s, dir, threshold)
       .select(col("doc_a"), col("doc_b"))
-    val exact = docs(s, dir)
-      .select(col("doc_id"), md5(col("text")).as("text_hash"))
-      .join(D.exactDedup(s, dir).select(col("text_hash"), col("keep_id")),
-            Seq("text_hash"))
-      .filter(col("doc_id") =!= col("keep_id"))
-      .select(col("doc_id").as("doc_a"), col("keep_id").as("doc_b"))
-    val labels = D.clusterPairsTiered(near.unionByName(exact))
+    val labels = D.clusterPairsTiered(near.unionByName(exactDupEdges(s, dir)))
     docs(s, dir).select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -323,6 +317,19 @@ object Sampling {
         when(hashPct(col("cluster_id"), holdoutPct), lit("holdout"))
           .otherwise(lit("train")))
   }
+
+  /** Exact-duplicate edges `(doc_a, doc_b = its keeper)` — the ONE home of
+    * the exact edge set both split paths union with their near-dup edges,
+    * so the SamplingSpec path-equality law cannot be broken by the two
+    * copies drifting apart. */
+  private def exactDupEdges(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), md5(col("text")).as("text_hash"))
+      .join(graft.operators.Dedup.exactDedup(s, dir)
+              .select(col("text_hash"), col("keep_id")),
+            Seq("text_hash"))
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id").as("doc_a"), col("keep_id").as("doc_b"))
 
   /** Per-JVM scratch + per-corpus memo for [[leakageSafeSplitFromIndex]]'s
     * registered query (the [[graft.operators.Dedup]] index-query pattern:
@@ -361,13 +368,7 @@ object Sampling {
       .select(col("doc_id"), col("cluster_id"))
     val starEdges = state.filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
-    val exact = docs(s, dir)
-      .select(col("doc_id"), md5(col("text")).as("text_hash"))
-      .join(D.exactDedup(s, dir).select(col("text_hash"), col("keep_id")),
-            Seq("text_hash"))
-      .filter(col("doc_id") =!= col("keep_id"))
-      .select(col("doc_id").as("doc_a"), col("keep_id").as("doc_b"))
-    val labels = D.clusterPairsTiered(starEdges.unionByName(exact))
+    val labels = D.clusterPairsTiered(starEdges.unionByName(exactDupEdges(s, dir)))
     docs(s, dir).select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),

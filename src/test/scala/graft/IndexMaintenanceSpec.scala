@@ -221,6 +221,32 @@ class IndexMaintenanceSpec extends AnyFunSuite with SparkTestBase {
     assert(a == b && a.nonEmpty, "next increment diverged after delete+compact")
   }
 
+  test("span compact repairs a torn stream commit (double-merged batch) back to rebuild state") {
+    // worst-case torn commit: the SAME batch delivered under two distinct
+    // batchIds (ledger marker lost), so its occurrences duplicate AND its
+    // counts double-merge into the aggregate
+    val split = Dedup.incrementSplitAt(spark, sf)
+    val idx = tmpIdx("spantorn")
+    Dedup.buildSpanIndex(spark, docsAt(sf).filter(col("doc_id") < split), idx)
+    val batch = docsAt(sf).filter(col("doc_id") >= split)
+    graft.streaming.StreamDedup.spanBatch(batch, 0L, idx).collect()
+    graft.streaming.StreamDedup.spanBatch(batch, 1L, idx).collect() // the replayed torn commit
+    def postingsOf(d: String) = spark.read.parquet(s"$d/postings.parquet")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val oneShot = tmpIdx("spantorn-oneshot")
+    Dedup.buildSpanIndex(spark, docsAt(sf), oneShot)
+    assert(postingsOf(idx) != postingsOf(oneShot),
+      "fixture did not exercise the inflation (double-merge was a no-op?)")
+    Dedup.compactSpanIndex(spark, idx)
+    assert(postingsOf(idx) == postingsOf(oneShot),
+      "compact must recompute the aggregate from the distinct occurrences")
+    assert(spark.read.parquet(s"$idx/spans.parquet").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
+      spark.read.parquet(s"$oneShot/spans.parquet").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet,
+      "compact must distinct the duplicated occurrences")
+  }
+
   test("ivf-pq compaction: search results identical, fewer part files") {
     val idx = tmpIdx("pqcompact")
     val emb = Tables(spark, sf, "embeddings")
