@@ -357,8 +357,11 @@ object ScaleProbe {
             dcl.filter(inBaseC), idxC, s"$dst#cl-base")
         }
         spark.catalog.clearCache(); Checkpoints.releaseAll()
+        // 64 state partitions (not the 16 default): the probe's merge rows
+        // carry the mergeTouched telemetry line, and a finer grain shows
+        // the rewrote-k/N fraction instead of saturating at small N
         time("cluster_state_build") {
-          graft.operators.Dedup.buildClusterState(spark, idxC)
+          graft.operators.Dedup.buildClusterState(spark, idxC, nParts = 64)
         }
         spark.catalog.clearCache(); Checkpoints.releaseAll()
         for (j <- 0 until 10) {

@@ -483,7 +483,8 @@ object Dedup {
   def dedupIncrement(s: SparkSession, newDocs: DataFrame, indexDir: String,
                      memoKey: String, threshold: Double = 0.5,
                      bucketCap: Int = HotBucketCap,
-                     append: Boolean = true): DataFrame = {
+                     append: Boolean = true,
+                     strictIds: Boolean = true): DataFrame = {
     val meta = s.read.parquet(s"$indexDir/meta.parquet").head()
     require(meta.getInt(0) == MinhashPerms && meta.getInt(1) == MinhashBands,
       s"index at $indexDir built with (perms,bands)=(${meta.getInt(0)},${meta.getInt(1)}); " +
@@ -507,6 +508,17 @@ object Dedup {
     val result = verifyOnSignatures(cands, allSigs, threshold,
       broadcastCands = nNew * MinhashBands <= 2000000L)
     if (append) {
+      // the append contract, ENFORCED (round-13 verdict task 3): ids must
+      // be new to the index — a re-ingested id would double its postings
+      // and re-emit its pairs; strict refuses, the stream replay path
+      // downgrades to the documented TORN-REPLAY warning. The lease check
+      // closes the append-vs-maintenance race (task 5).
+      IndexFamily.requireNoLease(s, s"$indexDir/signatures.parquet",
+        "dedupIncrement append")
+      IndexFamily.requireNoLease(s, s"$indexDir/postings.parquet",
+        "dedupIncrement append")
+      IndexFamily.requireNewIds(s, s"$indexDir/signatures.parquet", "doc_id",
+        newSigs.select(col("doc_id")), nNew, "dedupIncrement", strictIds)
       // safe to append before the caller evaluates `result`: its plan
       // reads the snapshot file lists, not the directories. Appends are
       // SIZED to the batch: an unsized write adds a full shuffle-width of
@@ -523,11 +535,10 @@ object Dedup {
     result
   }
 
-  /** Part files an append of `rows` rows deserves: one per ~1M rows,
-    * capped at 32 (the local shuffle width) — tiny batches must not fan
-    * out into shuffle-width file counts. */
+  /** Part files an append deserves — single-sourced in the family core
+    * ([[IndexFamily.appendFileCount]], round-13 verdict task 7). */
   private def appendFileCount(rows: Long): Int =
-    math.min(32L, rows / 1000000L + 1L).toInt
+    IndexFamily.appendFileCount(rows)
 
   /** The shared candidate machinery of the incremental indexes
     * ([[dedupIncrement]] and [[simhashDedupIncrement]]): probe the stored
@@ -559,7 +570,7 @@ object Dedup {
                                   tag: String): DataFrame = {
     val probeKeys = newBanded.select(col("band"), col("bkey")).distinct()
     val touched = oldBanded
-      .join(if (nNewKeys <= 2000000L) broadcast(probeKeys) else probeKeys,
+      .join(IndexFamily.maybeBroadcast(probeKeys, nNewKeys),
         Seq("band", "bkey"), "left_semi")
       .withColumn("is_new", lit(false))
     val all = graft.Checkpoints.local(touched.unionByName(newBanded))
@@ -703,17 +714,71 @@ object Dedup {
     * verify + the O(log n) star alternation — no re-shingling. Only
     * documents appearing in ≥1 pair are stored: an absent doc_id is its
     * own singleton cluster with `keep = true` by convention, which keeps
-    * state ∝ near-dup mass, not ∝ corpus. */
+    * state ∝ near-dup mass, not ∝ corpus.
+    *
+    * Layout (round 13): HASH-PARTITIONED on `cluster_id` into `nParts`
+    * directories ([[IndexFamily.writePartitioned]]) — a component's rows
+    * colocate in `pmod(cluster_id, nParts)`, so [[clusterIncrement]]'s
+    * merge rewrites only the partitions holding touched components
+    * instead of the whole table (the last ∝-index-size term in the daily
+    * path, round-13 verdict task 1). */
   def buildClusterState(s: SparkSession, indexDir: String,
                         threshold: Double = 0.5,
-                        bucketCap: Int = HotBucketCap): Unit = {
+                        bucketCap: Int = HotBucketCap,
+                        nParts: Int = IndexFamily.StateParts): Unit = {
     val sigs = s.read.parquet(s"$indexDir/signatures.parquet")
     val banded = s.read.parquet(s"$indexDir/postings.parquet")
     val cands = bandedCandidatePairs(banded, "doc_id", "doc_a", "doc_b", bucketCap)
     val pairs = verifyOnSignatures(cands, sigs, threshold)
-    clusterPairsTiered(pairs.select(col("doc_a"), col("doc_b")))
-      .withColumn("keep", col("doc_id") === col("cluster_id"))
-      .write.mode("overwrite").parquet(s"$indexDir/clusters.parquet")
+    IndexFamily.writePartitioned(
+      clusterPairsTiered(pairs.select(col("doc_a"), col("doc_b")))
+        .withColumn("keep", col("doc_id") === col("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"), col("keep")),
+      s"$indexDir/clusters.parquet", "cluster_id", nParts)
+  }
+
+  /** Build and persist the EXACT-duplicate edge state next to the cluster
+    * state (round-13 verdict task 4): `exact_edges.parquet`
+    * `(doc_a, doc_b)` — one row per non-keeper duplicate, pointing at its
+    * group's keeper (the md5 group's minimum doc_id). Sub-shingle
+    * documents have no LSH signature, so these edges are invisible to the
+    * MinHash index — they are the exact leg every composition
+    * ([[dedupPipelineLsh]], [[graft.operators.Sampling.leakageSafeSplit]])
+    * unions in. Persisting them means a consumer (the leakage-safe split's
+    * index path) never re-hashes the corpus: state ∝ exact-dup mass, like
+    * the cluster labels. */
+  def buildExactState(s: SparkSession, d: DataFrame, indexDir: String): Unit = {
+    val hashed = d.select(col("doc_id"), md5(col("text")).as("text_hash"))
+    val keepers = hashed.groupBy(col("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"))
+    hashed.join(keepers, Seq("text_hash"))
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id").as("doc_a"), col("keep_id").as("doc_b"))
+      .write.mode("overwrite").parquet(s"$indexDir/exact_edges.parquet")
+  }
+
+  /** Maintain [[buildExactState]] under deletion — derivable from the
+    * edges alone (all members of a group point at the same keeper):
+    * edges whose non-keeper side is deleted drop; a group whose KEEPER is
+    * deleted re-elects the minimum surviving member and repoints the
+    * rest. Called by [[deleteFromDedupIndex]] when the table exists. */
+  private def deleteFromExactState(s: SparkSession, indexDir: String,
+                                   ids: DataFrame): Unit = {
+    val path = s"$indexDir/exact_edges.parquet"
+    IndexMaintenance.rewriteSwap(s, path) { edges =>
+      val surviving = edges.join(ids.select(col("doc_id").as("doc_a")),
+        Seq("doc_a"), "left_anti")
+      val keeperGone = surviving.join(ids.select(col("doc_id").as("doc_b")),
+        Seq("doc_b"), "left_semi")
+      val keeperKept = surviving.join(ids.select(col("doc_id").as("doc_b")),
+        Seq("doc_b"), "left_anti").select(col("doc_a"), col("doc_b"))
+      val reElected = keeperGone.groupBy(col("doc_b"))
+        .agg(min(col("doc_a")).as("new_keeper"))
+      keeperKept.unionByName(
+        keeperGone.join(reElected, Seq("doc_b"))
+          .filter(col("doc_a") =!= col("new_keeper"))
+          .select(col("doc_a"), col("new_keeper").as("doc_b")))
+    }
   }
 
   /** Merge one ingest batch into persisted cluster state: run
@@ -728,48 +793,63 @@ object Dedup {
     *
     * Returns the recomputed labels `(doc_id, cluster_id, keep)` for every
     * member of a batch-touching component (old and new). When `append`,
-    * the persisted state is REWRITTEN as untouched ∪ recomputed — at
-    * deployment scale this rewrite is the one batch-shaped step left
-    * (a label table of three thin columns; a Delta/Iceberg MERGE keyed
-    * on doc_id replaces it without changing the dataflow). */
+    * the persisted state merge is PARTITION-SCOPED
+    * ([[IndexFamily.mergeTouched]]): only the `pmod(cluster_id, nParts)`
+    * directories holding touched or newly-labeled components are read and
+    * swapped; every other partition keeps its files byte-identical — the
+    * per-batch cost is ∝ touched partitions, no longer ∝ state (round-13
+    * verdict task 1; the §8.5.9 clusterseq rows carry the measurement).
+    * The one remaining full-state read is the member→label LOOKUP (state
+    * is keyed by `cluster_id`, the lookup by `doc_id`): a column-pruned
+    * scan of two thin columns, served by a doc_id bloom/zorder on a
+    * deployment table format. */
   def clusterIncrement(s: SparkSession, newDocs: DataFrame, indexDir: String,
                        memoKey: String, threshold: Double = 0.5,
                        bucketCap: Int = HotBucketCap,
-                       append: Boolean = true): DataFrame = {
-    // snapshot the state part files FIRST: the append path rewrites them,
-    // and the untouched side must read the pre-batch state
-    val state = s.read.parquet(parquetPartFiles(s, s"$indexDir/clusters.parquet"): _*)
+                       append: Boolean = true,
+                       strictIds: Boolean = true): DataFrame = {
+    val statePath = s"$indexDir/clusters.parquet"
+    // snapshot the state part files FIRST: the append path swaps them,
+    // and the lookup side must read the pre-batch state
+    val state = IndexFamily.readSnapshot(s, statePath)
       .select(col("doc_id"), col("cluster_id"))
     val newPairs = graft.Checkpoints.local(
-      dedupIncrement(s, newDocs, indexDir, memoKey, threshold, bucketCap, append)
+      dedupIncrement(s, newDocs, indexDir, memoKey, threshold, bucketCap, append,
+          strictIds)
         .select(col("doc_a"), col("doc_b")))
     val nPairs = newPairs.count() // checkpointed above — a metadata count
     // labels of components adjacent to any new pair; bounded by 2·pairs,
     // so the daily-batch case broadcasts (the incrementCandidates bound)
     val touchedDocs = newPairs
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
-    val touchedLabelsRaw = state.join(touchedDocs, Seq("doc_id"), "left_semi")
-      .select(col("cluster_id")).distinct()
-    val touchedLabels =
-      if (2 * nPairs <= 2000000L) broadcast(touchedLabelsRaw) else touchedLabelsRaw
-    val touchedState = state.join(touchedLabels, Seq("cluster_id"), "left_semi")
+    // eagerly materialized: the partition-set collect, the membership
+    // semi-join, and the merge's affected/anti-join legs all consume it —
+    // lazy, the full-state lookup join would re-run once per consumer
+    val touchedLabelsRaw = graft.Checkpoints.local(
+      state.join(touchedDocs, Seq("doc_id"), "left_semi")
+        .select(col("cluster_id")).distinct())
+    val touchedLabels = IndexFamily.maybeBroadcast(touchedLabelsRaw, 2 * nPairs)
+    // membership of touched components: read ONLY the partitions their
+    // labels hash into (rows colocate by cluster_id — the layout's point)
+    val touchedParts = touchedLabelsRaw
+      .select(IndexFamily.partOf(col("cluster_id"),
+        IndexFamily.partsOf(s, statePath)).as("_p"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val touchedState = IndexFamily.readPartitions(s, statePath, touchedParts)
+      .join(touchedLabels, Seq("cluster_id"), "left_semi")
     val starEdges = touchedState.filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
     // clusterPairsTiered materializes its input up front (collected under
     // the local bound, checkpointed above it), so the returned labels no
-    // longer reference the snapshot files the append overwrites; the
+    // longer reference the snapshot files the merge swaps away; the
     // touched subgraph of a daily batch sits under the bound and takes the
     // job-launch-free local tier
     val relabeled = clusterPairsTiered(starEdges.unionByName(newPairs))
       .withColumn("keep", col("doc_id") === col("cluster_id"))
-    if (append) {
-      val untouched = state.join(touchedLabels, Seq("cluster_id"), "left_anti")
-        .withColumn("keep", col("doc_id") === col("cluster_id"))
-        .select(col("doc_id"), col("cluster_id"), col("keep"))
-      val merged = graft.Checkpoints.local(
-        untouched.unionByName(relabeled.select(col("doc_id"), col("cluster_id"), col("keep"))))
-      merged.write.mode("overwrite").parquet(s"$indexDir/clusters.parquet")
-    }
+    if (append)
+      IndexFamily.mergeTouched(s, statePath, "cluster_id",
+        touchedLabelsRaw.select(col("cluster_id")),
+        relabeled.select(col("doc_id"), col("cluster_id"), col("keep")))
     relabeled.select(col("doc_id"), col("cluster_id"))
   }
 
@@ -792,8 +872,10 @@ object Dedup {
                                 indexDir: String, memoKey: String,
                                 threshold: Double = 0.5,
                                 bucketCap: Int = HotBucketCap,
-                                append: Boolean = true): DataFrame = {
-    val pairs = dedupIncrement(s, newDocs, indexDir, memoKey, threshold, bucketCap, append)
+                                append: Boolean = true,
+                                strictIds: Boolean = true): DataFrame = {
+    val pairs = dedupIncrement(s, newDocs, indexDir, memoKey, threshold, bucketCap,
+      append, strictIds)
     val ids = newDocs.select(col("doc_id")).distinct()
     val flagged = pairs
       .join(ids.select(col("doc_id").as("doc_a"), lit(true).as("a_new")), Seq("doc_a"), "left")
@@ -879,9 +961,19 @@ object Dedup {
                              corpusFps: DataFrame, indexDir: String,
                              memoKey: String, threshold: Double = 0.5,
                              bucketCap: Int = HotBucketCap,
-                             append: Boolean = true): DataFrame = {
+                             append: Boolean = true,
+                             strictIds: Boolean = true): DataFrame = {
+    // the arrival-order contract is OUTPUT-load-bearing here (round-13
+    // verdict task 3): both legs keep-the-minimum, so a batch doc with an
+    // id below an indexed doc would flip decisions the full pipeline
+    // makes the other way (and invalidate already-shipped keeps) —
+    // REFUSED, not assumed (one column-pruned max() over the stored ids)
+    val batchMin = newDocs.agg(min(col("doc_id"))).head()
+    if (!batchMin.isNullAt(0))
+      IndexFamily.requireIdsAbove(s, s"$indexDir/signatures.parquet", "doc_id",
+        batchMin.getLong(0), "dedupPipelineIncrement", strictIds)
     val labels = clusterIncrement(s, newDocs, indexDir, memoKey,
-      threshold, bucketCap, append)
+      threshold, bucketCap, append, strictIds)
     val nearDrops = labels.filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"))
     val hashed = newDocs.select(col("doc_id"), md5(col("text")).as("text_hash"))
@@ -1138,7 +1230,8 @@ object Dedup {
   def simhashDedupIncrement(s: SparkSession, newDocs: DataFrame, indexDir: String,
                             maxHamming: Int = 3, nBlocks: Int = 6,
                             bucketCap: Int = HotBucketCap,
-                            append: Boolean = true): DataFrame = {
+                            append: Boolean = true,
+                            strictIds: Boolean = true): DataFrame = {
     val meta = s.read.parquet(s"$indexDir/meta.parquet").head()
     require(meta.getInt(0) == SimhashBits && meta.getInt(1) == nBlocks &&
         meta.getInt(2) == maxHamming,
@@ -1157,7 +1250,7 @@ object Dedup {
     val allFps = oldFps.unionByName(newFps)
     // same backfill guard as dedupIncrement's verify: broadcast only while
     // the batch is under the probe bound, else let AQE pick the join
-    val cands2 = if (nNew * nBands <= 2000000L) broadcast(cands) else cands
+    val cands2 = IndexFamily.maybeBroadcast(cands, nNew * nBands)
     val result = cands2
       .join(allFps.select(col("doc_id").as("doc_a"), col("simhash").as("fp_a")), "doc_a")
       .join(allFps.select(col("doc_id").as("doc_b"), col("simhash").as("fp_b")), "doc_b")
@@ -1165,6 +1258,13 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
     if (append) {
+      // append contract + maintenance lease, like dedupIncrement's
+      IndexFamily.requireNoLease(s, s"$indexDir/fingerprints.parquet",
+        "simhashDedupIncrement append")
+      IndexFamily.requireNoLease(s, s"$indexDir/postings.parquet",
+        "simhashDedupIncrement append")
+      IndexFamily.requireNewIds(s, s"$indexDir/fingerprints.parquet", "doc_id",
+        newFps.select(col("doc_id")), nNew, "simhashDedupIncrement", strictIds)
       // batch-sized appends, like dedupIncrement's (see appendFileCount)
       newFps.coalesce(appendFileCount(nNew))
         .write.mode("append").parquet(s"$indexDir/fingerprints.parquet")
@@ -1268,7 +1368,8 @@ object Dedup {
                               indexDir: String, threshold: Double = 0.4,
                               nBands: Int = 16, bandBits: Int = 4,
                               dim: Int = 64,
-                              append: Boolean = true): DataFrame = {
+                              append: Boolean = true,
+                              strictIds: Boolean = true): DataFrame = {
     val meta = s.read.parquet(s"$indexDir/meta.parquet").head()
     require(meta.getInt(0) == nBands && meta.getInt(1) == bandBits &&
         meta.getInt(2) == dim,
@@ -1287,7 +1388,7 @@ object Dedup {
     val allVecs = oldVecs.unionByName(newE)
     // the backfill guard of the sibling increments: broadcast candidate
     // pairs only while the batch is daily-sized
-    val cands2 = if (nNew * nBands <= 2000000L) broadcast(cands) else cands
+    val cands2 = IndexFamily.maybeBroadcast(cands, nNew * nBands)
     val result = cands2
       .join(allVecs.select(col("doc_id").as("doc_a"),
         col("embedding").as("v_a"), col("norm").as("n_a")), "doc_a")
@@ -1299,6 +1400,13 @@ object Dedup {
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"),
         floor(col("cos_sim") * lit(10000.0) + lit(0.5)).cast("long").as("cos_e4"))
     if (append) {
+      // append contract + maintenance lease, like dedupIncrement's
+      IndexFamily.requireNoLease(s, s"$indexDir/vectors.parquet",
+        "embeddingDedupIncrement append")
+      IndexFamily.requireNoLease(s, s"$indexDir/postings.parquet",
+        "embeddingDedupIncrement append")
+      IndexFamily.requireNewIds(s, s"$indexDir/vectors.parquet", "doc_id",
+        newE.select(col("doc_id")), nNew, "embeddingDedupIncrement", strictIds)
       newE.coalesce(appendFileCount(nNew))
         .write.mode("append").parquet(s"$indexDir/vectors.parquet")
       embeddingBandedOf(newE, nBands, bandBits, dim)
@@ -1318,8 +1426,10 @@ object Dedup {
     * [[graft.streaming.StreamDedup.embeddingAgainstIndex]]. */
   def embeddingIncrementSurvivors(s: SparkSession, newVecs: DataFrame,
                                   indexDir: String, threshold: Double = 0.4,
-                                  append: Boolean = true): DataFrame = {
-    val pairs = embeddingDedupIncrement(s, newVecs, indexDir, threshold, append = append)
+                                  append: Boolean = true,
+                                  strictIds: Boolean = true): DataFrame = {
+    val pairs = embeddingDedupIncrement(s, newVecs, indexDir, threshold,
+      append = append, strictIds = strictIds)
     val ids = newVecs.select(col("vec_id")).distinct()
     val flagged = pairs
       .join(ids.select(col("vec_id").as("id_a"), lit(true).as("a_new")), Seq("id_a"), "left")
@@ -1455,7 +1565,7 @@ object Dedup {
                            threshold: Double = 0.5,
                            bucketCap: Int = HotBucketCap): Unit = {
     val idsRaw = docIds.select(col("doc_id")).distinct()
-    val ids = if (idsRaw.count() <= 2000000L) broadcast(idsRaw) else idsRaw
+    val ids = IndexFamily.maybeBroadcast(idsRaw, idsRaw.count())
     // park the pre-delete state snapshot FIRST: the touched-component
     // computation needs pre-delete membership, the pair recompute needs
     // the post-delete index
@@ -1465,13 +1575,16 @@ object Dedup {
     val state: Option[DataFrame] =
       if (hasState)
         Some(graft.Checkpoints.local(
-          s.read.parquet(parquetPartFiles(s, statePath): _*)
+          IndexFamily.readSnapshot(s, statePath)
             .select(col("doc_id"), col("cluster_id"))))
       else None
     IndexMaintenance.rewriteSwap(s, s"$indexDir/postings.parquet")(
       _.join(ids, Seq("doc_id"), "left_anti"))
     IndexMaintenance.rewriteSwap(s, s"$indexDir/${perDocTableOf(s, indexDir)}")(
       _.join(ids, Seq("doc_id"), "left_anti"))
+    val exactP = new org.apache.hadoop.fs.Path(s"$indexDir/exact_edges.parquet")
+    if (exactP.getFileSystem(s.sparkContext.hadoopConfiguration).exists(exactP))
+      deleteFromExactState(s, indexDir, ids)
     state.foreach { st =>
       val touchedLabels = broadcast(
         st.join(ids, Seq("doc_id"), "left_semi").select(col("cluster_id")).distinct())
@@ -1490,12 +1603,13 @@ object Dedup {
         bandedCandidatePairs(banded, "doc_id", "doc_a", "doc_b", bucketCap),
         sigs, threshold)
       val relabeled = clusterPairsTiered(pairs.select(col("doc_a"), col("doc_b")))
-      val untouched = st.join(touchedLabels, Seq("cluster_id"), "left_anti")
-        .select(col("doc_id"), col("cluster_id"))
-      val merged = graft.Checkpoints.local(
-        untouched.unionByName(relabeled)
-          .withColumn("keep", col("doc_id") === col("cluster_id")))
-      merged.write.mode("overwrite").parquet(statePath)
+      // partition-scoped: only directories holding a touched (or
+      // re-elected) label are swapped — a takedown's state cost is ∝ its
+      // components, like the increment's (IndexFamily.mergeTouched)
+      IndexFamily.mergeTouched(s, statePath, "cluster_id",
+        touchedLabels.select(col("cluster_id")),
+        relabeled.withColumn("keep", col("doc_id") === col("cluster_id"))
+          .select(col("doc_id"), col("cluster_id"), col("keep")))
     }
   }
 
@@ -1804,11 +1918,12 @@ object Dedup {
       .select(col("vec_id"), col("cluster_id"), col("keep"))
     val multi = state.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n")).filter(col("n") > 1).select(col("cluster_id"))
-    state.join(multi, Seq("cluster_id"), "left_semi")
-      // explicit select: the using-column join moves cluster_id first, and
-      // the increment's state rewrite must produce the same column order
-      .select(col("vec_id"), col("cluster_id"), col("keep"))
-      .write.mode("overwrite").parquet(s"$indexDir/groups.parquet")
+    IndexFamily.writePartitioned(
+      state.join(multi, Seq("cluster_id"), "left_semi")
+        // explicit select: the using-column join moves cluster_id first, and
+        // the increment's state merge must produce the same column order
+        .select(col("vec_id"), col("cluster_id"), col("keep")),
+      s"$indexDir/groups.parquet", "cluster_id")
     cents.zipWithIndex.map { case (c, i) => (i.toLong, c) }
       .toDF("cid", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/model.parquet")
@@ -1841,7 +1956,8 @@ object Dedup {
     * keep)` over touched-group members ∪ batch singletons. */
   def semanticDedupIncrement(s: SparkSession, newVecs: DataFrame,
                              indexDir: String,
-                             append: Boolean = true): DataFrame = {
+                             append: Boolean = true,
+                             strictIds: Boolean = true): DataFrame = {
     val meta = s.read.parquet(s"$indexDir/meta.parquet").head()
     val tau = meta.getDouble(2)
     val cents: Seq[Seq[Double]] = s.read.parquet(s"$indexDir/model.parquet")
@@ -1850,8 +1966,9 @@ object Dedup {
     require(cents.length == meta.getInt(0),
       s"semantic index at $indexDir: model has ${cents.length} centroids, " +
         s"meta says ${meta.getInt(0)} — index is corrupt, rebuild it")
+    val groupsPath = s"$indexDir/groups.parquet"
     val oldAsg = s.read.parquet(parquetPartFiles(s, s"$indexDir/vectors.parquet"): _*)
-    val groups = s.read.parquet(parquetPartFiles(s, s"$indexDir/groups.parquet"): _*)
+    val groups = IndexFamily.readSnapshot(s, groupsPath)
     val newAsg = graft.Checkpoints.local(semAssign(newVecs, cents))
     val nNew = newAsg.count()
     // cells the batch touches (≤ k rows — always broadcastable)
@@ -1863,7 +1980,7 @@ object Dedup {
       col("embedding").as("v_a"), col("norm").as("n_a"), col("is_new").as("new_a"))
     val rRaw = newAsg.select(col("cid"), col("vec_id").as("id_b"),
       col("embedding").as("v_b"), col("norm").as("n_b"))
-    val r = if (nNew <= 2000000L) broadcast(rRaw) else rRaw
+    val r = IndexFamily.maybeBroadcast(rRaw, nNew)
     // old–new pairs generate once (old never on the right); new–new pairs
     // dedupe by id order — canonicalized to id_a < id_b on emit
     val newPairs = graft.Checkpoints.local(l.join(r, Seq("cid"))
@@ -1876,11 +1993,19 @@ object Dedup {
     val nPairs = newPairs.count() // checkpointed — a metadata count
     val touchedDocs = newPairs
       .select(explode(array(col("doc_a"), col("doc_b"))).as("vec_id")).distinct()
-    val touchedLabelsRaw = groups.join(touchedDocs, Seq("vec_id"), "left_semi")
-      .select(col("cluster_id")).distinct()
-    val touchedLabels =
-      if (2 * nPairs <= 2000000L) broadcast(touchedLabelsRaw) else touchedLabelsRaw
-    val touchedState = groups.join(touchedLabels, Seq("cluster_id"), "left_semi")
+    // eagerly materialized: partition-set collect, membership semi-join,
+    // and the merge's two legs all consume it (the clusterIncrement shape)
+    val touchedLabelsRaw = graft.Checkpoints.local(
+      groups.join(touchedDocs, Seq("vec_id"), "left_semi")
+        .select(col("cluster_id")).distinct())
+    val touchedLabels = IndexFamily.maybeBroadcast(touchedLabelsRaw, 2 * nPairs)
+    // group membership read ∝ touched partitions (rows colocate by label)
+    val touchedParts = touchedLabelsRaw
+      .select(IndexFamily.partOf(col("cluster_id"),
+        IndexFamily.partsOf(s, groupsPath)).as("_p"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val touchedState = IndexFamily.readPartitions(s, groupsPath, touchedParts)
+      .join(touchedLabels, Seq("cluster_id"), "left_semi")
     val starEdges = touchedState.filter(col("vec_id") =!= col("cluster_id"))
       .select(col("vec_id").as("doc_a"), col("cluster_id").as("doc_b"))
     val relabeled = clusterPairsTiered(starEdges.unionByName(newPairs))
@@ -1899,16 +2024,21 @@ object Dedup {
       .select(col("vec_id"), col("cid"), col("cluster_id"), col("cent_e4"),
         (col("vec_id") === col("pick.vec_id")).cast("int").as("keep"))
     if (append && nNew > 0) { // an empty batch must be a true no-op
+      // append contract + maintenance lease, like dedupIncrement's
+      IndexFamily.requireNoLease(s, s"$indexDir/vectors.parquet",
+        "semanticDedupIncrement append")
+      IndexFamily.requireNewIds(s, s"$indexDir/vectors.parquet", "vec_id",
+        newAsg.select(col("vec_id")), nNew, "semanticDedupIncrement", strictIds)
       newAsg.coalesce(appendFileCount(nNew))
         .write.mode("append").parquet(s"$indexDir/vectors.parquet")
-      val untouched = groups.join(touchedLabels, Seq("cluster_id"), "left_anti")
-        .select(col("vec_id"), col("cluster_id"), col("keep"))
       val multi = out.groupBy(col("cluster_id"))
         .agg(count(lit(1)).as("n")).filter(col("n") > 1).select(col("cluster_id"))
       val newState = out.join(multi, Seq("cluster_id"), "left_semi")
         .select(col("vec_id"), col("cluster_id"), col("keep"))
-      val merged = graft.Checkpoints.local(untouched.unionByName(newState))
-      merged.write.mode("overwrite").parquet(s"$indexDir/groups.parquet")
+      // partition-scoped merge: untouched group partitions keep their
+      // files byte-identical (IndexFamily.mergeTouched)
+      IndexFamily.mergeTouched(s, groupsPath, "cluster_id",
+        touchedLabelsRaw.select(col("cluster_id")), newState)
     }
     out
   }
@@ -1923,9 +2053,10 @@ object Dedup {
     IndexMaintenance.rewriteSwap(s, s"$indexDir/vectors.parquet")(
       _.distinct()
         .repartition(nFiles, col("cid")).sortWithinPartitions("cid", "vec_id"))
-    IndexMaintenance.rewriteSwap(s, s"$indexDir/groups.parquet")(
-      _.distinct()
-        .repartition(1, col("cluster_id")).sortWithinPartitions("cluster_id", "vec_id"))
+    // the group state keeps its hash-partitioned layout (the increment's
+    // merge unit); compaction here is the distinct() torn-append repair
+    IndexFamily.rewritePartitioned(s, s"$indexDir/groups.parquet",
+      "cluster_id")(_.distinct())
   }
 
   /** DELETE vectors from a semantic index (takedown): rewrite-filter the
@@ -1944,10 +2075,10 @@ object Dedup {
                               vecIds: DataFrame): Unit = {
     val tau = s.read.parquet(s"$indexDir/meta.parquet").head().getDouble(2)
     val idsRaw = vecIds.select(col("vec_id")).distinct()
-    val ids = if (idsRaw.count() <= 2000000L) broadcast(idsRaw) else idsRaw
+    val ids = IndexFamily.maybeBroadcast(idsRaw, idsRaw.count())
     val statePath = s"$indexDir/groups.parquet"
     val stFull = graft.Checkpoints.local(
-      s.read.parquet(parquetPartFiles(s, statePath): _*)
+      IndexFamily.readSnapshot(s, statePath)
         .select(col("vec_id"), col("cluster_id"), col("keep")))
     IndexMaintenance.rewriteSwap(s, s"$indexDir/vectors.parquet")(
       _.join(ids, Seq("vec_id"), "left_anti"))
@@ -1977,10 +2108,10 @@ object Dedup {
     val relState = lab.join(pick, Seq("cluster_id"))
       .select(col("vec_id"), col("cluster_id"),
         (col("vec_id") === col("pick.vec_id")).cast("int").as("keep"))
-    val untouched = stFull.join(touchedLabels, Seq("cluster_id"), "left_anti")
-      .select(col("vec_id"), col("cluster_id"), col("keep"))
-    val merged = graft.Checkpoints.local(untouched.unionByName(relState))
-    merged.write.mode("overwrite").parquet(statePath)
+    // partition-scoped: only directories holding a touched (or
+    // re-elected) group label are swapped (IndexFamily.mergeTouched)
+    IndexFamily.mergeTouched(s, statePath, "cluster_id",
+      touchedLabels.select(col("cluster_id")), relState)
   }
 
   private val builtSemanticIndexes =
@@ -2550,10 +2681,14 @@ object Dedup {
     val occs = spanOccurrencesOf(s, d, spanLen)
       .select(col("doc_id"), col("i"), col("span_h")).cache()
     occs.write.mode("overwrite").parquet(s"$indexDir/spans.parquet")
-    occs.groupBy(col("span_h"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"),
-           min(col("doc_id") * lit(SpanCanonMod) + col("i")).as("canon"))
-      .write.mode("overwrite").parquet(s"$indexDir/postings.parquet")
+    // the aggregate is hash-partitioned on span_h — the increment probes
+    // it BY span_h, so both the probe read and the merge rewrite prune to
+    // the partitions the batch's spans hash into (round-13 verdict task 1)
+    IndexFamily.writePartitioned(
+      occs.groupBy(col("span_h"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+             min(col("doc_id") * lit(SpanCanonMod) + col("i")).as("canon")),
+      s"$indexDir/postings.parquet", "span_h")
     Seq((spanLen, SpanCanonMod)).toDF("span_len", "canon_mod")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta.parquet")
     occs.unpersist()
@@ -2566,10 +2701,11 @@ object Dedup {
     * decide each batch chunk under the GLOBAL rule — kept iff its span is
     * unique corpus-wide (`n_docs_index + n_docs_batch == 1`) or it is the
     * global canonical occurrence (`least(canon_index, canon_batch)`).
-    * Batch doc_ids must be new to the index (every family's append
-    * contract) — with the registered proportional split they are also
-    * LARGER, so an indexed span's canon stays in the corpus and the
-    * already-shipped clean text of old documents is never invalidated.
+    * Batch doc_ids must be LARGER than every indexed id — REFUSED
+    * otherwise ([[IndexFamily.requireIdsAbove]], round-13 verdict task 3;
+    * previously only documented): an indexed span's canon must stay in
+    * the corpus, or the already-shipped clean text of old documents would
+    * be silently invalidated.
     * Returns `(doc_id, n_spans, n_removed, clean_text)` for the batch;
     * when `append`, occurrence rows append and the aggregate is rewritten
     * as untouched ∪ merged-touched ∪ new (the [[clusterIncrement]]
@@ -2581,29 +2717,38 @@ object Dedup {
     * aggregate from the duplication-proof occurrence table. */
   def spanRemovalIncrement(s: SparkSession, newDocs: DataFrame,
                            indexDir: String, spanLen: Int = 10,
-                           append: Boolean = true): DataFrame = {
+                           append: Boolean = true,
+                           strictIds: Boolean = true): DataFrame = {
     val meta = s.read.parquet(s"$indexDir/meta.parquet").head()
     require(meta.getInt(0) == spanLen && meta.getLong(1) == SpanCanonMod,
       s"index at $indexDir built with (spanLen,canonMod)=" +
         s"(${meta.getInt(0)},${meta.getLong(1)}); caller passed " +
         s"($spanLen,$SpanCanonMod) — rebuild the index")
-    val postings = s.read.parquet(
-      parquetPartFiles(s, s"$indexDir/postings.parquet"): _*)
+    val postingsPath = s"$indexDir/postings.parquet"
     val batchOcc = graft.Checkpoints.local(
       spanOccurrencesOf(s, newDocs, spanLen))
     val occ = col("doc_id") * lit(SpanCanonMod) + col("i")
     // checkpointed: the broadcast-threshold count, the merge join, and the
-    // untouched anti-join all consume it — lazy, the batch groupBy would
+    // partition-set collect all consume it — lazy, the batch groupBy would
     // run three times (the clusterIncrement metadata-count discipline)
     val batchAggRaw = graft.Checkpoints.local(batchOcc
       .groupBy(col("span_h"))
       .agg(countDistinct(col("doc_id")).as("n_new"), min(occ).as("canon_new")))
     val nKeys = batchAggRaw.count() // checkpointed above — a metadata count
-    val batchAgg = if (nKeys <= 2000000L) broadcast(batchAggRaw) else batchAggRaw
+    val batchAgg = IndexFamily.maybeBroadcast(batchAggRaw, nKeys)
+    // the probe is BY span_h — the aggregate's partition key — so only the
+    // partitions the batch's spans hash into are READ at all; at daily
+    // batch sizes that is the whole point of the layout (∝ touched, not
+    // ∝ index, round-13 verdict task 1)
+    val touchedParts = batchAggRaw
+      .select(IndexFamily.partOf(col("span_h"),
+        IndexFamily.partsOf(s, postingsPath)).as("_p"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val postings = IndexFamily.readPartitions(s, postingsPath, touchedParts)
     // eagerly materialized: both the returned result and the aggregate
-    // rewrite consume it, and the rewrite OVERWRITES the snapshot files
-    // this join reads — a lazy plan would re-execute over deleted parts
-    // (the clusterIncrement snapshot-overwrite discipline)
+    // merge consume it, and the merge SWAPS the partition files this join
+    // reads — a lazy plan would re-execute over deleted parts (the
+    // clusterIncrement snapshot-overwrite discipline)
     val merged = graft.Checkpoints.local(batchAgg
       .join(postings, Seq("span_h"), "left")
       .select(col("span_h"),
@@ -2618,14 +2763,25 @@ object Dedup {
              when(col("keep"), struct(col("i"), col("span"))))),
              x => x("span")), " ").as("clean_text"))
     if (append) {
+      IndexFamily.requireNoLease(s, s"$indexDir/spans.parquet",
+        "spanRemovalIncrement append")
+      // the ORDERING contract, enforced (round-13 verdict task 3): an
+      // indexed span's canon must stay in the corpus — a batch id BELOW an
+      // indexed id could steal a canon and silently invalidate the
+      // already-shipped clean text of an old document; refused instead
+      // (one column-pruned max() over the stored occurrence ids)
+      val batchMin = batchOcc.agg(min(col("doc_id"))).head()
+      if (!batchMin.isNullAt(0))
+        IndexFamily.requireIdsAbove(s, s"$indexDir/spans.parquet", "doc_id",
+          batchMin.getLong(0), "spanRemovalIncrement", strictIds)
       batchOcc.select(col("doc_id"), col("i"), col("span_h"))
         .write.mode("append").parquet(s"$indexDir/spans.parquet")
-      val untouched = postings.join(
-        batchAgg.select(col("span_h")), Seq("span_h"), "left_anti")
-      val rewritten = graft.Checkpoints.local(untouched.unionByName(
+      // partition-scoped merge: aggregate partitions no batch span hashes
+      // into keep their files byte-identical (IndexFamily.mergeTouched)
+      IndexFamily.mergeTouched(s, postingsPath, "span_h",
+        batchAggRaw.select(col("span_h")),
         merged.select(col("span_h"), col("n_total").as("n_docs"),
-                      col("canon_total").as("canon"))))
-      rewritten.write.mode("overwrite").parquet(s"$indexDir/postings.parquet")
+                      col("canon_total").as("canon")))
     }
     out
   }
@@ -2640,7 +2796,7 @@ object Dedup {
   def deleteFromSpanIndex(s: SparkSession, indexDir: String,
                           docIds: DataFrame): Unit = {
     val idsRaw = docIds.select(col("doc_id")).distinct()
-    val ids = if (idsRaw.count() <= 2000000L) broadcast(idsRaw) else idsRaw
+    val ids = IndexFamily.maybeBroadcast(idsRaw, idsRaw.count())
     val pre = s.read.parquet(parquetPartFiles(s, s"$indexDir/spans.parquet"): _*)
     val touchedKeys = graft.Checkpoints.local(
       pre.join(ids, Seq("doc_id"), "left_semi").select(col("span_h")).distinct())
@@ -2652,8 +2808,10 @@ object Dedup {
         .groupBy(col("span_h"))
         .agg(countDistinct(col("doc_id")).as("n_docs"),
              min(col("doc_id") * lit(SpanCanonMod) + col("i")).as("canon")))
-    IndexMaintenance.rewriteSwap(s, s"$indexDir/postings.parquet")(p =>
-      p.join(touchedKeys, Seq("span_h"), "left_anti").unionByName(recomputed))
+    // partition-scoped: only aggregate partitions holding a touched span
+    // are swapped (IndexFamily.mergeTouched)
+    IndexFamily.mergeTouched(s, s"$indexDir/postings.parquet", "span_h",
+      touchedKeys, recomputed)
   }
 
   /** COMPACT the span index: occurrences `distinct()`-ed and
@@ -2676,11 +2834,12 @@ object Dedup {
       _.distinct()
         .repartition(nFiles, col("doc_id")).sortWithinPartitions("doc_id", "i"))
     val occs = s.read.parquet(parquetPartFiles(s, s"$indexDir/spans.parquet"): _*)
-    IndexMaintenance.rewriteSwap(s, s"$indexDir/postings.parquet")(_ =>
+    // the aggregate keeps its hash-partitioned layout (the increment's
+    // probe/merge unit); recompute-not-reshuffle is the torn-commit repair
+    IndexFamily.rewritePartitioned(s, s"$indexDir/postings.parquet", "span_h")(_ =>
       occs.groupBy(col("span_h"))
         .agg(countDistinct(col("doc_id")).as("n_docs"),
-             min(col("doc_id") * lit(SpanCanonMod) + col("i")).as("canon"))
-        .repartition(nFiles, col("span_h")).sortWithinPartitions("span_h"))
+             min(col("doc_id") * lit(SpanCanonMod) + col("i")).as("canon")))
   }
 
   /** Registered pair for the span index (the [[minhashIndexBuildQuery]]

@@ -1,0 +1,394 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The shared discipline of the persisted index families (round-13
+  * verdict task 7, factoring what MinHash / SimHash / embedding /
+  * semantic / span each hand-rolled in rounds 11–12):
+  *
+  *  - the 2-million-row BROADCAST convention ([[maybeBroadcast]]) — the
+  *    one trust bound every keyed probe and collected edge list shares;
+  *  - SIZED appends ([[appendFileCount]]) — an unsized append adds a full
+  *    shuffle-width of part files per micro-batch regardless of batch
+  *    size (measured in round 12: 32 files per 250-doc append);
+  *  - immutable part-file SNAPSHOTS ([[snapshotFiles]]) — reading through
+  *    an explicit file list is what makes append-after-read and
+  *    rewrite-swap safe (a directory read re-lists at execution time);
+  *  - the maintenance LEASE (round-13 verdict task 5) — an append racing
+  *    a rewrite-swap would be silently LOST from the new generation, so
+  *    the race must REFUSE instead: [[withLease]] marks a table as under
+  *    maintenance and [[requireNoLease]] makes every increment/append
+  *    check it first;
+  *  - HASH-PARTITIONED decision state (round-13 verdict task 1) — the
+  *    per-batch state rewrite was the last cost term proportional to
+  *    index size in the daily-ingest path; [[mergeTouched]] rewrites only
+  *    the partitions that hold touched keys, through the same
+  *    crash-parked two-rename swap as [[IndexMaintenance.rewriteSwap]].
+  *
+  * Partitioned-state layout: a state table at `path` is a directory of
+  * Hive-style `_p=K/` subdirectories, `K = pmod(key, nParts)`, plus a
+  * one-line `path + ".parts"` file pinning `nParts` (the layout
+  * handshake — a merge against a different modulus would scatter rows
+  * into wrong partitions, so it refuses loudly, the meta.parquet
+  * convention). The partition value is pure directory layout: every data
+  * file carries the full row schema, so explicit-file-list reads see the
+  * clean schema and direct `spark.read.parquet(path)` still works via
+  * partition discovery (the extra `_p` column is appended last, after
+  * the state columns).
+  *
+  * Crash story of a partitioned merge: partitions swap one at a time via
+  * park-old / rename-new / drop-old, so a crash leaves EACH partition
+  * wholly at its old or new generation (never half-written), but
+  * different partitions may sit at different generations — the torn
+  * window is per-partition, not per-table. That is the same contract the
+  * streaming replay ledger already covers: the batch is redelivered and
+  * re-merged, which is label-idempotent for cluster state (star edges
+  * preserve connectivity, so re-merging produces identical labels) and
+  * decision-neutral-then-compact-repaired for the span aggregate (the
+  * [[graft.operators.Dedup.compactSpanIndex]] recompute contract). An
+  * orphaned `.old` partition (crash between the two renames) is restored
+  * by [[repairTorn]], which every merge runs first.
+  */
+object IndexFamily {
+
+  /** Default partition count for persisted decision state. Sixteen is
+    * sized for the test corpora; a 100 TB deployment raises it with the
+    * key cardinality (the builders take it as a parameter) — the merge
+    * cost scales with TOUCHED partitions either way. */
+  val StateParts = 16
+
+  /** The broadcast trust bound shared by every keyed probe, collected
+    * edge list, and candidate set in the index families: rows ≤ 2M
+    * broadcast (scan the big side in place, never shuffle it); above the
+    * bound fall back to the keyed shuffle rather than risk the 8 GB
+    * broadcast hard limit. */
+  def maybeBroadcast(df: DataFrame, rows: Long): DataFrame =
+    if (rows <= 2000000L) broadcast(df) else df
+
+  /** Part files an append of `rows` rows deserves: one per ~1M rows,
+    * capped at 32 (the local shuffle width). */
+  def appendFileCount(rows: Long): Int =
+    math.min(32L, rows / 1000000L + 1L).toInt
+
+  private def fsFor(s: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  private def hp(path: String) = new org.apache.hadoop.fs.Path(path)
+
+  // -----------------------------------------------------------------
+  // Maintenance lease (round-13 verdict task 5)
+  // -----------------------------------------------------------------
+
+  /** The lease marker is a SIBLING of the table directory (inside it, an
+    * overwrite would wipe it mid-maintenance). */
+  def leasePath(tablePath: String): String = tablePath + ".maintenance"
+
+  /** Take the maintenance lease on a table — atomic create, refusing
+    * loudly if another maintenance op holds it. A lease left by a CRASHED
+    * maintenance op must be released by an operator after inspecting the
+    * table's `.rewrite`/`.old` siblings (they say exactly how far the
+    * swap got — see [[IndexMaintenance.rewriteSwap]]'s crash story);
+    * auto-expiry would reintroduce the lost-append race the lease exists
+    * to close. */
+  def acquireLease(s: SparkSession, tablePath: String): Unit = {
+    val fs = fsFor(s, tablePath)
+    val p = hp(leasePath(tablePath))
+    val ok = try { fs.create(p, false).close(); true }
+             catch { case _: java.io.IOException => false }
+    require(ok, s"$tablePath is under maintenance (lease at ${leasePath(tablePath)}) — " +
+      "another compaction/deletion/merge holds the table; retry after it completes, " +
+      "or remove a stale lease left by a crashed run after checking for .rewrite/.old residue")
+  }
+
+  def releaseLease(s: SparkSession, tablePath: String): Unit =
+    fsFor(s, tablePath).delete(hp(leasePath(tablePath)), false)
+
+  /** The append-side half of the exclusion: every increment/append checks
+    * the lease before touching the table, so an ingest racing a
+    * maintenance rewrite refuses instead of silently losing its rows from
+    * the new generation. */
+  def requireNoLease(s: SparkSession, tablePath: String, op: String): Unit =
+    require(!fsFor(s, tablePath).exists(hp(leasePath(tablePath))),
+      s"$op refused: $tablePath is under maintenance (lease at ${leasePath(tablePath)}) — " +
+        "an append racing a rewrite-swap would be lost from the new generation")
+
+  /** Run `body` holding the table's maintenance lease. */
+  def withLease[A](s: SparkSession, tablePath: String)(body: => A): A = {
+    acquireLease(s, tablePath)
+    try body finally releaseLease(s, tablePath)
+  }
+
+  // -----------------------------------------------------------------
+  // Snapshots (flat or partitioned layout)
+  // -----------------------------------------------------------------
+
+  private val PartDir = "^_p=(\\d+)$".r
+  private val PartDirOld = "^_p=(\\d+)\\.old$".r
+
+  /** Immutable part-file snapshot of a table directory, flat or
+    * partitioned. For a partitioned table a partition whose live dir is
+    * missing but whose `.old` park exists (a crash between a swap's two
+    * renames) contributes its `.old` files — the pre-merge generation,
+    * which the replay contract re-merges. */
+  def snapshotFiles(s: SparkSession, path: String): Seq[String] = {
+    val fs = fsFor(s, path)
+    val entries = fs.listStatus(hp(path)).toSeq
+    val flat = entries.filter(e => e.isFile && e.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString)
+    val live = entries.collect {
+      case e if e.isDirectory && PartDir.findFirstIn(e.getPath.getName).isDefined =>
+        e.getPath.getName.stripPrefix("_p=").toInt -> e.getPath
+    }.toMap
+    val parked = entries.collect {
+      case e if e.isDirectory && PartDirOld.findFirstIn(e.getPath.getName).isDefined =>
+        e.getPath.getName.stripPrefix("_p=").stripSuffix(".old").toInt -> e.getPath
+    }.toMap
+    val partFiles = (live.keySet ++ parked.keySet).toSeq.sorted.flatMap { k =>
+      val dir = live.getOrElse(k, parked(k))
+      fs.listStatus(dir).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString)
+    }
+    val files = flat ++ partFiles
+    require(files.nonEmpty, s"$path holds no parquet part files — not a built index")
+    files
+  }
+
+  /** Read a table through its snapshot file list (clean schema — the
+    * `_p` layout column is never in the data files). */
+  def readSnapshot(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(snapshotFiles(s, path): _*)
+
+  // -----------------------------------------------------------------
+  // Hash-partitioned decision state (round-13 verdict task 1)
+  // -----------------------------------------------------------------
+
+  /** The one partition function: non-negative modulus of the probe key
+    * (state keys can be negative — span hashes are full 64-bit). */
+  def partOf(key: Column, nParts: Int): Column =
+    pmod(key, lit(nParts.toLong)).cast("int")
+
+  private def partsFile(path: String) = path + ".parts"
+
+  /** Pin the layout modulus next to the table (the layout handshake). */
+  private def writeParts(s: SparkSession, path: String, nParts: Int): Unit = {
+    val out = fsFor(s, path).create(hp(partsFile(path)), true)
+    out.write(nParts.toString.getBytes("UTF-8")); out.close()
+  }
+
+  /** The pinned layout modulus; refuses on an unpartitioned table (a
+    * merge against an unknown modulus would scatter rows wrongly). */
+  def partsOf(s: SparkSession, path: String): Int = {
+    val fs = fsFor(s, path)
+    val p = hp(partsFile(path))
+    require(fs.exists(p),
+      s"$path has no .parts layout handshake — not a partitioned state table")
+    val in = fs.open(p)
+    val n = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+            finally in.close()
+    require(n > 0, s"$path .parts handshake corrupt: $n")
+    n
+  }
+
+  /** Write (or fully rewrite) a partitioned state table: `_p=K/` dirs
+    * plus the `.parts` handshake. Column order of `df` is preserved in
+    * the data files (`_p` is layout only). */
+  def writePartitioned(df: DataFrame, path: String, keyCol: String,
+                       nParts: Int = StateParts): Unit = {
+    df.withColumn("_p", partOf(col(keyCol), nParts))
+      .repartition(col("_p"))
+      .write.partitionBy("_p").mode("overwrite").parquet(path)
+    writeParts(df.sparkSession, path, nParts)
+  }
+
+  /** Snapshot files of ONLY the given partitions — what makes a probe or
+    * merge read ∝ touched partitions instead of ∝ state. Missing live
+    * dirs fall back to `.old` parks (see [[snapshotFiles]]); a partition
+    * with neither contributes nothing (hash-empty is legal). */
+  def partitionFiles(s: SparkSession, path: String, parts: Seq[Int]): Seq[String] = {
+    val fs = fsFor(s, path)
+    parts.flatMap { k =>
+      val live = hp(s"$path/_p=$k")
+      val old = hp(s"$path/_p=$k.old")
+      val dir = if (fs.exists(live)) Some(live)
+                else if (fs.exists(old)) Some(old) else None
+      dir.toSeq.flatMap(d => fs.listStatus(d)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString))
+    }
+  }
+
+  /** Read only the given partitions (empty file list → empty frame with
+    * the table's schema, read from any one existing file). */
+  def readPartitions(s: SparkSession, path: String, parts: Seq[Int]): DataFrame = {
+    val files = partitionFiles(s, path, parts)
+    if (files.nonEmpty) s.read.parquet(files: _*)
+    else readSnapshot(s, path).limit(0)
+  }
+
+  /** Restore any torn partition swaps (crash between a swap's renames):
+    * an orphaned `_p=K.old` with no live dir is promoted back; a shadowed
+    * one (live dir present) is a completed swap's residue and is dropped.
+    * A stale `.rewrite` staging dir from a crashed merge is dropped too
+    * (its content is re-derived by the re-merge). */
+  def repairTorn(s: SparkSession, path: String): Unit = {
+    val fs = fsFor(s, path)
+    fs.delete(hp(path + ".rewrite"), true)
+    fs.listStatus(hp(path)).foreach { e =>
+      if (e.isDirectory && PartDirOld.findFirstIn(e.getPath.getName).isDefined) {
+        val live = hp(s"$path/${e.getPath.getName.stripSuffix(".old")}")
+        if (!fs.exists(live)) require(fs.rename(e.getPath, live),
+          s"could not restore torn partition ${e.getPath}")
+        else fs.delete(e.getPath, true)
+      }
+    }
+  }
+
+  /** The partition-scoped untouched-∪-merged state rewrite — what every
+    * family's increment, delete, and stream leg now rides instead of the
+    * full-table rewrite: rows whose key is in `touchedKeys` are REPLACED
+    * by `newRows` (which may also carry keys new to the table); rows in
+    * partitions no touched or new key hashes into are NEVER READ, never
+    * rewritten, and keep their files byte-identical.
+    *
+    * Protocol: (1) repair torn residue; (2) compute the affected
+    * partition set (≤ nParts tiny rows to the driver); (3) write the
+    * affected partitions' new content — (old rows in affected partitions
+    * minus touched keys) ∪ newRows — to a `.rewrite` staging dir in ONE
+    * job; (4) under the table lease, swap each affected partition via
+    * park-old / rename-new / drop-old. A crash in (4) leaves each
+    * partition wholly old or wholly new (see the object doc's torn-merge
+    * contract). Returns the affected partition count (merge-cost
+    * telemetry — the §8.5.9 probe reads it). */
+  def mergeTouched(s: SparkSession, path: String, keyCol: String,
+                   touchedKeys: DataFrame, newRows: DataFrame): Int = {
+    repairTorn(s, path)
+    val nParts = partsOf(s, path)
+    val affected = touchedKeys.select(col(keyCol))
+      .unionByName(newRows.select(col(keyCol)))
+      .select(partOf(col(keyCol), nParts).as("_p")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    if (affected.isEmpty) return 0
+    val fs = fsFor(s, path)
+    // the lease covers the whole read→stage→swap window (the rewriteSwap
+    // contract): a maintenance rewrite landing between our snapshot and
+    // our swap would otherwise be silently undone by the swap
+    withLease(s, path) {
+      val stored = readPartitions(s, path, affected)
+      // the using-column anti-join moves the key column FIRST — re-select
+      // the stored order so merged files keep the build's column layout
+      // (positional readers and cross-generation schema stability)
+      val storedOrder = stored.columns.map(col).toSeq
+      val oldKeep = stored
+        .join(touchedKeys.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+        .select(storedOrder: _*)
+      val staging = path + ".rewrite"
+      oldKeep.unionByName(newRows.select(storedOrder: _*))
+        .withColumn("_p", partOf(col(keyCol), nParts))
+        .repartition(col("_p"))
+        .write.partitionBy("_p").mode("overwrite").parquet(staging)
+      // merge-cost telemetry (the §8.5.9 evidence line): state bytes the
+      // merge actually rewrote vs what a full-table rewrite would have
+      def bytesOf(files: Seq[String]): Long =
+        files.map(f => fs.getFileStatus(hp(f)).getLen).sum
+      val affectedBytes = bytesOf(partitionFiles(s, path, affected))
+      val totalBytes = bytesOf(snapshotFiles(s, path))
+      affected.foreach { k =>
+        val live = hp(s"$path/_p=$k")
+        val fresh = hp(s"$staging/_p=$k")
+        val park = hp(s"$path/_p=$k.old")
+        if (fs.exists(live))
+          require(fs.rename(live, park), s"could not park $live")
+        if (fs.exists(fresh))
+          require(fs.rename(fresh, live), s"could not swap $live (old at $park)")
+        fs.delete(park, true)
+      }
+      System.err.println(s"[graft] mergeTouched($path): rewrote ${affected.size}/$nParts " +
+        s"partitions ($affectedBytes of $totalBytes state bytes)")
+    }
+    fs.delete(hp(path + ".rewrite"), true)
+    affected.size
+  }
+
+  /** Full rewrite of a partitioned table that PRESERVES the layout —
+    * compaction's shape: `transform` the whole content, land it
+    * partitioned, swap every partition (including dropping live
+    * partitions the new content no longer populates). */
+  def rewritePartitioned(s: SparkSession, path: String,
+                         keyCol: String)(transform: DataFrame => DataFrame): Unit = {
+    repairTorn(s, path)
+    val nParts = partsOf(s, path)
+    val staging = path + ".rewrite"
+    val fs = fsFor(s, path)
+    withLease(s, path) { // covers read→stage→swap, the rewriteSwap contract
+      transform(readSnapshot(s, path))
+        .withColumn("_p", partOf(col(keyCol), nParts))
+        .repartition(col("_p"))
+        .write.partitionBy("_p").mode("overwrite").parquet(staging)
+      (0 until nParts).foreach { k =>
+        val live = hp(s"$path/_p=$k")
+        val fresh = hp(s"$staging/_p=$k")
+        val park = hp(s"$path/_p=$k.old")
+        if (fs.exists(live))
+          require(fs.rename(live, park), s"could not park $live")
+        if (fs.exists(fresh))
+          require(fs.rename(fresh, live), s"could not swap $live (old at $park)")
+        fs.delete(park, true)
+      }
+    }
+    fs.delete(hp(staging), true)
+  }
+
+  // -----------------------------------------------------------------
+  // Append-contract preconditions (round-13 verdict task 3)
+  // -----------------------------------------------------------------
+
+  /** Enforce "batch ids must be NEW to the index": count the overlap with
+    * one keyed semi-join against the stored id column. `strict` refuses
+    * loudly (the batch-API contract); non-strict — the stream replay
+    * path, where a torn commit legitimately redelivers already-appended
+    * ids — downgrades to a stderr TORN-REPLAY line (re-appending
+    * duplicates rows, which is decision-neutral and compact-repaired; the
+    * documented contract). Returns the overlap count. */
+  def requireNewIds(s: SparkSession, tablePath: String, idCol: String,
+                    batchIds: DataFrame, batchRows: Long, op: String,
+                    strict: Boolean = true): Long = {
+    val stored = readSnapshot(s, tablePath).select(col(idCol))
+    val overlap = stored
+      .join(maybeBroadcast(batchIds.select(col(idCol)).distinct(), batchRows),
+        Seq(idCol), "left_semi")
+      .select(col(idCol)).distinct().count()
+    if (overlap > 0) {
+      val msg = s"$op: $overlap batch ${idCol}s already present in $tablePath — " +
+        "the append contract requires batch ids new to the index"
+      if (strict) throw new IllegalArgumentException(
+        msg + " (a takedown re-ingest must deleteFrom*Index first)")
+      else System.err.println(s"[graft] TORN-REPLAY $msg; re-appending duplicates " +
+        "rows (decision-neutral; compact repairs)")
+    }
+    overlap
+  }
+
+  /** Enforce the stronger ORDERING contract where it is load-bearing
+    * (the span canon rule and the pipeline's exact keep-the-minimum leg):
+    * every batch id must be LARGER than every indexed id, checked with
+    * one column-pruned max() over the stored ids (rowgroup stats serve
+    * it; a deployment keeps this watermark in table metadata). Same
+    * strict/replay split as [[requireNewIds]] — a redelivered torn batch
+    * contains exactly the ids it already appended, which would violate
+    * ordering spuriously. */
+  def requireIdsAbove(s: SparkSession, tablePath: String, idCol: String,
+                      batchMinId: Long, op: String,
+                      strict: Boolean = true): Unit = {
+    val maxStored = readSnapshot(s, tablePath)
+      .agg(max(col(idCol))).head().getLong(0)
+    if (batchMinId <= maxStored) {
+      val msg = s"$op: batch min $idCol $batchMinId <= max indexed $maxStored — " +
+        "the canonical-minimum rule requires batch ids above every indexed id " +
+        "(out-of-order ingest would silently re-canonicalize already-shipped output)"
+      if (strict) throw new IllegalArgumentException(msg)
+      else System.err.println(s"[graft] TORN-REPLAY $msg; tolerated on replay only")
+    }
+  }
+}

@@ -48,20 +48,27 @@ object IndexMaintenance {
   /** Rewrite `path` as `transform(current contents)` and swap the
     * directories (see object doc for the crash story). The transform runs
     * over a snapshot file list, so an append racing the rewrite is not
-    * corrupted — it is LOST from the new generation, which is why callers
-    * serialize maintenance with ingest (the same discipline every
-    * compacting table format requires). */
+    * corrupted — it would be LOST from the new generation, which is why
+    * the whole window (snapshot through swap) holds the table's
+    * MAINTENANCE LEASE ([[IndexFamily.acquireLease]], round-13 verdict
+    * task 5): every family's increment/append checks the lease first, so
+    * the race now REFUSES loudly on the append side instead of losing
+    * data (the executable form of the serialize-maintenance-with-ingest
+    * discipline every compacting table format requires). A lease left by
+    * a crash is released by an operator after inspecting the
+    * `.rewrite`/`.old` residue — auto-expiry would reopen the race. */
   def rewriteSwap(s: SparkSession, path: String)
-                 (transform: DataFrame => DataFrame): Unit = {
-    val fs = fsFor(s, path)
-    val cur = new org.apache.hadoop.fs.Path(path)
-    val tmp = new org.apache.hadoop.fs.Path(path + ".rewrite")
-    val old = new org.apache.hadoop.fs.Path(path + ".old")
-    transform(s.read.parquet(parquetPartFiles(s, path): _*))
-      .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(old, true)
-    require(fs.rename(cur, old), s"could not park $path")
-    require(fs.rename(tmp, cur), s"could not swap $path (old generation at $old)")
-    fs.delete(old, true)
-  }
+                 (transform: DataFrame => DataFrame): Unit =
+    IndexFamily.withLease(s, path) {
+      val fs = fsFor(s, path)
+      val cur = new org.apache.hadoop.fs.Path(path)
+      val tmp = new org.apache.hadoop.fs.Path(path + ".rewrite")
+      val old = new org.apache.hadoop.fs.Path(path + ".old")
+      transform(s.read.parquet(parquetPartFiles(s, path): _*))
+        .write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(old, true)
+      require(fs.rename(cur, old), s"could not park $path")
+      require(fs.rename(tmp, cur), s"could not swap $path (old generation at $old)")
+      fs.delete(old, true)
+    }
 }

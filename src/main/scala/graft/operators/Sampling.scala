@@ -321,7 +321,10 @@ object Sampling {
   /** Exact-duplicate edges `(doc_a, doc_b = its keeper)` — the ONE home of
     * the exact edge set both split paths union with their near-dup edges,
     * so the SamplingSpec path-equality law cannot be broken by the two
-    * copies drifting apart. */
+    * copies drifting apart. The RECOMPUTE path ([[leakageSafeSplit]]) pays
+    * this md5 scan by design; the index path reads the same edges from
+    * [[graft.operators.Dedup.buildExactState]]'s persisted table instead
+    * (round-13 verdict task 4). */
   private def exactDupEdges(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"), md5(col("text")).as("text_hash"))
@@ -344,6 +347,7 @@ object Sampling {
         scala.util.hashing.MurmurHash3.stringHash(dir))).toString
       graft.operators.Dedup.buildMinhashIndex(s, docs(s, dir), idx, s"$dir#leaksplit")
       graft.operators.Dedup.buildClusterState(s, idx)
+      graft.operators.Dedup.buildExactState(s, docs(s, dir), idx)
       idx
     })
 
@@ -360,15 +364,24 @@ object Sampling {
     * minima — so the output is IDENTICAL to [[leakageSafeSplit]]'s, which
     * is the registered gate: `q_sample_leak_split_idx` runs THIS path
     * under the SAME DuckDB oracle, and `SamplingSpec` pins the
-    * path-equality law directly. */
+    * path-equality law directly.
+    *
+    * Round 13 (verdict task 4): the exact-dup edges are read from the
+    * persisted [[graft.operators.Dedup.buildExactState]] table too — the
+    * path no longer re-hashes the corpus (`md5(text)` never appears in
+    * its plan, PlanSpec-pinned); the only corpus read left is the
+    * doc_id column the output itself enumerates. */
   def leakageSafeSplitFromIndex(s: SparkSession, dir: String, indexDir: String,
                                 holdoutPct: Int = 20): DataFrame = {
     import graft.operators.{Dedup => D}
-    val state = s.read.parquet(s"$indexDir/clusters.parquet")
+    val state = graft.operators.IndexFamily
+      .readSnapshot(s, s"$indexDir/clusters.parquet")
       .select(col("doc_id"), col("cluster_id"))
     val starEdges = state.filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
-    val labels = D.clusterPairsTiered(starEdges.unionByName(exactDupEdges(s, dir)))
+    val exactEdges = s.read.parquet(s"$indexDir/exact_edges.parquet")
+      .select(col("doc_a"), col("doc_b"))
+    val labels = D.clusterPairsTiered(starEdges.unionByName(exactEdges))
     docs(s, dir).select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -930,6 +930,10 @@ object Similarity {
     val codes = pqEncodeResiduals(
       assignCid(newVecs, cents).select(col("vec_id"), col("cid"), col("embedding")),
       cents, books, m, subDim, k)
+    // the append-vs-maintenance race refuses instead of losing rows
+    // (IndexFamily lease, round-13 verdict task 5)
+    IndexFamily.requireNoLease(s, s"$indexDir/codes.parquet",
+      "appendToIvfPqIndex")
     codes.write.mode("append").parquet(s"$indexDir/codes.parquet")
     codes
   }
@@ -951,7 +955,7 @@ object Similarity {
   def deleteFromIvfPqIndex(s: SparkSession, indexDir: String,
                            vecIds: DataFrame): Unit = {
     val idsRaw = vecIds.select(col("vec_id")).distinct()
-    val ids = if (idsRaw.count() <= 2000000L) broadcast(idsRaw) else idsRaw
+    val ids = IndexFamily.maybeBroadcast(idsRaw, idsRaw.count())
     IndexMaintenance.rewriteSwap(s, s"$indexDir/codes.parquet")(
       _.join(ids, Seq("vec_id"), "left_anti"))
   }

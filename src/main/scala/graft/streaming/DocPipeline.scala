@@ -77,4 +77,50 @@ object DocPipeline {
     StreamDedup.nearDupAgainstIndex(
       apply(docs, corpusFps, gates, watermark), indexDir, memoPrefix, threshold,
       append)(sink)
+
+  /** The COMPLETE at-ingest pipeline as ONE registered streaming operator
+    * (round-13 verdict task 2) — what a 100 TB ingest actually deploys,
+    * composed per micro-batch:
+    *
+    *  1. gates → enrich → in-stream exact dedup → corpus-fingerprint
+    *     anti-join ([[apply]] — the continuous stateless/watermarked
+    *     stages);
+    *  2. NEAR-dup probe of (and append to) the persisted MinHash index
+    *     ([[StreamDedup.nearDupBatch]] — drops docs near-dupping the
+    *     corpus or an earlier arrival);
+    *  3. duplicate-SPAN cleanup of the admitted survivors against (and
+    *     appending to) the persisted span index
+    *     ([[StreamDedup.spanBatch]] — the C4-style boilerplate scrub, so
+    *     admitted text ships clean, not just deduplicated).
+    *
+    * Output: `(doc_id, event_time, n_tokens, quality, fp_md5, n_spans,
+    * n_removed, clean_text)` for each admitted document. Both index legs
+    * ride their own batchId replay ledger (exactly-once growth per
+    * family, at-least-once output); only ADMITTED docs enter the span
+    * index, matching the batch composition `dedupPipeline → span removal
+    * over survivors`. The near-dup survivors are eagerly materialized
+    * ([[graft.Checkpoints.local]]): the span leg and the output join both
+    * consume them, and the span leg's merge swaps files a lazy plan could
+    * still reference. StreamingSpec pins the agreement law: stream output
+    * ≡ the batch operators applied per batch in arrival order, against an
+    * independent full-pair oracle. */
+  def fullIngest(docs: DataFrame, corpusFps: DataFrame,
+                 nearDupIndexDir: String, spanIndexDir: String,
+                 memoPrefix: String,
+                 gates: Seq[String] = Curation.SyntheticGates,
+                 watermark: String = "10 minutes",
+                 threshold: Double = 0.5,
+                 append: Boolean = true)
+                (sink: DataFrame => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    apply(docs, corpusFps, gates, watermark).writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val admitted = graft.Checkpoints.local(
+          StreamDedup.nearDupBatch(batch, batchId, nearDupIndexDir,
+            memoPrefix, threshold, append))
+        val cleaned = StreamDedup.spanBatch(
+          admitted.select(col("doc_id"), col("text")), batchId, spanIndexDir,
+          append)
+        sink(admitted.drop("text").join(cleaned, Seq("doc_id")))
+    }
 }

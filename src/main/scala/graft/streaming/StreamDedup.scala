@@ -111,9 +111,13 @@ object StreamDedup {
                                   threshold: Double = 0.5,
                                   append: Boolean = true): DataFrame =
     replayGuarded(batch, batchId, indexDir, append) { doAppend =>
+      // strictIds = false: a torn-commit redelivery legitimately carries
+      // ids the crashed append already landed — the id guard downgrades
+      // to the documented TORN-REPLAY warning instead of wedging the
+      // stream (batch callers keep the strict refusal)
       graft.operators.Dedup.nearDupIncrementSurvivors(
         batch.sparkSession, batch, indexDir, s"$memoPrefix#$batchId",
-        threshold, append = doAppend)
+        threshold, append = doAppend, strictIds = false)
     }
 
   /** NEAR-dup streaming dedup of a VECTOR stream (`vec_id`, `embedding`)
@@ -141,7 +145,8 @@ object StreamDedup {
                                     append: Boolean = true): DataFrame =
     replayGuarded(batch, batchId, indexDir, append) { doAppend =>
       graft.operators.Dedup.embeddingIncrementSurvivors(
-        batch.sparkSession, batch, indexDir, threshold, append = doAppend)
+        batch.sparkSession, batch, indexDir, threshold, append = doAppend,
+        strictIds = false) // torn-replay tolerance, see nearDupBatch
     }
 
   /** SEMANTIC streaming ingest: each micro-batch of vectors merges into a
@@ -167,7 +172,8 @@ object StreamDedup {
                                    append: Boolean = true): DataFrame =
     replayGuarded(batch, batchId, indexDir, append) { doAppend =>
       graft.operators.Dedup.semanticDedupIncrement(
-        batch.sparkSession, batch, indexDir, append = doAppend)
+        batch.sparkSession, batch, indexDir, append = doAppend,
+        strictIds = false) // torn-replay tolerance, see nearDupBatch
     }
 
   /** SPAN-boilerplate removal at ingest: each micro-batch of `(doc_id,
@@ -193,6 +199,7 @@ object StreamDedup {
                                append: Boolean = true): DataFrame =
     replayGuarded(batch, batchId, indexDir, append) { doAppend =>
       graft.operators.Dedup.spanRemovalIncrement(
-        batch.sparkSession, batch, indexDir, append = doAppend)
+        batch.sparkSession, batch, indexDir, append = doAppend,
+        strictIds = false) // torn-replay tolerance, see nearDupBatch
     }
 }

@@ -252,18 +252,21 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestBase {
       Dedup.spanRemovalIncrement(spark,
         docsAt(sf).filter(col("doc_id") >= split), idx, spanLen = 25, append = false)
     }
-    // two appended increments converge to the one-shot rebuild state
+    // two appended increments (in ARRIVAL ORDER — ids monotone across
+    // batches, the enforced contract) converge to the one-shot rebuild
     def postingsOf(d: String) = spark.read.parquet(s"$d/postings.parquet")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     def occsOf(d: String) = spark.read.parquet(s"$d/spans.parquet")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val mid = split + (docsAt(sf).agg(max(col("doc_id"))).head().getLong(0)
+      - split) / 2
     val idx2 = tmpIdx("span-append")
     Dedup.buildSpanIndex(spark, docsAt(sf).filter(col("doc_id") < split), idx2)
     Dedup.spanRemovalIncrement(spark,
-      docsAt(sf).filter(col("doc_id") >= split && col("doc_id") % 2 === 0),
+      docsAt(sf).filter(col("doc_id") >= split && col("doc_id") < mid),
       idx2, append = true).collect()
     Dedup.spanRemovalIncrement(spark,
-      docsAt(sf).filter(col("doc_id") >= split && col("doc_id") % 2 === 1),
+      docsAt(sf).filter(col("doc_id") >= mid),
       idx2, append = true).collect()
     val oneShot = tmpIdx("span-oneshot")
     Dedup.buildSpanIndex(spark, docsAt(sf), oneShot)
@@ -271,6 +274,18 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestBase {
       "appended aggregate diverged from one-shot rebuild")
     assert(occsOf(idx2) == occsOf(oneShot),
       "appended occurrences diverged from one-shot rebuild")
+    // the ordering contract REFUSES an out-of-order append (round-13
+    // verdict task 3): a batch id at-or-below the indexed max could steal
+    // a canon and invalidate already-shipped clean text
+    val ord = intercept[IllegalArgumentException] {
+      Dedup.spanRemovalIncrement(spark,
+        docsAt(sf).filter(col("doc_id") >= split - 10 && col("doc_id") < split),
+        idx2, append = true)
+    }
+    assert(ord.getMessage.contains("max indexed"),
+      s"unexpected refusal message: ${ord.getMessage}")
+    assert(postingsOf(idx2) == postingsOf(oneShot),
+      "a refused append must not disturb the aggregate")
     // empty batch: empty output, aggregate content unchanged
     val before = postingsOf(idx2)
     val emptyOut = Dedup.spanRemovalIncrement(spark,

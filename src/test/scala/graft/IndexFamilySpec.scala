@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, IndexFamily}
+
+/** Laws of the shared index-family core (round-13 verdict tasks 1, 3, 5,
+  * 7): the partition-scoped state merge touches ONLY the partitions a
+  * key hashes into (untouched partition files stay byte-identical), the
+  * maintenance lease makes the append-vs-rewrite race refuse loudly, and
+  * torn partition swaps are restored before the next merge. */
+class IndexFamilySpec extends AnyFunSuite with SparkTestBase {
+
+  private def tmpDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"ixfam-$tag-").toString
+
+  private def fileSig(path: String): Map[String, (Long, Long)] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(path)).filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getAbsolutePath -> (f.length(), f.lastModified())).toMap
+  }
+
+  private def stateRows(path: String): Set[(Long, Long)] =
+    IndexFamily.readSnapshot(spark, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("mergeTouched rewrites only partitions holding touched or new keys; others stay byte-identical") {
+    import spark.implicits._
+    val dir = tmpDir("merge")
+    val path = s"$dir/state.parquet"
+    val nParts = 8
+    // keys 0..199: key k in partition k % 8
+    val base = (0L until 200L).map(k => (k, k * 10))
+    IndexFamily.writePartitioned(base.toDF("key", "value"), path, "key", nParts)
+    val sigBefore = fileSig(path)
+    // touch only keys in partitions {3, 5}: replace key 3 and add key 1003
+    // (1003 % 8 == 3), plus drop key 5 (touched, not re-emitted)
+    val touched = Seq(3L, 5L).toDF("key")
+    val fresh = Seq((3L, 999L), (1003L, 42L)).toDF("key", "value")
+    val affected = IndexFamily.mergeTouched(spark, path, "key", touched, fresh)
+    assert(affected == 2, s"keys {3, 5, 1003} hash into partitions {3, 5}; got $affected")
+    val sigAfter = fileSig(path)
+    (0 until nParts).filterNot(Set(3, 5)).foreach { p =>
+      val before = sigBefore.filter(_._1.contains(s"_p=$p/"))
+      val after = sigAfter.filter(_._1.contains(s"_p=$p/"))
+      assert(before == after, s"untouched partition $p changed: $before vs $after")
+    }
+    assert(sigAfter.keys.exists(_.contains("_p=3/")) &&
+      sigBefore.filter(_._1.contains("_p=3/")) != sigAfter.filter(_._1.contains("_p=3/")),
+      "touched partition 3 must be rewritten")
+    val expected = base.filterNot(r => r._1 == 3L || r._1 == 5L).toSet +
+      ((3L, 999L)) + ((1003L, 42L))
+    assert(stateRows(path) == expected)
+  }
+
+  test("mergeTouched content law == full untouched-union-merged rewrite (negative keys included)") {
+    import spark.implicits._
+    val dir = tmpDir("neg")
+    val path = s"$dir/state.parquet"
+    // negative keys — the span family's 64-bit hashes; pmod must place them
+    val base = Seq((-17L, 1L), (-9L, 2L), (4L, 3L), (12L, 4L), (-1L, 5L))
+    IndexFamily.writePartitioned(base.toDF("key", "value"), path, "key", 4)
+    IndexFamily.mergeTouched(spark, path, "key",
+      Seq(-17L, 12L).toDF("key"), Seq((-17L, 100L), (-33L, 7L)).toDF("key", "value"))
+    assert(stateRows(path) ==
+      Set((-9L, 2L), (4L, 3L), (-1L, 5L), (-17L, 100L), (-33L, 7L)))
+  }
+
+  test("an orphaned .old partition (torn swap) is restored before the next merge and by snapshot reads") {
+    import spark.implicits._
+    val dir = tmpDir("torn")
+    val path = s"$dir/state.parquet"
+    IndexFamily.writePartitioned(
+      (0L until 40L).map(k => (k, k)).toDF("key", "value"), path, "key", 4)
+    // simulate a crash between a swap's two renames: partition 2 parked,
+    // live dir gone
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$path/_p=2"),
+      new org.apache.hadoop.fs.Path(s"$path/_p=2.old")))
+    // snapshot reads serve the parked generation (no data loss)
+    assert(stateRows(path).size == 40)
+    // the next merge restores the park, then applies
+    IndexFamily.mergeTouched(spark, path, "key",
+      Seq(2L).toDF("key"), Seq((2L, 777L)).toDF("key", "value"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_p=2.old")))
+    assert(stateRows(path).contains((2L, 777L)) && stateRows(path).size == 40)
+  }
+
+  test("maintenance lease: appends refuse while held, work after release; double-acquire refuses") {
+    import spark.implicits._
+    val dir = tmpDir("lease")
+    val path = s"$dir/t.parquet"
+    Seq((1L, 1L)).toDF("a", "b").write.parquet(path)
+    IndexFamily.acquireLease(spark, path)
+    val e = intercept[IllegalArgumentException] {
+      IndexFamily.requireNoLease(spark, path, "testAppend")
+    }
+    assert(e.getMessage.contains("maintenance"))
+    val e2 = intercept[IllegalArgumentException] {
+      IndexFamily.acquireLease(spark, path)
+    }
+    assert(e2.getMessage.contains("maintenance"))
+    IndexFamily.releaseLease(spark, path)
+    IndexFamily.requireNoLease(spark, path, "testAppend") // no throw
+  }
+
+  test("increment append refuses while the index table is under maintenance (end-to-end)") {
+    val split = Dedup.incrementSplitAt(spark, sf)
+    val idx = tmpDir("lease-e2e")
+    Dedup.buildMinhashIndex(spark,
+      Tables(spark, sf, "documents").filter(col("doc_id") < split), idx, s"$idx#b")
+    IndexFamily.acquireLease(spark, s"$idx/signatures.parquet")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Dedup.dedupIncrement(spark,
+          Tables(spark, sf, "documents").filter(col("doc_id") >= split),
+          idx, s"$idx#n", append = true)
+      }
+      assert(e.getMessage.contains("maintenance"))
+    } finally IndexFamily.releaseLease(spark, s"$idx/signatures.parquet")
+    // probe-only calls (append = false) are unaffected by the lease
+    IndexFamily.acquireLease(spark, s"$idx/signatures.parquet")
+    try {
+      assert(Dedup.dedupIncrement(spark,
+        Tables(spark, sf, "documents").filter(col("doc_id") >= split),
+        idx, s"$idx#ro", append = false).count() >= 0)
+    } finally IndexFamily.releaseLease(spark, s"$idx/signatures.parquet")
+  }
+
+  test("re-ingesting already-indexed ids refuses strictly, warns on the stream replay path") {
+    val idx = tmpDir("newids")
+    val d = Tables(spark, sf, "documents")
+    Dedup.buildMinhashIndex(spark, d.filter(col("doc_id") < 100), idx, s"$idx#b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dedupIncrement(spark, d.filter(col("doc_id") < 50), idx,
+        s"$idx#dup", append = true)
+    }
+    assert(e.getMessage.contains("already present"))
+    // the stream replay path (strictIds = false) tolerates the overlap —
+    // the torn-commit redelivery contract (duplicates; compact repairs)
+    val before = spark.read.parquet(s"$idx/signatures.parquet").count()
+    Dedup.dedupIncrement(spark, d.filter(col("doc_id") < 50), idx,
+      s"$idx#replay", append = true, strictIds = false).collect()
+    assert(spark.read.parquet(s"$idx/signatures.parquet").count() > before)
+    Dedup.compactIndex(spark, idx, nFiles = 2)
+    assert(spark.read.parquet(s"$idx/signatures.parquet").count() == before,
+      "compact must repair the duplicated rows")
+  }
+}

@@ -90,6 +90,18 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("index-backed leak split never re-hashes the corpus (no md5, no text scan)") {
+    // round-13 verdict task 4: the idx path answers from the persisted
+    // cluster labels AND the persisted exact-dup edges — md5(text) in its
+    // plan means it regressed to re-fingerprinting the corpus per split
+    val p = plan("q_sample_leak_split_idx")
+    assert(!p.contains("md5("), "idx split path re-hashes the corpus")
+    val readSchemas = "FileScan parquet \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(readSchemas.forall(!_.contains("text")),
+      s"idx split path reads the text payload: $readSchemas")
+  }
+
   test("shard layout is one hash exchange, never a global sort") {
     // the permutation is per-shard by construction: a rangepartitioning
     // exchange (global sort) in the plan means the window lost its

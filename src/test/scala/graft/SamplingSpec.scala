@@ -211,12 +211,15 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("leakage-safe split from the persisted index equals the recompute path") {
+    import org.apache.spark.sql.functions.col
     // the 100 TB shape: stored cluster labels enter as star edges and the
     // split must be IDENTICAL to the pair-recompute path, tuple for tuple
     val Dedup = graft.operators.Dedup
     val idx = java.nio.file.Files.createTempDirectory("leakidx-").toString
     Dedup.buildMinhashIndex(spark, Tables(spark, sf, "documents"), idx, s"$sf#leakspec")
     Dedup.buildClusterState(spark, idx)
+    Dedup.buildExactState(spark,
+      Tables(spark, sf, "documents").select(col("doc_id"), col("text")), idx)
     def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     assert(rowsOf(Sampling.leakageSafeSplitFromIndex(spark, sf, idx)) ==

@@ -718,6 +718,76 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       s"near-dup should drop at the index probe, novel should survive: kept=$kept")
   }
 
+  test("composed fullIngest == the batch operators applied per micro-batch in arrival order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val Dedup = graft.operators.Dedup
+    val TA = graft.operators.TextAnalysis
+    val split = Dedup.incrementSplitAt(spark, sf)
+    val docs = Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") < split)
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val mid = split + (maxId - split) / 2
+    def rowsOf(lo: Long, hi: Long) =
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+    val batch1 = rowsOf(split, mid)
+    val batch2 = rowsOf(mid, Long.MaxValue)
+    val corpusFps = TA.fingerprint(spark, sf)
+      .join(corpus.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("fp_md5"))
+    // BATCH twin: the same operators, called per batch in arrival order
+    // against twin indexes (gates -> enrich -> exact stages -> near-dup
+    // survivors with append -> span cleanup of the admitted, with append)
+    val mhB = java.nio.file.Files.createTempDirectory("full-mh-b-").toString
+    val spB = java.nio.file.Files.createTempDirectory("full-sp-b-").toString
+    Dedup.buildMinhashIndex(spark, corpus, mhB, s"$mhB#base")
+    Dedup.buildSpanIndex(spark, corpus, spB)
+    def batchTwin(rows: Seq[(Long, String)], tag: String): Map[Long, (Long, String)] = {
+      val b = rows.toDF("doc_id", "text")
+      val gated = TA.gopherGatesOn(spark, b, carry = Seq("text"))
+        .filter(graft.operators.Curation.SyntheticGates.map(col).reduce(_ && _))
+        .withColumn("fp_md5", TA.fpMd5(col("text")))
+        .join(corpusFps, Seq("fp_md5"), "left_anti")
+        .select(col("doc_id"), col("text"))
+      val admitted = Dedup.nearDupIncrementSurvivors(spark, gated, mhB,
+        s"$mhB#$tag", append = true)
+      Dedup.spanRemovalIncrement(spark,
+        admitted.select(col("doc_id"), col("text")), spB, append = true)
+        .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    }
+    val expected = batchTwin(batch1, "b1") ++ batchTwin(batch2, "b2")
+    // STREAM side: the one composed operator over the same two batches
+    val mhA = java.nio.file.Files.createTempDirectory("full-mh-a-").toString
+    val spA = java.nio.file.Files.createTempDirectory("full-sp-a-").toString
+    Dedup.buildMinhashIndex(spark, corpus, mhA, s"$mhA#base")
+    Dedup.buildSpanIndex(spark, corpus, spA)
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val got = scala.collection.mutable.Map.empty[Long, (Long, String)]
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    val q = graft.streaming.DocPipeline.fullIngest(
+        input.toDF().toDF("doc_id", "text", "event_time"), corpusFps,
+        mhA, spA, s"$mhA#stream") { out =>
+      got ++= out.select("doc_id", "n_removed", "clean_text").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+    }.start()
+    try {
+      input.addData(batch1.map { case (id, t) => (id, t, t0) }.toSeq: _*)
+      q.processAllAvailable()
+      input.addData(batch2.map { case (id, t) => (id, t, t0) }.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toMap == expected,
+      s"stream-only=${got.keySet -- expected.keySet} " +
+        s"batch-only=${expected.keySet -- got.keySet} " +
+        s"diff=${expected.keys.find(k => got.get(k) != expected.get(k))}")
+    // the composition actually exercised its legs on this fixture
+    assert(expected.size < batch1.size + batch2.size,
+      "some doc should be gated or near-dup-dropped")
+    assert(expected.values.exists(_._1 > 0),
+      "some admitted doc should have a duplicate span removed")
+  }
+
   test("streaming and batch curation agree on which documents the gates admit") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
