@@ -272,20 +272,30 @@ object StreamBench {
       run(streamVecs, vecBatches, doAppend = true)
     }
     val idxVecDf = idxVecs.toDF("vec_id", "embedding")
+    // 12-bit bands (not the 4-bit small-corpus default): the scaladoc's
+    // scale dial (embeddingNearDupPairs) applied to the bench's own
+    // workload — at 70k near-orthogonal vectors, 4-bit bands hold only 16
+    // buckets per band, so a large fraction of ALL pairs collides in some
+    // band and the un-trimmed probe's candidate set, not the stream
+    // machinery, becomes the row (it broadcast-OOM'd the proxy-bounded
+    // r12 code — the defect this workload exposed and fixed). Exact
+    // copies still collide in every band, so the conviction path is live.
     val embIngestSec = vecTier(
-      idx => graft.operators.Dedup.buildEmbeddingIndex(spark, idxVecDf, idx)) {
+      idx => graft.operators.Dedup.buildEmbeddingIndex(spark, idxVecDf, idx,
+        nBands = 16, bandBits = 12)) {
       (vecs, idx, doAppend) =>
-        graft.streaming.StreamDedup.embeddingAgainstIndex(vecs, idx, append = doAppend) {
+        graft.streaming.StreamDedup.embeddingAgainstIndex(vecs, idx,
+            nBands = 16, bandBits = 12, append = doAppend) {
           kept => kept.write.format("noop").mode("overwrite").save()
         }.start()
     }
-    // k = 64 literal centroids: at 50k streamed vectors the k = 8 spec
-    // model would put ~9k vectors in every cell and the same-cell pair
-    // join, not the stream machinery, would dominate the row (the §8.5.11
+    // k = 256 literal centroids: at 70k vectors the k = 8 spec model
+    // would put ~9k vectors in every cell and the same-cell pair join,
+    // not the stream machinery, would dominate the row (the §8.5.11
     // K-knob, applied to the bench's own workload)
     val semIngestSec = vecTier(
       idx => graft.operators.Dedup.buildSemanticIndex(spark, idxVecDf, idx,
-        graft.functions.VectorOps.hyperplanes(64, 64, seed = 31L))) {
+        graft.functions.VectorOps.hyperplanes(256, 64, seed = 31L))) {
       (vecs, idx, doAppend) =>
         graft.streaming.StreamDedup.semanticAgainstIndex(vecs, idx, append = doAppend) {
           out => out.write.format("noop").mode("overwrite").save()

@@ -1383,12 +1383,17 @@ object Dedup {
     val nNew = newE.count()
     val newBanded = embeddingBandedOf(newE, nBands, bandBits, dim)
       .withColumn("is_new", lit(true))
-    val cands = incrementCandidates(oldBanded, newBanded,
-      nNew * nBands, Int.MaxValue, "embeddingDedupIncrement")
+    val cands = graft.Checkpoints.local(incrementCandidates(oldBanded, newBanded,
+      nNew * nBands, Int.MaxValue, "embeddingDedupIncrement"))
     val allVecs = oldVecs.unionByName(newE)
-    // the backfill guard of the sibling increments: broadcast candidate
-    // pairs only while the batch is daily-sized
-    val cands2 = IndexFamily.maybeBroadcast(cands, nNew * nBands)
+    // broadcast-bound on the TRUE candidate count, not the batch-postings
+    // proxy the text families use: the embedding probe is deliberately
+    // un-trimmed (no hot-bucket cap — SRP recall), and near-orthogonal
+    // geometry can collide a large fraction of ALL pairs in SOME band, so
+    // candidates can exceed any batch-shaped proxy by orders of magnitude
+    // (round 13: the 50k-vector StreamBench workload broadcast-OOM'd under
+    // the proxy). The checkpoint makes the count a metadata read.
+    val cands2 = IndexFamily.maybeBroadcast(cands, cands.count())
     val result = cands2
       .join(allVecs.select(col("doc_id").as("doc_a"),
         col("embedding").as("v_a"), col("norm").as("n_a")), "doc_a")
@@ -1426,10 +1431,11 @@ object Dedup {
     * [[graft.streaming.StreamDedup.embeddingAgainstIndex]]. */
   def embeddingIncrementSurvivors(s: SparkSession, newVecs: DataFrame,
                                   indexDir: String, threshold: Double = 0.4,
+                                  nBands: Int = 16, bandBits: Int = 4,
                                   append: Boolean = true,
                                   strictIds: Boolean = true): DataFrame = {
     val pairs = embeddingDedupIncrement(s, newVecs, indexDir, threshold,
-      append = append, strictIds = strictIds)
+      nBands, bandBits, append = append, strictIds = strictIds)
     val ids = newVecs.select(col("vec_id")).distinct()
     val flagged = pairs
       .join(ids.select(col("vec_id").as("id_a"), lit(true).as("a_new")), Seq("id_a"), "left")

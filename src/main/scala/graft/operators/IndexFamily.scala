@@ -202,6 +202,20 @@ object IndexFamily {
     writeParts(df.sparkSession, path, nParts)
   }
 
+  /** Append a batch into an existing partitioned table's layout: rows land
+    * as new files inside their `_p=K` directories (one per touched
+    * partition per append — the batch-sized-append discipline), leaving
+    * every existing file untouched. Checks the maintenance lease. */
+  def appendPartitioned(df: DataFrame, path: String, keyCol: String,
+                        op: String): Unit = {
+    val s = df.sparkSession
+    requireNoLease(s, path, op)
+    val nParts = partsOf(s, path)
+    df.withColumn("_p", partOf(col(keyCol), nParts))
+      .repartition(col("_p"))
+      .write.partitionBy("_p").mode("append").parquet(path)
+  }
+
   /** Snapshot files of ONLY the given partitions — what makes a probe or
     * merge read ∝ touched partitions instead of ∝ state. Missing live
     * dirs fall back to `.old` parks (see [[snapshotFiles]]); a partition
@@ -315,17 +329,21 @@ object IndexFamily {
     * compaction's shape: `transform` the whole content, land it
     * partitioned, swap every partition (including dropping live
     * partitions the new content no longer populates). */
-  def rewritePartitioned(s: SparkSession, path: String,
-                         keyCol: String)(transform: DataFrame => DataFrame): Unit = {
+  def rewritePartitioned(s: SparkSession, path: String, keyCol: String,
+                         sortCols: Seq[String] = Nil)
+                        (transform: DataFrame => DataFrame): Unit = {
     repairTorn(s, path)
     val nParts = partsOf(s, path)
     val staging = path + ".rewrite"
     val fs = fsFor(s, path)
     withLease(s, path) { // covers read→stage→swap, the rewriteSwap contract
-      transform(readSnapshot(s, path))
+      val staged = transform(readSnapshot(s, path))
         .withColumn("_p", partOf(col(keyCol), nParts))
         .repartition(col("_p"))
-        .write.partitionBy("_p").mode("overwrite").parquet(staging)
+      // optional within-file ordering (compaction's rowgroup-stats layout)
+      val sorted = if (sortCols.isEmpty) staged
+                   else staged.sortWithinPartitions(("_p" +: sortCols).map(col): _*)
+      sorted.write.partitionBy("_p").mode("overwrite").parquet(staging)
       (0 until nParts).foreach { k =>
         val live = hp(s"$path/_p=$k")
         val fresh = hp(s"$staging/_p=$k")

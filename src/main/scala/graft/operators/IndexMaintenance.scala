@@ -41,9 +41,10 @@ object IndexMaintenance {
     files
   }
 
-  /** Part-file count — the compaction trigger's telemetry. */
+  /** Part-file count — the compaction trigger's telemetry. Layout-agnostic
+    * (flat or hash-partitioned — the IndexFamily snapshot). */
   def partFileCount(s: SparkSession, path: String): Int =
-    parquetPartFiles(s, path).size
+    IndexFamily.snapshotFiles(s, path).size
 
   /** Rewrite `path` as `transform(current contents)` and swap the
     * directories (see object doc for the crash story). The transform runs

@@ -707,7 +707,7 @@ object Similarity {
     // re-rank: the same search stages the persisted index serves
     // ([[ivfPqSearchWith]]; [[buildIvfPqIndex]]/[[annIvfPqSearch]] is the
     // amortized production split of this one-shot query)
-    ivfPqSearchWith(e, codes, cents, books, kNN, nProbe, rerank, m, subDim, k,
+    ivfPqSearchWith(e, _ => codes, cents, books, kNN, nProbe, rerank, m, subDim, k,
       nQueries)(s)
   }
 
@@ -715,7 +715,7 @@ object Similarity {
     * lists → exact re-rank), shared verbatim by the self-contained
     * [[annIvfPq]] and the persisted-index [[annIvfPqSearch]] — given the
     * same model and codes, the two paths are the same plan. */
-  private def ivfPqSearchWith(e: DataFrame, codes: DataFrame,
+  private def ivfPqSearchWith(e: DataFrame, codesFor: Seq[Int] => DataFrame,
                               cents: Seq[Seq[Double]], books: Seq[Seq[Double]],
                               kNN: Int, nProbe: Int, rerank: Int,
                               m: Int, subDim: Int, k: Int,
@@ -726,11 +726,18 @@ object Similarity {
     val queries = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("norm").as("qn"))
     val probeW = Window.partitionBy(col("query_id")).orderBy(col("cdist"), col("cid"))
-    val probed = queries.join(broadcast(centDf), lit(true))
-      .withColumn("cdist", -VectorOps.cosine(col("qv"), col("centroid")))
-      .withColumn("crank", row_number().over(probeW))
-      .filter(col("crank") <= nProbe)
-      .select(col("query_id"), col("cid"), col("qv").as("embedding"))
+    val probed = graft.Checkpoints.local(
+      queries.join(broadcast(centDf), lit(true))
+        .withColumn("cdist", -VectorOps.cosine(col("qv"), col("centroid")))
+        .withColumn("crank", row_number().over(probeW))
+        .filter(col("crank") <= nProbe)
+        .select(col("query_id"), col("cid"), col("qv").as("embedding")))
+    // the union of probed lists across the query set — what the code scan
+    // is allowed to read (≤ nCentroids ints to the driver); a partitioned
+    // index turns this into file-level pruning via `codesFor`
+    val probedCids = probed.select(col("cid")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val codes = codesFor(probedCids)
     // LUT as DATA, not literals: the previous formulation compiled an
     // m·k-struct literal array (with m·(k + nCentroids + 1) literal dot
     // loops inside) into the plan on EVERY run — a fixed analysis+codegen
@@ -835,9 +842,15 @@ object Similarity {
                           m: Int = 8, subDim: Int = 8,
                           k: Int = 16): (Seq[Seq[Double]], Seq[Seq[Double]]) = {
     import s.implicits._
-    pqEncodeResiduals(assignCid(vecs, cents).select(col("vec_id"), col("cid"), col("embedding")),
-        cents, books, m, subDim, k)
-      .write.mode("overwrite").parquet(s"$indexDir/codes.parquet")
+    // codes are HASH-PARTITIONED on cid (round 13): `cid` is the search's
+    // probe key — annIvfPqSearch reads ONLY the partitions the probed
+    // lists hash into, which is the physical form of the "scan the probed
+    // lists" promise (rowgroup stats pruned within a file before; now the
+    // unprobed files are never opened at all)
+    IndexFamily.writePartitioned(
+      pqEncodeResiduals(assignCid(vecs, cents).select(col("vec_id"), col("cid"), col("embedding")),
+        cents, books, m, subDim, k),
+      s"$indexDir/codes.parquet", "cid")
     // drift baselines: the build corpus's assignment fit and IVF list
     // occupancy under the model just frozen — what ivfPqDriftCheck
     // compares every future append against (bounded sampled scans;
@@ -868,8 +881,16 @@ object Similarity {
                      m: Int = 8, subDim: Int = 8, k: Int = 16,
                      nQueries: Int = QueryCount): DataFrame = {
     val (cents, books) = loadIvfPqModel(s, indexDir, m, subDim, k)
-    val codes = s.read.parquet(s"$indexDir/codes.parquet")
-    ivfPqSearchWith(emb(s, dir), codes, cents, books, kNN, nProbe, rerank,
+    val codesPath = s"$indexDir/codes.parquet"
+    // the cid-partitioned layout makes "scan the probed lists" physical:
+    // read ONLY the partitions the probed cids hash into — unprobed code
+    // files are never opened (round 13)
+    val codesFor = (probedCids: Seq[Int]) => {
+      val nP = IndexFamily.partsOf(s, codesPath)
+      IndexFamily.readPartitions(s, codesPath,
+        probedCids.map(c => math.floorMod(c, nP)).distinct)
+    }
+    ivfPqSearchWith(emb(s, dir), codesFor, cents, books, kNN, nProbe, rerank,
       m, subDim, k, nQueries)(s)
   }
 
@@ -930,11 +951,10 @@ object Similarity {
     val codes = pqEncodeResiduals(
       assignCid(newVecs, cents).select(col("vec_id"), col("cid"), col("embedding")),
       cents, books, m, subDim, k)
-    // the append-vs-maintenance race refuses instead of losing rows
-    // (IndexFamily lease, round-13 verdict task 5)
-    IndexFamily.requireNoLease(s, s"$indexDir/codes.parquet",
+    // append into the cid-partitioned layout; the lease check inside makes
+    // the append-vs-maintenance race refuse instead of losing rows
+    IndexFamily.appendPartitioned(codes, s"$indexDir/codes.parquet", "cid",
       "appendToIvfPqIndex")
-    codes.write.mode("append").parquet(s"$indexDir/codes.parquet")
     codes
   }
 
@@ -956,8 +976,12 @@ object Similarity {
                            vecIds: DataFrame): Unit = {
     val idsRaw = vecIds.select(col("vec_id")).distinct()
     val ids = IndexFamily.maybeBroadcast(idsRaw, idsRaw.count())
-    IndexMaintenance.rewriteSwap(s, s"$indexDir/codes.parquet")(
-      _.join(ids, Seq("vec_id"), "left_anti"))
+    // layout-preserving rewrite (the using-column anti-join moves vec_id
+    // first — re-select the stored order, the mergeTouched discipline)
+    IndexFamily.rewritePartitioned(s, s"$indexDir/codes.parquet", "cid") { c =>
+      c.join(ids, Seq("vec_id"), "left_anti")
+        .select(c.columns.map(col): _*)
+    }
   }
 
   /** COMPACT a persisted IVF-PQ index's code table — the
@@ -969,9 +993,12 @@ object Similarity {
     * probed-list semantics promise. Pure reorganization
     * (IndexMaintenanceSpec pins search-identical). */
   def compactIvfPqIndex(s: SparkSession, indexDir: String, nFiles: Int = 8): Unit =
-    IndexMaintenance.rewriteSwap(s, s"$indexDir/codes.parquet")(
-      _.repartition(nFiles, col("cid"))
-        .sortWithinPartitions("cid", "vec_id", "sub_idx"))
+    // layout-preserving: one file per cid partition (appends accumulate a
+    // file per batch per touched partition; compaction collapses them),
+    // rows ordered by (cid, vec_id, sub_idx) within the file — `nFiles`
+    // is subsumed by the partition grain
+    IndexFamily.rewritePartitioned(s, s"$indexDir/codes.parquet", "cid",
+      sortCols = Seq("cid", "vec_id", "sub_idx"))(identity)
 
   // -----------------------------------------------------------------
   // Drift telemetry: WHEN to rebuild instead of append (round 12 — the

@@ -130,11 +130,13 @@ object StreamDedup {
     * micro-batch sees it), under the same batchId-ledger replay guard. */
   def embeddingAgainstIndex(stream: DataFrame, indexDir: String,
                             threshold: Double = 0.4,
+                            nBands: Int = 16, bandBits: Int = 4,
                             append: Boolean = true)
                            (sink: DataFrame => Unit):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      sink(embeddingBatch(batch, batchId, indexDir, threshold, append))
+      sink(embeddingBatch(batch, batchId, indexDir, threshold, nBands, bandBits,
+        append))
     }
 
   /** One micro-batch of [[embeddingAgainstIndex]] (testable without a
@@ -142,10 +144,12 @@ object StreamDedup {
   private[graft] def embeddingBatch(batch: DataFrame, batchId: Long,
                                     indexDir: String,
                                     threshold: Double = 0.4,
+                                    nBands: Int = 16, bandBits: Int = 4,
                                     append: Boolean = true): DataFrame =
     replayGuarded(batch, batchId, indexDir, append) { doAppend =>
       graft.operators.Dedup.embeddingIncrementSurvivors(
-        batch.sparkSession, batch, indexDir, threshold, append = doAppend,
+        batch.sparkSession, batch, indexDir, threshold, nBands, bandBits,
+        append = doAppend,
         strictIds = false) // torn-replay tolerance, see nearDupBatch
     }
 

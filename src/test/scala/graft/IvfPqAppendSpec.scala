@@ -61,9 +61,11 @@ class IvfPqAppendSpec extends AnyFunSuite with SparkTestBase {
     val idx = tmpIdx("batchonly")
     Similarity.buildIvfPqIndexOver(spark, emb.filter(col("vec_id") < 50), idx,
       VectorOps.hyperplanes(8, 64, seed = 5L), VectorOps.hyperplanes(8 * 16, 8, seed = 6L))
-    val codesDir = new java.io.File(s"$idx/codes.parquet")
-    codesDir.listFiles.foreach(_.delete())
-    codesDir.delete()
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rmTree)
+      f.delete()
+    }
+    rmTree(new java.io.File(s"$idx/codes.parquet")) // cid-partitioned dirs too
     val appended = Similarity.appendToIvfPqIndex(spark,
       emb.filter(col("vec_id") >= 50 && col("vec_id") < 60), idx)
     assert(appended.count() == 10 * 8)
