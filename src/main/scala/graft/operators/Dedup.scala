@@ -453,6 +453,8 @@ object Dedup {
     import s.implicits._
     val sigs = minhashSignaturesOf(s, d, memoKey).cache()
     sigs.write.mode("overwrite").parquet(s"$indexDir/signatures.parquet")
+    // a rebuild invalidates any previous build's id watermark at this path
+    IndexFamily.resetIdWatermark(s, s"$indexDir/signatures.parquet")
     bandedOf(sigs).write.mode("overwrite").parquet(s"$indexDir/postings.parquet")
     Seq((MinhashPerms, MinhashBands))
       .toDF("perms", "bands")
@@ -511,12 +513,7 @@ object Dedup {
       // the append contract, ENFORCED (round-13 verdict task 3): ids must
       // be new to the index — a re-ingested id would double its postings
       // and re-emit its pairs; strict refuses, the stream replay path
-      // downgrades to the documented TORN-REPLAY warning. The lease check
-      // closes the append-vs-maintenance race (task 5).
-      IndexFamily.requireNoLease(s, s"$indexDir/signatures.parquet",
-        "dedupIncrement append")
-      IndexFamily.requireNoLease(s, s"$indexDir/postings.parquet",
-        "dedupIncrement append")
+      // downgrades to the documented TORN-REPLAY warning.
       IndexFamily.requireNewIds(s, s"$indexDir/signatures.parquet", "doc_id",
         newSigs.select(col("doc_id")), nNew, "dedupIncrement", strictIds)
       // safe to append before the caller evaluates `result`: its plan
@@ -526,11 +523,18 @@ object Dedup {
       // files per 250-doc append — 10 appends tripled the probe's file
       // listing), so a daily-sized batch lands as few files and only
       // backfill-sized ones fan out; compactIndex owns the long-run
-      // layout either way.
-      newSigs.coalesce(appendFileCount(nNew))
-        .write.mode("append").parquet(s"$indexDir/signatures.parquet")
-      bandedOf(newSigs).coalesce(appendFileCount(nNew * MinhashBands))
-        .write.mode("append").parquet(s"$indexDir/postings.parquet")
+      // layout either way. Each write HOLDS its table's lease (not a
+      // check-then-act pre-check): a rewrite starting between a check and
+      // the files landing would silently drop them from the new
+      // generation (round-13 review finding).
+      IndexFamily.withLease(s, s"$indexDir/signatures.parquet") {
+        newSigs.coalesce(appendFileCount(nNew))
+          .write.mode("append").parquet(s"$indexDir/signatures.parquet")
+      }
+      IndexFamily.withLease(s, s"$indexDir/postings.parquet") {
+        bandedOf(newSigs).coalesce(appendFileCount(nNew * MinhashBands))
+          .write.mode("append").parquet(s"$indexDir/postings.parquet")
+      }
     }
     result
   }
@@ -809,6 +813,13 @@ object Dedup {
                        append: Boolean = true,
                        strictIds: Boolean = true): DataFrame = {
     val statePath = s"$indexDir/clusters.parquet"
+    // BEST-EFFORT pre-check of the state table's lease before the pair
+    // index is appended: a lease refusal at the final merge would leave
+    // postings without labels and a permanently-refused strict retry
+    // (round-13 review finding; recovery from a true race remains
+    // deleteFromDedupIndex of the batch ids + retry)
+    if (append) IndexFamily.requireNoLease(s, statePath,
+      "clusterIncrement (state-merge pre-check)")
     // snapshot the state part files FIRST: the append path swaps them,
     // and the lookup side must read the pre-batch state
     val state = IndexFamily.readSnapshot(s, statePath)
@@ -831,11 +842,8 @@ object Dedup {
     val touchedLabels = IndexFamily.maybeBroadcast(touchedLabelsRaw, 2 * nPairs)
     // membership of touched components: read ONLY the partitions their
     // labels hash into (rows colocate by cluster_id — the layout's point)
-    val touchedParts = touchedLabelsRaw
-      .select(IndexFamily.partOf(col("cluster_id"),
-        IndexFamily.partsOf(s, statePath)).as("_p"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    val touchedState = IndexFamily.readPartitions(s, statePath, touchedParts)
+    val touchedState = IndexFamily.readPartitions(s, statePath,
+        IndexFamily.touchedPartitions(s, statePath, touchedLabelsRaw, "cluster_id"))
       .join(touchedLabels, Seq("cluster_id"), "left_semi")
     val starEdges = touchedState.filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
@@ -967,11 +975,12 @@ object Dedup {
     // verdict task 3): both legs keep-the-minimum, so a batch doc with an
     // id below an indexed doc would flip decisions the full pipeline
     // makes the other way (and invalidate already-shipped keeps) —
-    // REFUSED, not assumed (one column-pruned max() over the stored ids)
-    val batchMin = newDocs.agg(min(col("doc_id"))).head()
-    if (!batchMin.isNullAt(0))
+    // REFUSED, not assumed (O(1) against the signatures id watermark)
+    val batchExt = newDocs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    if (!batchExt.isNullAt(0))
       IndexFamily.requireIdsAbove(s, s"$indexDir/signatures.parquet", "doc_id",
-        batchMin.getLong(0), "dedupPipelineIncrement", strictIds)
+        newDocs.select(col("doc_id")), batchExt.getLong(0), batchExt.getLong(1),
+        "dedupPipelineIncrement", strictIds)
     val labels = clusterIncrement(s, newDocs, indexDir, memoKey,
       threshold, bucketCap, append, strictIds)
     val nearDrops = labels.filter(col("doc_id") =!= col("cluster_id"))
@@ -1258,19 +1267,19 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
     if (append) {
-      // append contract + maintenance lease, like dedupIncrement's
-      IndexFamily.requireNoLease(s, s"$indexDir/fingerprints.parquet",
-        "simhashDedupIncrement append")
-      IndexFamily.requireNoLease(s, s"$indexDir/postings.parquet",
-        "simhashDedupIncrement append")
+      // append contract + lease-held writes, like dedupIncrement's
       IndexFamily.requireNewIds(s, s"$indexDir/fingerprints.parquet", "doc_id",
         newFps.select(col("doc_id")), nNew, "simhashDedupIncrement", strictIds)
       // batch-sized appends, like dedupIncrement's (see appendFileCount)
-      newFps.coalesce(appendFileCount(nNew))
-        .write.mode("append").parquet(s"$indexDir/fingerprints.parquet")
-      simhashWideBandedOf(newFps, maxHamming, nBlocks)
-        .coalesce(appendFileCount(nNew * nBands))
-        .write.mode("append").parquet(s"$indexDir/postings.parquet")
+      IndexFamily.withLease(s, s"$indexDir/fingerprints.parquet") {
+        newFps.coalesce(appendFileCount(nNew))
+          .write.mode("append").parquet(s"$indexDir/fingerprints.parquet")
+      }
+      IndexFamily.withLease(s, s"$indexDir/postings.parquet") {
+        simhashWideBandedOf(newFps, maxHamming, nBlocks)
+          .coalesce(appendFileCount(nNew * nBands))
+          .write.mode("append").parquet(s"$indexDir/postings.parquet")
+      }
     }
     result
   }
@@ -1405,18 +1414,18 @@ object Dedup {
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"),
         floor(col("cos_sim") * lit(10000.0) + lit(0.5)).cast("long").as("cos_e4"))
     if (append) {
-      // append contract + maintenance lease, like dedupIncrement's
-      IndexFamily.requireNoLease(s, s"$indexDir/vectors.parquet",
-        "embeddingDedupIncrement append")
-      IndexFamily.requireNoLease(s, s"$indexDir/postings.parquet",
-        "embeddingDedupIncrement append")
+      // append contract + lease-held writes, like dedupIncrement's
       IndexFamily.requireNewIds(s, s"$indexDir/vectors.parquet", "doc_id",
         newE.select(col("doc_id")), nNew, "embeddingDedupIncrement", strictIds)
-      newE.coalesce(appendFileCount(nNew))
-        .write.mode("append").parquet(s"$indexDir/vectors.parquet")
-      embeddingBandedOf(newE, nBands, bandBits, dim)
-        .coalesce(appendFileCount(nNew * nBands))
-        .write.mode("append").parquet(s"$indexDir/postings.parquet")
+      IndexFamily.withLease(s, s"$indexDir/vectors.parquet") {
+        newE.coalesce(appendFileCount(nNew))
+          .write.mode("append").parquet(s"$indexDir/vectors.parquet")
+      }
+      IndexFamily.withLease(s, s"$indexDir/postings.parquet") {
+        embeddingBandedOf(newE, nBands, bandBits, dim)
+          .coalesce(appendFileCount(nNew * nBands))
+          .write.mode("append").parquet(s"$indexDir/postings.parquet")
+      }
     }
     result
   }
@@ -1973,6 +1982,13 @@ object Dedup {
       s"semantic index at $indexDir: model has ${cents.length} centroids, " +
         s"meta says ${meta.getInt(0)} — index is corrupt, rebuild it")
     val groupsPath = s"$indexDir/groups.parquet"
+    // BEST-EFFORT pre-check of the state table's lease before anything is
+    // appended: a lease refusal at the final state merge would otherwise
+    // leave a half-applied increment (vectors landed, groups not) whose
+    // strict-id retry is permanently refused (round-13 review finding;
+    // recovery from a true race remains deleteFromSemanticIndex + retry)
+    if (append) IndexFamily.requireNoLease(s, groupsPath,
+      "semanticDedupIncrement (state-merge pre-check)")
     val oldAsg = s.read.parquet(parquetPartFiles(s, s"$indexDir/vectors.parquet"): _*)
     val groups = IndexFamily.readSnapshot(s, groupsPath)
     val newAsg = graft.Checkpoints.local(semAssign(newVecs, cents))
@@ -2006,11 +2022,8 @@ object Dedup {
         .select(col("cluster_id")).distinct())
     val touchedLabels = IndexFamily.maybeBroadcast(touchedLabelsRaw, 2 * nPairs)
     // group membership read ∝ touched partitions (rows colocate by label)
-    val touchedParts = touchedLabelsRaw
-      .select(IndexFamily.partOf(col("cluster_id"),
-        IndexFamily.partsOf(s, groupsPath)).as("_p"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    val touchedState = IndexFamily.readPartitions(s, groupsPath, touchedParts)
+    val touchedState = IndexFamily.readPartitions(s, groupsPath,
+        IndexFamily.touchedPartitions(s, groupsPath, touchedLabelsRaw, "cluster_id"))
       .join(touchedLabels, Seq("cluster_id"), "left_semi")
     val starEdges = touchedState.filter(col("vec_id") =!= col("cluster_id"))
       .select(col("vec_id").as("doc_a"), col("cluster_id").as("doc_b"))
@@ -2030,13 +2043,13 @@ object Dedup {
       .select(col("vec_id"), col("cid"), col("cluster_id"), col("cent_e4"),
         (col("vec_id") === col("pick.vec_id")).cast("int").as("keep"))
     if (append && nNew > 0) { // an empty batch must be a true no-op
-      // append contract + maintenance lease, like dedupIncrement's
-      IndexFamily.requireNoLease(s, s"$indexDir/vectors.parquet",
-        "semanticDedupIncrement append")
+      // append contract + lease-held write, like dedupIncrement's
       IndexFamily.requireNewIds(s, s"$indexDir/vectors.parquet", "vec_id",
         newAsg.select(col("vec_id")), nNew, "semanticDedupIncrement", strictIds)
-      newAsg.coalesce(appendFileCount(nNew))
-        .write.mode("append").parquet(s"$indexDir/vectors.parquet")
+      IndexFamily.withLease(s, s"$indexDir/vectors.parquet") {
+        newAsg.coalesce(appendFileCount(nNew))
+          .write.mode("append").parquet(s"$indexDir/vectors.parquet")
+      }
       val multi = out.groupBy(col("cluster_id"))
         .agg(count(lit(1)).as("n")).filter(col("n") > 1).select(col("cluster_id"))
       val newState = out.join(multi, Seq("cluster_id"), "left_semi")
@@ -2060,9 +2073,10 @@ object Dedup {
       _.distinct()
         .repartition(nFiles, col("cid")).sortWithinPartitions("cid", "vec_id"))
     // the group state keeps its hash-partitioned layout (the increment's
-    // merge unit); compaction here is the distinct() torn-append repair
+    // merge unit); compaction here is the distinct() torn-append repair,
+    // with the within-file key order restored for rowgroup-stat pruning
     IndexFamily.rewritePartitioned(s, s"$indexDir/groups.parquet",
-      "cluster_id")(_.distinct())
+      "cluster_id", sortCols = Seq("cluster_id", "vec_id"))(_.distinct())
   }
 
   /** DELETE vectors from a semantic index (takedown): rewrite-filter the
@@ -2687,6 +2701,8 @@ object Dedup {
     val occs = spanOccurrencesOf(s, d, spanLen)
       .select(col("doc_id"), col("i"), col("span_h")).cache()
     occs.write.mode("overwrite").parquet(s"$indexDir/spans.parquet")
+    // a rebuild invalidates any previous build's id watermark at this path
+    IndexFamily.resetIdWatermark(s, s"$indexDir/spans.parquet")
     // the aggregate is hash-partitioned on span_h — the increment probes
     // it BY span_h, so both the probe read and the merge rewrite prune to
     // the partitions the batch's spans hash into (round-13 verdict task 1)
@@ -2731,6 +2747,11 @@ object Dedup {
         s"(${meta.getInt(0)},${meta.getLong(1)}); caller passed " +
         s"($spanLen,$SpanCanonMod) — rebuild the index")
     val postingsPath = s"$indexDir/postings.parquet"
+    // best-effort state-merge pre-check before the occurrence append (the
+    // clusterIncrement wedge argument; recovery from a true race remains
+    // deleteFromSpanIndex of the batch ids + retry)
+    if (append) IndexFamily.requireNoLease(s, postingsPath,
+      "spanRemovalIncrement (state-merge pre-check)")
     val batchOcc = graft.Checkpoints.local(
       spanOccurrencesOf(s, newDocs, spanLen))
     val occ = col("doc_id") * lit(SpanCanonMod) + col("i")
@@ -2746,11 +2767,8 @@ object Dedup {
     // partitions the batch's spans hash into are READ at all; at daily
     // batch sizes that is the whole point of the layout (∝ touched, not
     // ∝ index, round-13 verdict task 1)
-    val touchedParts = batchAggRaw
-      .select(IndexFamily.partOf(col("span_h"),
-        IndexFamily.partsOf(s, postingsPath)).as("_p"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    val postings = IndexFamily.readPartitions(s, postingsPath, touchedParts)
+    val postings = IndexFamily.readPartitions(s, postingsPath,
+      IndexFamily.touchedPartitions(s, postingsPath, batchAggRaw, "span_h"))
     // eagerly materialized: both the returned result and the aggregate
     // merge consume it, and the merge SWAPS the partition files this join
     // reads — a lazy plan would re-execute over deleted parts (the
@@ -2769,19 +2787,21 @@ object Dedup {
              when(col("keep"), struct(col("i"), col("span"))))),
              x => x("span")), " ").as("clean_text"))
     if (append) {
-      IndexFamily.requireNoLease(s, s"$indexDir/spans.parquet",
-        "spanRemovalIncrement append")
       // the ORDERING contract, enforced (round-13 verdict task 3): an
       // indexed span's canon must stay in the corpus — a batch id BELOW an
       // indexed id could steal a canon and silently invalidate the
       // already-shipped clean text of an old document; refused instead
-      // (one column-pruned max() over the stored occurrence ids)
-      val batchMin = batchOcc.agg(min(col("doc_id"))).head()
-      if (!batchMin.isNullAt(0))
+      // (O(1) against the persisted id watermark; the stream path
+      // tolerates only a PROVEN torn-commit redelivery)
+      val batchExt = batchOcc.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      if (!batchExt.isNullAt(0))
         IndexFamily.requireIdsAbove(s, s"$indexDir/spans.parquet", "doc_id",
-          batchMin.getLong(0), "spanRemovalIncrement", strictIds)
-      batchOcc.select(col("doc_id"), col("i"), col("span_h"))
-        .write.mode("append").parquet(s"$indexDir/spans.parquet")
+          batchOcc.select(col("doc_id")), batchExt.getLong(0), batchExt.getLong(1),
+          "spanRemovalIncrement", strictIds)
+      IndexFamily.withLease(s, s"$indexDir/spans.parquet") {
+        batchOcc.select(col("doc_id"), col("i"), col("span_h"))
+          .write.mode("append").parquet(s"$indexDir/spans.parquet")
+      }
       // partition-scoped merge: aggregate partitions no batch span hashes
       // into keep their files byte-identical (IndexFamily.mergeTouched)
       IndexFamily.mergeTouched(s, postingsPath, "span_h",
@@ -2841,8 +2861,10 @@ object Dedup {
         .repartition(nFiles, col("doc_id")).sortWithinPartitions("doc_id", "i"))
     val occs = s.read.parquet(parquetPartFiles(s, s"$indexDir/spans.parquet"): _*)
     // the aggregate keeps its hash-partitioned layout (the increment's
-    // probe/merge unit); recompute-not-reshuffle is the torn-commit repair
-    IndexFamily.rewritePartitioned(s, s"$indexDir/postings.parquet", "span_h")(_ =>
+    // probe/merge unit); recompute-not-reshuffle is the torn-commit
+    // repair; within-file span_h order restores rowgroup-stat pruning
+    IndexFamily.rewritePartitioned(s, s"$indexDir/postings.parquet", "span_h",
+      sortCols = Seq("span_h"))(_ =>
       occs.groupBy(col("span_h"))
         .agg(countDistinct(col("doc_id")).as("n_docs"),
              min(col("doc_id") * lit(SpanCanonMod) + col("i")).as("canon")))

@@ -209,12 +209,25 @@ object IndexFamily {
   def appendPartitioned(df: DataFrame, path: String, keyCol: String,
                         op: String): Unit = {
     val s = df.sparkSession
-    requireNoLease(s, path, op)
     val nParts = partsOf(s, path)
-    df.withColumn("_p", partOf(col(keyCol), nParts))
-      .repartition(col("_p"))
-      .write.partitionBy("_p").mode("append").parquet(path)
+    // the append HOLDS the lease for its write (not a check-then-act
+    // pre-check): a rewrite starting between a lease check and the files
+    // landing would snapshot without them and silently drop them from the
+    // new generation (round-13 review finding) — holding the same mutex
+    // fully serializes appends with maintenance
+    withLease(s, path) {
+      df.withColumn("_p", partOf(col(keyCol), nParts))
+        .repartition(col("_p"))
+        .write.partitionBy("_p").mode("append").parquet(path)
+    }
   }
+
+  /** The partitions a key set hashes into (≤ nParts tiny rows to the
+    * driver) — the increments' probe-pruning step, single-sourced. */
+  def touchedPartitions(s: SparkSession, path: String, keys: DataFrame,
+                        keyCol: String): Seq[Int] =
+    keys.select(partOf(col(keyCol), partsOf(s, path)).as("_p"))
+      .distinct().collect().map(_.getInt(0)).toSeq
 
   /** Snapshot files of ONLY the given partitions — what makes a probe or
     * merge read ∝ touched partitions instead of ∝ state. Missing live
@@ -277,7 +290,6 @@ object IndexFamily {
     * telemetry — the §8.5.9 probe reads it). */
   def mergeTouched(s: SparkSession, path: String, keyCol: String,
                    touchedKeys: DataFrame, newRows: DataFrame): Int = {
-    repairTorn(s, path)
     val nParts = partsOf(s, path)
     val affected = touchedKeys.select(col(keyCol))
       .unionByName(newRows.select(col(keyCol)))
@@ -285,10 +297,14 @@ object IndexFamily {
       .collect().map(_.getInt(0)).sorted.toSeq
     if (affected.isEmpty) return 0
     val fs = fsFor(s, path)
-    // the lease covers the whole read→stage→swap window (the rewriteSwap
-    // contract): a maintenance rewrite landing between our snapshot and
-    // our swap would otherwise be silently undone by the swap
+    // the lease covers the whole repair→read→stage→swap window (the
+    // rewriteSwap contract): a maintenance rewrite landing between our
+    // snapshot and our swap would otherwise be silently undone by the
+    // swap — and repairTorn must run INSIDE it, or a second merge's
+    // repair would delete a live merge's staging and promote its parks
+    // mid-swap (losing the partition entirely; round-13 review finding)
     withLease(s, path) {
+      repairTorn(s, path)
       val stored = readPartitions(s, path, affected)
       // the using-column anti-join moves the key column FIRST — re-select
       // the stored order so merged files keep the build's column layout
@@ -332,11 +348,11 @@ object IndexFamily {
   def rewritePartitioned(s: SparkSession, path: String, keyCol: String,
                          sortCols: Seq[String] = Nil)
                         (transform: DataFrame => DataFrame): Unit = {
-    repairTorn(s, path)
     val nParts = partsOf(s, path)
     val staging = path + ".rewrite"
     val fs = fsFor(s, path)
-    withLease(s, path) { // covers read→stage→swap, the rewriteSwap contract
+    withLease(s, path) { // covers repair→read→stage→swap (see mergeTouched)
+      repairTorn(s, path)
       val staged = transform(readSnapshot(s, path))
         .withColumn("_p", partOf(col(keyCol), nParts))
         .repartition(col("_p"))
@@ -368,7 +384,15 @@ object IndexFamily {
     * path, where a torn commit legitimately redelivers already-appended
     * ids — downgrades to a stderr TORN-REPLAY line (re-appending
     * duplicates rows, which is decision-neutral and compact-repaired; the
-    * documented contract). Returns the overlap count. */
+    * documented contract). Returns the overlap count.
+    *
+    * Cost note: the semi-join scans the stored id column (one thin
+    * column, ∝ index) per appending batch — the same class as the
+    * member→label lookup, and served the same way at deployment: an id
+    * bloom filter in the table format's metadata makes it a per-file
+    * constant. Unlike the ORDERING guard it cannot ride a watermark
+    * (newness is about membership, not order), so the honest local form
+    * is the keyed scan. */
   def requireNewIds(s: SparkSession, tablePath: String, idCol: String,
                     batchIds: DataFrame, batchRows: Long, op: String,
                     strict: Boolean = true): Long = {
@@ -388,25 +412,86 @@ object IndexFamily {
     overlap
   }
 
+  /** The persisted max-id WATERMARK a table's ordering contract reads —
+    * an O(1) driver-side file instead of a per-batch max() scan of the
+    * stored id column (which would re-introduce a ∝-index cost per batch,
+    * round-13 review finding). Crash discipline: the watermark is
+    * ADVANCED BEFORE the append lands, so a crash between the two leaves
+    * it too HIGH — the safe direction (over-refuses a legitimate id
+    * range; never silently accepts an id at-or-below a stored one). A
+    * missing/corrupt watermark falls back to the max() scan once and
+    * re-seeds the file. */
+  private def watermarkPath(tablePath: String) = tablePath + ".maxid"
+
+  def idWatermark(s: SparkSession, tablePath: String, idCol: String): Long = {
+    val fs = fsFor(s, tablePath)
+    val p = hp(watermarkPath(tablePath))
+    val fromFile: Option[Long] =
+      if (fs.exists(p)) {
+        val in = fs.open(p)
+        try scala.util.Try(
+          scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong).toOption
+        finally in.close()
+      } else None
+    fromFile.getOrElse {
+      val row = readSnapshot(s, tablePath).agg(max(col(idCol))).head()
+      val m = if (row.isNullAt(0)) Long.MinValue else row.getLong(0)
+      advanceIdWatermark(s, tablePath, m)
+      m
+    }
+  }
+
+  def advanceIdWatermark(s: SparkSession, tablePath: String, id: Long): Unit = {
+    val out = fsFor(s, tablePath).create(hp(watermarkPath(tablePath)), true)
+    out.write(id.toString.getBytes("UTF-8")); out.close()
+  }
+
+  /** Drop the watermark file — every BUILD that overwrites the table must
+    * call this, or a stale-high watermark from a previous build at the
+    * same path would wrongly refuse the new index's first increments
+    * (re-seeded by one max() scan on next use). */
+  def resetIdWatermark(s: SparkSession, tablePath: String): Unit =
+    fsFor(s, tablePath).delete(hp(watermarkPath(tablePath)), false)
+
   /** Enforce the stronger ORDERING contract where it is load-bearing
     * (the span canon rule and the pipeline's exact keep-the-minimum leg):
-    * every batch id must be LARGER than every indexed id, checked with
-    * one column-pruned max() over the stored ids (rowgroup stats serve
-    * it; a deployment keeps this watermark in table metadata). Same
-    * strict/replay split as [[requireNewIds]] — a redelivered torn batch
-    * contains exactly the ids it already appended, which would violate
-    * ordering spuriously. */
+    * every batch id must be LARGER than every indexed id, checked against
+    * the [[idWatermark]] (O(1); seeded by one max() scan on first use or
+    * after a lost watermark file). On success the watermark is advanced
+    * to `batchMaxId` BEFORE the caller appends (crash-safe direction).
+    *
+    * Violation handling: `strict` refuses (the batch-API contract). The
+    * stream path (`strict = false`) distinguishes the two causes a
+    * violation can have — a redelivered TORN batch carries exactly ids it
+    * already appended (every batch id is present in the stored table), is
+    * warned and tolerated (the documented duplicate-rows contract); a
+    * genuinely OUT-OF-ORDER fresh batch (some id absent from the table)
+    * is REFUSED even on the stream path, because proceeding would
+    * silently steal canons and invalidate already-shipped output — the
+    * exact corruption this guard exists to stop (round-13 review
+    * finding). */
   def requireIdsAbove(s: SparkSession, tablePath: String, idCol: String,
-                      batchMinId: Long, op: String,
-                      strict: Boolean = true): Unit = {
-    val maxStored = readSnapshot(s, tablePath)
-      .agg(max(col(idCol))).head().getLong(0)
-    if (batchMinId <= maxStored) {
-      val msg = s"$op: batch min $idCol $batchMinId <= max indexed $maxStored — " +
+                      batchIds: DataFrame, batchMinId: Long, batchMaxId: Long,
+                      op: String, strict: Boolean = true): Unit = {
+    val wm = idWatermark(s, tablePath, idCol)
+    if (batchMinId <= wm) {
+      val msg = s"$op: batch min $idCol $batchMinId <= id watermark $wm of $tablePath — " +
         "the canonical-minimum rule requires batch ids above every indexed id " +
         "(out-of-order ingest would silently re-canonicalize already-shipped output)"
       if (strict) throw new IllegalArgumentException(msg)
-      else System.err.println(s"[graft] TORN-REPLAY $msg; tolerated on replay only")
+      // replay-vs-out-of-order: only pay the stored-id probe on the
+      // violation path, never per healthy batch
+      val ids = batchIds.select(col(idCol)).distinct()
+      val nBatch = ids.count()
+      val present = readSnapshot(s, tablePath).select(col(idCol))
+        .join(maybeBroadcast(ids, nBatch), Seq(idCol), "left_semi")
+        .select(col(idCol)).distinct().count()
+      if (present < nBatch) throw new IllegalArgumentException(
+        msg + s" — and only $present of $nBatch batch ids are already indexed, " +
+          "so this is NOT a torn-commit redelivery; refusing on the stream path too")
+      System.err.println(s"[graft] TORN-REPLAY $msg; all $nBatch batch ids already " +
+        "indexed — tolerated as a redelivery (duplicate rows; compact repairs)")
     }
+    advanceIdWatermark(s, tablePath, math.max(wm, batchMaxId))
   }
 }

@@ -379,6 +379,11 @@ object Sampling {
       .select(col("doc_id"), col("cluster_id"))
     val starEdges = state.filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
+    val exactP = new org.apache.hadoop.fs.Path(s"$indexDir/exact_edges.parquet")
+    require(exactP.getFileSystem(s.sparkContext.hadoopConfiguration).exists(exactP),
+      s"$indexDir holds no exact_edges.parquet — the index path reads persisted " +
+        "exact-dup edges; run Dedup.buildExactState(corpus, indexDir) next to " +
+        "buildClusterState (or use leakageSafeSplit, the recompute path)")
     val exactEdges = s.read.parquet(s"$indexDir/exact_edges.parquet")
       .select(col("doc_a"), col("doc_b"))
     val labels = D.clusterPairsTiered(starEdges.unionByName(exactEdges))

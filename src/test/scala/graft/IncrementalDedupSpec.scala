@@ -282,7 +282,7 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestBase {
         docsAt(sf).filter(col("doc_id") >= split - 10 && col("doc_id") < split),
         idx2, append = true)
     }
-    assert(ord.getMessage.contains("max indexed"),
+    assert(ord.getMessage.contains("id watermark"),
       s"unexpected refusal message: ${ord.getMessage}")
     assert(postingsOf(idx2) == postingsOf(oneShot),
       "a refused append must not disturb the aggregate")
