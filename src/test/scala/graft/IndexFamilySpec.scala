@@ -130,6 +130,41 @@ class IndexFamilySpec extends AnyFunSuite with SparkTestBase {
     } finally IndexFamily.releaseLease(spark, s"$idx/signatures.parquet")
   }
 
+  test("id watermark: seeded by scan, advanced before append (crash-safe-high), reset on rebuild") {
+    import spark.implicits._
+    val dir = tmpDir("wm")
+    val path = s"$dir/t.parquet"
+    (1L to 10L).map(i => (i, i)).toDF("doc_id", "v").write.parquet(path)
+    // first use seeds from a max() scan of the stored ids
+    assert(IndexFamily.idWatermark(spark, path, "doc_id") == 10L)
+    // the ordering guard advances the watermark BEFORE the caller appends:
+    // simulate a crash AFTER the guard passed but BEFORE the append landed
+    IndexFamily.requireIdsAbove(spark, path, "doc_id",
+      Seq(11L, 12L).toDF("doc_id"), 11L, 12L, "wmSpec")
+    // nothing was appended, but the watermark is already 12 — the SAFE
+    // direction: the retried/next batch must start above the crashed one
+    assert(IndexFamily.idWatermark(spark, path, "doc_id") == 12L)
+    val e = intercept[IllegalArgumentException] {
+      IndexFamily.requireIdsAbove(spark, path, "doc_id",
+        Seq(12L).toDF("doc_id"), 12L, 12L, "wmSpec")
+    }
+    assert(e.getMessage.contains("id watermark"))
+    // a rebuild at the same path resets the file; next use re-seeds by scan
+    IndexFamily.resetIdWatermark(spark, path)
+    assert(IndexFamily.idWatermark(spark, path, "doc_id") == 10L)
+    // the stream path tolerates ONLY a proven torn redelivery: ids 1-3 are
+    // all already stored (replay) -> warn and proceed; a batch mixing a
+    // stored id with an ABSENT one (1, 11) is a genuinely out-of-order
+    // fresh batch -> refuse even non-strict
+    IndexFamily.requireIdsAbove(spark, path, "doc_id",
+      Seq(1L, 2L, 3L).toDF("doc_id"), 1L, 3L, "wmSpec", strict = false)
+    val e2 = intercept[IllegalArgumentException] {
+      IndexFamily.requireIdsAbove(spark, path, "doc_id",
+        Seq(1L, 11L).toDF("doc_id"), 1L, 11L, "wmSpec", strict = false)
+    }
+    assert(e2.getMessage.contains("NOT a torn-commit redelivery"))
+  }
+
   test("re-ingesting already-indexed ids refuses strictly, warns on the stream replay path") {
     val idx = tmpDir("newids")
     val d = Tables(spark, sf, "documents")
