@@ -453,8 +453,10 @@ object Dedup {
     import s.implicits._
     val sigs = minhashSignaturesOf(s, d, memoKey).cache()
     sigs.write.mode("overwrite").parquet(s"$indexDir/signatures.parquet")
-    // a rebuild invalidates any previous build's id watermark at this path
-    IndexFamily.resetIdWatermark(s, s"$indexDir/signatures.parquet")
+    // a rebuild invalidates any previous build's id sidecars at this path
+    // — re-seeded from the fresh content (watermark + id bloom, the
+    // newness guard's fast paths; stale-LOW survivors would false-accept)
+    IndexFamily.seedIdGuards(s, s"$indexDir/signatures.parquet", "doc_id")
     bandedOf(sigs).write.mode("overwrite").parquet(s"$indexDir/postings.parquet")
     Seq((MinhashPerms, MinhashBands))
       .toDF("perms", "bands")
@@ -510,27 +512,24 @@ object Dedup {
     val result = verifyOnSignatures(cands, allSigs, threshold,
       broadcastCands = nNew * MinhashBands <= 2000000L)
     if (append) {
-      // the append contract, ENFORCED (round-13 verdict task 3): ids must
-      // be new to the index — a re-ingested id would double its postings
-      // and re-emit its pairs; strict refuses, the stream replay path
-      // downgrades to the documented TORN-REPLAY warning.
-      IndexFamily.requireNewIds(s, s"$indexDir/signatures.parquet", "doc_id",
-        newSigs.select(col("doc_id")), nNew, "dedupIncrement", strictIds)
-      // safe to append before the caller evaluates `result`: its plan
+      // the append contract, ENFORCED (round-13 verdict task 3; round-14
+      // gating): ids must be new to the index — a re-ingested id would
+      // double its postings and re-emit its pairs; strict refuses, the
+      // stream replay path downgrades to the documented TORN-REPLAY
+      // warning. The guard rides the watermark/bloom sidecars (a healthy
+      // monotone batch never reads the stored id column), the watermark
+      // and bloom advance BEFORE the files land (crash-safe-high), and
+      // the write HOLDS the table lease — all via appendWithIdGuards.
+      // Safe to append before the caller evaluates `result`: its plan
       // reads the snapshot file lists, not the directories. Appends are
       // SIZED to the batch: an unsized write adds a full shuffle-width of
       // part files per append regardless of batch size (measured: 32
       // files per 250-doc append — 10 appends tripled the probe's file
       // listing), so a daily-sized batch lands as few files and only
       // backfill-sized ones fan out; compactIndex owns the long-run
-      // layout either way. Each write HOLDS its table's lease (not a
-      // check-then-act pre-check): a rewrite starting between a check and
-      // the files landing would silently drop them from the new
-      // generation (round-13 review finding).
-      IndexFamily.withLease(s, s"$indexDir/signatures.parquet") {
-        newSigs.coalesce(appendFileCount(nNew))
-          .write.mode("append").parquet(s"$indexDir/signatures.parquet")
-      }
+      // layout either way.
+      IndexFamily.appendWithIdGuards(newSigs, s"$indexDir/signatures.parquet",
+        "doc_id", nNew, appendFileCount(nNew), "dedupIncrement", strictIds)
       IndexFamily.withLease(s, s"$indexDir/postings.parquet") {
         bandedOf(newSigs).coalesce(appendFileCount(nNew * MinhashBands))
           .write.mode("append").parquet(s"$indexDir/postings.parquet")
@@ -1217,6 +1216,10 @@ object Dedup {
     import s.implicits._
     val fps = simhashFingerprintsOf(s, d).cache()
     fps.write.mode("overwrite").parquet(s"$indexDir/fingerprints.parquet")
+    // re-seed the id sidecars from the fresh content (buildMinhashIndex's
+    // argument: stale-LOW survivors from a previous build would let the
+    // newness guard's watermark gate false-accept)
+    IndexFamily.seedIdGuards(s, s"$indexDir/fingerprints.parquet", "doc_id")
     simhashWideBandedOf(fps, maxHamming, nBlocks)
       .write.mode("overwrite").parquet(s"$indexDir/postings.parquet")
     Seq((SimhashBits, nBlocks, maxHamming))
@@ -1267,14 +1270,10 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
     if (append) {
-      // append contract + lease-held writes, like dedupIncrement's
-      IndexFamily.requireNewIds(s, s"$indexDir/fingerprints.parquet", "doc_id",
-        newFps.select(col("doc_id")), nNew, "simhashDedupIncrement", strictIds)
-      // batch-sized appends, like dedupIncrement's (see appendFileCount)
-      IndexFamily.withLease(s, s"$indexDir/fingerprints.parquet") {
-        newFps.coalesce(appendFileCount(nNew))
-          .write.mode("append").parquet(s"$indexDir/fingerprints.parquet")
-      }
+      // gated append contract + sidecar advance + lease-held sized write,
+      // like dedupIncrement's (IndexFamily.appendWithIdGuards)
+      IndexFamily.appendWithIdGuards(newFps, s"$indexDir/fingerprints.parquet",
+        "doc_id", nNew, appendFileCount(nNew), "simhashDedupIncrement", strictIds)
       IndexFamily.withLease(s, s"$indexDir/postings.parquet") {
         simhashWideBandedOf(newFps, maxHamming, nBlocks)
           .coalesce(appendFileCount(nNew * nBands))
@@ -1336,6 +1335,9 @@ object Dedup {
     val e = vecs.select(col("vec_id").as("doc_id"), col("embedding"),
       VectorOps.l2Norm(col("embedding")).as("norm")).cache()
     e.write.mode("overwrite").parquet(s"$indexDir/vectors.parquet")
+    // re-seed the id sidecars from the fresh content (the
+    // buildMinhashIndex stale-LOW argument)
+    IndexFamily.seedIdGuards(s, s"$indexDir/vectors.parquet", "doc_id")
     embeddingBandedOf(e, nBands, bandBits, dim)
       .write.mode("overwrite").parquet(s"$indexDir/postings.parquet")
     Seq((nBands, bandBits, dim)).toDF("n_bands", "band_bits", "dim")
@@ -1414,13 +1416,10 @@ object Dedup {
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"),
         floor(col("cos_sim") * lit(10000.0) + lit(0.5)).cast("long").as("cos_e4"))
     if (append) {
-      // append contract + lease-held writes, like dedupIncrement's
-      IndexFamily.requireNewIds(s, s"$indexDir/vectors.parquet", "doc_id",
-        newE.select(col("doc_id")), nNew, "embeddingDedupIncrement", strictIds)
-      IndexFamily.withLease(s, s"$indexDir/vectors.parquet") {
-        newE.coalesce(appendFileCount(nNew))
-          .write.mode("append").parquet(s"$indexDir/vectors.parquet")
-      }
+      // gated append contract + sidecar advance + lease-held sized write,
+      // like dedupIncrement's (IndexFamily.appendWithIdGuards)
+      IndexFamily.appendWithIdGuards(newE, s"$indexDir/vectors.parquet",
+        "doc_id", nNew, appendFileCount(nNew), "embeddingDedupIncrement", strictIds)
       IndexFamily.withLease(s, s"$indexDir/postings.parquet") {
         embeddingBandedOf(newE, nBands, bandBits, dim)
           .coalesce(appendFileCount(nNew * nBands))
@@ -1539,6 +1538,13 @@ object Dedup {
     IndexMaintenance.rewriteSwap(s, s"$indexDir/${perDocTableOf(s, indexDir)}")(
       _.distinct()
         .repartition(nFiles, col("doc_id")).sortWithinPartitions("doc_id"))
+    // re-tighten the newness guard's bloom sidecar from the compacted
+    // content: deletions and torn-append repairs only ever leave it
+    // over-containing (safe), but compaction is the natural point to
+    // re-size it to the true id count
+    val perDoc = s"$indexDir/${perDocTableOf(s, indexDir)}"
+    if (IndexFamily.readIdBloom(s, perDoc).isDefined)
+      IndexFamily.writeIdBloom(s, perDoc, "doc_id")
   }
 
   /** Telemetry-driven compaction trigger: compacts when the postings
@@ -1929,6 +1935,9 @@ object Dedup {
     import s.implicits._
     semAssign(vecs, cents)
       .write.mode("overwrite").parquet(s"$indexDir/vectors.parquet")
+    // re-seed the id sidecars from the fresh content (the
+    // buildMinhashIndex stale-LOW argument)
+    IndexFamily.seedIdGuards(s, s"$indexDir/vectors.parquet", "vec_id")
     val state = semanticDedupWith(s, vecs, cents, tau)
       .select(col("vec_id"), col("cluster_id"), col("keep"))
     val multi = state.groupBy(col("cluster_id"))
@@ -2043,13 +2052,10 @@ object Dedup {
       .select(col("vec_id"), col("cid"), col("cluster_id"), col("cent_e4"),
         (col("vec_id") === col("pick.vec_id")).cast("int").as("keep"))
     if (append && nNew > 0) { // an empty batch must be a true no-op
-      // append contract + lease-held write, like dedupIncrement's
-      IndexFamily.requireNewIds(s, s"$indexDir/vectors.parquet", "vec_id",
-        newAsg.select(col("vec_id")), nNew, "semanticDedupIncrement", strictIds)
-      IndexFamily.withLease(s, s"$indexDir/vectors.parquet") {
-        newAsg.coalesce(appendFileCount(nNew))
-          .write.mode("append").parquet(s"$indexDir/vectors.parquet")
-      }
+      // gated append contract + sidecar advance + lease-held sized write,
+      // like dedupIncrement's (IndexFamily.appendWithIdGuards)
+      IndexFamily.appendWithIdGuards(newAsg, s"$indexDir/vectors.parquet",
+        "vec_id", nNew, appendFileCount(nNew), "semanticDedupIncrement", strictIds)
       val multi = out.groupBy(col("cluster_id"))
         .agg(count(lit(1)).as("n")).filter(col("n") > 1).select(col("cluster_id"))
       val newState = out.join(multi, Seq("cluster_id"), "left_semi")
@@ -2072,6 +2078,10 @@ object Dedup {
     IndexMaintenance.rewriteSwap(s, s"$indexDir/vectors.parquet")(
       _.distinct()
         .repartition(nFiles, col("cid")).sortWithinPartitions("cid", "vec_id"))
+    // re-tighten the bloom sidecar from the compacted content (the
+    // compactIndex argument)
+    if (IndexFamily.readIdBloom(s, s"$indexDir/vectors.parquet").isDefined)
+      IndexFamily.writeIdBloom(s, s"$indexDir/vectors.parquet", "vec_id")
     // the group state keeps its hash-partitioned layout (the increment's
     // merge unit); compaction here is the distinct() torn-append repair,
     // with the within-file key order restored for rowgroup-stat pruning

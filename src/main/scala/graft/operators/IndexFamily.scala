@@ -2,6 +2,11 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, LongType}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.util.sketch.BloomFilter
 
 /** The shared discipline of the persisted index families (round-13
   * verdict task 7, factoring what MinHash / SimHash / embedding /
@@ -319,11 +324,17 @@ object IndexFamily {
         .repartition(col("_p"))
         .write.partitionBy("_p").mode("overwrite").parquet(staging)
       // merge-cost telemetry (the §8.5.9 evidence line): state bytes the
-      // merge actually rewrote vs what a full-table rewrite would have
+      // merge actually rewrote. The full-table denominator is a driver
+      // file listing ∝ TABLE file count per merge — a cost the merge
+      // itself no longer pays — so it is priced only when the probe asks
+      // (SPARK_GRAFT_MERGE_TELEMETRY=full), never on a production merge
       def bytesOf(files: Seq[String]): Long =
         files.map(f => fs.getFileStatus(hp(f)).getLen).sum
       val affectedBytes = bytesOf(partitionFiles(s, path, affected))
-      val totalBytes = bytesOf(snapshotFiles(s, path))
+      val totalNote =
+        if (sys.env.get("SPARK_GRAFT_MERGE_TELEMETRY").contains("full"))
+          s" of ${bytesOf(snapshotFiles(s, path))} total"
+        else ""
       affected.foreach { k =>
         val live = hp(s"$path/_p=$k")
         val fresh = hp(s"$staging/_p=$k")
@@ -335,9 +346,14 @@ object IndexFamily {
         fs.delete(park, true)
       }
       System.err.println(s"[graft] mergeTouched($path): rewrote ${affected.size}/$nParts " +
-        s"partitions ($affectedBytes of $totalBytes state bytes)")
+        s"partitions ($affectedBytes state bytes$totalNote)")
+      // the staging cleanup must happen INSIDE the lease: dropped after
+      // release, a process stalling here could wipe a SUCCESSOR merge's
+      // freshly-staged .rewrite mid-swap — its repair would then park a
+      // live partition, find no fresh dir, and lose the partition (the
+      // same lease-escape class the round-13 repairTorn fix closed)
+      fs.delete(hp(staging), true)
     }
-    fs.delete(hp(path + ".rewrite"), true)
     affected.size
   }
 
@@ -370,35 +386,172 @@ object IndexFamily {
           require(fs.rename(fresh, live), s"could not swap $live (old at $park)")
         fs.delete(park, true)
       }
+      // inside the lease for the same successor-wipe reason as mergeTouched's
+      fs.delete(hp(staging), true)
     }
-    fs.delete(hp(staging), true)
   }
 
   // -----------------------------------------------------------------
   // Append-contract preconditions (round-13 verdict task 3)
   // -----------------------------------------------------------------
 
-  /** Enforce "batch ids must be NEW to the index": count the overlap with
-    * one keyed semi-join against the stored id column. `strict` refuses
-    * loudly (the batch-API contract); non-strict — the stream replay
-    * path, where a torn commit legitimately redelivers already-appended
-    * ids — downgrades to a stderr TORN-REPLAY line (re-appending
-    * duplicates rows, which is decision-neutral and compact-repaired; the
-    * documented contract). Returns the overlap count.
+  // --- id BLOOM sidecar (round-14 verdict task 1) -------------------
+  // The newness guard's keyed semi-join scanned the stored id column on
+  // EVERY appending batch — the largest remaining per-batch term that
+  // grows with the index. Two sidecars now gate it: the O(1) max-id
+  // watermark (ids strictly above it cannot be stored — the monotone-
+  // ingest fast path pays NO read at all) and a persisted id bloom (the
+  // [[graft.operators.Dedup.crossCorpusNewDocs]] BloomFilterAggregate
+  // pattern, persisted): bloom "no" is definitive, so only the bloom's
+  // maybe-ids — ≈ true overlaps + fpp·batch — reach the exact keyed
+  // scan. Both sidecars advance crash-safe-HIGH (BEFORE the append
+  // lands): a crashed append leaves them over-refusing / over-scanning,
+  // never silently accepting a stored id.
+
+  private def bloomSidecarPath(tablePath: String) = tablePath + ".idbloom"
+
+  /** Bloom sizing, clamped the same way `BloomFilterAggregate` clamps
+    * internally (it silently mins against these session confs) so the
+    * sidecar header always matches the built filter and batch merges stay
+    * parameter-compatible. ~16 bits/id ≈ 0.1–0.5 % fpp. */
+  private def bloomParams(s: SparkSession, nIds: Long): (Long, Long) = {
+    def confL(key: String, dflt: Long) =
+      scala.util.Try(s.conf.get(key).toLong).getOrElse(dflt)
+    val items = math.min(math.max(nIds, 4096L),
+      confL("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", 4000000L))
+    val bits = math.min(items * 16L,
+      confL("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", 67108864L))
+    (items, bits)
+  }
+
+  /** Distributed bloom build over an id column — the Catalyst
+    * runtime-filter aggregate (codegen'd; XxHash64 convention, the same
+    * hash [[mightContainId]] probes with). */
+  private def bloomAgg(idCol: Column, items: Long, bits: Long): Column =
+    ColumnBridge.column(
+      new BloomFilterAggregate(
+        new XxHash64(Seq(ColumnBridge.expression(idCol))),
+        Literal(items), Literal(bits)).toAggregateExpression())
+
+  /** Codegen'd membership probe of an id column against sidecar bytes
+    * (bloom "no" is definitive; "maybe" must be re-checked exactly). */
+  def mightContainId(bloomBytes: Array[Byte], idCol: Column): Column =
+    ColumnBridge.column(
+      BloomFilterMightContain(Literal.create(bloomBytes, BinaryType),
+        new XxHash64(Seq(ColumnBridge.expression(idCol)))))
+
+  private def writeBloomFile(s: SparkSession, tablePath: String,
+                             items: Long, bits: Long, bloom: BloomFilter): Unit = {
+    val out = new java.io.DataOutputStream(
+      fsFor(s, tablePath).create(hp(bloomSidecarPath(tablePath)), true))
+    try { out.writeLong(items); out.writeLong(bits); bloom.writeTo(out) }
+    finally out.close()
+  }
+
+  /** The sidecar, if present: (items, bits) it was sized with + the
+    * filter bytes. */
+  def readIdBloom(s: SparkSession, tablePath: String): Option[(Long, Long, Array[Byte])] = {
+    val fs = fsFor(s, tablePath)
+    val p = hp(bloomSidecarPath(tablePath))
+    if (!fs.exists(p)) None
+    else {
+      val in = new java.io.DataInputStream(fs.open(p))
+      try Some((in.readLong(), in.readLong(), in.readAllBytes()))
+      finally in.close()
+    }
+  }
+
+  def dropIdBloom(s: SparkSession, tablePath: String): Unit =
+    fsFor(s, tablePath).delete(hp(bloomSidecarPath(tablePath)), false)
+
+  /** Build (or rebuild) the id bloom sidecar from the table's stored ids
+    * (∪ `extraIds` — the incompatible-merge rescue, see
+    * [[advanceIdBloom]]). Called at build ([[seedIdGuards]]) and refresh
+    * points (compaction — re-tightens after deletions); sized to the
+    * CURRENT id count. */
+  def writeIdBloom(s: SparkSession, tablePath: String, idCol: String,
+                   extraIds: Option[DataFrame] = None): Unit = {
+    val stored = readSnapshot(s, tablePath).select(col(idCol))
+    val ids = extraIds.fold(stored)(e => stored.unionByName(e.select(col(idCol))))
+    val (items, bits) = bloomParams(s, ids.count())
+    val row = ids.agg(bloomAgg(col(idCol), items, bits)).head()
+    val bloom =
+      if (row.isNullAt(0)) BloomFilter.create(items, bits) // empty table
+      else BloomFilter.readFrom(new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](0)))
+    writeBloomFile(s, tablePath, items, bits, bloom)
+  }
+
+  /** Merge a batch's ids into the sidecar BEFORE their append lands (the
+    * crash-safe-HIGH direction — a bloom already containing ids whose
+    * append then crashed over-sends the redelivery to the exact scan;
+    * files-before-bloom would leave it LOW, the false-accept direction).
+    * No-op when the table has no sidecar (legacy index: the guard keeps
+    * its keyed-scan fallback). Caller holds the table lease. */
+  def advanceIdBloom(s: SparkSession, tablePath: String,
+                     ids: DataFrame, idCol: String): Unit =
+    readIdBloom(s, tablePath).foreach { case (items, bits, bytes) =>
+      val row = ids.agg(bloomAgg(col(idCol), items, bits)).head()
+      if (!row.isNullAt(0)) {
+        val stored = BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+        val batch = BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](0)))
+        if (stored.isCompatible(batch)) {
+          stored.mergeInPlace(batch)
+          writeBloomFile(s, tablePath, items, bits, stored)
+        } else
+          // a session-conf clamp change re-sized the batch filter —
+          // rebuild from scratch with the batch unioned in (rare; ∝ index
+          // once, not per batch)
+          writeIdBloom(s, tablePath, idCol, extraIds = Some(ids))
+      }
+    }
+
+  /** Which evidence path the last [[requireNewIds]] took — telemetry the
+    * guard-cost specs read: "watermark" (O(1) sidecar only — NO table
+    * read), "bloom" (every batch id ruled out — table never read),
+    * "bloom+scan" (bloom maybes re-checked exactly), "scan" (no sidecars
+    * — the legacy full keyed scan), "empty-batch". */
+  @volatile var lastNewIdsPath: String = ""
+
+  /** Enforce "batch ids must be NEW to the index". Evidence ladder
+    * (cheapest first — round-14 verdict task 1):
     *
-    * Cost note: the semi-join scans the stored id column (one thin
-    * column, ∝ index) per appending batch — the same class as the
-    * member→label lookup, and served the same way at deployment: an id
-    * bloom filter in the table format's metadata makes it a per-file
-    * constant. Unlike the ORDERING guard it cannot ride a watermark
-    * (newness is about membership, not order), so the honest local form
-    * is the keyed scan. */
+    *  1. WATERMARK: the max-id sidecar is maintained crash-safe-HIGH by
+    *     every guarded append ([[appendWithIdGuards]]), so a batch whose
+    *     min id is strictly above it cannot overlap — the monotone-ingest
+    *     fast path, O(1), no stored-id read of any kind;
+    *  2. BLOOM: batch ids the sidecar rules out are definitively new;
+    *     only its maybes (≈ true overlaps + fpp·batch) go on;
+    *  3. EXACT: one keyed semi-join of the stored id column against the
+    *     surviving maybes — the pre-round-14 behavior, now the fallback
+    *     of last resort (and the only path on a sidecar-less table).
+    *
+    * `strict` refuses loudly (the batch-API contract); non-strict — the
+    * stream replay path, where a torn commit legitimately redelivers
+    * already-appended ids — downgrades to a stderr TORN-REPLAY line
+    * (re-appending duplicates rows, which is decision-neutral and
+    * compact-repaired; the documented contract). Returns the overlap
+    * count. */
   def requireNewIds(s: SparkSession, tablePath: String, idCol: String,
                     batchIds: DataFrame, batchRows: Long, op: String,
                     strict: Boolean = true): Long = {
-    val stored = readSnapshot(s, tablePath).select(col(idCol))
-    val overlap = stored
-      .join(maybeBroadcast(batchIds.select(col(idCol)).distinct(), batchRows),
+    val distinctIds = batchIds.select(col(idCol)).distinct()
+    val wm = peekIdWatermark(s, tablePath)
+    if (wm.isDefined) {
+      val mn = distinctIds.agg(min(col(idCol))).head()
+      if (mn.isNullAt(0)) { lastNewIdsPath = "empty-batch"; return 0L }
+      if (mn.getLong(0) > wm.get) { lastNewIdsPath = "watermark"; return 0L }
+    }
+    val (maybeIds, nMaybe) = readIdBloom(s, tablePath) match {
+      case Some((_, _, bytes)) =>
+        val m = distinctIds.filter(mightContainId(bytes, col(idCol)))
+        (m, m.count())
+      case None => (distinctIds, -1L)
+    }
+    if (nMaybe == 0L) { lastNewIdsPath = "bloom"; return 0L }
+    lastNewIdsPath = if (nMaybe > 0L) "bloom+scan" else "scan"
+    val overlap = readSnapshot(s, tablePath).select(col(idCol))
+      .join(maybeBroadcast(maybeIds, if (nMaybe > 0L) nMaybe else batchRows),
         Seq(idCol), "left_semi")
       .select(col(idCol)).distinct().count()
     if (overlap > 0) {
@@ -408,6 +561,57 @@ object IndexFamily {
         msg + " (a takedown re-ingest must deleteFrom*Index first)")
       else System.err.println(s"[graft] TORN-REPLAY $msg; re-appending duplicates " +
         "rows (decision-neutral; compact repairs)")
+    }
+    overlap
+  }
+
+  /** Seed BOTH id sidecars from a freshly built table — every build that
+    * overwrites a guarded table must call this: sidecars surviving from a
+    * previous build at the same path would be stale-LOW against the new
+    * content, the one direction that silently false-accepts (the
+    * watermark gate would bless ids the new build actually contains). One
+    * thin-column pass for (max, count), one for the bloom aggregate —
+    * build-time-only cost. */
+  def seedIdGuards(s: SparkSession, tablePath: String, idCol: String): Unit = {
+    val ids = readSnapshot(s, tablePath).select(col(idCol))
+    val r = ids.agg(max(col(idCol)), count(lit(1))).head()
+    advanceIdWatermark(s, tablePath,
+      if (r.isNullAt(0)) Long.MinValue else r.getLong(0))
+    val (items, bits) = bloomParams(s, r.getLong(1))
+    val row = ids.agg(bloomAgg(col(idCol), items, bits)).head()
+    val bloom =
+      if (row.isNullAt(0)) BloomFilter.create(items, bits)
+      else BloomFilter.readFrom(new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](0)))
+    writeBloomFile(s, tablePath, items, bits, bloom)
+  }
+
+  /** The index families' shared guarded append (round-14): enforce the
+    * newness contract, then — holding the table lease — advance BOTH id
+    * sidecars crash-safe-HIGH and land the batch as `nFiles` part files.
+    * Sidecars-before-files IS the crash story: a crash after the advance
+    * leaves watermark/bloom too high (over-refuse / over-scan — safe, and
+    * the ordering guard's re-seed path recovers the stream,
+    * [[requireIdsAbove]]); files-before-sidecars would leave them LOW —
+    * the silent-acceptance corruption the guards exist to stop. Advancing
+    * the watermark HERE is also what keeps it truthful for tables whose
+    * appends never pass through [[requireIdsAbove]] (round-13 advice: an
+    * un-advanced watermark after a plain append is stale-LOW for the
+    * ordering guard too). Returns [[requireNewIds]]'s overlap count. */
+  def appendWithIdGuards(rows: DataFrame, tablePath: String, idCol: String,
+                         nRows: Long, nFiles: Int, op: String,
+                         strict: Boolean = true): Long = {
+    val s = rows.sparkSession
+    val overlap = requireNewIds(s, tablePath, idCol,
+      rows.select(col(idCol)), nRows, op, strict)
+    val mx = rows.agg(max(col(idCol))).head()
+    withLease(s, tablePath) {
+      if (!mx.isNullAt(0)) {
+        peekIdWatermark(s, tablePath).foreach { wm =>
+          advanceIdWatermark(s, tablePath, math.max(wm, mx.getLong(0)))
+        }
+        advanceIdBloom(s, tablePath, rows.select(col(idCol)), idCol)
+      }
+      rows.coalesce(nFiles).write.mode("append").parquet(tablePath)
     }
     overlap
   }
@@ -423,23 +627,28 @@ object IndexFamily {
     * re-seeds the file. */
   private def watermarkPath(tablePath: String) = tablePath + ".maxid"
 
-  def idWatermark(s: SparkSession, tablePath: String, idCol: String): Long = {
+  /** The watermark if its sidecar exists — NO scan-seeding (the newness
+    * gate must not pay a stored-id scan just to learn there is no file;
+    * a missing sidecar simply means the fast path doesn't apply). */
+  def peekIdWatermark(s: SparkSession, tablePath: String): Option[Long] = {
     val fs = fsFor(s, tablePath)
     val p = hp(watermarkPath(tablePath))
-    val fromFile: Option[Long] =
-      if (fs.exists(p)) {
-        val in = fs.open(p)
-        try scala.util.Try(
-          scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong).toOption
-        finally in.close()
-      } else None
-    fromFile.getOrElse {
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try scala.util.Try(
+        scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong).toOption
+      finally in.close()
+    }
+  }
+
+  def idWatermark(s: SparkSession, tablePath: String, idCol: String): Long =
+    peekIdWatermark(s, tablePath).getOrElse {
       val row = readSnapshot(s, tablePath).agg(max(col(idCol))).head()
       val m = if (row.isNullAt(0)) Long.MinValue else row.getLong(0)
       advanceIdWatermark(s, tablePath, m)
       m
     }
-  }
 
   def advanceIdWatermark(s: SparkSession, tablePath: String, id: Long): Unit = {
     val out = fsFor(s, tablePath).create(hp(watermarkPath(tablePath)), true)
@@ -486,10 +695,33 @@ object IndexFamily {
       val present = readSnapshot(s, tablePath).select(col(idCol))
         .join(maybeBroadcast(ids, nBatch), Seq(idCol), "left_semi")
         .select(col(idCol)).distinct().count()
-      if (present < nBatch) throw new IllegalArgumentException(
+      if (present == 0L) {
+        // third cause (round-13 advice): a crash AFTER the watermark
+        // advanced but BEFORE the append landed leaves the watermark
+        // stale-HIGH; the redelivered batch then violates the watermark
+        // with NO batch id present. Distinguish it from a genuinely
+        // out-of-order batch by the TRUE stored max: if every batch id
+        // is also above that, the batch is ordered after everything
+        // actually stored — tolerate it and re-seed the watermark from
+        // reality, or the stream would be permanently wedged on a
+        // crash-window redelivery (the replay-ledger contract says
+        // redelivery is tolerated). One max() scan, violation path only.
+        val mrow = readSnapshot(s, tablePath).agg(max(col(idCol))).head()
+        val storedMax = if (mrow.isNullAt(0)) Long.MinValue else mrow.getLong(0)
+        if (storedMax < batchMinId) {
+          System.err.println(s"[graft] STALE-HIGH WATERMARK $msg; no batch id is " +
+            s"stored and true stored max is $storedMax < batch min $batchMinId — a " +
+            "crashed append advanced the watermark without landing files; tolerated " +
+            "as the redelivery (the trailing advance re-pins the watermark at the " +
+            "batch max the landing append makes true)")
+        } else throw new IllegalArgumentException(
+          msg + s" — and no batch id is already indexed while the stored max " +
+            s"$storedMax overlaps the batch range, so this is NOT a torn-commit " +
+            "redelivery; refusing on the stream path too")
+      } else if (present < nBatch) throw new IllegalArgumentException(
         msg + s" — and only $present of $nBatch batch ids are already indexed, " +
           "so this is NOT a torn-commit redelivery; refusing on the stream path too")
-      System.err.println(s"[graft] TORN-REPLAY $msg; all $nBatch batch ids already " +
+      else System.err.println(s"[graft] TORN-REPLAY $msg; all $nBatch batch ids already " +
         "indexed — tolerated as a redelivery (duplicate rows; compact repairs)")
     }
     advanceIdWatermark(s, tablePath, math.max(wm, batchMaxId))

@@ -165,6 +165,94 @@ class IndexFamilySpec extends AnyFunSuite with SparkTestBase {
     assert(e2.getMessage.contains("NOT a torn-commit redelivery"))
   }
 
+  // -----------------------------------------------------------------
+  // Round-14: gated newness guard (watermark -> bloom -> exact scan)
+  // -----------------------------------------------------------------
+
+  test("newness guard evidence ladder: monotone batch rides the O(1) watermark; " +
+       "fresh below-watermark ids ride the bloom; overlaps still refuse") {
+    import spark.implicits._
+    val dir = tmpDir("gated")
+    val path = s"$dir/t.parquet"
+    // "build": even ids 0..198, sidecars seeded from the fresh content
+    (0L until 200L by 2).map(i => (i, i)).toDF("doc_id", "v").write.parquet(path)
+    IndexFamily.seedIdGuards(spark, path, "doc_id")
+    assert(IndexFamily.idWatermark(spark, path, "doc_id") == 198L)
+    // monotone batch (ids above the watermark): O(1) accept, no table read
+    assert(IndexFamily.appendWithIdGuards(
+      Seq((200L, 1L), (201L, 1L)).toDF("doc_id", "v"), path, "doc_id",
+      2L, 1, "gatedSpec") == 0L)
+    assert(IndexFamily.lastNewIdsPath == "watermark",
+      s"monotone batch must take the watermark path, took ${IndexFamily.lastNewIdsPath}")
+    // the append advanced the watermark with the batch
+    assert(IndexFamily.idWatermark(spark, path, "doc_id") == 201L)
+    // FRESH ids BELOW the watermark (odd ids): the watermark can't bless
+    // them, but the bloom rules (almost) all of them out — accepted with
+    // at most a maybe-sized exact re-check, never a refusal
+    assert(IndexFamily.appendWithIdGuards(
+      (1L until 150L by 2).map(i => (i, i)).toDF("doc_id", "v"), path, "doc_id",
+      75L, 1, "gatedSpec") == 0L)
+    assert(IndexFamily.lastNewIdsPath.startsWith("bloom"),
+      s"below-watermark fresh ids must take the bloom path, took ${IndexFamily.lastNewIdsPath}")
+    // overlap (id 4 is stored): bloom says maybe, exact scan convicts
+    val e = intercept[IllegalArgumentException] {
+      IndexFamily.appendWithIdGuards(
+        Seq((4L, 9L)).toDF("doc_id", "v"), path, "doc_id", 1L, 1, "gatedSpec")
+    }
+    assert(e.getMessage.contains("already present"))
+    assert(IndexFamily.lastNewIdsPath == "bloom+scan")
+    // and ids appended via the BLOOM path are remembered by it: a strict
+    // re-append of an odd id refuses (no false accept after a bloom-path
+    // append — the sidecars advanced before those files landed)
+    val e2 = intercept[IllegalArgumentException] {
+      IndexFamily.appendWithIdGuards(
+        Seq((7L, 0L)).toDF("doc_id", "v"), path, "doc_id", 1L, 1, "gatedSpec")
+    }
+    assert(e2.getMessage.contains("already present"))
+  }
+
+  test("crashed append (sidecars advanced, files never landed) over-scans but never " +
+       "wedges: requireNewIds re-accepts the redelivery; requireIdsAbove tolerates " +
+       "non-strict via the stored-max re-check") {
+    import spark.implicits._
+    val dir = tmpDir("crashwin")
+    val path = s"$dir/t.parquet"
+    (1L to 10L).map(i => (i, i)).toDF("doc_id", "v").write.parquet(path)
+    IndexFamily.seedIdGuards(spark, path, "doc_id")
+    // simulate the crash window: watermark+bloom advanced for ids 15..18,
+    // files never landed
+    IndexFamily.advanceIdWatermark(spark, path, 18L)
+    IndexFamily.advanceIdBloom(spark, path, Seq(15L, 16L, 17L, 18L).toDF("doc_id"), "doc_id")
+    val redelivery = Seq(15L, 16L, 17L, 18L).toDF("doc_id")
+    // newness guard: watermark can't bless, bloom says maybe, the exact
+    // scan finds nothing stored -> accepted on BOTH strictness levels
+    assert(IndexFamily.requireNewIds(spark, path, "doc_id", redelivery, 4L, "crashSpec") == 0L)
+    assert(IndexFamily.lastNewIdsPath == "bloom+scan")
+    // ordering guard, stream path: no batch id present AND stored max 10 <
+    // batch min 15 -> the stale-high-watermark redelivery case, tolerated
+    IndexFamily.requireIdsAbove(spark, path, "doc_id", redelivery, 15L, 18L,
+      "crashSpec", strict = false)
+    // a GENUINELY out-of-order fresh batch (min below stored max) still
+    // refuses even non-strict
+    val e = intercept[IllegalArgumentException] {
+      IndexFamily.requireIdsAbove(spark, path, "doc_id",
+        Seq(5L, 25L).toDF("doc_id"), 5L, 25L, "crashSpec", strict = false)
+    }
+    assert(e.getMessage.contains("NOT a torn-commit redelivery"))
+  }
+
+  test("minhash increment: a healthy monotone batch appends without any stored-id scan") {
+    val split = Dedup.incrementSplitAt(spark, sf)
+    val idx = tmpDir("wmpath")
+    val d = Tables(spark, sf, "documents")
+    Dedup.buildMinhashIndex(spark, d.filter(col("doc_id") < split), idx, s"$idx#b")
+    Dedup.dedupIncrement(spark, d.filter(col("doc_id") >= split), idx,
+      s"$idx#n", append = true).collect()
+    assert(IndexFamily.lastNewIdsPath == "watermark",
+      "the arrival-order convention's healthy batch must never read the stored " +
+        s"id column; guard took ${IndexFamily.lastNewIdsPath}")
+  }
+
   test("re-ingesting already-indexed ids refuses strictly, warns on the stream replay path") {
     val idx = tmpDir("newids")
     val d = Tables(spark, sf, "documents")
