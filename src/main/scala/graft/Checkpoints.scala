@@ -33,12 +33,43 @@ object Checkpoints {
       case _ => None
     }
 
+  // innermost active [[scoped]] collector for the calling thread (null
+  // when no scope is open) — foreachBatch bodies run their whole batch on
+  // one microbatch thread, so thread-locality is exactly batch-locality
+  private val activeScope =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[_]]]()
+
   /** Eager local checkpoint whose backing blocks are registered for
     * release — the library-wide replacement for bare `localCheckpoint()`. */
   def local(df: DataFrame): DataFrame = {
     val cp = df.localCheckpoint()
-    backingRdd(cp).foreach(live.put(_, java.lang.Boolean.TRUE))
+    backingRdd(cp).foreach { r =>
+      live.put(r, java.lang.Boolean.TRUE)
+      val sc = activeScope.get()
+      if (sc != null) sc += r
+    }
     cp
+  }
+
+  /** Run `body` in a checkpoint SCOPE: every checkpoint it creates (on
+    * this thread) is released when the scope closes — the long-running
+    * stream legs' batch hygiene (round-14 verdict task 3). A foreachBatch
+    * body wraps itself in one scope per micro-batch: without it, each
+    * batch's candidate tables / signature checkpoints stay pinned until a
+    * GC happens to collect the dead DataFrames, and a deployment-length
+    * stream accumulates storage across thousands of batches. The scope is
+    * only safe where the body FULLY CONSUMES everything it returns (a
+    * foreachBatch body does — its sink write is the consumption); do not
+    * wrap code that hands checkpointed frames to a later consumer. Nested
+    * scopes release independently (inner checkpoints at inner close). */
+  def scoped[A](body: => A): A = {
+    val outer = activeScope.get()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[_]]
+    activeScope.set(buf)
+    try body finally {
+      activeScope.set(outer)
+      buf.foreach { r => r.unpersist(blocking = false); live.remove(r) }
+    }
   }
 
   /** Free one checkpointed DataFrame's pinned blocks immediately (loops

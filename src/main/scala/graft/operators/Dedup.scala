@@ -499,8 +499,13 @@ object Dedup {
     // lists are immutable where directory reads re-list)
     val oldBanded = s.read.parquet(parquetPartFiles(s, s"$indexDir/postings.parquet"): _*)
     val oldSigs = s.read.parquet(parquetPartFiles(s, s"$indexDir/signatures.parquet"): _*)
-    val newSigs = minhashSignaturesOf(s, newDocs, memoKey).cache()
-    val nNew = newSigs.count() // forces the cache; sizes the probe plan
+    // Checkpoints.local, NOT .cache(): the increment runs per micro-batch
+    // on the stream legs, and CacheManager holds STRONG refs — a cached
+    // relation per batch accumulates for the life of the stream (round-14
+    // verdict task 3). The registry checkpoint is weak-keyed and released
+    // by the stream legs' per-batch scope (Checkpoints.scoped).
+    val newSigs = graft.Checkpoints.local(minhashSignaturesOf(s, newDocs, memoKey))
+    val nNew = newSigs.count() // checkpointed above — a metadata count
     val newBanded = bandedOf(newSigs).withColumn("is_new", lit(true))
     val cands = incrementCandidates(oldBanded, newBanded,
       nNew * MinhashBands, bucketCap, "dedupIncrement")
@@ -1252,7 +1257,9 @@ object Dedup {
         s"caller passed ($SimhashBits,$nBlocks,$maxHamming) — rebuild the index")
     val oldBanded = s.read.parquet(parquetPartFiles(s, s"$indexDir/postings.parquet"): _*)
     val oldFps = s.read.parquet(parquetPartFiles(s, s"$indexDir/fingerprints.parquet"): _*)
-    val newFps = simhashFingerprintsOf(s, newDocs).cache()
+    // registry checkpoint, not .cache() — the per-micro-batch strong-ref
+    // accumulation argument at dedupIncrement's newSigs
+    val newFps = graft.Checkpoints.local(simhashFingerprintsOf(s, newDocs))
     val nNew = newFps.count()
     val nBands = wideSubsets(maxHamming, nBlocks).length
     val newBanded = simhashWideBandedOf(newFps, maxHamming, nBlocks)
@@ -1389,8 +1396,11 @@ object Dedup {
         s"caller passed ($nBands,$bandBits,$dim) — rebuild the index")
     val oldBanded = s.read.parquet(parquetPartFiles(s, s"$indexDir/postings.parquet"): _*)
     val oldVecs = s.read.parquet(parquetPartFiles(s, s"$indexDir/vectors.parquet"): _*)
-    val newE = newVecs.select(col("vec_id").as("doc_id"), col("embedding"),
-      VectorOps.l2Norm(col("embedding")).as("norm")).cache()
+    // registry checkpoint, not .cache() — the per-micro-batch strong-ref
+    // accumulation argument at dedupIncrement's newSigs
+    val newE = graft.Checkpoints.local(
+      newVecs.select(col("vec_id").as("doc_id"), col("embedding"),
+        VectorOps.l2Norm(col("embedding")).as("norm")))
     val nNew = newE.count()
     val newBanded = embeddingBandedOf(newE, nBands, bandBits, dim)
       .withColumn("is_new", lit(true))

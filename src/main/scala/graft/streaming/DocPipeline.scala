@@ -115,12 +115,20 @@ object DocPipeline {
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     apply(docs, corpusFps, gates, watermark).writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        val admitted = graft.Checkpoints.local(
-          StreamDedup.nearDupBatch(batch, batchId, nearDupIndexDir,
-            memoPrefix, threshold, append))
-        val cleaned = StreamDedup.spanBatch(
-          admitted.select(col("doc_id"), col("text")), batchId, spanIndexDir,
-          append)
-        sink(admitted.drop("text").join(cleaned, Seq("doc_id")))
+        // one checkpoint scope per micro-batch: everything the two index
+        // legs checkpoint (candidate tables, batch signatures, span
+        // aggregates, `admitted` itself) is fully consumed by the sink
+        // write below, so the scope frees it all at batch close — without
+        // it a deployment-length stream pins one batch's worth of blocks
+        // per micro-batch, forever (round-14 verdict task 3)
+        graft.Checkpoints.scoped {
+          val admitted = graft.Checkpoints.local(
+            StreamDedup.nearDupBatch(batch, batchId, nearDupIndexDir,
+              memoPrefix, threshold, append))
+          val cleaned = StreamDedup.spanBatch(
+            admitted.select(col("doc_id"), col("text")), batchId, spanIndexDir,
+            append)
+          sink(admitted.drop("text").join(cleaned, Seq("doc_id")))
+        }
     }
 }

@@ -78,7 +78,13 @@ object StreamDedup {
                          (sink: DataFrame => Unit):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      sink(nearDupBatch(batch, batchId, indexDir, memoPrefix, threshold, append))
+      // per-batch checkpoint scope: the sink call fully consumes the
+      // survivors, so the increment's checkpoints are freed at batch close
+      // instead of accumulating for the stream's lifetime (round-14
+      // verdict task 3; the DocPipeline.fullIngest argument)
+      graft.Checkpoints.scoped {
+        sink(nearDupBatch(batch, batchId, indexDir, memoPrefix, threshold, append))
+      }
     }
 
   /** The batchId-ledger replay guard shared by every index-appending
@@ -135,8 +141,10 @@ object StreamDedup {
                            (sink: DataFrame => Unit):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      sink(embeddingBatch(batch, batchId, indexDir, threshold, nBands, bandBits,
-        append))
+      graft.Checkpoints.scoped { // per-batch hygiene, see nearDupAgainstIndex
+        sink(embeddingBatch(batch, batchId, indexDir, threshold, nBands, bandBits,
+          append))
+      }
     }
 
   /** One micro-batch of [[embeddingAgainstIndex]] (testable without a
@@ -166,7 +174,9 @@ object StreamDedup {
                           (sink: DataFrame => Unit):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      sink(semanticBatch(batch, batchId, indexDir, append))
+      graft.Checkpoints.scoped { // per-batch hygiene, see nearDupAgainstIndex
+        sink(semanticBatch(batch, batchId, indexDir, append))
+      }
     }
 
   /** One micro-batch of [[semanticAgainstIndex]] (testable without a
@@ -193,7 +203,9 @@ object StreamDedup {
                              (sink: DataFrame => Unit):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      sink(spanBatch(batch, batchId, indexDir, append))
+      graft.Checkpoints.scoped { // per-batch hygiene, see nearDupAgainstIndex
+        sink(spanBatch(batch, batchId, indexDir, append))
+      }
     }
 
   /** One micro-batch of [[spanRemovalAgainstIndex]] (testable without a

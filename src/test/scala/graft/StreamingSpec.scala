@@ -718,6 +718,58 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       s"near-dup should drop at the index probe, novel should survive: kept=$kept")
   }
 
+  test("fullIngest holds bounded checkpoint storage across many micro-batches " +
+       "(per-batch scope frees what each batch pinned)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val Dedup = graft.operators.Dedup
+    val TA = graft.operators.TextAnalysis
+    val split = Dedup.incrementSplitAt(spark, sf)
+    val docs = Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") < split)
+    val corpusFps = TA.fingerprint(spark, sf)
+      .join(corpus.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("fp_md5"))
+    val mh = java.nio.file.Files.createTempDirectory("leak-mh-").toString
+    val sp = java.nio.file.Files.createTempDirectory("leak-sp-").toString
+    Dedup.buildMinhashIndex(spark, corpus, mh, s"$mh#base")
+    Dedup.buildSpanIndex(spark, corpus, sp)
+    val streamRows = docs.filter(col("doc_id") >= split).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    var admittedTotal = 0L
+    val q = graft.streaming.DocPipeline.fullIngest(
+        input.toDF().toDF("doc_id", "text", "event_time"), corpusFps,
+        mh, sp, s"$mh#leak") { out => admittedTotal += out.count() }
+      .start()
+    try {
+      // warm one batch so stream-lifetime one-offs don't count as growth
+      input.addData((streamRows.head._1 + 30000000L, streamRows.head._2, t0))
+      q.processAllAvailable()
+      val rddsBefore = spark.sparkContext.getPersistentRDDs.size
+      (1 to 20).foreach { i =>
+        // monotone fresh ids (the span ordering contract) + per-batch text
+        // salt so the exact/in-stream dedup stages don't starve the index
+        // legs of work
+        val rows = Seq(0, 1).map { j =>
+          val r = streamRows((2 * i + j) % streamRows.length)
+          (30000000L + i * 1000000L + j, s"${r._2} leakprobe$i$j", t0)
+        }
+        input.addData(rows: _*)
+        q.processAllAvailable()
+      }
+      val rddsAfter = spark.sparkContext.getPersistentRDDs.size
+      // pre-round-14 this grew by ~1 cached relation per micro-batch per
+      // index leg (Dataset.cache holds STRONG refs in CacheManager); with
+      // registry checkpoints + the per-batch scope the count must be flat
+      assert(rddsAfter <= rddsBefore + 2,
+        s"persistent RDD count grew $rddsBefore -> $rddsAfter across 20 " +
+          "micro-batches — per-batch checkpoint/cache storage is leaking")
+      assert(admittedTotal > 0, "fixture must admit at least one doc")
+    } finally q.stop()
+  }
+
   test("composed fullIngest == the batch operators applied per micro-batch in arrival order") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
