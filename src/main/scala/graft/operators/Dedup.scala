@@ -743,6 +743,63 @@ object Dedup {
         .withColumn("keep", col("doc_id") === col("cluster_id"))
         .select(col("doc_id"), col("cluster_id"), col("keep")),
       s"$indexDir/clusters.parquet", "cluster_id", nParts)
+    rebuildMemberLookup(s, indexDir, nParts)
+  }
+
+  /** The member→label LOOKUP projection (round-14 verdict task 2):
+    * `members.parquet` `(doc_id, cluster_id)`, the cluster state's rows
+    * re-keyed and hash-partitioned on `doc_id` — the key the increment's
+    * lookup probes with. The state itself is keyed by `cluster_id` (the
+    * merge unit), so the lookup was the one remaining full-state read in
+    * the daily path; against this projection it reads ONLY the partitions
+    * the batch's doc_ids hash into (∝ batch, like everything else).
+    *
+    * Consistency: `clusters.parquet` stays the single source of truth —
+    * the projection is DERIVED, and the two-table commit is guarded by a
+    * `.txn` intent marker ([[stateTxnMarker]]): written before the first
+    * merge swaps, removed after both tables landed. A crash inside the
+    * window leaves the marker, and the next increment (or delete) rebuilds
+    * the projection wholesale from the authoritative labels before
+    * trusting it — ∝ state once, on crash recovery only. Without the
+    * marker discipline a torn commit would pin members at the PRE-merge
+    * generation while clusters moved on: the lookup would return labels
+    * whose rows no longer exist under that key, silently splitting
+    * components on the replay (the exact non-idempotence the
+    * full-snapshot lookup was immune to). */
+  private def memberLookupPath(indexDir: String) = s"$indexDir/members.parquet"
+  private def stateTxnMarker(statePath: String) =
+    new org.apache.hadoop.fs.Path(statePath + ".txn")
+
+  /** (Re)derive the lookup projection from the authoritative cluster
+    * state — build time, and the `.txn` crash-repair path. */
+  private def rebuildMemberLookup(s: SparkSession, indexDir: String,
+                                  nParts: Int): Unit =
+    IndexFamily.writePartitioned(
+      IndexFamily.readSnapshot(s, s"$indexDir/clusters.parquet")
+        .select(col("doc_id"), col("cluster_id")),
+      memberLookupPath(indexDir), "doc_id", nParts)
+
+  /** Repair a torn two-table commit if its intent marker is present;
+    * returns whether the projection is usable afterwards (false = no
+    * projection built at all — the pre-round-14 full-snapshot lookup). */
+  private def ensureMemberLookup(s: SparkSession, indexDir: String): Boolean = {
+    val statePath = s"$indexDir/clusters.parquet"
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val marker = stateTxnMarker(statePath)
+    val hasProjection = fs.exists(
+      new org.apache.hadoop.fs.Path(memberLookupPath(indexDir) + ".parts"))
+    if (fs.exists(marker)) {
+      System.err.println(s"[graft] TORN STATE TXN at $statePath — a crash between " +
+        "the label merge and the lookup-projection merge left members.parquet at " +
+        "the previous generation; rebuilding it from the authoritative labels")
+      val nParts =
+        if (hasProjection) IndexFamily.partsOf(s, memberLookupPath(indexDir))
+        else IndexFamily.partsOf(s, statePath)
+      rebuildMemberLookup(s, indexDir, nParts)
+      fs.delete(marker, false)
+      true
+    } else hasProjection
   }
 
   /** Build and persist the EXACT-duplicate edge state next to the cluster
@@ -824,10 +881,9 @@ object Dedup {
     // deleteFromDedupIndex of the batch ids + retry)
     if (append) IndexFamily.requireNoLease(s, statePath,
       "clusterIncrement (state-merge pre-check)")
-    // snapshot the state part files FIRST: the append path swaps them,
-    // and the lookup side must read the pre-batch state
-    val state = IndexFamily.readSnapshot(s, statePath)
-      .select(col("doc_id"), col("cluster_id"))
+    // repair any torn two-table commit FIRST (the .txn marker discipline),
+    // then decide which lookup serves this increment
+    val useProjection = ensureMemberLookup(s, indexDir)
     val newPairs = graft.Checkpoints.local(
       dedupIncrement(s, newDocs, indexDir, memoKey, threshold, bucketCap, append,
           strictIds)
@@ -837,12 +893,26 @@ object Dedup {
     // so the daily-batch case broadcasts (the incrementCandidates bound)
     val touchedDocs = newPairs
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
-    // eagerly materialized: the partition-set collect, the membership
-    // semi-join, and the merge's affected/anti-join legs all consume it —
-    // lazy, the full-state lookup join would re-run once per consumer
+    // the member→label LOOKUP: against the doc_id-keyed projection it
+    // reads only the partitions the batch's doc_ids hash into (round-14
+    // verdict task 2 — this was the one remaining full-state read in the
+    // daily path); a projection-less legacy state falls back to the full
+    // snapshot scan. Either way the read is a SNAPSHOT (explicit file
+    // list) taken before the merge swaps anything. Eagerly materialized:
+    // the partition-set collect, the membership semi-join, and the
+    // merge's affected/anti-join legs all consume it.
     val touchedLabelsRaw = graft.Checkpoints.local(
-      state.join(touchedDocs, Seq("doc_id"), "left_semi")
-        .select(col("cluster_id")).distinct())
+      if (useProjection) {
+        val mp = memberLookupPath(indexDir)
+        IndexFamily.readPartitions(s, mp,
+            IndexFamily.touchedPartitions(s, mp, touchedDocs, "doc_id"))
+          .join(touchedDocs, Seq("doc_id"), "left_semi")
+          .select(col("cluster_id")).distinct()
+      } else
+        IndexFamily.readSnapshot(s, statePath)
+          .select(col("doc_id"), col("cluster_id"))
+          .join(touchedDocs, Seq("doc_id"), "left_semi")
+          .select(col("cluster_id")).distinct())
     val touchedLabels = IndexFamily.maybeBroadcast(touchedLabelsRaw, 2 * nPairs)
     // membership of touched components: read ONLY the partitions their
     // labels hash into (rows colocate by cluster_id — the layout's point)
@@ -858,10 +928,27 @@ object Dedup {
     // job-launch-free local tier
     val relabeled = clusterPairsTiered(starEdges.unionByName(newPairs))
       .withColumn("keep", col("doc_id") === col("cluster_id"))
-    if (append)
+    if (append) {
+      val fs = new org.apache.hadoop.fs.Path(statePath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      // the two-table commit rides the .txn intent marker: written before
+      // the first swap, dropped after both tables landed — a crash inside
+      // the window is repaired by the next increment's ensureMemberLookup
+      // (projection rebuilt from the authoritative labels)
+      if (useProjection) fs.create(stateTxnMarker(statePath), true).close()
       IndexFamily.mergeTouched(s, statePath, "cluster_id",
         touchedLabelsRaw.select(col("cluster_id")),
         relabeled.select(col("doc_id"), col("cluster_id"), col("keep")))
+      if (useProjection) {
+        // every member of a batch-touching component gets its (possibly
+        // unchanged) fresh label; rows of untouched doc_ids keep their
+        // partition files byte-identical, like the state merge itself
+        IndexFamily.mergeTouched(s, memberLookupPath(indexDir), "doc_id",
+          relabeled.select(col("doc_id")),
+          relabeled.select(col("doc_id"), col("cluster_id")))
+        fs.delete(stateTxnMarker(statePath), false)
+      }
+    }
     relabeled.select(col("doc_id"), col("cluster_id"))
   }
 
@@ -1617,11 +1704,17 @@ object Dedup {
     if (exactP.getFileSystem(s.sparkContext.hadoopConfiguration).exists(exactP))
       deleteFromExactState(s, indexDir, ids)
     state.foreach { st =>
+      // repair any torn two-table commit before touching the projection
+      val useProjection = ensureMemberLookup(s, indexDir)
       val touchedLabels = broadcast(
         st.join(ids, Seq("doc_id"), "left_semi").select(col("cluster_id")).distinct())
-      val memberIds = st.join(touchedLabels, Seq("cluster_id"), "left_semi")
-        .join(ids, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"))
+      // PRE-delete membership of touched components INCLUDING the deleted
+      // docs — the projection merge must drop their rows, so they are
+      // touched keys even though they emit no new row
+      val preMembers = graft.Checkpoints.local(
+        st.join(touchedLabels, Seq("cluster_id"), "left_semi")
+          .select(col("doc_id")))
+      val memberIds = preMembers.join(ids, Seq("doc_id"), "left_anti")
       // candidates among touched-component survivors over the POST-delete
       // index; a candidate against an untouched component would fail
       // verify anyway (different components can't clear the threshold, or
@@ -1634,6 +1727,10 @@ object Dedup {
         bandedCandidatePairs(banded, "doc_id", "doc_a", "doc_b", bucketCap),
         sigs, threshold)
       val relabeled = clusterPairsTiered(pairs.select(col("doc_a"), col("doc_b")))
+      val fs2 = new org.apache.hadoop.fs.Path(statePath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      // two-table commit under the .txn marker, like clusterIncrement's
+      if (useProjection) fs2.create(stateTxnMarker(statePath), true).close()
       // partition-scoped: only directories holding a touched (or
       // re-elected) label are swapped — a takedown's state cost is ∝ its
       // components, like the increment's (IndexFamily.mergeTouched)
@@ -1641,6 +1738,14 @@ object Dedup {
         touchedLabels.select(col("cluster_id")),
         relabeled.withColumn("keep", col("doc_id") === col("cluster_id"))
           .select(col("doc_id"), col("cluster_id"), col("keep")))
+      if (useProjection) {
+        // deleted docs are touched keys with no new row (their projection
+        // rows drop); survivors get their fresh labels
+        IndexFamily.mergeTouched(s, memberLookupPath(indexDir), "doc_id",
+          preMembers,
+          relabeled.select(col("doc_id"), col("cluster_id")))
+        fs2.delete(stateTxnMarker(statePath), false)
+      }
     }
   }
 

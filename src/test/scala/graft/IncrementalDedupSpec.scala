@@ -175,6 +175,67 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(rebuilt.nonEmpty)
   }
 
+  private def memberRows(idx: String): Set[(Long, Long)] =
+    graft.operators.IndexFamily.readSnapshot(spark, s"$idx/members.parquet")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def clusterRows(idx: String): Set[(Long, Long)] =
+    graft.operators.IndexFamily.readSnapshot(spark, s"$idx/clusters.parquet")
+      .select(col("doc_id"), col("cluster_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("member-lookup projection stays consistent with the labels across appends and deletes") {
+    import spark.implicits._
+    val idx = tmpIdx("clmem")
+    Dedup.buildMinhashIndex(spark,
+      docsAt(sf).filter(col("doc_id") < 150), idx, s"$idx#m0")
+    Dedup.buildClusterState(spark, idx)
+    assert(memberRows(idx) == clusterRows(idx), "build must derive the projection")
+    Dedup.clusterIncrement(spark,
+      docsAt(sf).filter(col("doc_id") >= 150 && col("doc_id") < 300),
+      idx, s"$idx#m1", append = true).collect()
+    Dedup.clusterIncrement(spark,
+      docsAt(sf).filter(col("doc_id") >= 300), idx, s"$idx#m2", append = true).collect()
+    assert(memberRows(idx) == clusterRows(idx),
+      "increments must merge the projection in the same transaction")
+    // takedown: deleted docs leave the projection, survivors re-labeled
+    val victims = clusterRows(idx).toSeq.sortBy(_._1).take(2).map(_._1)
+    Dedup.deleteFromDedupIndex(spark, idx, victims.toDF("doc_id"))
+    assert(memberRows(idx) == clusterRows(idx),
+      "deletes must merge the projection in the same transaction")
+    assert(victims.forall(v => !memberRows(idx).exists(_._1 == v)))
+  }
+
+  test("a torn two-table commit (.txn marker) rebuilds the projection before trusting it") {
+    val split = Dedup.incrementSplitAt(spark, sf)
+    val idx = tmpIdx("cltxn")
+    Dedup.buildMinhashIndex(spark,
+      docsAt(sf).filter(col("doc_id") < split), idx, s"$idx#t0")
+    Dedup.buildClusterState(spark, idx)
+    // simulate the crash window: labels merged, projection NOT — scramble
+    // the projection to a wrong generation and leave the intent marker
+    import spark.implicits._
+    graft.operators.IndexFamily.writePartitioned(
+      Seq((999999L, 999999L)).toDF("doc_id", "cluster_id"),
+      s"$idx/members.parquet", "doc_id",
+      graft.operators.IndexFamily.partsOf(spark, s"$idx/members.parquet"))
+    val marker = new org.apache.hadoop.fs.Path(s"$idx/clusters.parquet.txn")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(marker, true).close()
+    // the next increment repairs first, so its labels equal the
+    // full-closure law regardless of the scrambled projection
+    val fullLabels = labelSet(Dedup.clusterPairsStar(
+      Dedup.minhashLshPairs(spark, sf).select(col("doc_a"), col("doc_b"))))
+    val touching = fullLabels.collect { case (doc, c) if doc >= split => c }.toSet
+    val expected = fullLabels.filter { case (_, c) => touching(c) }
+    val inc = labelSet(Dedup.clusterIncrement(spark,
+      docsAt(sf).filter(col("doc_id") >= split), idx, s"$idx#t1", append = false))
+    assert(inc == expected,
+      s"missing=${expected.toSet -- inc.toSet} extra=${inc.toSet -- expected.toSet}")
+    assert(!fs.exists(marker), "repair must clear the intent marker")
+    assert(memberRows(idx) == clusterRows(idx), "projection must be rebuilt")
+  }
+
   test("pipeline increment == full production pipeline's keep list restricted to the batch") {
     import org.apache.spark.sql.functions.md5
     val split = Dedup.incrementSplitAt(spark, sf)
