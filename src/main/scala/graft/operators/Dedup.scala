@@ -820,6 +820,17 @@ object Dedup {
       .filter(col("doc_id") =!= col("keep_id"))
       .select(col("doc_id").as("doc_a"), col("keep_id").as("doc_b"))
       .write.mode("overwrite").parquet(s"$indexDir/exact_edges.parquet")
+    // the KEEPER table (round-14, closing the round-13 advice): one row
+    // per md5 group — singletons included — so an INCREMENT can resolve a
+    // batch duplicate's keeper id without re-hashing the corpus (the
+    // "persisted fingerprint index" the pipeline's scaladoc promised the
+    // deployment). ∝ distinct hashes, two thin columns.
+    keepers.write.mode("overwrite").parquet(s"$indexDir/exact_keepers.parquet")
+  }
+
+  private def hasExactKeepers(s: SparkSession, indexDir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/exact_keepers.parquet")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** Maintain [[buildExactState]] under deletion — derivable from the
@@ -830,6 +841,13 @@ object Dedup {
   private def deleteFromExactState(s: SparkSession, indexDir: String,
                                    ids: DataFrame): Unit = {
     val path = s"$indexDir/exact_edges.parquet"
+    // keeper re-election reads the PRE-delete edges; checkpointed so the
+    // keeper-table rewrite below no longer references the swapped files
+    val reElected = graft.Checkpoints.local(
+      s.read.parquet(parquetPartFiles(s, path): _*)
+        .join(ids.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_anti")
+        .join(ids.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+        .groupBy(col("doc_b")).agg(min(col("doc_a")).as("new_keeper")))
     IndexMaintenance.rewriteSwap(s, path) { edges =>
       val surviving = edges.join(ids.select(col("doc_id").as("doc_a")),
         Seq("doc_a"), "left_anti")
@@ -837,13 +855,26 @@ object Dedup {
         Seq("doc_b"), "left_semi")
       val keeperKept = surviving.join(ids.select(col("doc_id").as("doc_b")),
         Seq("doc_b"), "left_anti").select(col("doc_a"), col("doc_b"))
-      val reElected = keeperGone.groupBy(col("doc_b"))
-        .agg(min(col("doc_a")).as("new_keeper"))
       keeperKept.unionByName(
         keeperGone.join(reElected, Seq("doc_b"))
           .filter(col("doc_a") =!= col("new_keeper"))
           .select(col("doc_a"), col("new_keeper").as("doc_b")))
     }
+    // keeper table: groups whose keeper survives are untouched; a deleted
+    // keeper's group re-keys to the re-elected minimum, or leaves the
+    // table entirely when no member survives
+    if (hasExactKeepers(s, indexDir))
+      IndexMaintenance.rewriteSwap(s, s"$indexDir/exact_keepers.parquet") { keepers =>
+        val untouched = keepers
+          .join(ids.select(col("doc_id").as("keep_id")), Seq("keep_id"), "left_anti")
+          .select(col("text_hash"), col("keep_id"))
+        val reKeyed = keepers
+          .join(ids.select(col("doc_id").as("keep_id")), Seq("keep_id"), "left_semi")
+          .join(reElected.select(col("doc_b").as("keep_id"), col("new_keeper")),
+            Seq("keep_id"))
+          .select(col("text_hash"), col("new_keeper").as("keep_id"))
+        untouched.unionByName(reKeyed)
+      }
   }
 
   /** Merge one ingest batch into persisted cluster state: run
@@ -1086,6 +1117,45 @@ object Dedup {
       .filter(coalesce(col("in_corpus"), lit(false)) ||
         col("doc_id") =!= col("batch_min"))
       .select(col("doc_id"))
+    // EXACT-state maintenance (round-14, closing the round-13 advice):
+    // when the index carries persisted exact state (buildExactState's
+    // edges + keeper tables), the increment appends the batch's exact-dup
+    // edges — previously only deletion maintained them, so documents
+    // ingested after the build had NO edges and their exact duplicates
+    // could land on opposite sides of a leakage-safe split. A batch doc
+    // whose hash exists in the keeper table points at the STORED keeper
+    // (always the global group minimum — batch ids are above every stored
+    // id, enforced above); a new hash group keeps its batch minimum and
+    // registers it as the group's keeper. A strictIds=false redelivery
+    // can duplicate edge/keeper ROWS — decision-neutral (both tables are
+    // consumed as sets). The stream legs do NOT maintain exact state (the
+    // at-ingest path dedups exactly via the corpus-fingerprint anti-join
+    // instead of keeping edges) — an index-backed split after STREAM
+    // ingest still needs a buildExactState refresh, documented there.
+    if (append && hasExactKeepers(s, indexDir)) {
+      val keepersPath = s"$indexDir/exact_keepers.parquet"
+      val edgesPath = s"$indexDir/exact_edges.parquet"
+      val stored = s.read.parquet(parquetPartFiles(s, keepersPath): _*)
+      val withKeeper = graft.Checkpoints.local(hashed
+        .join(groupMin, Seq("text_hash"))
+        .join(stored.select(col("text_hash"), col("keep_id").as("stored_keeper")),
+          Seq("text_hash"), "left"))
+      val nBatch = withKeeper.count() // checkpointed — sizes the appends
+      val newEdges = withKeeper.filter(
+          col("stored_keeper").isNotNull || col("doc_id") =!= col("batch_min"))
+        .select(col("doc_id").as("doc_a"),
+          coalesce(col("stored_keeper"), col("batch_min")).as("doc_b"))
+      val newKeepers = withKeeper.filter(col("stored_keeper").isNull)
+        .select(col("text_hash"), col("batch_min").as("keep_id")).distinct()
+      IndexFamily.withLease(s, edgesPath) {
+        newEdges.coalesce(appendFileCount(nBatch))
+          .write.mode("append").parquet(edgesPath)
+      }
+      IndexFamily.withLease(s, keepersPath) {
+        newKeepers.coalesce(appendFileCount(nBatch))
+          .write.mode("append").parquet(keepersPath)
+      }
+    }
     newDocs.select(col("doc_id"))
       .join(nearDrops.unionByName(exactDrops).distinct(), Seq("doc_id"), "left_anti")
   }

@@ -370,7 +370,17 @@ object Sampling {
     * persisted [[graft.operators.Dedup.buildExactState]] table too — the
     * path no longer re-hashes the corpus (`md5(text)` never appears in
     * its plan, PlanSpec-pinned); the only corpus read left is the
-    * doc_id column the output itself enumerates. */
+    * doc_id column the output itself enumerates.
+    *
+    * FRESHNESS contract (round 14): the BATCH increment path maintains the
+    * edges — [[graft.operators.Dedup.dedupPipelineIncrement]] appends each
+    * batch's exact edges and new keepers when the state tables exist, and
+    * deletion re-elects keepers — so daily batch ingest keeps this split
+    * leakage-safe with no refresh. The STREAM legs do not (the at-ingest
+    * path drops exact duplicates via the corpus-fingerprint anti-join
+    * rather than recording edges): after stream-only ingest, run
+    * [[graft.operators.Dedup.buildExactState]] before an index-backed
+    * split, or use [[leakageSafeSplit]] (the recompute path). */
   def leakageSafeSplitFromIndex(s: SparkSession, dir: String, indexDir: String,
                                 holdoutPct: Int = 20): DataFrame = {
     import graft.operators.{Dedup => D}

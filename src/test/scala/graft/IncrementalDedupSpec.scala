@@ -236,6 +236,58 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(memberRows(idx) == clusterRows(idx), "projection must be rebuilt")
   }
 
+  test("pipeline increments maintain the exact state: edges and keepers converge to a full rebuild") {
+    import spark.implicits._
+    // the gate corpus has ~no exact dups — force a known structure: two
+    // batch docs duplicating an OLD doc, a batch-internal dup pair, and a
+    // fresh unique doc
+    val split = Dedup.incrementSplitAt(spark, sf)
+    val old = docsAt(sf).filter(col("doc_id") < split)
+      .select(col("doc_id"), col("text"))
+    val oldRows = old.orderBy(col("doc_id")).limit(2).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val base = docsAt(sf).agg(max(col("doc_id"))).head().getLong(0) + 1
+    val batch = Seq(
+      (base + 0, oldRows(0)._2),          // dup of old keeper oldRows(0)
+      (base + 1, oldRows(1)._2),          // dup of old keeper oldRows(1)
+      (base + 2, "a wholly new unique document body"),
+      (base + 3, "twin batch text that repeats"),
+      (base + 4, "twin batch text that repeats"), // batch-internal dup
+      (base + 5, oldRows(0)._2)           // second dup of the same old keeper
+    ).toDF("doc_id", "text")
+    val idx = tmpIdx("exstate")
+    Dedup.buildMinhashIndex(spark, old, idx, s"$idx#e0")
+    Dedup.buildClusterState(spark, idx)
+    Dedup.buildExactState(spark, old, idx)
+    val corpusFps = old.select(md5(col("text")).as("text_hash"))
+    Dedup.dedupPipelineIncrement(spark, batch, corpusFps, idx, s"$idx#e1",
+      append = true).collect()
+    // ground truth: exact state built in one shot over corpus ∪ batch
+    val full = tmpIdx("exfull")
+    Dedup.buildExactState(spark, old.unionByName(batch), full)
+    def edgesOf(d: String) = spark.read.parquet(s"$d/exact_edges.parquet")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def keepersOf(d: String) = spark.read.parquet(s"$d/exact_keepers.parquet")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(edgesOf(idx) == edgesOf(full),
+      s"missing=${edgesOf(full) -- edgesOf(idx)} extra=${edgesOf(idx) -- edgesOf(full)}")
+    assert(keepersOf(idx) == keepersOf(full))
+    assert(edgesOf(idx).nonEmpty && edgesOf(idx).exists(_._2 == oldRows(0)._1),
+      "batch dups of an old doc must point at the STORED keeper")
+    assert(edgesOf(idx).contains((base + 4, base + 3)),
+      "a batch-internal dup must point at the batch minimum")
+    // and the deletion path keeps the keeper table consistent: delete a
+    // keeper that has surviving members, expect re-election in BOTH tables
+    val victim = oldRows(0)._1 // keeper of a 3-member group (two survive)
+    Dedup.deleteFromDedupIndex(spark, idx, Seq(victim).toDF("doc_id"))
+    val afterEdges = edgesOf(idx)
+    assert(afterEdges.forall { case (a, b) => a != victim && b != victim })
+    assert(keepersOf(idx).forall(_._2 != victim))
+    assert(keepersOf(idx).exists(_._2 == base + 0),
+      "the deleted keeper's group must re-elect its minimum surviving member")
+    assert(afterEdges.contains((base + 5, base + 0)))
+  }
+
   test("pipeline increment == full production pipeline's keep list restricted to the batch") {
     import org.apache.spark.sql.functions.md5
     val split = Dedup.incrementSplitAt(spark, sf)
