@@ -175,6 +175,8 @@ object IndexFamily {
     pmod(key, lit(nParts.toLong)).cast("int")
 
   private def partsFile(path: String) = path + ".parts"
+  private def partsNextFile(path: String) = path + ".parts.next"
+  private def oldDirOf(path: String) = path + ".olddir"
 
   /** Pin the layout modulus next to the table (the layout handshake). */
   private def writeParts(s: SparkSession, path: String, nParts: Int): Unit = {
@@ -186,6 +188,10 @@ object IndexFamily {
     * merge against an unknown modulus would scatter rows wrongly). */
   def partsOf(s: SparkSession, path: String): Int = {
     val fs = fsFor(s, path)
+    require(!fs.exists(hp(partsNextFile(path))),
+      s"$path has a torn layout migration (${partsNextFile(path)} exists) — " +
+        "a crash interrupted repartitionState; run graft.IndexAdmin to repair " +
+        "before reading or merging this table's layout")
     val p = hp(partsFile(path))
     require(fs.exists(p),
       s"$path has no .parts layout handshake — not a partitioned state table")
@@ -389,6 +395,105 @@ object IndexFamily {
       // inside the lease for the same successor-wipe reason as mergeTouched's
       fs.delete(hp(staging), true)
     }
+  }
+
+  /** MIGRATE a partitioned state table to a NEW modulus without rebuilding
+    * from raw data (round-14 verdict task 6) — the operation a deployment
+    * runs when its key cardinality outgrows the build-time `StateParts`
+    * choice. Re-layouts the same rows under `pmod(key, newNParts)` and
+    * swaps the `.parts` handshake atomically-enough with the directory
+    * generation:
+    *
+    *  1. (under the table lease) stage the full content in the new layout
+    *     at `.rewrite`;
+    *  2. write the `.parts.next` INTENT marker — from here until cleanup,
+    *     [[partsOf]] refuses every read/merge of the layout, so nothing
+    *     can scatter rows against the wrong modulus mid-swap;
+    *  3. park the whole old generation (`path` → `path + ".olddir"`),
+    *     promote the staging, overwrite `.parts`, then drop the park and
+    *     the marker.
+    *
+    * A crash anywhere leaves a state [[repairMigration]] can classify from
+    * the surviving siblings alone and roll forward (staging promoted /
+    * cleanup finished) or back (staging discarded, old generation intact)
+    * — never a half-migrated layout: the old generation is parked WHOLE,
+    * never mutated. The crashed run's lease deliberately survives (the
+    * no-auto-expiry argument at [[acquireLease]]); [[graft.IndexAdmin]] is
+    * the operator tool that inspects, repairs, and releases. Content is
+    * unchanged, so id sidecars stay valid. */
+  def repartitionState(s: SparkSession, path: String, keyCol: String,
+                       newNParts: Int): Unit = {
+    require(newNParts > 0, s"newNParts must be positive, got $newNParts")
+    val fs = fsFor(s, path)
+    val staging = path + ".rewrite"
+    withLease(s, path) {
+      repairTorn(s, path)
+      val nOld = partsOf(s, path) // also refuses on a torn migration
+      if (nOld == newNParts) return
+      readSnapshot(s, path)
+        .withColumn("_p", partOf(col(keyCol), newNParts))
+        .repartition(col("_p"))
+        .write.partitionBy("_p").mode("overwrite").parquet(staging)
+      val out = fs.create(hp(partsNextFile(path)), true)
+      out.write(newNParts.toString.getBytes("UTF-8")); out.close()
+      require(fs.rename(hp(path), hp(oldDirOf(path))),
+        s"could not park $path for migration")
+      require(fs.rename(hp(staging), hp(path)),
+        s"could not promote $staging (old generation parked at ${oldDirOf(path)})")
+      writeParts(s, path, newNParts)
+      fs.delete(hp(oldDirOf(path)), true)
+      fs.delete(hp(partsNextFile(path)), false)
+    }
+  }
+
+  /** Classify and repair a torn [[repartitionState]] from the surviving
+    * siblings. Returns a human-readable action string (the
+    * [[graft.IndexAdmin]] report line); no-op ("no migration in flight")
+    * when no `.parts.next` marker exists. Caller holds the table lease (or
+    * has just force-released a crashed run's). */
+  def repairMigration(s: SparkSession, path: String): String = {
+    val fs = fsFor(s, path)
+    val marker = hp(partsNextFile(path))
+    if (!fs.exists(marker)) return "no migration in flight"
+    val in = fs.open(marker)
+    val next = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+               finally in.close()
+    val havePath = fs.exists(hp(path))
+    val havePark = fs.exists(hp(oldDirOf(path)))
+    val haveStaging = fs.exists(hp(path + ".rewrite"))
+    val action =
+      if (!havePath && havePark && haveStaging) {
+        // crashed between park and promote: finish the swap
+        require(fs.rename(hp(path + ".rewrite"), hp(path)),
+          s"could not promote ${path}.rewrite")
+        writeParts(s, path, next)
+        fs.delete(hp(oldDirOf(path)), true)
+        s"rolled FORWARD: promoted staging, .parts=$next, dropped park"
+      } else if (!havePath && havePark) {
+        // staging lost with the table parked (should be unreachable —
+        // staging is written before the marker): restore the old
+        // generation, defensive roll-back
+        require(fs.rename(hp(oldDirOf(path)), hp(path)),
+          s"could not restore ${oldDirOf(path)}")
+        s"rolled BACK: restored the parked old generation (staging missing)"
+      } else if (havePath && havePark) {
+        // crashed between promote and cleanup: path already holds the new
+        // generation — finish the bookkeeping
+        writeParts(s, path, next)
+        fs.delete(hp(oldDirOf(path)), true)
+        s"rolled FORWARD: .parts=$next, dropped park (swap had completed)"
+      } else if (havePath && haveStaging) {
+        // crashed between marker and park: nothing swapped — discard the
+        // staging, keep the old generation and modulus
+        fs.delete(hp(path + ".rewrite"), true)
+        s"rolled BACK: discarded staging (old generation untouched)"
+      } else {
+        // tail-end crash: swap and cleanup done, only the marker survives
+        writeParts(s, path, next)
+        s"rolled FORWARD: .parts=$next (cleanup had completed)"
+      }
+    fs.delete(marker, false)
+    action
   }
 
   // -----------------------------------------------------------------

@@ -166,6 +166,121 @@ class IndexFamilySpec extends AnyFunSuite with SparkTestBase {
   }
 
   // -----------------------------------------------------------------
+  // Round-14: layout migration (repartitionState) + operator recovery
+  // -----------------------------------------------------------------
+
+  test("repartitionState migrates to a new modulus: content identical, merges work, " +
+       "stale-modulus tables still refuse") {
+    import spark.implicits._
+    val dir = tmpDir("mig")
+    val path = s"$dir/state.parquet"
+    val base = (0L until 120L).map(k => (k, k * 7))
+    IndexFamily.writePartitioned(base.toDF("key", "value"), path, "key", 4)
+    IndexFamily.repartitionState(spark, path, "key", 16)
+    assert(IndexFamily.partsOf(spark, path) == 16)
+    assert(stateRows(path) == base.toSet, "migration must not change content")
+    // rows physically land under the NEW modulus (probe pruning stays real)
+    val k13 = IndexFamily.readPartitions(spark, path, Seq(13))
+      .collect().map(_.getLong(0)).toSet
+    assert(k13 == base.map(_._1).filter(_ % 16 == 13).toSet)
+    // post-migration merges behave exactly like pre-migration ones
+    IndexFamily.mergeTouched(spark, path, "key",
+      Seq(13L).toDF("key"), Seq((13L, 999L), (1000L, 1L)).toDF("key", "value"))
+    assert(stateRows(path) == base.toSet - ((13L, 13L * 7)) + ((13L, 999L)) + ((1000L, 1L)))
+    // a same-modulus migration is a no-op that leaves no residue
+    IndexFamily.repartitionState(spark, path, "key", 16)
+    assert(IndexFamily.partsOf(spark, path) == 16)
+  }
+
+  test("a torn migration refuses reads/merges and IndexAdmin rolls it forward or back") {
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path("/tmp")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hp(x: String) = new org.apache.hadoop.fs.Path(x)
+    def mkState(tag: String): (String, Seq[(Long, Long)]) = {
+      val path = s"${tmpDir(tag)}/state.parquet"
+      val rows = (0L until 60L).map(k => (k, k + 500))
+      IndexFamily.writePartitioned(rows.toDF("key", "value"), path, "key", 4)
+      (path, rows)
+    }
+    def stageNewLayout(path: String, rows: Seq[(Long, Long)], nNew: Int): Unit =
+      rows.toDF("key", "value")
+        .withColumn("_p", IndexFamily.partOf(col("key"), nNew))
+        .repartition(col("_p"))
+        .write.partitionBy("_p").mode("overwrite").parquet(path + ".rewrite")
+    def markMigrating(path: String, nNew: Int): Unit = {
+      val out = fs.create(hp(path + ".parts.next"), true)
+      out.write(nNew.toString.getBytes("UTF-8")); out.close()
+    }
+    // (a) crash BEFORE the park: staging + marker, table untouched -> BACK
+    val (pa, ra) = mkState("miga")
+    stageNewLayout(pa, ra, 8); markMigrating(pa, 8)
+    IndexFamily.acquireLease(spark, pa) // the crashed run held it
+    intercept[IllegalArgumentException] { IndexFamily.partsOf(spark, pa) }
+    val repA = IndexAdmin.run(spark, pa, release = true)
+    assert(repA.contains("rolled BACK") && repA.contains("lease released"), repA)
+    assert(IndexFamily.partsOf(spark, pa) == 4 && stateRows(pa) == ra.toSet)
+    assert(!fs.exists(hp(pa + ".rewrite")))
+    // (b) crash MID-swap: table parked whole, staging present, no live dir -> FORWARD
+    val (pb, rb) = mkState("migb")
+    stageNewLayout(pb, rb, 8); markMigrating(pb, 8)
+    assert(fs.rename(hp(pb), hp(pb + ".olddir")))
+    IndexFamily.acquireLease(spark, pb)
+    val repB = IndexAdmin.run(spark, pb, release = true)
+    assert(repB.contains("rolled FORWARD"), repB)
+    assert(IndexFamily.partsOf(spark, pb) == 8 && stateRows(pb) == rb.toSet)
+    assert(!fs.exists(hp(pb + ".olddir")))
+    // (c) crash AFTER the promote: new generation live, park still there -> FORWARD
+    val (pc, rc) = mkState("migc")
+    stageNewLayout(pc, rc, 8); markMigrating(pc, 8)
+    assert(fs.rename(hp(pc), hp(pc + ".olddir")))
+    assert(fs.rename(hp(pc + ".rewrite"), hp(pc)))
+    IndexFamily.acquireLease(spark, pc)
+    val repC = IndexAdmin.run(spark, pc, release = true)
+    assert(repC.contains("rolled FORWARD"), repC)
+    assert(IndexFamily.partsOf(spark, pc) == 8 && stateRows(pc) == rc.toSet)
+    assert(!fs.exists(hp(pc + ".olddir")) && !fs.exists(hp(pc + ".parts.next")))
+  }
+
+  test("IndexAdmin classifies the three lease-residue states; dry-run changes nothing") {
+    import spark.implicits._
+    // CLEAN: lease only
+    val clean = s"${tmpDir("adm-clean")}/t.parquet"
+    Seq((1L, 1L)).toDF("a", "b").write.parquet(clean)
+    IndexFamily.acquireLease(spark, clean)
+    val r1 = IndexAdmin.run(spark, clean, release = false)
+    assert(r1.contains("CLEAN") && r1.contains("HELD") && r1.contains("dry-run"))
+    // dry-run must not have touched the lease
+    intercept[IllegalArgumentException] { IndexFamily.acquireLease(spark, clean) }
+    assert(IndexAdmin.run(spark, clean, release = true).contains("lease released"))
+    IndexFamily.acquireLease(spark, clean) // now free again
+    IndexFamily.releaseLease(spark, clean)
+    // STAGED: .rewrite residue
+    val staged = s"${tmpDir("adm-staged")}/t.parquet"
+    Seq((1L, 1L)).toDF("a", "b").write.parquet(staged)
+    Seq((2L, 2L)).toDF("a", "b").write.parquet(staged + ".rewrite")
+    IndexFamily.acquireLease(spark, staged)
+    assert(IndexAdmin.run(spark, staged, release = false).contains("STAGED"))
+    val r2 = IndexAdmin.run(spark, staged, release = true)
+    assert(r2.contains("repaired"))
+    val fs = new org.apache.hadoop.fs.Path(staged)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(staged + ".rewrite")))
+    // PARKED: an orphaned _p=K.old park
+    val parked = s"${tmpDir("adm-parked")}/state.parquet"
+    IndexFamily.writePartitioned(
+      (0L until 8L).map(k => (k, k)).toDF("key", "value"), parked, "key", 4)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$parked/_p=2"),
+      new org.apache.hadoop.fs.Path(s"$parked/_p=2.old")))
+    IndexFamily.acquireLease(spark, parked)
+    assert(IndexAdmin.run(spark, parked, release = false).contains("PARKED"))
+    IndexAdmin.run(spark, parked, release = true)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$parked/_p=2")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$parked/_p=2.old")))
+    assert(stateRows(parked).size == 8)
+  }
+
+  // -----------------------------------------------------------------
   // Round-14: gated newness guard (watermark -> bloom -> exact scan)
   // -----------------------------------------------------------------
 
