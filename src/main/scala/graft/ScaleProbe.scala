@@ -920,6 +920,130 @@ object ScaleProbe {
             "paid once per corpus version)")
         }
 
+      case "mergegrain" =>
+        // The partitioned-state machinery priced at DEPLOYMENT-shaped
+        // grain (round-14 verdict task 4): the §8.5.9 family runs measure
+        // the machinery through whole operators at ~100 KB of state, where
+        // the per-partition rename swap dominates. Here the state is
+        // synthetic and big — k×100k rows (k=10 → 1M) at nParts=256 — so
+        // the numbers price what matters at scale: per-merge wall vs
+        // touched-partition count, the ∝-touched win over a full rewrite,
+        // and the repartitionState migration. Run with
+        // SPARK_GRAFT_MERGE_TELEMETRY=full to also price the full-table
+        // telemetry denominator the production merge no longer pays.
+        val nRows = k.toLong * 100000L
+        val nP = 256
+        val stPath = s"$dst/grain_state.parquet"
+        locally {
+          val p = new org.apache.hadoop.fs.Path(dst)
+          val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fsys.mkdirs(p)
+          fsys.delete(new org.apache.hadoop.fs.Path(stPath), true)
+        }
+        // ~180-byte rows: thin enough to build fast, fat enough that the
+        // rewritten-bytes term (not the per-partition rename) is what the
+        // merge walls price — the deployment-shaped regime
+        val stateDf = spark.range(nRows)
+          .select(col("id").as("key"), (col("id") * 31L % 9973L).as("value"),
+            concat(lit("p" * 8), repeat(conv(col("id") * 2654435761L, 10, 16), 10))
+              .as("payload"))
+        time(s"state_build_${nRows}_p$nP") {
+          graft.operators.IndexFamily.writePartitioned(stateDf, stPath, "key", nP)
+        }
+        // two deployment batch shapes: SMALL (a daily cluster-increment's
+        // tens of touched labels) and MEDIUM (a span batch's hundreds of
+        // touched hashes); keys hash uniformly, so expected touched
+        // partitions are 256·(1−(1−1/256)^keys)
+        import spark.implicits._
+        for ((tag, nTouch, nNew) <- Seq(("small", 16, 8), ("medium", 512, 256))) {
+          for (j <- 0 until 3) {
+            val touched = (0 until nTouch)
+              .map(i => (j * 100000L + i * 37L) % nRows).distinct.toDF("key")
+            val fresh = (0 until nNew)
+              .map(i => nRows + j * 10000L + i * (tag.length + 1)).distinct
+              .map(kk => (kk, kk * 31L % 9973L)).toDF("key", "value")
+              .withColumn("payload", lit("fresh-" * 20))
+            val replace = touched.select(col("key"), (col("key") + 1L).as("value"),
+              lit("merged-" * 20).as("payload"))
+            var parts = 0
+            val sec = time(s"merge_${tag}_$j") {
+              parts = graft.operators.IndexFamily.mergeTouched(spark, stPath, "key",
+                touched, replace.unionByName(fresh))
+            }
+            println(f"SCALE${k}X[mergegrain] merge_${tag}_$j: $parts/$nP partitions, " +
+              f"${sec * 1000 / math.max(parts, 1)}%.0f ms/partition")
+            spark.catalog.clearCache(); Checkpoints.releaseAll()
+          }
+        }
+        // the cost the partitioning REPLACED: one full-table rewrite
+        time(s"full_rewrite_p$nP") {
+          graft.operators.IndexFamily.rewritePartitioned(spark, stPath, "key")(df => df)
+        }
+        spark.catalog.clearCache(); Checkpoints.releaseAll()
+        // layout migration at the same grain (round-14 verdict task 6)
+        time(s"repartition_${nP}_to_${nP * 2}") {
+          graft.operators.IndexFamily.repartitionState(spark, stPath, "key", nP * 2)
+        }
+        val got = spark.read.parquet(stPath)
+        println(s"SCALE${k}X[mergegrain] final: parts=" +
+          s"${graft.operators.IndexFamily.partsOf(spark, stPath)}, " +
+          s"rows=${got.count()} (expect ≥ $nRows), " +
+          s"valueSum=${got.agg(sum(col("value"))).head().getLong(0)}")
+
+      case "appendguard" =>
+        // The id-newness guard's cost law (round-14 verdict task 1's
+        // §8.5.8 row): requireNewIds walls at index size N and 10N for
+        // each evidence path. The watermark path must be O(1), the bloom
+        // path ∝ batch, and only the legacy no-sidecar scan may grow with
+        // the index — that scan is what the sidecars removed from every
+        // healthy appending batch.
+        import spark.implicits._
+        val IF = graft.operators.IndexFamily
+        val batchN = 10000
+        for (mult <- Seq(1L, 10L)) {
+          val n = k.toLong * 100000L * mult
+          val tPath = s"$dst/guard_${n}.parquet"
+          locally {
+            val p = new org.apache.hadoop.fs.Path(dst)
+            val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            fsys.mkdirs(p)
+            fsys.delete(new org.apache.hadoop.fs.Path(tPath), true)
+          }
+          // stored ids: the EVEN numbers below 2n (odd ids are fresh ids
+          // BELOW the watermark — the bloom path's workload)
+          spark.range(n).select((col("id") * 2L).as("doc_id"))
+            .repartition(32).write.parquet(tPath)
+          time(s"seed_guards_n$n")(IF.seedIdGuards(spark, tPath, "doc_id"))
+          val monotone = (0 until batchN).map(i => 2L * n + i).toDF("doc_id")
+          val belowWm = (0 until batchN).map(i => 2L * i + 1L).toDF("doc_id")
+          val overlap = (0 until batchN).map(i => 2L * i).toDF("doc_id")
+          for (rep <- 0 until 3) {
+            time(s"guard_watermark_n${n}_$rep") {
+              IF.requireNewIds(spark, tPath, "doc_id", monotone, batchN, "probe")
+            }
+            assert(IF.lastNewIdsPath == "watermark", IF.lastNewIdsPath)
+            time(s"guard_bloom_n${n}_$rep") {
+              IF.requireNewIds(spark, tPath, "doc_id", belowWm, batchN, "probe")
+            }
+            assert(IF.lastNewIdsPath.startsWith("bloom"), IF.lastNewIdsPath)
+            time(s"guard_overlap_n${n}_$rep") {
+              val ov = IF.requireNewIds(spark, tPath, "doc_id", overlap, batchN,
+                "probe", strict = false)
+              assert(ov == batchN.toLong, s"expected $batchN overlaps, got $ov")
+            }
+          }
+          // the pre-round-14 cost: no sidecars, full keyed scan per batch
+          IF.resetIdWatermark(spark, tPath)
+          IF.dropIdBloom(spark, tPath)
+          for (rep <- 0 until 3) {
+            time(s"guard_legacy_scan_n${n}_$rep") {
+              IF.requireNewIds(spark, tPath, "doc_id", monotone, batchN, "probe")
+            }
+            assert(IF.lastNewIdsPath == "scan", IF.lastNewIdsPath)
+          }
+          spark.catalog.clearCache(); Checkpoints.releaseAll()
+        }
+
       case other => sys.error(s"unknown SPARK_GRAFT_SCALE_MODE: $other")
     }
     spark.stop()

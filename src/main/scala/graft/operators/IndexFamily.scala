@@ -648,7 +648,22 @@ object IndexFamily {
       if (mn.getLong(0) > wm.get) { lastNewIdsPath = "watermark"; return 0L }
     }
     val (maybeIds, nMaybe) = readIdBloom(s, tablePath) match {
+      case Some((_, _, bytes)) if batchRows <= 2000000L =>
+        // daily-batch shape (the 2M broadcast convention): probe the bloom
+        // DRIVER-side — the batch ids collect under the same trust bound
+        // we broadcast them at, and the filter is deserialized once
+        // instead of shipped as a multi-MB literal into every task
+        import s.implicits._
+        val bloom = BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+        val maybes = distinctIds.collect().map(_.getLong(0)).filter { id =>
+          bloom.mightContainLong(
+            org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(id, 42L))
+        }
+        (maybes.toSeq.toDF(idCol), maybes.length.toLong)
       case Some((_, _, bytes)) =>
+        // backfill-sized batch: keep the probe distributed (codegen'd
+        // might_contain over the batch; the stored table is still only
+        // read for the surviving maybes)
         val m = distinctIds.filter(mightContainId(bytes, col(idCol)))
         (m, m.count())
       case None => (distinctIds, -1L)
