@@ -47,16 +47,14 @@ object IndexAdmin {
     val leaseHeld = fs.exists(p(IndexFamily.leasePath(tablePath)))
     sb ++= s"[index-admin] lease: ${if (leaseHeld) "HELD (crashed or live maintenance)" else "free"}\n"
 
-    val staging = fs.exists(p(tablePath + ".rewrite"))
-    val migrating = fs.exists(p(tablePath + ".parts.next"))
-    val parkedDir = fs.exists(p(tablePath + ".olddir"))
-    val parks: Seq[String] =
-      if (fs.exists(p(tablePath)))
-        fs.listStatus(p(tablePath)).toSeq
-          .filter(e => e.isDirectory && e.getPath.getName.matches("^_p=\\d+\\.old$"))
-          .map(_.getPath.getName)
-      else Seq.empty
-    val txn = fs.exists(p(tablePath + ".txn"))
+    // every residue name comes from IndexFamily's own path builders — a
+    // re-spelled convention here would make the classifier report CLEAN
+    // on a dirty table and the released lease would reopen the race
+    val staging = fs.exists(p(IndexFamily.rewriteStagingPath(tablePath)))
+    val migrating = fs.exists(p(IndexFamily.partsNextPath(tablePath)))
+    val parkedDir = fs.exists(p(IndexFamily.oldDirPath(tablePath)))
+    val parks: Seq[String] = IndexFamily.parkedPartitionNames(s, tablePath)
+    val txn = fs.exists(p(IndexFamily.txnMarkerPath(tablePath)))
 
     val state =
       if (migrating) "MIGRATING (torn repartitionState — .parts.next intent marker)"

@@ -768,7 +768,7 @@ object Dedup {
     * full-snapshot lookup was immune to). */
   private def memberLookupPath(indexDir: String) = s"$indexDir/members.parquet"
   private def stateTxnMarker(statePath: String) =
-    new org.apache.hadoop.fs.Path(statePath + ".txn")
+    new org.apache.hadoop.fs.Path(IndexFamily.txnMarkerPath(statePath))
 
   /** (Re)derive the lookup projection from the authoritative cluster
     * state — build time, and the `.txn` crash-repair path. */
@@ -778,6 +778,29 @@ object Dedup {
       IndexFamily.readSnapshot(s, s"$indexDir/clusters.parquet")
         .select(col("doc_id"), col("cluster_id")),
       memberLookupPath(indexDir), "doc_id", nParts)
+
+  /** The labels+projection two-table commit under the `.txn` intent
+    * marker — single-sourced so the marker discipline cannot drift
+    * between the increment and the takedown paths (round-14 review
+    * finding): marker before the first partition swap, projection merge,
+    * marker dropped only after both tables landed. */
+  private def commitStateAndProjection(s: SparkSession, indexDir: String,
+                                       useProjection: Boolean,
+                                       touchedLabels: DataFrame,
+                                       newState: DataFrame,
+                                       touchedMembers: DataFrame,
+                                       memberRows: DataFrame): Unit = {
+    val statePath = s"$indexDir/clusters.parquet"
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (useProjection) fs.create(stateTxnMarker(statePath), true).close()
+    IndexFamily.mergeTouched(s, statePath, "cluster_id", touchedLabels, newState)
+    if (useProjection) {
+      IndexFamily.mergeTouched(s, memberLookupPath(indexDir), "doc_id",
+        touchedMembers, memberRows)
+      fs.delete(stateTxnMarker(statePath), false)
+    }
+  }
 
   /** Repair a torn two-table commit if its intent marker is present;
     * returns whether the projection is usable afterwards (false = no
@@ -959,27 +982,16 @@ object Dedup {
     // job-launch-free local tier
     val relabeled = clusterPairsTiered(starEdges.unionByName(newPairs))
       .withColumn("keep", col("doc_id") === col("cluster_id"))
-    if (append) {
-      val fs = new org.apache.hadoop.fs.Path(statePath)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      // the two-table commit rides the .txn intent marker: written before
-      // the first swap, dropped after both tables landed — a crash inside
-      // the window is repaired by the next increment's ensureMemberLookup
+    if (append)
+      // every member of a batch-touching component gets its (possibly
+      // unchanged) fresh label in BOTH tables; a crash inside the commit
+      // window is repaired by the next increment's ensureMemberLookup
       // (projection rebuilt from the authoritative labels)
-      if (useProjection) fs.create(stateTxnMarker(statePath), true).close()
-      IndexFamily.mergeTouched(s, statePath, "cluster_id",
+      commitStateAndProjection(s, indexDir, useProjection,
         touchedLabelsRaw.select(col("cluster_id")),
-        relabeled.select(col("doc_id"), col("cluster_id"), col("keep")))
-      if (useProjection) {
-        // every member of a batch-touching component gets its (possibly
-        // unchanged) fresh label; rows of untouched doc_ids keep their
-        // partition files byte-identical, like the state merge itself
-        IndexFamily.mergeTouched(s, memberLookupPath(indexDir), "doc_id",
-          relabeled.select(col("doc_id")),
-          relabeled.select(col("doc_id"), col("cluster_id")))
-        fs.delete(stateTxnMarker(statePath), false)
-      }
-    }
+        relabeled.select(col("doc_id"), col("cluster_id"), col("keep")),
+        relabeled.select(col("doc_id")),
+        relabeled.select(col("doc_id"), col("cluster_id")))
     relabeled.select(col("doc_id"), col("cluster_id"))
   }
 
@@ -1100,9 +1112,14 @@ object Dedup {
     // REFUSED, not assumed (O(1) against the signatures id watermark)
     val batchExt = newDocs.agg(min(col("doc_id")), max(col("doc_id"))).head()
     if (!batchExt.isNullAt(0))
+      // advance = false: the downstream guarded append advances the
+      // watermark itself (crash-safe-high, inside the lease); advancing
+      // HERE would pin it at the batch max before requireNewIds reads it
+      // and the monotone fast path could never fire on the pipeline
+      // (round-14 review finding)
       IndexFamily.requireIdsAbove(s, s"$indexDir/signatures.parquet", "doc_id",
         newDocs.select(col("doc_id")), batchExt.getLong(0), batchExt.getLong(1),
-        "dedupPipelineIncrement", strictIds)
+        "dedupPipelineIncrement", strictIds, advance = false)
     val labels = clusterIncrement(s, newDocs, indexDir, memoKey,
       threshold, bucketCap, append, strictIds)
     val nearDrops = labels.filter(col("doc_id") =!= col("cluster_id"))
@@ -1126,12 +1143,26 @@ object Dedup {
     // whose hash exists in the keeper table points at the STORED keeper
     // (always the global group minimum — batch ids are above every stored
     // id, enforced above); a new hash group keeps its batch minimum and
-    // registers it as the group's keeper. A strictIds=false redelivery
-    // can duplicate edge/keeper ROWS — decision-neutral (both tables are
-    // consumed as sets). The stream legs do NOT maintain exact state (the
-    // at-ingest path dedups exactly via the corpus-fingerprint anti-join
-    // instead of keeping edges) — an index-backed split after STREAM
-    // ingest still needs a buildExactState refresh, documented there.
+    // registers it as the group's keeper.
+    //
+    // Crash/replay story (round-14 review finding): KEEPERS LAND FIRST.
+    // With keepers-first the two-table append CONVERGES under redelivery
+    // with no intent marker: a crash after the keeper append finds the
+    // redelivered batch's hashes already registered, so the re-run emits
+    // the same edges against the stored keepers (the self-edge a
+    // registered batch-minimum would point at itself is filtered) and no
+    // duplicate keepers (newKeepers = null-stored_keeper hashes only);
+    // edges-first would instead let a LATER batch register a second
+    // keeper for the same hash and split the group. A crash after both
+    // appends can only duplicate edge ROWS on replay — decision-neutral
+    // (both tables are consumed as sets). The strict batch path's
+    // half-applied-increment recovery stays the documented
+    // deleteFromDedupIndex(batch ids) + retry, which deleteFromExactState
+    // makes exact-state-complete. The stream legs do NOT maintain exact
+    // state (the at-ingest path dedups exactly via the corpus-fingerprint
+    // anti-join instead of keeping edges) — an index-backed split after
+    // STREAM ingest still needs a buildExactState refresh, documented
+    // there.
     if (append && hasExactKeepers(s, indexDir)) {
       val keepersPath = s"$indexDir/exact_keepers.parquet"
       val edgesPath = s"$indexDir/exact_edges.parquet"
@@ -1145,15 +1176,16 @@ object Dedup {
           col("stored_keeper").isNotNull || col("doc_id") =!= col("batch_min"))
         .select(col("doc_id").as("doc_a"),
           coalesce(col("stored_keeper"), col("batch_min")).as("doc_b"))
+        .filter(col("doc_a") =!= col("doc_b")) // replay: a registered batch min
       val newKeepers = withKeeper.filter(col("stored_keeper").isNull)
         .select(col("text_hash"), col("batch_min").as("keep_id")).distinct()
-      IndexFamily.withLease(s, edgesPath) {
-        newEdges.coalesce(appendFileCount(nBatch))
-          .write.mode("append").parquet(edgesPath)
-      }
       IndexFamily.withLease(s, keepersPath) {
         newKeepers.coalesce(appendFileCount(nBatch))
           .write.mode("append").parquet(keepersPath)
+      }
+      IndexFamily.withLease(s, edgesPath) {
+        newEdges.coalesce(appendFileCount(nBatch))
+          .write.mode("append").parquet(edgesPath)
       }
     }
     newDocs.select(col("doc_id"))
@@ -1708,10 +1740,16 @@ object Dedup {
     // re-tighten the newness guard's bloom sidecar from the compacted
     // content: deletions and torn-append repairs only ever leave it
     // over-containing (safe), but compaction is the natural point to
-    // re-size it to the true id count
+    // re-size it to the true id count. UNDER THE TABLE LEASE: leaseless,
+    // this rebuild could race a concurrent guarded append (which advanced
+    // the bloom and is landing files) and overwrite the sidecar WITHOUT
+    // the batch's ids — stale-LOW, the silent-false-accept direction
+    // (round-14 review finding)
     val perDoc = s"$indexDir/${perDocTableOf(s, indexDir)}"
     if (IndexFamily.readIdBloom(s, perDoc).isDefined)
-      IndexFamily.writeIdBloom(s, perDoc, "doc_id")
+      IndexFamily.withLease(s, perDoc) {
+        IndexFamily.writeIdBloom(s, perDoc, "doc_id")
+      }
   }
 
   /** Telemetry-driven compaction trigger: compacts when the postings
@@ -1797,25 +1835,17 @@ object Dedup {
         bandedCandidatePairs(banded, "doc_id", "doc_a", "doc_b", bucketCap),
         sigs, threshold)
       val relabeled = clusterPairsTiered(pairs.select(col("doc_a"), col("doc_b")))
-      val fs2 = new org.apache.hadoop.fs.Path(statePath)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      // two-table commit under the .txn marker, like clusterIncrement's
-      if (useProjection) fs2.create(stateTxnMarker(statePath), true).close()
-      // partition-scoped: only directories holding a touched (or
+      // two-table commit under the .txn marker, like clusterIncrement's.
+      // Partition-scoped: only directories holding a touched (or
       // re-elected) label are swapped — a takedown's state cost is ∝ its
-      // components, like the increment's (IndexFamily.mergeTouched)
-      IndexFamily.mergeTouched(s, statePath, "cluster_id",
+      // components; deleted docs are touched projection keys with no new
+      // row (their rows drop), survivors get their fresh labels
+      commitStateAndProjection(s, indexDir, useProjection,
         touchedLabels.select(col("cluster_id")),
         relabeled.withColumn("keep", col("doc_id") === col("cluster_id"))
-          .select(col("doc_id"), col("cluster_id"), col("keep")))
-      if (useProjection) {
-        // deleted docs are touched keys with no new row (their projection
-        // rows drop); survivors get their fresh labels
-        IndexFamily.mergeTouched(s, memberLookupPath(indexDir), "doc_id",
-          preMembers,
-          relabeled.select(col("doc_id"), col("cluster_id")))
-        fs2.delete(stateTxnMarker(statePath), false)
-      }
+          .select(col("doc_id"), col("cluster_id"), col("keep")),
+        preMembers,
+        relabeled.select(col("doc_id"), col("cluster_id")))
     }
   }
 
@@ -2263,10 +2293,12 @@ object Dedup {
     IndexMaintenance.rewriteSwap(s, s"$indexDir/vectors.parquet")(
       _.distinct()
         .repartition(nFiles, col("cid")).sortWithinPartitions("cid", "vec_id"))
-    // re-tighten the bloom sidecar from the compacted content (the
-    // compactIndex argument)
+    // re-tighten the bloom sidecar from the compacted content, under the
+    // table lease (the compactIndex argument)
     if (IndexFamily.readIdBloom(s, s"$indexDir/vectors.parquet").isDefined)
-      IndexFamily.writeIdBloom(s, s"$indexDir/vectors.parquet", "vec_id")
+      IndexFamily.withLease(s, s"$indexDir/vectors.parquet") {
+        IndexFamily.writeIdBloom(s, s"$indexDir/vectors.parquet", "vec_id")
+      }
     // the group state keeps its hash-partitioned layout (the increment's
     // merge unit); compaction here is the distinct() torn-append repair,
     // with the within-file key order restored for rowgroup-stat pruning

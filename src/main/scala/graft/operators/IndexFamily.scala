@@ -178,6 +178,26 @@ object IndexFamily {
   private def partsNextFile(path: String) = path + ".parts.next"
   private def oldDirOf(path: String) = path + ".olddir"
 
+  // sidecar/residue path builders, PUBLIC — single-sourced so tooling
+  // (graft.IndexAdmin) can never drift from the conventions it inspects
+  // and repairs (round-14 review finding: a re-spelled name would make
+  // the residue classifier silently report CLEAN on a dirty table)
+  def rewriteStagingPath(tablePath: String): String = tablePath + ".rewrite"
+  def partsNextPath(tablePath: String): String = partsNextFile(tablePath)
+  def oldDirPath(tablePath: String): String = oldDirOf(tablePath)
+  /** Cross-table transaction intent marker (the clusters+members commit). */
+  def txnMarkerPath(tablePath: String): String = tablePath + ".txn"
+
+  /** Names of this table's parked `_p=K.old` partition dirs (torn-swap
+    * residue) — the same pattern [[repairTorn]] repairs. */
+  def parkedPartitionNames(s: SparkSession, tablePath: String): Seq[String] = {
+    val fs = fsFor(s, tablePath)
+    if (!fs.exists(hp(tablePath))) Seq.empty
+    else fs.listStatus(hp(tablePath)).toSeq
+      .filter(e => e.isDirectory && PartDirOld.findFirstIn(e.getPath.getName).isDefined)
+      .map(_.getPath.getName)
+  }
+
   /** Pin the layout modulus next to the table (the layout handshake). */
   private def writeParts(s: SparkSession, path: String, nParts: Int): Unit = {
     val out = fsFor(s, path).create(hp(partsFile(path)), true)
@@ -640,49 +660,68 @@ object IndexFamily {
   def requireNewIds(s: SparkSession, tablePath: String, idCol: String,
                     batchIds: DataFrame, batchRows: Long, op: String,
                     strict: Boolean = true): Long = {
+    def judge(overlap: Long): Long = {
+      if (overlap > 0) {
+        val msg = s"$op: $overlap batch ${idCol}s already present in $tablePath — " +
+          "the append contract requires batch ids new to the index"
+        if (strict) throw new IllegalArgumentException(
+          msg + " (a takedown re-ingest must deleteFrom*Index first)")
+        else System.err.println(s"[graft] TORN-REPLAY $msg; re-appending duplicates " +
+          "rows (decision-neutral; compact repairs)")
+      }
+      overlap
+    }
     val distinctIds = batchIds.select(col(idCol)).distinct()
-    val wm = peekIdWatermark(s, tablePath)
-    if (wm.isDefined) {
-      val mn = distinctIds.agg(min(col(idCol))).head()
-      if (mn.isNullAt(0)) { lastNewIdsPath = "empty-batch"; return 0L }
-      if (mn.getLong(0) > wm.get) { lastNewIdsPath = "watermark"; return 0L }
+    if (batchRows <= 2000000L) {
+      // daily-batch shape (the 2M collect/broadcast convention): ONE job
+      // collects the distinct ids, and the watermark gate, bloom probe
+      // (filter deserialized once, not shipped as a per-task literal),
+      // and maybes all run driver-side off that single pass
+      import s.implicits._
+      val ids = distinctIds.collect().map(_.getLong(0))
+      if (ids.isEmpty) { lastNewIdsPath = "empty-batch"; return 0L }
+      val wm = peekIdWatermark(s, tablePath)
+      if (wm.exists(ids.min > _)) { lastNewIdsPath = "watermark"; return 0L }
+      val bloomOpt = readIdBloom(s, tablePath)
+      val maybes = bloomOpt match {
+        case Some((_, _, bytes)) =>
+          val bloom = BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+          ids.filter(id => bloom.mightContainLong(
+            org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(id, 42L)))
+        case None => ids
+      }
+      if (bloomOpt.isDefined && maybes.isEmpty) { lastNewIdsPath = "bloom"; return 0L }
+      lastNewIdsPath = if (bloomOpt.isDefined) "bloom+scan" else "scan"
+      judge(readSnapshot(s, tablePath).select(col(idCol))
+        .join(broadcast(maybes.toSeq.toDF(idCol)), Seq(idCol), "left_semi")
+        .select(col(idCol)).distinct().count())
+    } else graft.Checkpoints.scoped {
+      // backfill-sized batch: keep everything distributed, but checkpoint
+      // the shared frames ONCE — un-checkpointed, the batch distinct
+      // shuffle re-ran for the min agg, the bloom filter, and the overlap
+      // join (round-14 review finding); the scope frees the blocks on
+      // exit (every consumer below is an action inside it)
+      val dids = graft.Checkpoints.local(distinctIds)
+      val wm = peekIdWatermark(s, tablePath)
+      if (wm.isDefined) {
+        val mn = dids.agg(min(col(idCol))).head()
+        if (mn.isNullAt(0)) { lastNewIdsPath = "empty-batch"; return 0L }
+        if (mn.getLong(0) > wm.get) { lastNewIdsPath = "watermark"; return 0L }
+      }
+      val (maybeIds, nMaybe) = readIdBloom(s, tablePath) match {
+        case Some((_, _, bytes)) =>
+          val m = graft.Checkpoints.local(
+            dids.filter(mightContainId(bytes, col(idCol))))
+          (m, m.count())
+        case None => (dids, -1L)
+      }
+      if (nMaybe == 0L) { lastNewIdsPath = "bloom"; return 0L }
+      lastNewIdsPath = if (nMaybe > 0L) "bloom+scan" else "scan"
+      judge(readSnapshot(s, tablePath).select(col(idCol))
+        .join(maybeBroadcast(maybeIds, if (nMaybe > 0L) nMaybe else batchRows),
+          Seq(idCol), "left_semi")
+        .select(col(idCol)).distinct().count())
     }
-    val (maybeIds, nMaybe) = readIdBloom(s, tablePath) match {
-      case Some((_, _, bytes)) if batchRows <= 2000000L =>
-        // daily-batch shape (the 2M broadcast convention): probe the bloom
-        // DRIVER-side — the batch ids collect under the same trust bound
-        // we broadcast them at, and the filter is deserialized once
-        // instead of shipped as a multi-MB literal into every task
-        import s.implicits._
-        val bloom = BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
-        val maybes = distinctIds.collect().map(_.getLong(0)).filter { id =>
-          bloom.mightContainLong(
-            org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(id, 42L))
-        }
-        (maybes.toSeq.toDF(idCol), maybes.length.toLong)
-      case Some((_, _, bytes)) =>
-        // backfill-sized batch: keep the probe distributed (codegen'd
-        // might_contain over the batch; the stored table is still only
-        // read for the surviving maybes)
-        val m = distinctIds.filter(mightContainId(bytes, col(idCol)))
-        (m, m.count())
-      case None => (distinctIds, -1L)
-    }
-    if (nMaybe == 0L) { lastNewIdsPath = "bloom"; return 0L }
-    lastNewIdsPath = if (nMaybe > 0L) "bloom+scan" else "scan"
-    val overlap = readSnapshot(s, tablePath).select(col(idCol))
-      .join(maybeBroadcast(maybeIds, if (nMaybe > 0L) nMaybe else batchRows),
-        Seq(idCol), "left_semi")
-      .select(col(idCol)).distinct().count()
-    if (overlap > 0) {
-      val msg = s"$op: $overlap batch ${idCol}s already present in $tablePath — " +
-        "the append contract requires batch ids new to the index"
-      if (strict) throw new IllegalArgumentException(
-        msg + " (a takedown re-ingest must deleteFrom*Index first)")
-      else System.err.println(s"[graft] TORN-REPLAY $msg; re-appending duplicates " +
-        "rows (decision-neutral; compact repairs)")
-    }
-    overlap
   }
 
   /** Seed BOTH id sidecars from a freshly built table — every build that
@@ -799,9 +838,17 @@ object IndexFamily {
     * silently steal canons and invalidate already-shipped output — the
     * exact corruption this guard exists to stop (round-13 review
     * finding). */
+  /** `advance = false` defers the watermark advance to a DOWNSTREAM
+    * guarded append ([[appendWithIdGuards]], which advances inside the
+    * lease before its files land — the same crash-safe-high property):
+    * callers that run the ordering guard BEFORE the newness guard (the
+    * pipeline composition) must not advance here, or the watermark would
+    * already sit at the batch max when [[requireNewIds]] reads it and the
+    * O(1) monotone fast path could never fire (round-14 review finding). */
   def requireIdsAbove(s: SparkSession, tablePath: String, idCol: String,
                       batchIds: DataFrame, batchMinId: Long, batchMaxId: Long,
-                      op: String, strict: Boolean = true): Unit = {
+                      op: String, strict: Boolean = true,
+                      advance: Boolean = true): Unit = {
     val wm = idWatermark(s, tablePath, idCol)
     if (batchMinId <= wm) {
       val msg = s"$op: batch min $idCol $batchMinId <= id watermark $wm of $tablePath — " +
@@ -844,6 +891,6 @@ object IndexFamily {
       else System.err.println(s"[graft] TORN-REPLAY $msg; all $nBatch batch ids already " +
         "indexed — tolerated as a redelivery (duplicate rows; compact repairs)")
     }
-    advanceIdWatermark(s, tablePath, math.max(wm, batchMaxId))
+    if (advance) advanceIdWatermark(s, tablePath, math.max(wm, batchMaxId))
   }
 }

@@ -262,6 +262,11 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestBase {
     val corpusFps = old.select(md5(col("text")).as("text_hash"))
     Dedup.dedupPipelineIncrement(spark, batch, corpusFps, idx, s"$idx#e1",
       append = true).collect()
+    // the pipeline's ordering guard must NOT advance the watermark ahead
+    // of the newness guard (round-14 review finding): a healthy monotone
+    // pipeline batch rides the O(1) watermark path like the bare increment
+    assert(graft.operators.IndexFamily.lastNewIdsPath == "watermark",
+      s"pipeline batch took ${graft.operators.IndexFamily.lastNewIdsPath}")
     // ground truth: exact state built in one shot over corpus ∪ batch
     val full = tmpIdx("exfull")
     Dedup.buildExactState(spark, old.unionByName(batch), full)
