@@ -116,6 +116,7 @@ object SparkEntry {
       graft.operators.Temporal.queries ++
       graft.operators.Skew.queries ++
       graft.operators.TextAnalysis.queries ++
+      graft.operators.QualityModel.queries ++
       graft.operators.Bpe.queries ++
       graft.operators.Dedup.queries ++
       graft.operators.Similarity.queries ++
@@ -129,6 +130,7 @@ object SparkEntry {
       graft.operators.Temporal.oracles ++
       graft.operators.Skew.oracles ++
       graft.operators.TextAnalysis.oracles ++
+      graft.operators.QualityModel.oracles ++
       graft.operators.Bpe.oracles ++
       graft.operators.Dedup.oracles ++
       graft.operators.Similarity.oracles ++

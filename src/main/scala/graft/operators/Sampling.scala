@@ -443,7 +443,31 @@ object Sampling {
       .replace("__PAIRS__", pairsSubquery)
   }
 
+  /** SOFT dedup — the reweighting alternative to dropping duplicates
+    * (keep every copy, scale its training weight by 1/|exact-dup group|,
+    * so each distinct text contributes unit mass to the mix regardless of
+    * how many times the crawl found it). One fingerprint-keyed window at
+    * document grain; `weight_e4 = round(1/n, 4)` stays in the e4 oracle
+    * floor. Composes with [[temperatureMixSample]]-style mixing the same
+    * way hard dedup composes with sampling. */
+  def softDedupWeights(s: SparkSession, dir: String): DataFrame =
+    softDedupWeightsDf(docs(s, dir))
+
+  def softDedupWeightsDf(docsDf: DataFrame): DataFrame = {
+    val n = count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text"))))
+    docsDf.select(col("doc_id"), n.as("n_copies"),
+      round(lit(1.0) / n, 4).as("weight_e4"))
+  }
+
+  val softDedupWeightsSql: String =
+    """SELECT doc_id,
+      |  count(*) OVER (PARTITION BY md5(text)) AS n_copies,
+      |  round(1.0 / count(*) OVER (PARTITION BY md5(text)), 4) AS weight_e4
+      |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_soft_dedup" -> ((s: SparkSession, d: String) => softDedupWeights(s, d)),
     "q_sample_leak_split" -> ((s: SparkSession, d: String) => leakageSafeSplit(s, d)),
     "q_sample_leak_split_idx" -> (leakageSafeSplitIdxQuery _),
     "q_sample_shard_layout" -> ((s: SparkSession, d: String) => shardLayout(s, d)),
@@ -463,6 +487,7 @@ object Sampling {
     Map("en" -> 0.5, "de" -> 1.0, "fr" -> 1.0, "es" -> 0.25, "zh" -> 1.0)
 
   val oracles: Map[String, String] = Map(
+    "q_sample_soft_dedup" -> softDedupWeightsSql,
     "q_sample_leak_split" -> leakageSafeSplitSql(),
     // the index-backed path must reproduce the recompute path exactly
     // (star edges preserve connectivity; exact edges identical) — same
