@@ -73,6 +73,22 @@ object QualityModel {
   /** Token → feature bucket, the oracle-portable hash. */
   def bucketOf(tok: String): Long = PolyHash.poly(tok, PolyHash.BaseA) % Dim
 
+  /** The vocab→bucket table both scoring and featurization join through:
+    * imperative hashing at VOCABULARY grain (one typed map row per
+    * DISTINCT token — the tokenFreqCmsPoly convention), checkpointed so
+    * the distinct runs once, and broadcast only under the library's 2M
+    * convention ([[IndexFamily.maybeBroadcast]]) — a 100 TB corpus's
+    * vocabulary is NOT assumed to fit an executor; past the bound the
+    * join falls back to a keyed shuffle on `tok`, which is also the
+    * unigramLogProb shape. */
+  private def vocabBuckets(s: SparkSession, tok: DataFrame): DataFrame = {
+    import s.implicits._
+    val vocab = graft.Checkpoints.local(
+      tok.select(col("tok")).distinct()
+        .as[String].map(t => (t, bucketOf(t))).toDF("tok", "bkt"))
+    IndexFamily.maybeBroadcast(vocab, vocab.count())
+  }
+
   // -------------------------------------------------------------------
   // Shared scoring path (literal twin AND trained tier both run this)
   // -------------------------------------------------------------------
@@ -94,13 +110,8 @@ object QualityModel {
     require(wMicro.length == Dim + 1,
       s"micro model must carry $Dim hashed buckets + 1 length weight")
     val tok = docsDf.select(col("doc_id"), explode(tokens).as("tok"))
-    // vocab-grain imperative hashing (guide tier (d)): one row per
-    // DISTINCT token, joined back broadcast — the corpus-scale path keeps
-    // the per-token JVM work ∝ vocabulary, not ∝ corpus
-    val vocab = tok.select(col("tok")).distinct()
-      .as[String].map(t => (t, bucketOf(t))).toDF("tok", "bkt")
     val wArr = typedlit(wMicro.take(Dim).toSeq)
-    val perDoc = tok.join(broadcast(vocab), Seq("tok"))
+    val perDoc = tok.join(vocabBuckets(s, tok), Seq("tok"))
       .select(col("doc_id"),
         element_at(wArr, (col("bkt") + 1).cast("int")).as("w"))
       .groupBy(col("doc_id"))
@@ -183,13 +194,10 @@ object QualityModel {
   /** Featurize to `(doc_id, bkt, x)` long format: tf-normalized hashed
     * buckets plus the dense length feature at [[LenIdx]]. */
   private[operators] def features(s: SparkSession, docsDf: DataFrame): DataFrame = {
-    import s.implicits._
     val tok = docsDf.select(col("doc_id"), explode(tokens).as("tok"))
-    val vocab = tok.select(col("tok")).distinct()
-      .as[String].map(t => (t, bucketOf(t))).toDF("tok", "bkt")
     val n = count(lit(1)).over(
       org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id")))
-    val tf = tok.join(broadcast(vocab), Seq("tok"))
+    val tf = tok.join(vocabBuckets(s, tok), Seq("tok"))
       .select(col("doc_id"), col("bkt"), (lit(1.0) / n).as("x"))
       .groupBy(col("doc_id"), col("bkt")).agg(sum(col("x")).as("x"))
     val lenFeat = docsDf.select(col("doc_id"), lit(LenIdx.toLong).as("bkt"),

@@ -242,4 +242,16 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("Scan ExistingRDD"), p.take(900))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("quality-classifier scoring joins the vocab broadcast; weights ride as a literal") {
+    // the vocab→bucket table broadcasts under the 2M convention (a gate
+    // corpus is far inside it), the weight array is element_at on a plan
+    // literal (never a join), and nothing falls back to SMJ or a
+    // nested-loop join
+    val p = plan("q_text_quality_lr_lit")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("element_at"), "weights should ride the plan as a literal array")
+  }
 }
