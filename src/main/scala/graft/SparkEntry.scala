@@ -117,6 +117,7 @@ object SparkEntry {
       graft.operators.Skew.queries ++
       graft.operators.TextAnalysis.queries ++
       graft.operators.QualityModel.queries ++
+      graft.operators.Selection.queries ++
       graft.operators.Bpe.queries ++
       graft.operators.Dedup.queries ++
       graft.operators.Similarity.queries ++
@@ -131,6 +132,7 @@ object SparkEntry {
       graft.operators.Skew.oracles ++
       graft.operators.TextAnalysis.oracles ++
       graft.operators.QualityModel.oracles ++
+      graft.operators.Selection.oracles ++
       graft.operators.Bpe.oracles ++
       graft.operators.Dedup.oracles ++
       graft.operators.Similarity.oracles ++

@@ -974,6 +974,50 @@ object TextAnalysis {
   // Sequence packing
   // -----------------------------------------------------------------
 
+  /** Deterministic sliding-window chunking — the retrieval-side twin of
+    * [[seqPack]]: cut every document into token windows of `width` at
+    * `stride` (overlap = width − stride), the layout RAG indexes and
+    * long-context eval sets are built from. One chunk per window start
+    * `1, 1+stride, 2·stride+1, …` while the start is in range; the last
+    * chunk may be shorter (never padded, never dropped — every token is
+    * covered exactly `ceil(width/stride)`-or-fewer times).
+    *
+    * Entirely integer/string arithmetic — no float anywhere, so the hash
+    * gate is exact by construction. Map-only plan: `split` →
+    * `posexplode(sequence(...))` → `slice`/`concat_ws`, all codegen'd
+    * expressions (no HOF lambda, no UDF, no shuffle at any scale — chunk
+    * rows land in the same task that read the document). */
+  def chunkWindows(s: SparkSession, dir: String,
+                   width: Int = 32, stride: Int = 24): DataFrame = {
+    require(stride >= 1 && width >= stride, "need 1 <= stride <= width")
+    docs(s, dir)
+      .select(col("doc_id"), tokens.as("tk"))
+      .select(col("doc_id"), col("tk"),
+        posexplode(sequence(lit(1), size(col("tk")), lit(stride))))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("chunk_idx"),
+        col("col").cast("long").as("start"),
+        concat_ws(" ", slice(col("tk"), col("col"), lit(width))).as("chunk_text"),
+        size(slice(col("tk"), col("col"), lit(width))).cast("long").as("n_tok"))
+  }
+
+  /** DuckDB twin of [[chunkWindows]]: zipped unnests over the same start
+    * sequence (`range` is exclusive-stop where Spark's `sequence` is
+    * inclusive — `range(1, n+1, stride)` yields the identical start set),
+    * 1-based inclusive list slicing clamped with `least`. */
+  def chunkWindowsSql(width: Int = 32, stride: Int = 24): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |st AS (
+       |  SELECT doc_id, tk,
+       |    unnest(range(1, len(tk) + 1, $stride)) AS start
+       |  FROM t)
+       |SELECT doc_id,
+       |  CAST((start - 1) // $stride AS BIGINT) AS chunk_idx,
+       |  CAST(start AS BIGINT) AS start,
+       |  array_to_string(tk[CAST(start AS INT):CAST(least(start + ${width - 1}, len(tk)) AS INT)], ' ') AS chunk_text,
+       |  CAST(len(tk[CAST(start AS INT):CAST(least(start + ${width - 1}, len(tk)) AS INT)]) AS BIGINT) AS n_tok
+       |FROM st""".stripMargin
+
   /** Sequence packing for LLM pretraining: concatenate documents in a
     * deterministic order and cut fixed `budget`-token sequences — a doc's
     * pack is wherever its first token lands (the standard concat-and-chunk
@@ -1105,6 +1149,7 @@ object TextAnalysis {
     "q_text_cms_freq_poly" -> ((s: SparkSession, d: String) => tokenFreqCmsPoly(s, d)),
     "q_text_pii_scrub" -> (piiScrub _),
     "q_text_seq_pack" -> ((s: SparkSession, d: String) => seqPack(s, d)),
+    "q_text_chunks" -> ((s: SparkSession, d: String) => chunkWindows(s, d)),
     "q_text_len_hist" -> ((s: SparkSession, d: String) => tokenLengthHistogram(s, d)),
     "q_text_tfidf" -> ((s: SparkSession, d: String) => tfidfTopTerms(s, d)),
     "q_text_gopher_gates" -> (gopherGates _))
@@ -1125,6 +1170,7 @@ object TextAnalysis {
     "q_text_cms_freq_poly" -> tokenFreqCmsPolySql(),
     "q_text_pii_scrub" -> piiScrubSql,
     "q_text_seq_pack" -> seqPackSql(),
+    "q_text_chunks" -> chunkWindowsSql(),
     "q_text_len_hist" -> tokenLengthHistogramSql(),
     "q_text_tfidf" -> tfidfTopTermsSql(),
     "q_text_gopher_gates" -> gopherGatesSql)

@@ -254,4 +254,38 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       !p.contains("BroadcastNestedLoopJoin"))
     assert(p.contains("element_at"), "weights should ride the plan as a literal array")
   }
+
+  test("DSIR resample plans as TakeOrderedAndProject; micro-weights ride as a literal") {
+    // the Gumbel top-k must be per-partition top-k + k-row driver merge
+    // (never a global sort of the corpus), and the bucket→micro-weight
+    // table is element_at on a plan literal, never a join
+    val p = plan("q_sel_dsir_gumbel")
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+    assert(!p.contains("Sort "), "global sort snuck into the resample")
+    assert(p.contains("element_at"), "DSIR weights should ride the plan as a literal array")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("stupid-backoff scoring joins model tables via broadcast, no SMJ/pair explosion") {
+    // both model joins (bigram, unigram) ride the 2M broadcast convention
+    // on the gate corpus; the only nested-loop joins are the two 1-row
+    // total-count broadcasts (the unigramLogProb discipline)
+    val p = plan("q_sel_lm_sbackoff")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("CartesianProduct"))
+    // the ONE tolerated sort-merge join is the trailing doc-grain totality
+    // left join (docs ⟕ per-doc aggregate — the aggregate side is already
+    // hash-partitioned on doc_id, so only the thin id column shuffles);
+    // a second SMJ would mean a MODEL join fell out of broadcast
+    val smj = "SortMergeJoin".r.findAllIn(p).size
+    assert(smj <= 1, s"a model join fell back to SMJ ($smj)")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 2, s"unexpected nested-loop joins ($bnlj): only the 1-row totals may BNLJ")
+  }
+
+  test("chunking is map-only: no exchange anywhere in the plan") {
+    val p = plan("q_text_chunks")
+    assert(!p.contains("Exchange"), "chunking must not shuffle at any scale")
+    assert(p.contains("Generate"), p.take(400))
+  }
 }
