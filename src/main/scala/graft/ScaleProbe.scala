@@ -1044,6 +1044,56 @@ object ScaleProbe {
           spark.catalog.clearCache(); Checkpoints.releaseAll()
         }
 
+      case "selection" =>
+        // The frozen-model scoring cost law (round-14 Selection family).
+        // Claims under measurement, at model-corpus sizes N and 10N:
+        //  (a) frozen-model batch scoring is FLAT in N — the model is a
+        //      2048-slot literal plus LM tables bounded by the (fixed)
+        //      vocabulary, so corpus growth cannot reach the scoring plan;
+        //  (b) the un-frozen alternative (re-estimating the model per
+        //      batch, which is what a scorer without buildSelectionModel
+        //      pays) GROWS with N — the delta is what the persisted model
+        //      amortizes away from every arriving batch;
+        //  (c) build cost itself grows ~N but is paid once per model
+        //      version, not per batch.
+        import spark.implicits._
+        val Sel = graft.operators.Selection
+        // deterministic synthetic corpus: ~80-token docs over a 5 000-word
+        // vocabulary (the StreamBench LCG recipe), 1-in-4 docs in the
+        // target language so both bag models are populated
+        def mkDocs(n: Long, idOffset: Long): DataFrame =
+          spark.range(n).as[Long].map { i =>
+            val id = i + idOffset
+            val lang = if (id % 4 == 0) "en" else "xx"
+            val text = (0 until 80).map(j => s"w${(id * 80 + j) % 5000}").mkString(" ")
+            (id, lang, text)
+          }.toDF("doc_id", "lang", "text")
+        val batchN = 10000L
+        for (mult <- Seq(1L, 10L)) {
+          val n = k.toLong * 10000L * mult
+          val md = s"$dst/selmodel_$n"
+          time(s"build_model_n$n")(
+            Sel.buildSelectionModel(spark, mkDocs(n, 0L), md))
+          val batch = mkDocs(batchN, 10L * n + 1L).select(col("doc_id"), col("text"))
+          for (rep <- 0 until 3) {
+            time(s"score_frozen_b${batchN}_n${n}_$rep") {
+              Sel.scoreWithStoredModel(spark, batch, md)
+                .write.format("noop").mode("overwrite").save()
+            }
+            // the un-amortized arm: model re-estimated from the reference
+            // corpus on every batch (dsirModelOf + the LM aggregations ride
+            // inside buildSelectionModel; writing to a throwaway dir keeps
+            // the two arms' code paths identical)
+            time(s"score_reestimate_b${batchN}_n${n}_$rep") {
+              val tmp = s"$dst/selmodel_tmp_${n}_$rep"
+              Sel.buildSelectionModel(spark, mkDocs(n, 0L), tmp)
+              Sel.scoreWithStoredModel(spark, batch, tmp)
+                .write.format("noop").mode("overwrite").save()
+            }
+            spark.catalog.clearCache(); Checkpoints.releaseAll()
+          }
+        }
+
       case other => sys.error(s"unknown SPARK_GRAFT_SCALE_MODE: $other")
     }
     spark.stop()

@@ -223,6 +223,31 @@ object StreamBench {
         Some(run(fullRows, "timed", doAppend = true))
       } else None
 
+    // SELECTION-ingest tier (round-14): the frozen-model at-ingest scorer
+    // (StreamSelect.scoredIngest — DSIR weight + Gumbel-threshold
+    // admission + backoff-LM score per doc) with the model trained ONCE
+    // on the PINNED fixture corpus, so the row is comparable
+    // round-over-round. Stateless map-side scoring: this tier prices the
+    // pure per-batch scoring cost with no index append in the path.
+    val selectIngestSec: Option[Double] =
+      if (new java.io.File(s"$fixtureDir/documents.parquet").exists) {
+        val md = java.nio.file.Files.createTempDirectory("sb-selmodel-").toString
+        graft.operators.Selection.buildSelectionModel(spark,
+          Tables(spark, fixtureDir, "documents"), md)
+        val selRows = docRows.map(r => (r._1, r._2))
+        def run(rows: Seq[(Long, String)]): Double = timed {
+          val in = MemoryStream[(Long, String)](spark)
+          val q = graft.streaming.StreamSelect.scoredIngest(
+              in.toDF().toDF("doc_id", "text"), md) { out =>
+            out.write.format("noop").mode("overwrite").save()
+          }.start()
+          in.addData(rows)
+          q.processAllAvailable(); q.stop()
+        }
+        run(selRows.take(2000)) // untimed warm-up (plan/codegen init)
+        Some(run(selRows))
+      } else None
+
     // VECTOR-ingest tiers: the embedding and semantic stream legs on a
     // fully SYNTHETIC deterministic workload — index side and streamed
     // batches both LCG-generated, so these rows are comparable
@@ -313,6 +338,7 @@ object StreamBench {
       s""""doc_pipeline_neardup_docs_per_sec":${nearDupSec.map(x => f0(nDocs / x)).getOrElse("null")},""" +
       s""""doc_pipeline_full_docs_per_sec":${fullIngestSec.map(x => f0(nDocs / x)).getOrElse("null")},""" +
       s""""span_ingest_docs_per_sec":${spanIngestSec.map(x => f0(nDocs / x)).getOrElse("null")},""" +
+      s""""select_ingest_docs_per_sec":${selectIngestSec.map(x => f0(nDocs / x)).getOrElse("null")},""" +
       s""""stream_vecs":$nStreamVecs,""" +
       s""""embedding_ingest_vecs_per_sec":${f0(nStreamVecs / embIngestSec)},""" +
       s""""semantic_ingest_vecs_per_sec":${f0(nStreamVecs / semIngestSec)},""" +

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -40,6 +40,14 @@ import graft.functions.PolyHash
   * commutes, so the decision statistic is exact under any aggregation
   * order, and the hash gate compares integers end to end.
   *
+  * Deployment shape ([[buildSelectionModel]] / [[scoreWithStoredModel]]):
+  * train ONCE on a reference corpus, persist the model (2 048 DSIR
+  * bucket weights, the bigram/unigram LM tables, a meta handshake with
+  * the offline admission threshold), then score every arriving batch
+  * map-side against the frozen model — the
+  * [[graft.streaming.StreamSelect]] leg runs exactly this per
+  * micro-batch. Scoring a batch never re-reads the training corpus.
+  *
   * Scale shape (100 TB):
   *  - DSIR's model is TWO aggregations down to [[DsirDim]] bucket rows
   *    (collected driver-side — the learnCentroids discipline; a
@@ -48,7 +56,9 @@ import graft.functions.PolyHash
   *    literal micro-weight array, one partial+final agg per doc. The only
   *    corpus-sized shuffle is the per-doc aggregation itself.
   *  - The Gumbel resample is `TakeOrderedAndProject` (per-partition
-  *    top-k, k rows to the driver) — never a global sort.
+  *    top-k, k rows to the driver) — never a global sort; the ONLINE
+  *    variant is the persisted `key_threshold_micro` (the k-th key of
+  *    the offline resample) applied as a map-side filter.
   *  - The bigram LM's model tables live at model grain (distinct bigrams
   *    / vocab) and join the corpus under the library's 2 M broadcast
   *    convention ([[IndexFamily.maybeBroadcast]]) with a keyed-shuffle
@@ -61,7 +71,7 @@ object Selection {
 
   /** The target-distribution slice both models treat as "reference text"
     * (CCNet's Wikipedia stand-in on this corpus). */
-  private val TargetLang = "en"
+  val TargetLang = "en"
 
   // -------------------------------------------------------------------
   // DSIR — hashed-n-gram importance resampling
@@ -81,10 +91,10 @@ object Selection {
     * unigram and every space-joined bigram, hashed imperatively in one
     * map-side typed flatMap (the [[Dedup.dupNgramStats]] idiom — the
     * array HOF route is interpreted in Spark 4.1, a measured 4.8 s/5k-doc
-    * tax this path avoids). No shuffle; feeds both aggregations below. */
-  private def featureBuckets(s: SparkSession, dir: String): DataFrame = {
+    * tax this path avoids). Expects `(doc_id, lang, text)`; no shuffle. */
+  private def featureBucketsOf(s: SparkSession, df: DataFrame): DataFrame = {
     import s.implicits._
-    docs(s, dir).select(col("doc_id"), col("lang"), col("text"))
+    df.select(col("doc_id"), col("lang"), col("text"))
       .as[(Long, String, String)]
       .flatMap { case (id, lang, text) =>
         val t = if (lang == TargetLang) 1L else 0L
@@ -100,19 +110,18 @@ object Selection {
     * `floor((ln(ct+1) − ln(T+B) − ln(cr+1) + ln(R+B))·10⁶ + 0.5)` —
     * EXACTLY this operand order, mirrored character-for-character in the
     * oracle SQL so both engines fold the same IEEE additions around their
-    * (≤1 ulp apart) `ln`. Computed driver-side from the [[DsirDim]]-row
-    * collected count table. */
+    * (≤1 ulp apart) `ln`. A bucket unseen in the model corpus gets the
+    * pure smoothing ratio (`ln(1) = 0` exactly in both engines). */
   private def lrMicro(ct: Long, cr: Long, tTot: Long, rTot: Long): Long =
     math.floor((math.log(ct + 1L) - math.log(tTot + DsirDim)
       - math.log(cr + 1L) + math.log(rTot + DsirDim)) * 1e6 + 0.5).toLong
 
-  /** Per-document DSIR log importance weight: `(doc_id, n_feat,
-    * dsir_micro)`. Two passes over the corpus (model, then score) — the
-    * model pass is sample-sized at deployment; the score pass is one
-    * map-shaped sweep ending in the per-doc aggregation. */
-  def dsirScores(s: SparkSession, dir: String): DataFrame = {
-    val fb = featureBuckets(s, dir)
-    val counts = fb.groupBy(col("bkt"))
+  /** The full [[DsirDim]]-slot micro-weight array estimated from a model
+    * corpus `(doc_id, lang, text)` — two aggregations to B collected rows
+    * (the learnCentroids discipline: the MODEL is driver-sized; at
+    * deployment it is estimated on a hash sample of the raw pool). */
+  private[graft] def dsirModelOf(s: SparkSession, modelDocs: DataFrame): Array[Long] = {
+    val counts = featureBucketsOf(s, modelDocs).groupBy(col("bkt"))
       .agg(count(lit(1)).as("cr"), sum(col("is_target")).as("ct"))
       .collect()
     val cr = new Array[Long](DsirDim)
@@ -122,11 +131,24 @@ object Selection {
       cr(b) = r.getLong(1); ct(b) = r.getLong(2)
     }
     val rTot = cr.sum; val tTot = ct.sum
-    val lr = Array.tabulate(DsirDim)(b => lrMicro(ct(b), cr(b), tTot, rTot))
-    fb.groupBy(col("doc_id"))
+    Array.tabulate(DsirDim)(b => lrMicro(ct(b), cr(b), tTot, rTot))
+  }
+
+  /** Score `(doc_id, lang, text)` docs under a micro-weight array:
+    * `(doc_id, n_feat, dsir_micro)`. Map-shaped — the weights ride the
+    * plan as a literal (`element_at`), never a join. */
+  private def scoreDsirWith(s: SparkSession, df: DataFrame, lr: Array[Long]): DataFrame =
+    featureBucketsOf(s, df).groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_feat"),
            sum(element_at(typedlit(lr.toSeq), (col("bkt") + 1).cast("int")))
              .as("dsir_micro"))
+
+  /** Per-document DSIR log importance weight over a corpus dir, model
+    * estimated from the same corpus (the paper's raw pool = the corpus
+    * itself): `(doc_id, n_feat, dsir_micro)`. */
+  def dsirScores(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    scoreDsirWith(s, d, dsirModelOf(s, d))
   }
 
   /** How many documents the resample keeps (the paper's k; 20 % of the
@@ -134,25 +156,232 @@ object Selection {
     * semantics: "select k examples from the raw pool". */
   val DsirK = 100
 
-  /** Gumbel-top-k importance resample, derandomized: the sampling key is
-    * `log w(x) + Gumbel(0,1)` with the Gumbel drawn from the repo's
-    * splitmix hash of `doc_id` (`u = (h+1)/(IdMod+1)` — an exact rational
-    * both engines turn into the identical double), quantized to the same
-    * micro-units and ADDED to the integer score, so selection order is a
-    * pure BIGINT comparison. Plan: `TakeOrderedAndProject` — k rows cross
-    * the wire, never a sort of the corpus. */
-  def dsirGumbelTopK(s: SparkSession, dir: String, k: Int = DsirK): DataFrame = {
+  /** The derandomized Gumbel sampling key in micro-units:
+    * `dsir_micro + floor(−ln(−ln(u))·10⁶ + 0.5)` with
+    * `u = (splitmix(doc_id)+1)/(IdMod+1)` — an exact rational both
+    * engines turn into the identical double, so the key is a pure BIGINT
+    * and selection order is exact. */
+  private def gumbelKeyCol(dsirMicro: Column, docId: Column): Column = {
     import graft.operators.Sampling.{IdMod, Mix}
-    val h = pmod(pmod(col("doc_id"), lit(IdMod)) * lit(Mix), lit(IdMod))
+    val h = pmod(pmod(docId, lit(IdMod)) * lit(Mix), lit(IdMod))
     val u = (h + lit(1L)).cast("double") / lit((IdMod + 1L).toDouble)
+    dsirMicro + floor(-log(-log(u)) * lit(1e6) + lit(0.5)).cast("long")
+  }
+
+  /** Gumbel-top-k importance resample, derandomized. Plan:
+    * `TakeOrderedAndProject` — k rows cross the wire, never a sort of
+    * the corpus. */
+  def dsirGumbelTopK(s: SparkSession, dir: String, k: Int = DsirK): DataFrame =
     dsirScores(s, dir)
-      .withColumn("key_micro",
-        col("dsir_micro") +
-          floor(-log(-log(u)) * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("key_micro", gumbelKeyCol(col("dsir_micro"), col("doc_id")))
       .orderBy(col("key_micro").desc, col("doc_id"))
       .limit(k)
       .select(col("doc_id"), col("n_feat"), col("dsir_micro"), col("key_micro"))
+
+  // -------------------------------------------------------------------
+  // Stupid-backoff bigram LM scoring (the CCNet filter's scoring rung)
+  // -------------------------------------------------------------------
+
+  /** Brants' backoff discount. */
+  private val Alpha = 0.4
+
+  /** `(doc_id, lang, w1, w2)` at transition grain — map-side typed
+    * flatMap, same idiom as the DSIR featurizer. */
+  private def transitionsOf(s: SparkSession, df: DataFrame): DataFrame = {
+    import s.implicits._
+    df.select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .flatMap { case (id, lang, text) =>
+        val w = text.split(" ", -1)
+        (0 until w.length - 1).iterator.map(i => (id, lang, w(i), w(i + 1)))
+      }.toDF("doc_id", "lang", "w1", "w2")
   }
+
+  /** The LM model tables estimated from a model corpus's [[TargetLang]]
+    * slice: `(bigram table (w1, w2, bg_micro), unigram table
+    * (w2, ug_micro), N)` — each tier's log-score quantized at MODEL
+    * grain. */
+  private[graft] def sbackoffModelOf(s: SparkSession, modelDocs: DataFrame):
+      (DataFrame, DataFrame, Long) = {
+    val refToks = modelDocs.where(col("lang") === TargetLang)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val uni = refToks.groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    val nTot = uni.agg(sum(col("c1"))).head().getLong(0)
+    val bgm = transitionsOf(s, modelDocs).where(col("lang") === TargetLang)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      .join(uni.withColumnRenamed("tok", "w1"), Seq("w1"))
+      .select(col("w1"), col("w2"),
+        floor((log(col("c2")) - log(col("c1"))) * lit(1e6) + lit(0.5))
+          .cast("long").as("bg_micro"))
+    val ugm = uni.select(col("tok").as("w2"),
+      floor((log(lit(Alpha)) + log(col("c1")) - log(lit(nTot))) * lit(1e6)
+        + lit(0.5)).cast("long").as("ug_micro"))
+    (bgm, ugm, nTot)
+  }
+
+  /** The OOV floor `ln(α·α/N)` in micro-units — one transcendental,
+    * computed once (both engines fold the identical expression). */
+  private[graft] def oovMicroOf(nTot: Long): Long =
+    math.floor((math.log(Alpha) + math.log(Alpha) - math.log(nTot)) * 1e6 + 0.5).toLong
+
+  /** Score `(doc_id, lang, text)` docs under frozen LM tables: per-doc
+    * BIGINT sums + integer tier diagnostics, total over the input (a
+    * sub-2-token doc scores 0 with 0 transitions). */
+  private def scoreSbackoffWith(s: SparkSession, df: DataFrame,
+                                bgm: DataFrame, ugm: DataFrame,
+                                oovMicro: Long,
+                                bgmRows: Long, ugmRows: Long): DataFrame = {
+    val scored = transitionsOf(s, df)
+      .join(IndexFamily.maybeBroadcast(bgm, bgmRows), Seq("w1", "w2"), "left")
+      .join(IndexFamily.maybeBroadcast(ugm, ugmRows), Seq("w2"), "left")
+      .select(col("doc_id"),
+        coalesce(col("bg_micro"), col("ug_micro"), lit(oovMicro)).as("sc"),
+        col("bg_micro").isNotNull.cast("long").as("hit_bg"),
+        (col("bg_micro").isNull && col("ug_micro").isNull).cast("long").as("is_oov"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trans"), sum(col("hit_bg")).as("n_bg_hit"),
+           sum(col("is_oov")).as("n_oov"), sum(col("sc")).as("sb_micro"))
+    df.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trans"), lit(0L)).as("n_trans"),
+        coalesce(col("n_bg_hit"), lit(0L)).as("n_bg_hit"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        coalesce(col("sb_micro"), lit(0L)).as("sb_micro"))
+  }
+
+  /** Score every document of a corpus dir under the LM trained on the
+    * same corpus's [[TargetLang]] slice: `(doc_id, n_trans, n_bg_hit,
+    * n_oov, sb_micro)` — low `sb_micro/n_trans` is the CCNet "tail"
+    * (discard or down-weight); `n_oov` exposes the vocabulary miss rate
+    * that makes non-reference-language docs score low. */
+  def sbackoffScores(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val (bgm, ugm, nTot) = sbackoffModelOf(s, d)
+    scoreSbackoffWith(s, d, bgm, ugm, oovMicroOf(nTot), bgm.count(), ugm.count())
+  }
+
+  // -------------------------------------------------------------------
+  // Persisted model + frozen-model scoring (the deployment shape)
+  // -------------------------------------------------------------------
+
+  /** Train the complete selection model on `modelDocs` and persist it:
+    *
+    *  - `dsir.parquet` — all [[DsirDim]] bucket micro-weights;
+    *  - `lm_bigram.parquet` / `lm_unigram.parquet` — the backoff tables;
+    *  - `meta.parquet` — the handshake `(dim, target_lang, n_tot,
+    *    oov_micro, key_threshold_micro)`: a scorer built under different
+    *    hyperparameters refuses loudly (the [[Dedup.buildMinhashIndex]]
+    *    convention), and `key_threshold_micro` — the k-th Gumbel key of
+    *    the offline resample over the model corpus — is the ONLINE
+    *    admission rule: a frozen threshold is how a stream applies
+    *    "top-k of the pool" to documents it hasn't seen yet.
+    *
+    * Train-once cost: the two DSIR aggregations, the LM aggregations,
+    * and one `TakeOrderedAndProject` for the threshold. */
+  def buildSelectionModel(s: SparkSession, modelDocs: DataFrame,
+                          modelDir: String, k: Int = DsirK): Unit = {
+    import s.implicits._
+    val lr = dsirModelOf(s, modelDocs)
+    lr.zipWithIndex.map { case (m, b) => (b.toLong, m) }.toSeq
+      .toDF("bkt", "lr_micro")
+      .coalesce(1).write.mode("overwrite").parquet(s"$modelDir/dsir.parquet")
+    val (bgm, ugm, nTot) = sbackoffModelOf(s, modelDocs)
+    bgm.write.mode("overwrite").parquet(s"$modelDir/lm_bigram.parquet")
+    ugm.write.mode("overwrite").parquet(s"$modelDir/lm_unigram.parquet")
+    val thr = scoreDsirWith(s, modelDocs, lr)
+      .withColumn("key_micro", gumbelKeyCol(col("dsir_micro"), col("doc_id")))
+      .orderBy(col("key_micro").desc, col("doc_id")).limit(k)
+      .agg(min(col("key_micro"))).head().getLong(0)
+    Seq((DsirDim, TargetLang, nTot, oovMicroOf(nTot), thr))
+      .toDF("dim", "target_lang", "n_tot", "oov_micro", "key_threshold_micro")
+      .coalesce(1).write.mode("overwrite").parquet(s"$modelDir/meta.parquet")
+    storedModelMemo.remove(modelDir) // a retrain invalidates the memo
+  }
+
+  /** The driver-resident part of a stored model, memoized per model dir:
+    * the weight array, thresholds, and the LM table row counts (so a
+    * long-running stream pays the loads ONCE, not per micro-batch — a
+    * retrain under a live scorer must call [[buildSelectionModel]] in
+    * the same JVM, which invalidates, or restart the stream). */
+  private final case class StoredModel(lr: Array[Long], nTot: Long,
+                                       oovMicro: Long, thrMicro: Long,
+                                       bgmRows: Long, ugmRows: Long)
+  private val storedModelMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, StoredModel]()
+
+  private def loadStoredModel(s: SparkSession, modelDir: String): StoredModel =
+    storedModelMemo.computeIfAbsent(modelDir, _ => {
+      val meta = s.read.parquet(s"$modelDir/meta.parquet").head()
+      require(meta.getInt(0) == DsirDim && meta.getString(1) == TargetLang,
+        s"selection model at $modelDir built with (dim,target)=" +
+          s"(${meta.getInt(0)},${meta.getString(1)}); this scorer uses " +
+          s"($DsirDim,$TargetLang) — rebuild the model")
+      val rows = s.read.parquet(s"$modelDir/dsir.parquet").collect()
+      require(rows.length == DsirDim,
+        s"selection model at $modelDir carries ${rows.length} buckets, expected $DsirDim")
+      val lr = new Array[Long](DsirDim)
+      rows.foreach(r => lr(r.getLong(0).toInt) = r.getLong(1))
+      StoredModel(lr, meta.getLong(2), meta.getLong(3), meta.getLong(4),
+        s.read.parquet(s"$modelDir/lm_bigram.parquet").count(),
+        s.read.parquet(s"$modelDir/lm_unigram.parquet").count())
+    })
+
+  /** Score a batch `(doc_id, text)` against the FROZEN model at
+    * `modelDir` — the at-ingest scorer ([[graft.streaming.StreamSelect]]
+    * runs this per micro-batch). Output per doc: both scores, the Gumbel
+    * key, the threshold admission, and the LM tier diagnostics. Pure
+    * map-shaped per batch: weights are a plan literal, LM tables join
+    * under the 2 M broadcast convention, NOTHING re-reads the training
+    * corpus, and the only shuffles are the two per-doc aggregations at
+    * batch grain. */
+  def scoreWithStoredModel(s: SparkSession, batch: DataFrame,
+                           modelDir: String): DataFrame = {
+    val m = loadStoredModel(s, modelDir)
+    val withLang = batch.select(col("doc_id"), lit("").as("lang"), col("text"))
+    val dsir = scoreDsirWith(s, withLang, m.lr)
+      .withColumn("key_micro", gumbelKeyCol(col("dsir_micro"), col("doc_id")))
+      .withColumn("admitted", col("key_micro") >= lit(m.thrMicro))
+    val bgm = s.read.parquet(s"$modelDir/lm_bigram.parquet")
+    val ugm = s.read.parquet(s"$modelDir/lm_unigram.parquet")
+    val sb = scoreSbackoffWith(s, withLang, bgm, ugm, m.oovMicro,
+      m.bgmRows, m.ugmRows)
+    dsir.join(sb, Seq("doc_id"))
+      .select(col("doc_id"), col("n_feat"), col("dsir_micro"),
+        col("key_micro"), col("admitted"),
+        col("n_trans"), col("n_bg_hit"), col("n_oov"), col("sb_micro"))
+  }
+
+  /** Per-JVM scratch + per-corpus memo for the registered stored-model
+    * query (the [[Dedup.minhashIndexBuildQuery]] pattern — fresh per JVM
+    * so a stale model never serves regenerated testdata). */
+  private lazy val modelScratch: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft-selmodel-")
+  private val builtModels =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Registered deployment-shape query: train the model on the bottom
+    * 4/5 of the doc_id range (the [[Dedup.incrementSplitAt]] boundary —
+    * the shared "old corpus vs new batch" convention), persist it, and
+    * score the TOP 1/5 as the arriving batch — so the scored docs are
+    * genuinely unseen (real backoff/OOV traffic, threshold admission of
+    * new data), unlike the self-model queries above. Model built on
+    * first use, memoized per corpus dir. */
+  def storedModelScoreQuery(s: SparkSession, dir: String): DataFrame = {
+    val split = Dedup.incrementSplitAt(s, dir)
+    val modelDir = builtModels.computeIfAbsent(dir, _ => {
+      val md = modelScratch.resolve(java.lang.Integer.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(dir))).toString
+      buildSelectionModel(s, docs(s, dir).where(col("doc_id") < split), md)
+      md
+    })
+    scoreWithStoredModel(s,
+      docs(s, dir).where(col("doc_id") >= split).select(col("doc_id"), col("text")),
+      modelDir)
+  }
+
+  // -------------------------------------------------------------------
+  // DuckDB oracle SQL
+  // -------------------------------------------------------------------
 
   /** The `feat → bkt` polynomial-hash SQL over a column named `f` (the
     * [[QualityModel]] vocab-grain rendering, BaseB). */
@@ -161,9 +390,13 @@ object Selection {
        |      [ascii(x)::BIGINT for x in regexp_split_to_array(f, '')]),
        |      (a, c) -> (a * ${PolyHash.BaseB} + c) % ${PolyHash.Mod}) % $DsirDim""".stripMargin
 
-  /** Shared oracle CTE chain: occurrence-grain features, vocab-grain
-    * bucket hash, bucket counts, micro log-ratios, per-doc scores. */
-  private def dsirScoreCtes: String =
+  /** Shared DSIR CTE chain, parameterized by the model-corpus and
+    * scoring-corpus predicates (`TRUE` for the self-model queries): all
+    * features hashed at vocab grain once, bucket counts over the MODEL
+    * slice, micro log-ratios over ALL [[DsirDim]] buckets (unseen buckets
+    * get the pure smoothing ratio — `ln(1) = 0` exactly, matching
+    * [[lrMicro]]), per-doc scores over the SCORING slice. */
+  private def dsirCtes(modelWhere: String, scoreWhere: String): String =
     s"""WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
        |feat AS (
        |  SELECT doc_id, lang, unnest(t) AS f FROM tk
@@ -178,160 +411,135 @@ object Selection {
        |cnt AS (
        |  SELECT bkt, CAST(count(*) AS BIGINT) AS cr,
        |    CAST(sum(CASE WHEN lang = '$TargetLang' THEN 1 ELSE 0 END) AS BIGINT) AS ct
-       |  FROM occ GROUP BY 1),
+       |  FROM occ WHERE $modelWhere GROUP BY 1),
        |tot AS (
-       |  SELECT CAST(sum(cr) AS BIGINT) AS r_tot, CAST(sum(ct) AS BIGINT) AS t_tot
+       |  SELECT CAST(coalesce(sum(cr), 0) AS BIGINT) AS r_tot,
+       |         CAST(coalesce(sum(ct), 0) AS BIGINT) AS t_tot
        |  FROM cnt),
        |lr AS (
-       |  SELECT bkt,
-       |    CAST(floor((ln(ct + 1) - ln(t_tot + $DsirDim)
-       |      - ln(cr + 1) + ln(r_tot + $DsirDim)) * 1000000 + 0.5) AS BIGINT) AS lrm
-       |  FROM cnt, tot),
+       |  SELECT i AS bkt,
+       |    CAST(floor((ln(coalesce(ct, 0) + 1) - ln(t_tot + $DsirDim)
+       |      - ln(coalesce(cr, 0) + 1) + ln(r_tot + $DsirDim)) * 1000000 + 0.5) AS BIGINT) AS lrm
+       |  FROM range($DsirDim) r(i) LEFT JOIN cnt ON cnt.bkt = r.i, tot),
        |score AS (
        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feat,
        |    CAST(sum(lrm) AS BIGINT) AS dsir_micro
-       |  FROM occ JOIN lr USING (bkt) GROUP BY 1)""".stripMargin
+       |  FROM occ JOIN lr USING (bkt) WHERE $scoreWhere GROUP BY 1)""".stripMargin
 
-  val dsirScoresSql: String =
-    s"""$dsirScoreCtes
-       |SELECT doc_id, n_feat, dsir_micro FROM score""".stripMargin
-
-  def dsirGumbelTopKSql(k: Int = DsirK): String = {
+  /** The Gumbel key as SQL over columns `dsir_micro`, `doc_id`. */
+  private def gumbelKeySql: String = {
     import graft.operators.Sampling.{IdMod, Mix}
-    s"""$dsirScoreCtes
-       |SELECT doc_id, n_feat, dsir_micro,
-       |  dsir_micro + CAST(floor(-ln(-ln(
+    s"""dsir_micro + CAST(floor(-ln(-ln(
        |      CAST(((doc_id % $IdMod) * $Mix) % $IdMod + 1 AS DOUBLE)
        |      / CAST(${IdMod + 1L} AS DOUBLE)))
-       |    * 1000000 + 0.5) AS BIGINT) AS key_micro
+       |    * 1000000 + 0.5) AS BIGINT)""".stripMargin
+  }
+
+  val dsirScoresSql: String =
+    s"""${dsirCtes("TRUE", "TRUE")}
+       |SELECT doc_id, n_feat, dsir_micro FROM score""".stripMargin
+
+  def dsirGumbelTopKSql(k: Int = DsirK): String =
+    s"""${dsirCtes("TRUE", "TRUE")}
+       |SELECT doc_id, n_feat, dsir_micro, $gumbelKeySql AS key_micro
        |FROM score
        |ORDER BY key_micro DESC, doc_id
        |LIMIT $k""".stripMargin
-  }
 
-  // -------------------------------------------------------------------
-  // Stupid-backoff bigram LM scoring (the CCNet filter's scoring rung)
-  // -------------------------------------------------------------------
-
-  /** Brants' backoff discount. */
-  private val Alpha = 0.4
-
-  /** `(doc_id, lang, w1, w2)` at transition grain — map-side typed
-    * flatMap, same idiom as the DSIR featurizer. */
-  private def transitions(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    docs(s, dir).select(col("doc_id"), col("lang"), col("text"))
-      .as[(Long, String, String)]
-      .flatMap { case (id, lang, text) =>
-        val w = text.split(" ", -1)
-        (0 until w.length - 1).iterator.map(i => (id, lang, w(i), w(i + 1)))
-      }.toDF("doc_id", "lang", "w1", "w2")
-  }
-
-  /** Score every document's token transitions under a stupid-backoff
-    * bigram LM trained on the [[TargetLang]] reference slice:
-    *
-    *   S(w2|w1) = c(w1 w2)/c(w1)      if the bigram was seen
-    *            = α·c(w2)/N           else if w2 is in-vocabulary
-    *            = α²/N                else (OOV floor)
-    *
-    * each tier quantized at MODEL grain (`floor(ln(...)·10⁶ + 0.5)`),
-    * per-doc summed in BIGINT. Output: `(doc_id, n_trans, n_bg_hit,
-    * n_oov, sb_micro)` — low `sb_micro/n_trans` is the CCNet "tail"
-    * (discard or down-weight); `n_oov` exposes the vocabulary miss rate
-    * that makes non-reference-language docs score low.
-    *
-    * Plan: model tables at bigram/vocab grain joined under the 2 M
-    * broadcast convention; scoring is one transition-grain sweep ending
-    * in the per-doc aggregation; docs with < 2 tokens survive via the
-    * trailing left join (zero transitions, zero score). */
-  def sbackoffScores(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    val refToks = d.where(col("lang") === TargetLang)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-    val uni = refToks.groupBy(col("tok")).agg(count(lit(1)).as("c1"))
-    val total = uni.agg(sum(col("c1")).as("n_tot"))
-    val bgCounts = transitions(s, dir).where(col("lang") === TargetLang)
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    val bgm = bgCounts.join(uni.withColumnRenamed("tok", "w1"), Seq("w1"))
-      .select(col("w1"), col("w2"),
-        floor((log(col("c2")) - log(col("c1"))) * lit(1e6) + lit(0.5))
-          .cast("long").as("bg_micro"))
-    val ugm = uni.crossJoin(broadcast(total))
-      .select(col("tok").as("w2"),
-        floor((log(lit(Alpha)) + log(col("c1")) - log(col("n_tot"))) * lit(1e6)
-          + lit(0.5)).cast("long").as("ug_micro"))
-    val scored = transitions(s, dir)
-      .crossJoin(broadcast(total))
-      .join(IndexFamily.maybeBroadcast(bgm, bgm.count()), Seq("w1", "w2"), "left")
-      .join(IndexFamily.maybeBroadcast(ugm, ugm.count()), Seq("w2"), "left")
-      .select(col("doc_id"),
-        coalesce(col("bg_micro"), col("ug_micro"),
-          floor((log(lit(Alpha)) + log(lit(Alpha)) - log(col("n_tot"))) * lit(1e6)
-            + lit(0.5)).cast("long")).as("sc"),
-        col("bg_micro").isNotNull.cast("long").as("hit_bg"),
-        (col("bg_micro").isNull && col("ug_micro").isNull).cast("long").as("is_oov"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_trans"), sum(col("hit_bg")).as("n_bg_hit"),
-           sum(col("is_oov")).as("n_oov"), sum(col("sc")).as("sb_micro"))
-    d.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_trans"), lit(0L)).as("n_trans"),
-        coalesce(col("n_bg_hit"), lit(0L)).as("n_bg_hit"),
-        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
-        coalesce(col("sb_micro"), lit(0L)).as("sb_micro"))
-  }
-
-  val sbackoffScoresSql: String =
-    s"""WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
-       |tok AS (SELECT doc_id, lang, unnest(t) AS tok FROM tk),
-       |bg AS (
+  /** Shared backoff-LM CTE chain, parameterized like [[dsirCtes]]. Every
+    * CTE name carries an `lm_` prefix so the chain composes with
+    * [[dsirCtes]] in one WITH block (duplicate CTE names — `tk`, `tot` —
+    * would otherwise collide in [[storedModelScoreSql]]). */
+  private def sbackoffCtes(modelWhere: String, scoreWhere: String): String =
+    s"""WITH lm_tk AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+       |lm_tok AS (SELECT doc_id, lang, unnest(t) AS tok FROM lm_tk),
+       |lm_bg AS (
        |  SELECT doc_id, lang,
        |    unnest(t[1:len(t) - 1]) AS w1, unnest(t[2:len(t)]) AS w2
-       |  FROM tk),
-       |uni AS (
+       |  FROM lm_tk),
+       |lm_uni AS (
        |  SELECT tok, CAST(count(*) AS BIGINT) AS c1
-       |  FROM tok WHERE lang = '$TargetLang' GROUP BY 1),
-       |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n_tot FROM uni),
-       |bgm AS (
+       |  FROM lm_tok WHERE lang = '$TargetLang' AND $modelWhere GROUP BY 1),
+       |lm_tot AS (SELECT CAST(coalesce(sum(c1), 0) AS BIGINT) AS n_tot FROM lm_uni),
+       |lm_bgm AS (
        |  SELECT b.w1, b.w2,
        |    CAST(floor((ln(c2) - ln(c1)) * 1000000 + 0.5) AS BIGINT) AS bg_micro
        |  FROM (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
-       |        FROM bg WHERE lang = '$TargetLang' GROUP BY 1, 2) b
-       |  JOIN uni u ON u.tok = b.w1),
-       |ugm AS (
+       |        FROM lm_bg WHERE lang = '$TargetLang' AND $modelWhere GROUP BY 1, 2) b
+       |  JOIN lm_uni u ON u.tok = b.w1),
+       |lm_ugm AS (
        |  SELECT tok AS w2,
        |    CAST(floor((ln($Alpha) + ln(c1) - ln(n_tot)) * 1000000 + 0.5) AS BIGINT) AS ug_micro
-       |  FROM uni, tot),
-       |sc AS (
+       |  FROM lm_uni, lm_tot),
+       |lm_sc AS (
        |  SELECT doc_id,
        |    coalesce(bg_micro, ug_micro,
        |      CAST(floor((ln($Alpha) + ln($Alpha) - ln(n_tot)) * 1000000 + 0.5) AS BIGINT)) AS sc,
        |    CASE WHEN bg_micro IS NOT NULL THEN 1 ELSE 0 END AS hit_bg,
        |    CASE WHEN bg_micro IS NULL AND ug_micro IS NULL THEN 1 ELSE 0 END AS is_oov
-       |  FROM bg LEFT JOIN bgm USING (w1, w2) LEFT JOIN ugm USING (w2), tot),
-       |agg AS (
+       |  FROM lm_bg LEFT JOIN lm_bgm USING (w1, w2) LEFT JOIN lm_ugm USING (w2), lm_tot
+       |  WHERE $scoreWhere),
+       |lm_agg AS (
        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trans,
        |    CAST(sum(hit_bg) AS BIGINT) AS n_bg_hit,
        |    CAST(sum(is_oov) AS BIGINT) AS n_oov,
        |    CAST(sum(sc) AS BIGINT) AS sb_micro
-       |  FROM sc GROUP BY 1)
-       |SELECT d.doc_id,
+       |  FROM lm_sc GROUP BY 1)""".stripMargin
+
+  private def sbackoffTailSql(docsWhere: String): String =
+    s"""SELECT d.doc_id,
        |  CAST(coalesce(n_trans, 0) AS BIGINT) AS n_trans,
        |  CAST(coalesce(n_bg_hit, 0) AS BIGINT) AS n_bg_hit,
        |  CAST(coalesce(n_oov, 0) AS BIGINT) AS n_oov,
        |  CAST(coalesce(sb_micro, 0) AS BIGINT) AS sb_micro
-       |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin
+       |FROM documents d LEFT JOIN lm_agg USING (doc_id)
+       |WHERE $docsWhere""".stripMargin
+
+  val sbackoffScoresSql: String =
+    s"""${sbackoffCtes("TRUE", "TRUE")}
+       |${sbackoffTailSql("TRUE")}""".stripMargin
+
+  /** The split boundary as portable SQL — the [[Dedup]] convention. */
+  private def splitSql: String =
+    s"(SELECT ((max(doc_id) + 1) * ${Dedup.IncrementSplitNum}) // ${Dedup.IncrementSplitDen} FROM documents)"
+
+  /** Oracle for [[storedModelScoreQuery]]: the DSIR chain with model =
+    * bottom split / scoring = top split, the Gumbel key + threshold
+    * admission (threshold = min key of the offline top-k over the MODEL
+    * corpus scored under its own weights), joined to the backoff chain
+    * under the same split. The scoring occurrences' buckets hit the
+    * full-range `lr` CTE, so unseen features get the smoothing ratio —
+    * matching the persisted all-bucket weight array. */
+  def storedModelScoreSql(k: Int = DsirK): String =
+    s"""${dsirCtes(s"doc_id < $splitSql", s"doc_id >= $splitSql")},
+       |bscore AS (
+       |  SELECT doc_id, CAST(sum(lrm) AS BIGINT) AS dsir_micro
+       |  FROM occ JOIN lr USING (bkt) WHERE doc_id < $splitSql GROUP BY 1),
+       |thr AS (
+       |  SELECT min(key_micro) AS thr FROM (
+       |    SELECT $gumbelKeySql AS key_micro
+       |    FROM bscore ORDER BY key_micro DESC, doc_id LIMIT $k)),
+       |${sbackoffCtes(s"doc_id < $splitSql", s"doc_id >= $splitSql").replaceFirst("^WITH ", "")}
+       |SELECT s.doc_id, s.n_feat, s.dsir_micro,
+       |  $gumbelKeySql AS key_micro,
+       |  ($gumbelKeySql) >= (SELECT thr FROM thr) AS admitted,
+       |  CAST(coalesce(a.n_trans, 0) AS BIGINT) AS n_trans,
+       |  CAST(coalesce(a.n_bg_hit, 0) AS BIGINT) AS n_bg_hit,
+       |  CAST(coalesce(a.n_oov, 0) AS BIGINT) AS n_oov,
+       |  CAST(coalesce(a.sb_micro, 0) AS BIGINT) AS sb_micro
+       |FROM score s LEFT JOIN lm_agg a USING (doc_id)""".stripMargin
 
   // -------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sel_dsir" -> (dsirScores _),
     "q_sel_dsir_gumbel" -> ((s: SparkSession, d: String) => dsirGumbelTopK(s, d)),
-    "q_sel_lm_sbackoff" -> (sbackoffScores _))
+    "q_sel_lm_sbackoff" -> (sbackoffScores _),
+    "q_sel_model_score" -> (storedModelScoreQuery _))
 
   val oracles: Map[String, String] = Map(
     "q_sel_dsir" -> dsirScoresSql,
     "q_sel_dsir_gumbel" -> dsirGumbelTopKSql(),
-    "q_sel_lm_sbackoff" -> sbackoffScoresSql)
+    "q_sel_lm_sbackoff" -> sbackoffScoresSql,
+    "q_sel_model_score" -> storedModelScoreSql())
 }

@@ -186,6 +186,87 @@ class SelectionSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  // -------------------------------------------------------------------
+  // Persisted model + frozen-model scoring + stream leg
+  // -------------------------------------------------------------------
+
+  private def freshModelDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-selspec-$tag-").toString
+
+  test("stored-model scoring ≡ the in-memory self-model scorers, column for column") {
+    val md = freshModelDir("roundtrip")
+    val d = Tables(spark, sf, "documents")
+    Selection.buildSelectionModel(spark, d, md)
+    val stored = Selection.scoreWithStoredModel(spark,
+        d.select(col("doc_id"), col("text")), md).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val dsir = Selection.dsirScores(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val sb = Selection.sbackoffScores(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(stored.size == dsir.size)
+    stored.foreach { case (id, r) =>
+      assert((r.getLong(1), r.getLong(2)) == dsir(id), s"doc $id dsir")
+      assert((r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)) == sb(id), s"doc $id lm")
+    }
+  }
+
+  test("stored-model threshold admits exactly the offline top-k on the build corpus") {
+    val md = freshModelDir("threshold")
+    val d = Tables(spark, sf, "documents")
+    val k = 25
+    Selection.buildSelectionModel(spark, d, md, k)
+    val admitted = Selection.scoreWithStoredModel(spark,
+        d.select(col("doc_id"), col("text")), md)
+      .where(col("admitted")).select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val offline = Selection.dsirGumbelTopK(spark, sf, k)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(admitted == offline,
+      "threshold admission must reproduce the offline resample on its own pool")
+  }
+
+  test("a model built under different hyperparameters refuses loudly") {
+    val md = freshModelDir("handshake")
+    import spark.implicits._
+    // a foreign model: wrong dim in the meta handshake
+    Seq((512, "en", 1000L, -1000000L, 0L))
+      .toDF("dim", "target_lang", "n_tot", "oov_micro", "key_threshold_micro")
+      .write.mode("overwrite").parquet(s"$md/meta.parquet")
+    val e = intercept[IllegalArgumentException] {
+      Selection.scoreWithStoredModel(spark,
+        Tables(spark, sf, "documents").select(col("doc_id"), col("text")), md)
+    }
+    assert(e.getMessage.contains("rebuild the model"))
+  }
+
+  test("stream scoring over micro-batches ≡ batch scoring of the union") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val md = freshModelDir("stream")
+    val d = Tables(spark, sf, "documents")
+    Selection.buildSelectionModel(spark, d, md)
+    val rows = d.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)](spark)
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Boolean, Long, Long)]()
+    val q = graft.streaming.StreamSelect.scoredIngest(
+        input.toDF().toDF("doc_id", "text"), md) { scored =>
+      got ++= scored.collect().map(r =>
+        (r.getLong(0), r.getBoolean(4), r.getLong(3), r.getLong(8)))
+    }.start()
+    try {
+      rows.grouped((rows.length + 2) / 3).foreach { g =>
+        input.addData(g.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val batch = Selection.scoreWithStoredModel(spark,
+        d.select(col("doc_id"), col("text")), md).collect()
+      .map(r => (r.getLong(0), r.getBoolean(4), r.getLong(3), r.getLong(8))).toSet
+    assert(got.size == rows.length, "every streamed doc scored exactly once")
+    assert(got.toSet == batch,
+      "per-micro-batch frozen-model scores must equal the batch scores")
+  }
+
   test("chunking: every token position is covered by at least one chunk") {
     val width = 32; val stride = 24
     val cover = TextAnalysis.chunkWindows(spark, sf, width, stride)
