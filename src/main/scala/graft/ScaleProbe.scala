@@ -939,6 +939,12 @@ object ScaleProbe {
           val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
           fsys.mkdirs(p)
           fsys.delete(new org.apache.hadoop.fs.Path(stPath), true)
+          // also clear the table's SIBLING sidecars — a probe run that
+          // crashed mid-merge/mid-migration leaves a stale lease /
+          // .parts.next / staging dir that would wedge THIS run's fresh
+          // state behind "lease held" / "torn layout migration" refusals
+          Seq(".maintenance", ".parts", ".parts.next", ".olddir", ".rewrite")
+            .foreach(sfx => fsys.delete(new org.apache.hadoop.fs.Path(stPath + sfx), true))
         }
         // ~180-byte rows: thin enough to build fast, fat enough that the
         // rewritten-bytes term (not the per-partition rename) is what the
@@ -955,12 +961,18 @@ object ScaleProbe {
         // touched hashes); keys hash uniformly, so expected touched
         // partitions are 256·(1−(1−1/256)^keys)
         import spark.implicits._
-        for ((tag, nTouch, nNew) <- Seq(("small", 16, 8), ("medium", 512, 256))) {
+        for ((tag, nTouch, nNew, tagBase) <- Seq(("small", 16, 8, 0L),
+                                                 ("medium", 512, 256, 1000000L))) {
           for (j <- 0 until 3) {
             val touched = (0 until nTouch)
               .map(i => (j * 100000L + i * 37L) % nRows).distinct.toDF("key")
+            // tagBase keeps the two tags' fresh-key ranges DISJOINT — the
+            // small tag's step-6 and the medium tag's step-7 offsets
+            // collide at multiples of 42, and a re-inserted "fresh" key
+            // is kept twice (mergeTouched only replaces TOUCHED keys),
+            // leaving duplicate keys in the final-state telemetry
             val fresh = (0 until nNew)
-              .map(i => nRows + j * 10000L + i * (tag.length + 1)).distinct
+              .map(i => nRows + tagBase + j * 10000L + i * (tag.length + 1)).distinct
               .map(kk => (kk, kk * 31L % 9973L)).toDF("key", "value")
               .withColumn("payload", lit("fresh-" * 20))
             val replace = touched.select(col("key"), (col("key") + 1L).as("value"),

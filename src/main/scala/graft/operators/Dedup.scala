@@ -673,7 +673,7 @@ object Dedup {
 
   /** The split boundary as portable SQL — `(max(doc_id)+1)·num/den` in
     * integer arithmetic, the same value [[incrementSplitAt]] computes. */
-  private val incrementSplitSql: String =
+  private[operators] val incrementSplitSql: String =
     s"(SELECT ((max(doc_id) + 1) * $IncrementSplitNum) // $IncrementSplitDen FROM documents)"
 
   def minhashIndexBuildSql(): String =

@@ -31,7 +31,9 @@ import graft.functions.PolyHash
   *
   * Oracle-portability design (shared with [[QualityModel]], one notch
   * stronger): every transcendental is evaluated ONCE per MODEL row
-  * (bucket / bigram / unigram — never per occurrence) and immediately
+  * (bucket / bigram / unigram — never per occurrence; the one exception
+  * is the per-document Gumbel key, whose honest boundary note lives on
+  * [[gumbelKeyCol]]) and immediately
   * quantized to integer micro-units with `floor(x·10⁶ + 0.5)` (the
   * [[TextAnalysis.tfidfTopTerms]] parity rule — `round()` disagrees
   * between Spark's HALF_UP and DuckDB's half-even at representable
@@ -159,8 +161,17 @@ object Selection {
   /** The derandomized Gumbel sampling key in micro-units:
     * `dsir_micro + floor(−ln(−ln(u))·10⁶ + 0.5)` with
     * `u = (splitmix(doc_id)+1)/(IdMod+1)` — an exact rational both
-    * engines turn into the identical double, so the key is a pure BIGINT
-    * and selection order is exact. */
+    * engines turn into the identical double, so the key is a BIGINT and
+    * selection order is integer. Honesty note: unlike the model-grain
+    * quantizations, the nested `ln` here evaluates once per DOCUMENT (it
+    * is a function of `doc_id` — there is no model grain to hoist it to),
+    * so this floor carries the same per-row ≤1-ulp boundary exposure as
+    * the hash-gated `q_text_tfidf` score (`floor(tf·ln(N/df)·10⁴+0.5)`
+    * per (doc, tok) row — the accepted precedent): a key within ~1e-9 of
+    * an integer boundary could flip by 1 between engines. If a testdata
+    * regen ever lands a doc there, the gate protocol is the tfidf one —
+    * demote to rows-only with the boundary documented, not an algorithm
+    * bug. */
   private def gumbelKeyCol(dsirMicro: Column, docId: Column): Column = {
     import graft.operators.Sampling.{IdMod, Mix}
     val h = pmod(pmod(docId, lit(IdMod)) * lit(Mix), lit(IdMod))
@@ -205,14 +216,24 @@ object Selection {
       (DataFrame, DataFrame, Long) = {
     val refToks = modelDocs.where(col("lang") === TargetLang)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-    val uni = refToks.groupBy(col("tok")).agg(count(lit(1)).as("c1"))
-    val nTot = uni.agg(sum(col("c1"))).head().getLong(0)
-    val bgm = transitionsOf(s, modelDocs).where(col("lang") === TargetLang)
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-      .join(uni.withColumnRenamed("tok", "w1"), Seq("w1"))
-      .select(col("w1"), col("w2"),
-        floor((log(col("c2")) - log(col("c1"))) * lit(1e6) + lit(0.5))
-          .cast("long").as("bg_micro"))
+    // checkpointed: uni is consumed FOUR ways (the nTot action here, the
+    // bigram join below, the ugm projection, and the callers' count for
+    // the broadcast decision) — un-checkpointed, each re-runs the
+    // reference-slice tokenize+aggregate (the requireNewIds review-finding
+    // class); same for bgm, which the scorer both counts and joins
+    val uni = graft.Checkpoints.local(
+      refToks.groupBy(col("tok")).agg(count(lit(1)).as("c1")))
+    val nTot = uni.agg(coalesce(sum(col("c1")), lit(0L))).head().getLong(0)
+    require(nTot > 0,
+      s"model corpus has no '$TargetLang' tokens — the backoff LM (and the " +
+        "selection-model threshold) need a non-empty reference slice")
+    val bgm = graft.Checkpoints.local(
+      transitionsOf(s, modelDocs).where(col("lang") === TargetLang)
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+        .join(uni.withColumnRenamed("tok", "w1"), Seq("w1"))
+        .select(col("w1"), col("w2"),
+          floor((log(col("c2")) - log(col("c1"))) * lit(1e6) + lit(0.5))
+            .cast("long").as("bg_micro")))
     val ugm = uni.select(col("tok").as("w2"),
       floor((log(lit(Alpha)) + log(col("c1")) - log(lit(nTot))) * lit(1e6)
         + lit(0.5)).cast("long").as("ug_micro"))
@@ -499,9 +520,10 @@ object Selection {
     s"""${sbackoffCtes("TRUE", "TRUE")}
        |${sbackoffTailSql("TRUE")}""".stripMargin
 
-  /** The split boundary as portable SQL — the [[Dedup]] convention. */
-  private def splitSql: String =
-    s"(SELECT ((max(doc_id) + 1) * ${Dedup.IncrementSplitNum}) // ${Dedup.IncrementSplitDen} FROM documents)"
+  /** The split boundary as portable SQL — [[Dedup.incrementSplitSql]]'s
+    * ONE rendering, shared (a private re-derivation here could silently
+    * desynchronize from the boundary [[Dedup.incrementSplitAt]] computes). */
+  private def splitSql: String = Dedup.incrementSplitSql
 
   /** Oracle for [[storedModelScoreQuery]]: the DSIR chain with model =
     * bottom split / scoring = top split, the Gumbel key + threshold
