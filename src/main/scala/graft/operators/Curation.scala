@@ -169,11 +169,48 @@ object Curation {
     curatedTokenSampleSql(budgetPerSource, TextAnalysis.GopherGateNames,
       table = "aug", prelude = augSqlPrelude)
 
+  // -----------------------------------------------------------------
+  // Curation WITH the model-based selection rung (round 14)
+  // -----------------------------------------------------------------
+
+  /** The curation pass over the DSIR-SELECTED pool — the composition a
+    * modern pipeline actually deploys (dedup + quality gates +
+    * distribution matching + budget, e.g. the DoReMi/DSIR-style recipe):
+    * the raw corpus is first resampled to the k documents closest to the
+    * target distribution ([[Selection.dsirGumbelTopK]] — the paper
+    * selects from the RAW pool, before any cleaning), and the standard
+    * three-stage curation then runs on that pool. Plan shape: the
+    * resample is `TakeOrderedAndProject` (k rows to the driver), the
+    * pool restriction a broadcast semi-join, and every downstream stage
+    * runs on the k-doc survivor stream — composing REDUCES cost, exactly
+    * like the gates-before-window argument above. */
+  def curatedSelectedSample(s: SparkSession, dir: String,
+                            budgetPerSource: Long = 600L,
+                            gates: Seq[String] = SyntheticGates,
+                            k: Int = Selection.DsirK): DataFrame = {
+    val admitted = Selection.dsirGumbelTopK(s, dir, k).select("doc_id")
+    curatedOn(s, docs(s, dir).join(broadcast(admitted), Seq("doc_id")),
+      budgetPerSource, gates)
+  }
+
+  /** Oracle: the DSIR top-k CTE chain as a prelude restricting the
+    * curation SQL's input table (CTE names are disjoint by construction —
+    * dsir's tk/feat/fb/occ/cnt/tot/lr/score vs curation's keep/g/surv/p). */
+  def curatedSelectedSampleSql(budgetPerSource: Long = 600L,
+                               gates: Seq[String] = SyntheticGates,
+                               k: Int = Selection.DsirK): String = {
+    val prelude = Selection.dsirTopKPoolPrelude(k)
+    curatedTokenSampleSql(budgetPerSource, gates,
+      table = "selpool", prelude = prelude)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pipeline_curation" -> ((s: SparkSession, d: String) => curatedTokenSample(s, d)),
-    "q_pipeline_curation_full" -> ((s: SparkSession, d: String) => curatedTokenSampleFull(s, d)))
+    "q_pipeline_curation_full" -> ((s: SparkSession, d: String) => curatedTokenSampleFull(s, d)),
+    "q_pipeline_curation_select" -> ((s: SparkSession, d: String) => curatedSelectedSample(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q_pipeline_curation" -> curatedTokenSampleSql(),
-    "q_pipeline_curation_full" -> curatedTokenSampleFullSql())
+    "q_pipeline_curation_full" -> curatedTokenSampleFullSql(),
+    "q_pipeline_curation_select" -> curatedSelectedSampleSql())
 }

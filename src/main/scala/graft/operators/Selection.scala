@@ -460,6 +460,22 @@ object Selection {
     s"""${dsirCtes("TRUE", "TRUE")}
        |SELECT doc_id, n_feat, dsir_micro FROM score""".stripMargin
 
+  /** The DSIR top-k pool as a WITH-prelude (the [[Curation.augSqlPrelude]]
+    * shape): defines `sel` (the resampled doc_ids) and `selpool` (the
+    * documents restricted to them) for a downstream query's `table`
+    * parameter. The chain's CTE names (tk/feat/fb/occ/cnt/tot/lr/score)
+    * are part of this builder's contract — embedders must not redefine
+    * them. */
+  def dsirTopKPoolPrelude(k: Int = DsirK): String =
+    s"""${dsirCtes("TRUE", "TRUE").stripPrefix("WITH ")},
+       |sel AS (
+       |  SELECT doc_id FROM score
+       |  ORDER BY $gumbelKeySql DESC, doc_id
+       |  LIMIT $k),
+       |selpool AS (
+       |  SELECT d.* FROM documents d JOIN sel USING (doc_id)),
+       |""".stripMargin
+
   def dsirGumbelTopKSql(k: Int = DsirK): String =
     s"""${dsirCtes("TRUE", "TRUE")}
        |SELECT doc_id, n_feat, dsir_micro, $gumbelKeySql AS key_micro

@@ -98,4 +98,26 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       else assert(kept == total, s"$src should ship all survivors: $kept vs $total")
     }
   }
+
+  test("selection-rung curation keeps only DSIR-admitted, gated docs under budget") {
+    import graft.operators.{Curation, Selection}
+    val k = 40; val budget = 300L
+    val admitted = Selection.dsirGumbelTopK(spark, sf, k)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val gatedPool = Curation.curatedTokenSample(spark, sf,
+      budgetPerSource = Long.MaxValue).collect().map(_.getLong(0)).toSet
+    val got = Curation.curatedSelectedSample(spark, sf, budget, k = k).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      assert(admitted(id), s"doc $id not in the DSIR top-$k pool")
+      assert(gatedPool(id), s"doc $id does not pass the gates")
+      assert(r.getAs[Long]("tok_before") < budget)
+    }
+    // the composition is the curation of the restricted pool, not a
+    // re-derivation: an unlimited-budget run ships exactly admitted ∩ gated
+    val unlimited = Curation.curatedSelectedSample(spark, sf, Long.MaxValue, k = k)
+      .collect().map(_.getLong(0)).toSet
+    assert(unlimited == (admitted intersect gatedPool))
+  }
 }
