@@ -170,6 +170,93 @@ object Curation {
       table = "aug", prelude = augSqlPrelude)
 
   // -----------------------------------------------------------------
+  // Per-document attrition attribution (round 14)
+  // -----------------------------------------------------------------
+
+  /** The lineage/audit layer a production pipeline keeps next to its
+    * keep-set: for EVERY input document, the FIRST stage that dropped it
+    * — `exact_dup` (not its text group's min doc_id), the first failing
+    * gate (in battery order), `budget` (gated survivor past its source's
+    * token budget), or `kept`. One row per input doc, totality by
+    * construction. The `observe` counters on [[curatedTokenSample]]
+    * answer "which gate costs the corpus" in aggregate; this answers the
+    * per-document "why is doc X missing from the training set" —
+    * deterministic, so the answer is stable across re-runs and engines.
+    *
+    * Single-sourced like the pipeline itself: gate expressions come from
+    * [[TextAnalysis.gopherGatesOn]] (Scala) /
+    * [[TextAnalysis.gopherGateSqlByName]] (oracle); the budget window is
+    * the [[Sampling.hashOrder]] prefix rule; the stage ORDER mirrors the
+    * pipeline's stage order, so `attrition` is provably consistent with
+    * [[curatedTokenSample]]: `kept` rows = its output set (CurationSpec
+    * pins the identity). Plan: the same collapse/gate/window stages plus
+    * one left join back to the corpus at doc grain — scan costs identical
+    * to the pipeline it explains. */
+  def attrition(s: SparkSession, dir: String,
+                budgetPerSource: Long = 600L,
+                gates: Seq[String] = SyntheticGates): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir)
+    val keep = d.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      .withColumn("in_keep", lit(true))
+    val stats = TextAnalysis.gopherGatesOn(s,
+      d.join(keep, Seq("doc_id"), "left")
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("long")),
+      carry = Seq("source", "n_tok", "in_keep"))
+    val passAll = gates.map(col).reduce(_ && _)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(Sampling.hashOrder, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // the budget window runs over the SAME survivor stream the pipeline
+    // budgets (collapse-kept AND gated) — earlier-dropped docs must not
+    // consume budget, or the attribution would disagree with the pipeline
+    val withBudget = stats
+      .withColumn("tok_before",
+        when(col("in_keep").isNotNull && passAll,
+          coalesce(sum(when(col("in_keep").isNotNull && passAll, col("n_tok")))
+            .over(w), lit(0L))))
+    val firstFailingGate = gates.reverse.foldLeft(lit(null).cast("string")) {
+      (rest, g) => when(!col(g), lit(g)).otherwise(rest)
+    }
+    withBudget.select(col("doc_id"), col("source"), col("n_tok"),
+      when(col("in_keep").isNull, lit("exact_dup"))
+        .otherwise(coalesce(firstFailingGate,
+          when(col("tok_before") >= budgetPerSource, lit("budget"))
+            .otherwise(lit("kept")))).as("stage"))
+  }
+
+  def attritionSql(budgetPerSource: Long = 600L,
+                   gates: Seq[String] = SyntheticGates): String = {
+    val gateFailCase = gates.map(g =>
+      s"WHEN NOT (${TextAnalysis.gopherGateSqlByName(g)}) THEN '$g'").mkString("\n      ")
+    val passAll = gates.map(TextAnalysis.gopherGateSqlByName).mkString("\n    AND ")
+    s"""WITH keep AS (
+       |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |g AS (
+       |  SELECT d.doc_id, d.source,
+       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+       |    (k.doc_id IS NOT NULL) AS in_keep,
+       |    ${TextAnalysis.gopherStatsSqlCols("d.text")}
+       |  FROM documents d LEFT JOIN keep k USING (doc_id)),
+       |b AS (
+       |  SELECT *,
+       |    CASE WHEN in_keep AND ($passAll) THEN
+       |      CAST(coalesce(sum(CASE WHEN in_keep AND ($passAll) THEN n_tok END) OVER (
+       |        PARTITION BY source
+       |        ORDER BY ${Sampling.hashOrderSql}, doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    END AS tok_before
+       |  FROM g)
+       |SELECT doc_id, source, n_tok,
+       |  CASE WHEN NOT in_keep THEN 'exact_dup'
+       |      $gateFailCase
+       |      WHEN tok_before >= $budgetPerSource THEN 'budget'
+       |      ELSE 'kept' END AS stage
+       |FROM b""".stripMargin
+  }
+
+  // -----------------------------------------------------------------
   // Curation WITH the model-based selection rung (round 14)
   // -----------------------------------------------------------------
 
@@ -207,10 +294,12 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pipeline_curation" -> ((s: SparkSession, d: String) => curatedTokenSample(s, d)),
     "q_pipeline_curation_full" -> ((s: SparkSession, d: String) => curatedTokenSampleFull(s, d)),
-    "q_pipeline_curation_select" -> ((s: SparkSession, d: String) => curatedSelectedSample(s, d)))
+    "q_pipeline_curation_select" -> ((s: SparkSession, d: String) => curatedSelectedSample(s, d)),
+    "q_pipeline_attrition" -> ((s: SparkSession, d: String) => attrition(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q_pipeline_curation" -> curatedTokenSampleSql(),
     "q_pipeline_curation_full" -> curatedTokenSampleFullSql(),
-    "q_pipeline_curation_select" -> curatedSelectedSampleSql())
+    "q_pipeline_curation_select" -> curatedSelectedSampleSql(),
+    "q_pipeline_attrition" -> attritionSql())
 }

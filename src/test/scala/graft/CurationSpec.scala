@@ -99,6 +99,31 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("attrition attribution is provably consistent with the pipeline it explains") {
+    import graft.operators.Curation
+    val budget = 600L
+    val rows = Curation.attrition(spark, sf, budget).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // totality: one row per input document
+    assert(rows.length == docs.length && rows.map(_._1).distinct.length == docs.length)
+    // kept set == the pipeline's output set (the identity that makes the
+    // audit trustworthy)
+    val kept = rows.filter(_._4 == "kept").map(_._1).toSet
+    val pipeline = Curation.curatedTokenSample(spark, sf, budget)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == pipeline, "attrition 'kept' must equal the pipeline output")
+    // exact_dup stage == exactly the non-minimum ids of multi-doc text groups
+    val dupIds = docs.groupBy(_._2).values.filter(_.length > 1)
+      .flatMap(g => g.map(_._1).sorted.tail).toSet
+    assert(rows.filter(_._4 == "exact_dup").map(_._1).toSet == dupIds)
+    // every stage label is legal, and gate labels name gates from the battery
+    val legal = Set("exact_dup", "budget", "kept") ++ Curation.SyntheticGates
+    rows.foreach { case (id, _, _, st) => assert(legal(st), s"doc $id stage $st") }
+  }
+
   test("selection-rung curation keeps only DSIR-admitted, gated docs under budget") {
     import graft.operators.{Curation, Selection}
     val k = 40; val budget = 300L
