@@ -288,4 +288,20 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("Exchange"), "chunking must not shuffle at any scale")
     assert(p.contains("Generate"), p.take(400))
   }
+
+  test("selection-rung curation restricts the pool via a broadcast semi-join, no explosion") {
+    // the k-row DSIR resample must reach the corpus as TakeOrderedAndProject
+    // feeding a BroadcastHashJoin — never a shuffled join of the corpus
+    // against the pool, and never any pair explosion
+    val p = plan("q_pipeline_curation_select")
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("attrition attribution stays one curation-shaped pass: no cartesian, windowed budget") {
+    val p = plan("q_pipeline_attrition")
+    assert(p.contains("Window"), p.take(600))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
 }
