@@ -744,9 +744,15 @@ object IndexFamily {
     writeBloomFile(s, tablePath, items, bits, bloom)
   }
 
-  /** The index families' shared guarded append (round-14): enforce the
-    * newness contract, then — holding the table lease — advance BOTH id
-    * sidecars crash-safe-HIGH and land the batch as `nFiles` part files.
+  /** The index families' shared guarded append (round-14): holding the
+    * table lease, enforce the newness contract, advance BOTH id sidecars
+    * crash-safe-HIGH, and land the batch as `nFiles` part files.
+    * The newness check runs INSIDE the lease (round-15): checked-then-
+    * appended must be atomic, or two concurrent guarded appends of
+    * overlapping id sets could both pass the check and both land under
+    * successive leases — duplicate ids accepted with no refusal and no
+    * TORN-REPLAY line. The check is cheap on the watermark/bloom paths,
+    * so holding the lease across it costs nothing at steady state.
     * Sidecars-before-files IS the crash story: a crash after the advance
     * leaves watermark/bloom too high (over-refuse / over-scan — safe, and
     * the ordering guard's re-seed path recovers the stream,
@@ -760,10 +766,10 @@ object IndexFamily {
                          nRows: Long, nFiles: Int, op: String,
                          strict: Boolean = true): Long = {
     val s = rows.sparkSession
-    val overlap = requireNewIds(s, tablePath, idCol,
-      rows.select(col(idCol)), nRows, op, strict)
-    val mx = rows.agg(max(col(idCol))).head()
     withLease(s, tablePath) {
+      val overlap = requireNewIds(s, tablePath, idCol,
+        rows.select(col(idCol)), nRows, op, strict)
+      val mx = rows.agg(max(col(idCol))).head()
       if (!mx.isNullAt(0)) {
         peekIdWatermark(s, tablePath).foreach { wm =>
           advanceIdWatermark(s, tablePath, math.max(wm, mx.getLong(0)))
@@ -771,8 +777,8 @@ object IndexFamily {
         advanceIdBloom(s, tablePath, rows.select(col(idCol)), idCol)
       }
       rows.coalesce(nFiles).write.mode("append").parquet(tablePath)
+      overlap
     }
-    overlap
   }
 
   /** The persisted max-id WATERMARK a table's ordering contract reads —

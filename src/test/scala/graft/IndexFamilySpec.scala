@@ -326,6 +326,52 @@ class IndexFamilySpec extends AnyFunSuite with SparkTestBase {
     assert(e2.getMessage.contains("already present"))
   }
 
+  test("guarded append's newness check runs INSIDE the table lease (round-15 " +
+       "TOCTOU closure): every evaluation of the batch happens with the lease " +
+       "held, and a concurrent holder forces up-front refusal") {
+    import spark.implicits._
+    val dir = tmpDir("toctou")
+    val path = s"$dir/t.parquet"
+    (0L until 10L).map(i => (i, i)).toDF("doc_id", "v").write.parquet(path)
+    IndexFamily.seedIdGuards(spark, path, "doc_id")
+    // every task-side evaluation of the batch records whether the lease
+    // file existed at that moment (local mode shares one filesystem) — if
+    // the newness check ran before the lease, its evaluation is the
+    // un-leased one and the two counters diverge
+    val evals = spark.sparkContext.longAccumulator("toctou-evals")
+    val underLease = spark.sparkContext.longAccumulator("toctou-under-lease")
+    val leaseFile = new java.io.File(IndexFamily.leasePath(path))
+    val batch = spark.range(20, 24).map { id =>
+      evals.add(1L)
+      if (leaseFile.exists()) underLease.add(1L)
+      id
+    }.toDF("doc_id").withColumn("v", col("doc_id"))
+    assert(IndexFamily.appendWithIdGuards(batch, path, "doc_id", 4L, 1,
+      "toctouSpec") == 0L)
+    assert(evals.value > 0L)
+    assert(underLease.value == evals.value,
+      s"the batch was evaluated OUTSIDE the lease (${evals.value} evaluations, " +
+        s"${underLease.value} under the lease) — check-then-append is not atomic " +
+        "vs a concurrent guarded append of overlapping ids")
+    // interleaved writers: while one holds the lease, a second guarded
+    // append of overlapping ids REFUSES instead of landing a stale verdict
+    IndexFamily.acquireLease(spark, path)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        IndexFamily.appendWithIdGuards(Seq((20L, 9L)).toDF("doc_id", "v"),
+          path, "doc_id", 1L, 1, "toctouSpec")
+      }
+      assert(e.getMessage.contains("under maintenance"))
+    } finally IndexFamily.releaseLease(spark, path)
+    // and once the first writer released, the second's (in-lease) check
+    // sees the first's rows and refuses on the newness contract
+    val e2 = intercept[IllegalArgumentException] {
+      IndexFamily.appendWithIdGuards(Seq((20L, 9L)).toDF("doc_id", "v"),
+        path, "doc_id", 1L, 1, "toctouSpec")
+    }
+    assert(e2.getMessage.contains("already present"))
+  }
+
   test("crashed append (sidecars advanced, files never landed) over-scans but never " +
        "wedges: requireNewIds re-accepts the redelivery; requireIdsAbove tolerates " +
        "non-strict via the stored-max re-check") {
