@@ -290,12 +290,14 @@ object Selection {
     *  - `dsir.parquet` — all [[DsirDim]] bucket micro-weights;
     *  - `lm_bigram.parquet` / `lm_unigram.parquet` — the backoff tables;
     *  - `meta.parquet` — the handshake `(dim, target_lang, n_tot,
-    *    oov_micro, key_threshold_micro)`: a scorer built under different
-    *    hyperparameters refuses loudly (the [[Dedup.buildMinhashIndex]]
-    *    convention), and `key_threshold_micro` — the k-th Gumbel key of
-    *    the offline resample over the model corpus — is the ONLINE
-    *    admission rule: a frozen threshold is how a stream applies
-    *    "top-k of the pool" to documents it hasn't seen yet.
+    *    oov_micro, key_threshold_micro, key_threshold_doc_id)`: a scorer
+    *    built under different hyperparameters refuses loudly (the
+    *    [[Dedup.buildMinhashIndex]] convention), and the threshold pair —
+    *    the BOUNDARY ROW (k-th Gumbel key + its doc_id) of the offline
+    *    resample over the model corpus — is the ONLINE admission rule:
+    *    a frozen threshold is how a stream applies "top-k of the pool"
+    *    to documents it hasn't seen yet, and carrying the boundary
+    *    doc_id makes admission tie-break exactly as the offline top-k.
     *
     * Train-once cost: the two DSIR aggregations, the LM aggregations,
     * and one `TakeOrderedAndProject` for the threshold. */
@@ -309,12 +311,19 @@ object Selection {
     val (bgm, ugm, nTot) = sbackoffModelOf(s, modelDocs)
     bgm.write.mode("overwrite").parquet(s"$modelDir/lm_bigram.parquet")
     ugm.write.mode("overwrite").parquet(s"$modelDir/lm_unigram.parquet")
-    val thr = scoreDsirWith(s, modelDocs, lr)
+    // the threshold is the BOUNDARY ROW of the offline top-k (its k-th
+    // row under key desc, doc_id asc), not just the k-th key: admission
+    // tie-breaks on doc_id exactly as the offline resample does, so a tie
+    // at the threshold key admits the SAME set, never a superset
+    // (round-14 advice)
+    val bnd = scoreDsirWith(s, modelDocs, lr)
       .withColumn("key_micro", gumbelKeyCol(col("dsir_micro"), col("doc_id")))
       .orderBy(col("key_micro").desc, col("doc_id")).limit(k)
-      .agg(min(col("key_micro"))).head().getLong(0)
-    Seq((DsirDim, TargetLang, nTot, oovMicroOf(nTot), thr))
-      .toDF("dim", "target_lang", "n_tot", "oov_micro", "key_threshold_micro")
+      .orderBy(col("key_micro"), col("doc_id").desc).limit(1)
+      .select(col("key_micro"), col("doc_id")).head()
+    Seq((DsirDim, TargetLang, nTot, oovMicroOf(nTot), bnd.getLong(0), bnd.getLong(1)))
+      .toDF("dim", "target_lang", "n_tot", "oov_micro",
+        "key_threshold_micro", "key_threshold_doc_id")
       .coalesce(1).write.mode("overwrite").parquet(s"$modelDir/meta.parquet")
     storedModelMemo.remove(modelDir) // a retrain invalidates the memo
   }
@@ -326,6 +335,7 @@ object Selection {
     * the same JVM, which invalidates, or restart the stream). */
   private final case class StoredModel(lr: Array[Long], nTot: Long,
                                        oovMicro: Long, thrMicro: Long,
+                                       thrDocId: Long,
                                        bgmRows: Long, ugmRows: Long)
   private val storedModelMemo =
     new java.util.concurrent.ConcurrentHashMap[String, StoredModel]()
@@ -343,6 +353,7 @@ object Selection {
       val lr = new Array[Long](DsirDim)
       rows.foreach(r => lr(r.getLong(0).toInt) = r.getLong(1))
       StoredModel(lr, meta.getLong(2), meta.getLong(3), meta.getLong(4),
+        meta.getLong(5),
         s.read.parquet(s"$modelDir/lm_bigram.parquet").count(),
         s.read.parquet(s"$modelDir/lm_unigram.parquet").count())
     })
@@ -361,7 +372,12 @@ object Selection {
     val withLang = batch.select(col("doc_id"), lit("").as("lang"), col("text"))
     val dsir = scoreDsirWith(s, withLang, m.lr)
       .withColumn("key_micro", gumbelKeyCol(col("dsir_micro"), col("doc_id")))
-      .withColumn("admitted", col("key_micro") >= lit(m.thrMicro))
+      // strictly-above admits; AT the threshold key the offline top-k's
+      // doc_id tie-break applies, so a key tie never admits >k of the
+      // build pool (round-14 advice — the boundary row rides the meta)
+      .withColumn("admitted", col("key_micro") > lit(m.thrMicro) ||
+        (col("key_micro") === lit(m.thrMicro) &&
+          col("doc_id") <= lit(m.thrDocId)))
     val bgm = s.read.parquet(s"$modelDir/lm_bigram.parquet")
     val ugm = s.read.parquet(s"$modelDir/lm_unigram.parquet")
     val sb = scoreSbackoffWith(s, withLang, bgm, ugm, m.oovMicro,
@@ -390,8 +406,10 @@ object Selection {
   def storedModelScoreQuery(s: SparkSession, dir: String): DataFrame = {
     val split = Dedup.incrementSplitAt(s, dir)
     val modelDir = builtModels.computeIfAbsent(dir, _ => {
-      val md = modelScratch.resolve(java.lang.Integer.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(dir))).toString
+      // collision-free per-corpus key (round-14 advice): the sanitized dir
+      // path itself, not a 32-bit hash of it — two corpus dirs can never
+      // share (and silently cross-score through) one model directory
+      val md = modelScratch.resolve(dir.replaceAll("[^A-Za-z0-9._-]", "_")).toString
       buildSelectionModel(s, docs(s, dir).where(col("doc_id") < split), md)
       md
     })
@@ -543,8 +561,9 @@ object Selection {
 
   /** Oracle for [[storedModelScoreQuery]]: the DSIR chain with model =
     * bottom split / scoring = top split, the Gumbel key + threshold
-    * admission (threshold = min key of the offline top-k over the MODEL
-    * corpus scored under its own weights), joined to the backoff chain
+    * admission (threshold = the offline top-k's boundary row over the
+    * MODEL corpus scored under its own weights, with the doc_id
+    * tie-break at the threshold key), joined to the backoff chain
     * under the same split. The scoring occurrences' buckets hit the
     * full-range `lr` CTE, so unseen features get the smoothing ratio —
     * matching the persisted all-bucket weight array. */
@@ -554,13 +573,16 @@ object Selection {
        |  SELECT doc_id, CAST(sum(lrm) AS BIGINT) AS dsir_micro
        |  FROM occ JOIN lr USING (bkt) WHERE doc_id < $splitSql GROUP BY 1),
        |thr AS (
-       |  SELECT min(key_micro) AS thr FROM (
-       |    SELECT $gumbelKeySql AS key_micro
-       |    FROM bscore ORDER BY key_micro DESC, doc_id LIMIT $k)),
+       |  SELECT key_micro AS thr, doc_id AS thr_doc_id FROM (
+       |    SELECT $gumbelKeySql AS key_micro, doc_id
+       |    FROM bscore ORDER BY key_micro DESC, doc_id LIMIT $k)
+       |  ORDER BY key_micro ASC, doc_id DESC LIMIT 1),
        |${sbackoffCtes(s"doc_id < $splitSql", s"doc_id >= $splitSql").replaceFirst("^WITH ", "")}
        |SELECT s.doc_id, s.n_feat, s.dsir_micro,
        |  $gumbelKeySql AS key_micro,
-       |  ($gumbelKeySql) >= (SELECT thr FROM thr) AS admitted,
+       |  (($gumbelKeySql) > (SELECT thr FROM thr)
+       |    OR (($gumbelKeySql) = (SELECT thr FROM thr)
+       |        AND s.doc_id <= (SELECT thr_doc_id FROM thr))) AS admitted,
        |  CAST(coalesce(a.n_trans, 0) AS BIGINT) AS n_trans,
        |  CAST(coalesce(a.n_bg_hit, 0) AS BIGINT) AS n_bg_hit,
        |  CAST(coalesce(a.n_oov, 0) AS BIGINT) AS n_oov,

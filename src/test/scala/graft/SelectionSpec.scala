@@ -223,14 +223,26 @@ class SelectionSpec extends AnyFunSuite with SparkTestBase {
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
     assert(admitted == offline,
       "threshold admission must reproduce the offline resample on its own pool")
+    // the tie rule is pinned structurally: the persisted boundary row is
+    // the offline top-k's weakest admit (min key; max doc_id among its
+    // key ties), so a regenerated fixture WITH a tie at the threshold
+    // key still admits exactly k of the pool, never a superset
+    val meta = spark.read.parquet(s"$md/meta.parquet").head()
+    val boundary = Selection.dsirGumbelTopK(spark, sf, k)
+      .orderBy(col("key_micro"), col("doc_id").desc).limit(1)
+      .select(col("key_micro"), col("doc_id")).head()
+    assert((meta.getLong(4), meta.getLong(5)) ==
+      ((boundary.getLong(0), boundary.getLong(1))),
+      "the persisted threshold must be the offline top-k's boundary row")
   }
 
   test("a model built under different hyperparameters refuses loudly") {
     val md = freshModelDir("handshake")
     import spark.implicits._
     // a foreign model: wrong dim in the meta handshake
-    Seq((512, "en", 1000L, -1000000L, 0L))
-      .toDF("dim", "target_lang", "n_tot", "oov_micro", "key_threshold_micro")
+    Seq((512, "en", 1000L, -1000000L, 0L, 0L))
+      .toDF("dim", "target_lang", "n_tot", "oov_micro",
+        "key_threshold_micro", "key_threshold_doc_id")
       .write.mode("overwrite").parquet(s"$md/meta.parquet")
     val e = intercept[IllegalArgumentException] {
       Selection.scoreWithStoredModel(spark,
