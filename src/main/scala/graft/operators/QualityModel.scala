@@ -264,16 +264,39 @@ object QualityModel {
     docs(s, dir).select(col("doc_id"),
       (TextAnalysis.qualityCol(col("text")) >= 0.5).cast("int").as("y"))
 
+  /** The trained tier's hard training-set cap: a 20 % hash fraction alone
+    * is CORPUS-proportional (16 GD epochs × feature-grain shuffle over it
+    * would be ~3.2 corpus-scale passes at any size — round-14 verdict),
+    * so the fraction is clamped to a fixed SIZE by a deterministic
+    * hash-order limit, the [[Similarity.learnCentroids]] discipline:
+    * TakeOrderedAndProject per-partition heaps, no global sort. At gate
+    * scale the cap never binds (sf0.1 is ~1 000 sampled docs), so the
+    * demonstration's behavior is unchanged; at 100 TB the gradient
+    * passes touch exactly this many docs, full stop. */
+  val MaxTrainDocs = 65536
+
   /** Trained tier: GD on a deterministic 20 % hash sample of the corpus
-    * (training is SAMPLE-sized, scoring is CORPUS-sized — the
-    * learnCentroids discipline, and the literal reason this tier scales:
-    * at 100 TB the gradient passes touch a fixed-size sample while the
-    * scoring pass is one map-shaped sweep), quantized, scored through the
-    * SHARED gated path, label joined back for inspection. */
-  def scoreTrainedQuery(s: SparkSession, dir: String): DataFrame = {
+    * CLAMPED to [[MaxTrainDocs]] (training is FIXED-size, scoring is
+    * CORPUS-sized — the learnCentroids discipline, and the literal
+    * reason this tier scales: at 100 TB the gradient passes touch a
+    * fixed-size sample while the scoring pass is one map-shaped sweep),
+    * quantized, scored through the SHARED gated path, label joined back
+    * for inspection. */
+  /** The trained tier's training docs: the 20 % hash slice under the
+    * [[MaxTrainDocs]]-class clamp. Hash-ORDERED limit, so the selection
+    * is deterministic and caps nest (cap-16's docs ⊂ cap-32's — a
+    * budget bump only ADDS training data, never reshuffles it). */
+  private[graft] def trainSample(s: SparkSession, dir: String,
+                                 cap: Int = MaxTrainDocs): DataFrame = {
     import graft.operators.Sampling.{IdMod, Mix}
     val sampleKey = pmod(pmod(col("doc_id"), lit(IdMod)) * lit(Mix), lit(IdMod)) % 100
-    val trainDocs = docs(s, dir).where(sampleKey < 20)
+    docs(s, dir).where(sampleKey < 20)
+      .orderBy(xxhash64(col("doc_id"), lit(15)), col("doc_id"))
+      .limit(cap)
+  }
+
+  def scoreTrainedQuery(s: SparkSession, dir: String): DataFrame = {
+    val trainDocs = trainSample(s, dir)
     val (model, _) = train(s, trainDocs,
       weakLabels(s, dir).join(trainDocs.select("doc_id"), Seq("doc_id")))
     val (wq, bq) = model.quantized

@@ -39,6 +39,23 @@ class QualityModelSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("training sample is FIXED-size: the cap binds, is deterministic, and nests") {
+    val dir = "/root/testdata/sf0.01" // ~100 docs in the 20 % slice
+    val slice = QualityModel.trainSample(spark, dir, Int.MaxValue)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(slice.size > 32, "fixture too small to exercise the cap")
+    def ids(cap: Int): Seq[Long] = QualityModel.trainSample(spark, dir, cap)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    val c16 = ids(16)
+    assert(c16.length == 16, "the cap must bind below the slice size")
+    assert(c16 == ids(16), "the capped selection must be deterministic")
+    assert(c16.toSet.subsetOf(ids(32).toSet),
+      "caps must nest (hash-order prefix): a budget bump only adds docs")
+    // and the default cap never binds at gate scale — today's demonstration
+    // trains on the whole 20 % slice, exactly the pre-cap behavior
+    assert(ids(QualityModel.MaxTrainDocs).toSet == slice)
+  }
+
   test("trained classifier generalizes: held-out accuracy beats the majority baseline") {
     val dir = "/root/testdata/sf0.01" // 500 docs; sf0.001's ~50 make held-out accuracy a coin flip
     val all = docsAt(dir)
