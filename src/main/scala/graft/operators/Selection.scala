@@ -211,8 +211,22 @@ object Selection {
   /** The LM model tables estimated from a model corpus's [[TargetLang]]
     * slice: `(bigram table (w1, w2, bg_micro), unigram table
     * (w2, ug_micro), N)` — each tier's log-score quantized at MODEL
-    * grain. */
-  private[graft] def sbackoffModelOf(s: SparkSession, modelDocs: DataFrame):
+    * grain.
+    *
+    * `minCount` is Brants' count cutoff (round-14 verdict task 4):
+    * bigrams seen fewer than `minCount` times are PRUNED from the model —
+    * a pruned transition simply falls to the unigram tier at scoring
+    * time, which IS stupid-backoff's unseen-bigram rule, so pruning only
+    * moves scores through the documented backoff path (SelectionSpec pins
+    * it against a driver-side recomputation). This is what bounds the
+    * model at a 100 TB reference slice: the raw bigram table is
+    * corpus-shaped (heavy-tailed singletons), the pruned one is
+    * vocabulary-shaped; §8.5.14 prices rows vs minCount. The default 1
+    * prunes nothing — bit-identical to the historical model. The unigram
+    * tier is never pruned (it is the backoff floor and already bounded by
+    * the vocabulary). */
+  private[graft] def sbackoffModelOf(s: SparkSession, modelDocs: DataFrame,
+                                     minCount: Long = 1L):
       (DataFrame, DataFrame, Long) = {
     val refToks = modelDocs.where(col("lang") === TargetLang)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
@@ -230,6 +244,7 @@ object Selection {
     val bgm = graft.Checkpoints.local(
       transitionsOf(s, modelDocs).where(col("lang") === TargetLang)
         .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+        .where(col("c2") >= lit(minCount))
         .join(uni.withColumnRenamed("tok", "w1"), Seq("w1"))
         .select(col("w1"), col("w2"),
           floor((log(col("c2")) - log(col("c1"))) * lit(1e6) + lit(0.5))
@@ -302,13 +317,14 @@ object Selection {
     * Train-once cost: the two DSIR aggregations, the LM aggregations,
     * and one `TakeOrderedAndProject` for the threshold. */
   def buildSelectionModel(s: SparkSession, modelDocs: DataFrame,
-                          modelDir: String, k: Int = DsirK): Unit = {
+                          modelDir: String, k: Int = DsirK,
+                          minCount: Long = 1L): Unit = {
     import s.implicits._
     val lr = dsirModelOf(s, modelDocs)
     lr.zipWithIndex.map { case (m, b) => (b.toLong, m) }.toSeq
       .toDF("bkt", "lr_micro")
       .coalesce(1).write.mode("overwrite").parquet(s"$modelDir/dsir.parquet")
-    val (bgm, ugm, nTot) = sbackoffModelOf(s, modelDocs)
+    val (bgm, ugm, nTot) = sbackoffModelOf(s, modelDocs, minCount)
     bgm.write.mode("overwrite").parquet(s"$modelDir/lm_bigram.parquet")
     ugm.write.mode("overwrite").parquet(s"$modelDir/lm_unigram.parquet")
     // the threshold is the BOUNDARY ROW of the offline top-k (its k-th

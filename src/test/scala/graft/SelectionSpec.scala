@@ -158,6 +158,60 @@ class SelectionSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("Brants count cutoff: minCount=1 is bit-identical to today's model; " +
+       "pruned bigrams score through the unigram backoff tier exactly") {
+    val d = Tables(spark, sf, "documents")
+    val mdDefault = freshModelDir("mcdef")
+    val md1 = freshModelDir("mc1")
+    val md2 = freshModelDir("mc2")
+    Selection.buildSelectionModel(spark, d, mdDefault)
+    Selection.buildSelectionModel(spark, d, md1, minCount = 1L)
+    Selection.buildSelectionModel(spark, d, md2, minCount = 2L)
+    def bg(md: String) = spark.read.parquet(s"$md/lm_bigram.parquet").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val bg1 = bg(md1)
+    val bg2 = bg(md2)
+    assert(bg1 == bg(mdDefault), "minCount=1 must be today's model")
+    // driver-side truth: en-slice bigram counts
+    val c2 = docRows.filter(_._2 == "en")
+      .flatMap { case (_, _, t) => val w = t.split(" ", -1); w.init.zip(w.tail) }
+      .groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+    val kept = c2.filter(_._2 >= 2L).keySet
+    assert(kept.nonEmpty && kept.size < c2.size,
+      "fixture must exercise the cutoff in both directions")
+    assert(bg2.keySet == kept, "pruned table must be exactly the ≥minCount bigrams")
+    bg2.foreach { case (p, v) => assert(v == bg1(p), s"surviving bigram $p rescored") }
+    def ug(md: String) = spark.read.parquet(s"$md/lm_unigram.parquet").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ug(md2) == ug(md1), "the unigram backoff floor must never be pruned")
+    // scoring under the pruned model: a pruned transition falls to the
+    // unigram tier — exact three-tier recompute with the cutoff applied
+    val got = Selection.scoreWithStoredModel(spark,
+        d.select(col("doc_id"), col("text")), md2).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))).toMap
+    val enToks = docRows.filter(_._2 == "en").flatMap(_._3.split(" ", -1))
+    val c1 = enToks.groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    val nTot = enToks.length.toLong
+    def micro(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    docRows.foreach { case (id, _, t) =>
+      val w = t.split(" ", -1)
+      val trans = w.init.zip(w.tail)
+      var sb = 0L; var bgc = 0L; var oov = 0L
+      trans.foreach { case (w1, w2) =>
+        if (c2.getOrElse((w1, w2), 0L) >= 2L) {
+          sb += micro(math.log(c2((w1, w2))) - math.log(c1(w1))); bgc += 1
+        } else if (c1.contains(w2)) {
+          sb += micro(math.log(0.4) + math.log(c1(w2)) - math.log(nTot))
+        } else {
+          sb += micro(math.log(0.4) + math.log(0.4) - math.log(nTot)); oov += 1
+        }
+      }
+      assert(got(id) == ((trans.length.toLong, bgc, oov, sb)),
+        s"doc $id under minCount=2")
+    }
+  }
+
   // -------------------------------------------------------------------
   // Chunking
   // -------------------------------------------------------------------
