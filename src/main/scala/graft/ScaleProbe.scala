@@ -1106,6 +1106,49 @@ object ScaleProbe {
           }
         }
 
+      case "assigncost" =>
+        // §8.5.11 addendum (round-15 verdict task 1): the ASSIGNMENT term
+        // itself, at fixed n and growing K. The dense argmax evaluates all
+        // K centroids per row (∝ n·K·dim — §8.5.11's admitted scale term);
+        // the two-level path (CentroidAssign) evaluates C + nProbe·K/C ≈
+        // (1+nProbe)·√K per row. Claims: dense wall grows ~∝ K, two-level
+        // stays sub-linear, and the two paths agree except on the
+        // (reported) uncovered tail — the IVF covering condition.
+        time("build")(buildEmbeddings(varied = true))
+        val eAll = Tables(spark, dst, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val n = eAll.count()
+        import graft.functions.{CentroidAssign, VectorOps}
+        for (kc <- Seq(64, 256, 1024)) {
+          val g = math.ceil(math.sqrt(kc.toDouble)).toInt
+          // the k-means-model geometry: g base directions, each carrying
+          // kc/g jittered members (i.i.d. Gaussian centroids would be the
+          // no-structure worst case — see SemanticDedupSpec)
+          val bases = VectorOps.hyperplanes(g, 64, seed = 51L)
+          val jit = VectorOps.hyperplanes(kc, 64, seed = 52L)
+          val cents = (0 until kc).map { i =>
+            val b = bases(i % g); val jv = jit(i)
+            b.indices.map(d => b(d) + 0.2 * jv(d))
+          }
+          def bc(df: org.apache.spark.sql.DataFrame, tag: String,
+                 cutoff: Int, nProbe: Int) =
+            CentroidAssign.withBestCentroid(df, "embedding", cents,
+              cidName = s"cid_$tag", simName = s"sim_$tag", nProbe, cutoff)
+          def run(tag: String, cutoff: Int, nProbe: Int): Double =
+            time(s"assign_${tag}_k$kc") {
+              bc(eAll, tag, cutoff, nProbe)
+                .agg(sum(col(s"cid_$tag"))).head()
+            }
+          val tDense = run("dense", Int.MaxValue, 1)
+          val tTwo = run("twolevel", 0, 2)
+          val mismatch = bc(bc(eAll, "d", Int.MaxValue, 1), "t", 0, 2)
+            .where(col("cid_d") =!= col("cid_t")).count()
+          println(f"SCALE${k}X[assigncost] n=$n K=$kc: dense $tDense%.2f s, " +
+            f"two-level $tTwo%.2f s (${tDense / tTwo}%.1fx), " +
+            f"mismatch $mismatch/$n (${100.0 * mismatch / n}%.1f%%)")
+          spark.catalog.clearCache(); Checkpoints.releaseAll()
+        }
+
       case other => sys.error(s"unknown SPARK_GRAFT_SCALE_MODE: $other")
     }
     spark.stop()

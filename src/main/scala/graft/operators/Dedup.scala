@@ -802,6 +802,19 @@ object Dedup {
     }
   }
 
+  /** Operator-facing `.txn` repair ([[graft.IndexAdmin]] `--release`,
+    * round-14 verdict task 5): if the cluster-state dir carries a torn
+    * two-table marker, rebuild the member projection wholesale from the
+    * authoritative labels and drop the marker — WITHOUT synthesizing an
+    * increment (the repair previously only ran lazily inside the next
+    * increment/delete). Returns whether a torn commit was repaired. */
+  def repairClusterStateTxn(s: SparkSession, indexDir: String): Boolean = {
+    val statePath = s"$indexDir/clusters.parquet"
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.exists(stateTxnMarker(statePath)) && { ensureMemberLookup(s, indexDir); true }
+  }
+
   /** Repair a torn two-table commit if its intent marker is present;
     * returns whether the projection is usable afterwards (false = no
     * projection built at all — the pre-round-14 full-snapshot lookup). */
@@ -2001,16 +2014,18 @@ object Dedup {
     * ties toward the higher cid; `cent_e4` is the e4-floored centroid
     * cosine the keep rule orders on (integer order parity is engine-stable
     * where raw-double ties would not be). */
-  private def semAssign(e: DataFrame, cents: Seq[Seq[Double]]): DataFrame = {
-    val best = greatest(cents.zipWithIndex.map { case (c, i) =>
-      struct(VectorOps.cosine(col("embedding"), array(c.map(lit): _*)).as("sim"),
-             lit(i.toLong).as("cid"))
-    }: _*)
-    e.select(col("vec_id"), col("embedding"),
-      VectorOps.l2Norm(col("embedding")).as("norm"),
-      best.getField("cid").as("cid"),
-      floor(best.getField("sim") * lit(10000.0) + lit(0.5)).cast("long").as("cent_e4"))
-  }
+  private def semAssign(e: DataFrame, cents: Seq[Seq[Double]]): DataFrame =
+    // routed through CentroidAssign (round-15): dense `greatest` at the
+    // literal-twin model sizes (bit-identical values), two-level coarse-
+    // quantized broadcast-model argmax past DenseCutoff — assignment
+    // ∝ n·√K·dim and still map-only, the §8.5.11 K-term closed
+    graft.functions.CentroidAssign.withBestCentroid(
+        e.select(col("vec_id"), col("embedding")), "embedding", cents,
+        cidName = "__cid", simName = "__sim")
+      .select(col("vec_id"), col("embedding"),
+        VectorOps.l2Norm(col("embedding")).as("norm"),
+        col("__cid").cast("long").as("cid"),
+        floor(col("__sim") * lit(10000.0) + lit(0.5)).cast("long").as("cent_e4"))
 
   def semanticDedupWith(s: SparkSession, e: DataFrame, cents: Seq[Seq[Double]],
                         tau: Double = SemDedupTau): DataFrame = {

@@ -93,7 +93,12 @@ object Similarity {
     * orderable struct — ties break toward the higher cid, deterministic).
     * Centroids are literals, so assignment is one map-only pass. */
   private def assignCid(e: DataFrame, cents: Seq[Seq[Double]]): DataFrame =
-    e.withColumn("cid", greatest(centroidScores(cents): _*).getField("cid"))
+    // CentroidAssign (round-15): dense below DenseCutoff — bit-identical
+    // to `greatest(centroidScores)`, keeping every literal-twin plan —
+    // two-level coarse-quantized broadcast-model argmax above it
+    // (assignment ∝ n·√K·dim, still map-only)
+    graft.functions.CentroidAssign.withBestCentroid(e, "embedding", cents,
+      cidName = "cid", simName = "__sim").drop("__sim")
 
   /** Per-centroid `(sim, cid)` orderable structs over `embedding` — the
     * single-sourced scoring arithmetic of [[assignCid]] and

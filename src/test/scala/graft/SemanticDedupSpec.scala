@@ -147,4 +147,55 @@ class SemanticDedupSpec extends AnyFunSuite with SparkTestBase {
       assert(members.map(_._1).min == cl, "group label is the member minimum")
     }
   }
+
+  test("two-level assignment == dense argmax where the probed cells cover the " +
+       "true max, and everywhere at nProbe = all cells (round-15)") {
+    import org.apache.spark.sql.functions.{array_contains, col}
+    import graft.functions.CentroidAssign
+    val e = Tables(spark, sf, "embeddings").select(col("vec_id"), col("embedding"))
+    // K=64 > DenseCutoff: a literal model large enough that the two-level
+    // path genuinely engages (√64 = 8 coarse cells of ~8 members), with
+    // the geometry a REAL k-means model has — centroids come in groups
+    // (8 base directions × 8 jitters), not i.i.d. Gaussian directions
+    // (those are pairwise near-orthogonal in d=64: no coarse structure
+    // exists, and covering degrades toward the nProbe·K/C floor — the
+    // documented worst case, not the deployment shape)
+    val bases = VectorOps.hyperplanes(8, 64, seed = 51L)
+    val jit = VectorOps.hyperplanes(64, 64, seed = 52L)
+    val cents = (0 until 64).map { i =>
+      val b = bases(i / 8); val j = jit(i)
+      b.indices.map(d => b(d) + 0.2 * j(d))
+    }
+    val nGroups = math.ceil(math.sqrt(cents.length.toDouble)).toInt
+    def best(df: org.apache.spark.sql.DataFrame, tag: String,
+             denseCutoff: Int, nProbe: Int) =
+      CentroidAssign.withBestCentroid(df, "embedding", cents,
+        cidName = s"cid_$tag", simName = s"sim_$tag",
+        nProbe = nProbe, denseCutoff = denseCutoff)
+    // (a) FULL covering: probing every coarse cell is the dense argmax on
+    // every row — same winner, same tie direction, same sim arithmetic
+    // (the mapPartitions loop mirrors DotProduct's float→double fold)
+    val both = best(best(e, "d", Int.MaxValue, 1), "t", 0, nGroups)
+    val full = both.where(col("cid_d") =!= col("cid_t") ||
+      col("sim_d") =!= col("sim_t")).count()
+    assert(full == 0L, s"$full rows diverge under full probing — the two-level " +
+      "path must be a pure evaluation-order rewrite of the dense argmax")
+    // (b) PARTIAL probing (the deployment shape, nProbe=2): equality on
+    // exactly the rows whose probed cells contain the dense winner — the
+    // IVF covering condition — and the covered fraction is the recall-
+    // style knob, so it must be the overwhelming majority here
+    val nProbe = 2
+    val part = CentroidAssign.withProbedCids(
+      best(best(e, "d", Int.MaxValue, 1), "t", 0, nProbe),
+      "embedding", cents, nProbe, "probed")
+    val bad = part.where(
+      array_contains(col("probed"), col("cid_d")) &&
+        (col("cid_d") =!= col("cid_t") || col("sim_d") =!= col("sim_t"))).count()
+    assert(bad == 0L, s"$bad covered rows diverge from the dense argmax")
+    val n = e.count()
+    val covered = part.where(array_contains(col("probed"), col("cid_d"))).count()
+    assert(covered >= (n * 9) / 10,
+      s"only $covered/$n rows covered at nProbe=$nProbe — the coarse " +
+        "quantizer is not capturing the geometry")
+  }
 }
