@@ -33,6 +33,11 @@ import graft.operators.IndexFamily
   *    [[IndexFamily.repartitionState]] tore; rolled forward or back from
   *    the surviving siblings ([[IndexFamily.repairMigration]]'s decision
   *    table).
+  *  - TXN (cross-table, round-15) — a `.txn` intent marker on a cluster
+  *    state: the labels landed but the member projection didn't;
+  *    `--release` rebuilds `members.parquet` wholesale from the
+  *    authoritative labels ([[graft.operators.Dedup.repairClusterStateTxn]])
+  *    instead of leaving the repair pending for the next increment.
   */
 object IndexAdmin {
 
@@ -64,9 +69,10 @@ object IndexAdmin {
     sb ++= s"[index-admin] residue: $state\n"
     if (parkedDir && !migrating)
       sb ++= s"[index-admin] WARNING: $tablePath.olddir exists without a migration marker — inspect manually\n"
-    if (txn)
-      sb ++= s"[index-admin] note: $tablePath.txn cross-table marker present — the next " +
-        "clusterIncrement/delete rebuilds the member projection from these labels\n"
+    if (txn && !release)
+      sb ++= s"[index-admin] note: $tablePath.txn cross-table marker present — " +
+        "--release rebuilds the member projection from these labels (or the " +
+        "next clusterIncrement/delete does it lazily)\n"
 
     if (!release) {
       sb ++= "[index-admin] dry-run: no changes made. Re-run with --release to " +
@@ -80,6 +86,16 @@ object IndexAdmin {
       } else if (parks.nonEmpty || staging) {
         IndexFamily.repairTorn(s, tablePath)
         sb ++= s"[index-admin] repaired: parks restored/dropped, staging discarded\n"
+      }
+      if (txn) {
+        // the torn two-table commit (labels landed, member projection
+        // stale): finish it here instead of waiting for the next
+        // increment — an operator releasing a crashed table should hand
+        // back a CONSISTENT table, not one with a pending lazy repair
+        val indexDir = p(tablePath).getParent.toString
+        graft.operators.Dedup.repairClusterStateTxn(s, indexDir)
+        sb ++= "[index-admin] txn repair: member projection rebuilt from the " +
+          "authoritative labels; marker dropped\n"
       }
       if (leaseHeld) {
         IndexFamily.releaseLease(s, tablePath)

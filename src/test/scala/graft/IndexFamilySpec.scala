@@ -280,6 +280,39 @@ class IndexFamilySpec extends AnyFunSuite with SparkTestBase {
     assert(stateRows(parked).size == 8)
   }
 
+  test("IndexAdmin --release finishes a torn two-table commit: member projection " +
+       "rebuilt from the authoritative labels, .txn marker dropped (round-15)") {
+    import spark.implicits._
+    val dir = tmpDir("txnadm")
+    val clusters = s"$dir/clusters.parquet"
+    IndexFamily.writePartitioned(
+      Seq((1L, 1L, true), (2L, 1L, false), (3L, 3L, true))
+        .toDF("doc_id", "cluster_id", "keep"), clusters, "cluster_id", 4)
+    // the torn state: labels landed (above), projection stuck at the
+    // PRE-merge generation (doc 3 missing, doc 2 mislabeled)
+    IndexFamily.writePartitioned(
+      Seq((1L, 1L), (2L, 2L)).toDF("doc_id", "cluster_id"),
+      s"$dir/members.parquet", "doc_id", 4)
+    val fs = new org.apache.hadoop.fs.Path(clusters)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hp(x: String) = new org.apache.hadoop.fs.Path(x)
+    fs.create(hp(IndexFamily.txnMarkerPath(clusters)), true).close()
+    IndexFamily.acquireLease(spark, clusters) // the crashed run held it
+    // dry-run points the operator at the release repair, changes nothing
+    val dry = IndexAdmin.run(spark, clusters, release = false)
+    assert(dry.contains(".txn cross-table marker present"))
+    assert(fs.exists(hp(IndexFamily.txnMarkerPath(clusters))))
+    // release: rebuild the projection NOW, not at the next increment
+    val report = IndexAdmin.run(spark, clusters, release = true)
+    assert(report.contains("txn repair"), report)
+    assert(!fs.exists(hp(IndexFamily.txnMarkerPath(clusters))))
+    assert(!fs.exists(hp(IndexFamily.leasePath(clusters))))
+    val members = IndexFamily.readSnapshot(spark, s"$dir/members.parquet")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(members == Set((1L, 1L), (2L, 1L), (3L, 3L)),
+      "projection must equal the authoritative labels after the repair")
+  }
+
   // -----------------------------------------------------------------
   // Round-14: gated newness guard (watermark -> bloom -> exact scan)
   // -----------------------------------------------------------------
