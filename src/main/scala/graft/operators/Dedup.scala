@@ -1171,38 +1171,62 @@ object Dedup {
     // (both tables are consumed as sets). The strict batch path's
     // half-applied-increment recovery stays the documented
     // deleteFromDedupIndex(batch ids) + retry, which deleteFromExactState
-    // makes exact-state-complete. The stream legs do NOT maintain exact
-    // state (the at-ingest path dedups exactly via the corpus-fingerprint
-    // anti-join instead of keeping edges) — an index-backed split after
-    // STREAM ingest still needs a buildExactState refresh, documented
-    // there.
-    if (append && hasExactKeepers(s, indexDir)) {
-      val keepersPath = s"$indexDir/exact_keepers.parquet"
-      val edgesPath = s"$indexDir/exact_edges.parquet"
-      val stored = s.read.parquet(parquetPartFiles(s, keepersPath): _*)
-      val withKeeper = graft.Checkpoints.local(hashed
-        .join(groupMin, Seq("text_hash"))
-        .join(stored.select(col("text_hash"), col("keep_id").as("stored_keeper")),
-          Seq("text_hash"), "left"))
-      val nBatch = withKeeper.count() // checkpointed — sizes the appends
-      val newEdges = withKeeper.filter(
-          col("stored_keeper").isNotNull || col("doc_id") =!= col("batch_min"))
-        .select(col("doc_id").as("doc_a"),
-          coalesce(col("stored_keeper"), col("batch_min")).as("doc_b"))
-        .filter(col("doc_a") =!= col("doc_b")) // replay: a registered batch min
-      val newKeepers = withKeeper.filter(col("stored_keeper").isNull)
-        .select(col("text_hash"), col("batch_min").as("keep_id")).distinct()
-      IndexFamily.withLease(s, keepersPath) {
-        newKeepers.coalesce(appendFileCount(nBatch))
-          .write.mode("append").parquet(keepersPath)
-      }
-      IndexFamily.withLease(s, edgesPath) {
-        newEdges.coalesce(appendFileCount(nBatch))
-          .write.mode("append").parquet(edgesPath)
-      }
-    }
+    // makes exact-state-complete. The stream path maintains exact state
+    // OPT-IN (round-15): fullIngest(maintainExactState = true) routes its
+    // exact leg through [[appendExactState]] per micro-batch; under the
+    // default the at-ingest path dedups exactly via the corpus-
+    // fingerprint anti-join without edges, and an index-backed split
+    // after such ingest needs a buildExactState refresh (documented
+    // there).
+    if (append && hasExactKeepers(s, indexDir))
+      appendExactState(s, hashed, groupMin, indexDir)
     newDocs.select(col("doc_id"))
       .join(nearDrops.unionByName(exactDrops).distinct(), Seq("doc_id"), "left_anti")
+  }
+
+  /** Append one ingest batch's exact-duplicate keepers + edges to the
+    * persisted exact state (keepers land FIRST — the crash/replay
+    * convergence story at the [[dedupPipelineIncrement]] call site), and
+    * return the batch's exact-ADMITTED doc ids: docs that are their hash
+    * group's keeper — no stored keeper and the batch minimum, OR equal to
+    * the stored keeper itself (the redelivery case: a doc that registered
+    * itself on a crashed earlier attempt must stay admitted, or a replay
+    * would silently lose the batch's output — at-least-once output, like
+    * every stream leg). `hashed` = `(doc_id, text_hash)`; `groupMin` =
+    * its per-hash batch minimum. Shared by the batch pipeline increment
+    * (which ignores the return) and the stream path's opt-in exact-state
+    * leg ([[graft.streaming.DocPipeline.fullIngest]]
+    * `maintainExactState`). */
+  private[graft] def appendExactState(s: SparkSession, hashed: DataFrame,
+                                      groupMin: DataFrame,
+                                      indexDir: String): DataFrame = {
+    val keepersPath = s"$indexDir/exact_keepers.parquet"
+    val edgesPath = s"$indexDir/exact_edges.parquet"
+    val stored = s.read.parquet(parquetPartFiles(s, keepersPath): _*)
+    val withKeeper = graft.Checkpoints.local(hashed
+      .join(groupMin, Seq("text_hash"))
+      .join(stored.select(col("text_hash"), col("keep_id").as("stored_keeper")),
+        Seq("text_hash"), "left"))
+    val nBatch = withKeeper.count() // checkpointed — sizes the appends
+    val newEdges = withKeeper.filter(
+        col("stored_keeper").isNotNull || col("doc_id") =!= col("batch_min"))
+      .select(col("doc_id").as("doc_a"),
+        coalesce(col("stored_keeper"), col("batch_min")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b")) // replay: a registered batch min
+    val newKeepers = withKeeper.filter(col("stored_keeper").isNull)
+      .select(col("text_hash"), col("batch_min").as("keep_id")).distinct()
+    IndexFamily.withLease(s, keepersPath) {
+      newKeepers.coalesce(appendFileCount(nBatch))
+        .write.mode("append").parquet(keepersPath)
+    }
+    IndexFamily.withLease(s, edgesPath) {
+      newEdges.coalesce(appendFileCount(nBatch))
+        .write.mode("append").parquet(edgesPath)
+    }
+    withKeeper.filter((col("stored_keeper").isNull &&
+        col("doc_id") === col("batch_min")) ||
+        col("stored_keeper") === col("doc_id"))
+      .select(col("doc_id"))
   }
 
   /** Registered composition (`q_dedup_pipeline_inc`): the top-1/5 split's

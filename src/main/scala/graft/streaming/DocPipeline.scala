@@ -40,19 +40,28 @@ import graft.operators.{Curation, TextAnalysis}
   */
 object DocPipeline {
 
-  def apply(docs: DataFrame, corpusFps: DataFrame,
-            gates: Seq[String] = Curation.SyntheticGates,
-            watermark: String = "10 minutes"): DataFrame = {
+  /** Stages 1–2 alone (gate + enrich) — the stateless prefix
+    * [[fullIngest]]'s exact-state leg builds on (its exact dedup runs
+    * per micro-batch through the persisted keeper table instead of the
+    * continuous watermark/anti-join stages). */
+  private def enriched(docs: DataFrame,
+                       gates: Seq[String]): DataFrame = {
     val gated = TextAnalysis.gopherGatesOn(docs.sparkSession, docs,
         carry = Seq("text", "event_time"))
       .filter(gates.map(col).reduce(_ && _))
-    val scored = gated.select(
+    gated.select(
       col("doc_id"), col("text"), col("event_time"),
       col("n_words").as("n_tokens"),
       round(TextAnalysis.qualityCol(col("text")), 4).as("quality"),
       TextAnalysis.fpMd5(col("text")).as("fp_md5"))
+  }
+
+  def apply(docs: DataFrame, corpusFps: DataFrame,
+            gates: Seq[String] = Curation.SyntheticGates,
+            watermark: String = "10 minutes"): DataFrame = {
     val inStreamDeduped =
-      StreamDedup.withinWatermark(scored, watermark, keys = Seq("fp_md5"))
+      StreamDedup.withinWatermark(enriched(docs, gates), watermark,
+        keys = Seq("fp_md5"))
     StreamDedup.againstCorpus(inStreamDeduped, corpusFps)
   }
 
@@ -104,16 +113,36 @@ object DocPipeline {
     * still reference. StreamingSpec pins the agreement law: stream output
     * ≡ the batch operators applied per batch in arrival order, against an
     * independent full-pair oracle. */
+  /** `maintainExactState` (round-15, opt-in): route the exact leg through
+    * the persisted exact state at `nearDupIndexDir` instead of the
+    * continuous watermark-dedup + corpus-anti-join stages. Per micro-
+    * batch, [[graft.operators.Dedup.appendExactState]] registers each new
+    * hash group's keeper, appends one edge per dropped duplicate (against
+    * the corpus's keeper — seeded by `buildExactState` at index build —
+    * or an earlier arrival's), and admits only keepers. The drop set
+    * matches the batch pipeline's exact leg (stored hash OR non-minimum
+    * in batch), and crucially the EDGES survive: an index-backed
+    * leakage-safe split after stream-only ingest keeps a streamed doc's
+    * exact duplicates on one side with NO buildExactState refresh
+    * (IncrementalDedupSpec pins edges ≡ the one-shot rebuild under
+    * ascending-id arrival). Replay: the keepers-land-first convergence
+    * argument (see appendExactState); a redelivered batch re-admits its
+    * own registered keepers, so output stays at-least-once. Default
+    * `false` keeps the historical continuous-plan exact stages. */
   def fullIngest(docs: DataFrame, corpusFps: DataFrame,
                  nearDupIndexDir: String, spanIndexDir: String,
                  memoPrefix: String,
                  gates: Seq[String] = Curation.SyntheticGates,
                  watermark: String = "10 minutes",
                  threshold: Double = 0.5,
-                 append: Boolean = true)
+                 append: Boolean = true,
+                 maintainExactState: Boolean = false)
                 (sink: DataFrame => Unit):
-      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    apply(docs, corpusFps, gates, watermark).writeStream.foreachBatch {
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val upstream =
+      if (maintainExactState) enriched(docs, gates)
+      else apply(docs, corpusFps, gates, watermark)
+    upstream.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         // one checkpoint scope per micro-batch: everything the two index
         // legs checkpoint (candidate tables, batch signatures, span
@@ -122,8 +151,24 @@ object DocPipeline {
         // it a deployment-length stream pins one batch's worth of blocks
         // per micro-batch, forever (round-14 verdict task 3)
         graft.Checkpoints.scoped {
+          val exactSurvivors =
+            if (!maintainExactState) batch
+            else {
+              // the exact-state hash is md5 of the RAW text — the
+              // buildExactState/corpus-fingerprint convention the edges
+              // must compose with (fp_md5 is the canonical-form key of
+              // the CONTINUOUS stages, a different equivalence)
+              val hashed = batch.select(col("doc_id"),
+                md5(col("text")).as("text_hash"))
+              val groupMin = hashed.groupBy(col("text_hash"))
+                .agg(min(col("doc_id")).as("batch_min"))
+              batch.join(
+                graft.operators.Dedup.appendExactState(batch.sparkSession,
+                  hashed, groupMin, nearDupIndexDir),
+                Seq("doc_id"), "left_semi")
+            }
           val admitted = graft.Checkpoints.local(
-            StreamDedup.nearDupBatch(batch, batchId, nearDupIndexDir,
+            StreamDedup.nearDupBatch(exactSurvivors, batchId, nearDupIndexDir,
               memoPrefix, threshold, append))
           val cleaned = StreamDedup.spanBatch(
             admitted.select(col("doc_id"), col("text")), batchId, spanIndexDir,
@@ -131,4 +176,5 @@ object DocPipeline {
           sink(admitted.drop("text").join(cleaned, Seq("doc_id")))
         }
     }
+  }
 }

@@ -450,4 +450,80 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(e.getMessage.contains("rebuild"))
   }
+
+  test("stream-ingested exact state == one-shot rebuild; index-backed leakage " +
+       "split needs no refresh (round-15, fullIngest maintainExactState)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val TA = graft.operators.TextAnalysis
+    // corpus: the real bottom split (large enough that the cluster state
+    // is non-empty); planted EXACT duplicates cross the corpus/stream
+    // boundary, the batch boundary, and sit within one batch
+    val split = Dedup.incrementSplitAt(spark, sf)
+    val corpusDf = docsAt(sf).filter(col("doc_id") < split)
+      .select(col("doc_id"), col("text"))
+    val corpus = corpusDf.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val passing = TA.gopherGatesOn(spark, corpusDf, carry = Seq("text"))
+      .filter(graft.operators.Curation.SyntheticGates.map(col).reduce(_ && _))
+      .select(col("text")).collect().map(_.getString(0)).distinct.take(5)
+    assert(passing.length >= 5, "fixture needs 5 gate-passing corpus texts")
+    // fresh texts: gate-passing corpus texts with a unique alpha tail —
+    // new hash groups the STREAM registers (near-dup similarity to their
+    // base is irrelevant to the exact leg, which runs first)
+    val fresh = passing.drop(2).zipWithIndex.map { case (t, i) =>
+      s"$t uniquetail${('a' + i).toChar}" }
+    val b1 = Seq((2000L, passing(0)),          // exact twin of a corpus doc
+                 (2001L, fresh(0)), (2002L, fresh(1)),
+                 (2003L, fresh(1)))            // in-batch twin pair
+    val b2 = Seq((3000L, fresh(0)),            // twin of an EARLIER batch's doc
+                 (3001L, passing(1)),          // twin of a corpus doc
+                 (3002L, fresh(2)))
+    val idx = tmpIdx("streamexact")
+    val spanIdx = tmpIdx("streamexact-span")
+    Dedup.buildMinhashIndex(spark, corpusDf, idx, s"$idx#base")
+    Dedup.buildClusterState(spark, idx)
+    Dedup.buildExactState(spark, corpusDf, idx)
+    Dedup.buildSpanIndex(spark, corpusDf, spanIdx)
+    val corpusFps = corpusDf.select(TA.fpMd5(col("text")).as("fp_md5"))
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    val admitted = scala.collection.mutable.Set.empty[Long]
+    val q = graft.streaming.DocPipeline.fullIngest(
+        input.toDF().toDF("doc_id", "text", "event_time"), corpusFps,
+        idx, spanIdx, s"$idx#stream", maintainExactState = true) { out =>
+      admitted ++= out.select(col("doc_id")).collect().map(_.getLong(0))
+    }.start()
+    try {
+      input.addData(b1.map { case (id, t) => (id, t, t0) }: _*)
+      q.processAllAvailable()
+      input.addData(b2.map { case (id, t) => (id, t, t0) }: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // the exact leg actually dropped the planted twins at ingest
+    assert((admitted & Set(2000L, 2003L, 3000L, 3001L)).isEmpty,
+      s"planted exact duplicates must not be admitted, got $admitted")
+    // law 1: the maintained edges equal the one-shot rebuild over
+    // corpus ∪ streamed docs (ascending-id arrival — the shared ingest
+    // ordering contract, so keepers agree with the global minimum)
+    val oneShot = tmpIdx("streamexact-oneshot")
+    Dedup.buildExactState(spark, (corpus ++ b1 ++ b2).toDF("doc_id", "text"),
+      oneShot)
+    def edges(d: String) = spark.read.parquet(s"$d/exact_edges.parquet")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges(idx) == edges(oneShot),
+      s"stream-maintained=${edges(idx)} one-shot=${edges(oneShot)}")
+    // law 2: an index-backed split over the grown universe keeps every
+    // exact-dup group on one side with NO buildExactState refresh —
+    // the round-14 footgun this flag closes
+    val unionDir = tmpIdx("streamexact-universe")
+    (corpus ++ b1 ++ b2).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$unionDir/documents.parquet")
+    val sides = graft.operators.Sampling
+      .leakageSafeSplitFromIndex(spark, unionDir, idx)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    (corpus ++ b1 ++ b2).groupBy(_._2).values.filter(_.size > 1).foreach { grp =>
+      assert(grp.map(x => sides(x._1)).distinct.size == 1,
+        s"exact-dup group ${grp.map(_._1)} split across sides")
+    }
+  }
 }
