@@ -120,7 +120,17 @@ object Bench {
         // pinned on the committed corpus so their anchor drift is
         // attributable round-over-round
         "dedup_pipeline_lsh_fixture" -> (s => graft.operators.Dedup.dedupPipelineLsh(s, fixtureDir)),
-        "dedup_clusters_star_fixture" -> (s => graft.operators.Dedup.nearDupClustersStar(s, fixtureDir))
+        "dedup_clusters_star_fixture" -> (s => graft.operators.Dedup.nearDupClustersStar(s, fixtureDir)),
+        // round-15 (r14 verdict task 6): the NEW families' pinned twins —
+        // without them a real regression in the trained-quality, selection
+        // or curation-select paths is indistinguishable from a testdata
+        // regen next round
+        "quality_lr_lit_fixture" -> (s =>
+          graft.operators.QualityModel.scoreLiteralQuery(s, fixtureDir)),
+        "sel_model_score_fixture" -> (s =>
+          graft.operators.Selection.storedModelScoreQuery(s, fixtureDir)),
+        "curation_select_fixture" -> (s =>
+          graft.operators.Curation.curatedSelectedSample(s, fixtureDir))
       ).map { case (name, fn) =>
         val samples: Seq[Option[Double]] = (1 to runs).map { _ =>
           val t0 = System.nanoTime()
