@@ -1105,6 +1105,40 @@ object ScaleProbe {
             spark.catalog.clearCache(); Checkpoints.releaseAll()
           }
         }
+        // §8.5.14 addendum (round-15, r14 verdict task 4): Brants' count
+        // cutoff vs model size. The flat-vocabulary corpus above repeats
+        // every bigram (nothing to prune); the pricing needs the
+        // HEAVY-TAILED shape real corpora have — ~20% head tokens, the
+        // rest a ~2M-id tail, so bigram singletons dominate and the raw
+        // table is corpus-shaped. The cutoff bounds it to the repeated
+        // (vocabulary-shaped) mass.
+        locally {
+          def mkTailDocs(n: Long, idOffset: Long): DataFrame =
+            spark.range(n).as[Long].map { i =>
+              val id = i + idOffset
+              val toks = (0 until 80).map { j =>
+                val h = (id * 80 + j) * 2654435761L
+                if (h % 3 == 0) s"h${(h / 3) % 200}" else s"t${h & 0x1FFFFF}"
+              }
+              (id, "en", toks.mkString(" "))
+            }.toDF("doc_id", "lang", "text")
+          val tailN = k.toLong * 10000L
+          val batch = mkTailDocs(1000L, 10L * tailN)
+            .select(col("doc_id"), col("text"))
+          for (mc <- Seq(1L, 2L, 4L)) {
+            val md = s"$dst/selmodel_mc$mc"
+            time(s"build_model_mincount${mc}_n$tailN")(
+              Sel.buildSelectionModel(spark, mkTailDocs(tailN, 0L), md,
+                minCount = mc))
+            val rows = spark.read.parquet(s"$md/lm_bigram.parquet").count()
+            time(s"score_frozen_mincount${mc}") {
+              Sel.scoreWithStoredModel(spark, batch, md)
+                .write.format("noop").mode("overwrite").save()
+            }
+            println(s"SCALE${k}X[selection] minCount=$mc: bigram table $rows rows")
+            spark.catalog.clearCache(); Checkpoints.releaseAll()
+          }
+        }
 
       case "assigncost" =>
         // §8.5.11 addendum (round-15 verdict task 1): the ASSIGNMENT term
@@ -1147,6 +1181,98 @@ object ScaleProbe {
             f"two-level $tTwo%.2f s (${tDense / tTwo}%.1fx), " +
             f"mismatch $mismatch/$n (${100.0 * mismatch / n}%.1f%%)")
           spark.catalog.clearCache(); Checkpoints.releaseAll()
+        }
+
+      case "ingest50" =>
+        // §8.5.15 (round-14 verdict task 8): the scoped-checkpoint hygiene
+        // law priced at deployment length — 50 micro-batches through the
+        // COMPOSED fullIngest and the stateless select_ingest. Claims:
+        // per-batch wall is FLAT (no accumulating state/storage term — the
+        // only admissible growth is the near-dup index's own ∝-touched
+        // probe), and the persistent-RDD count returns to its floor after
+        // every batch (the round-14 Checkpoints.scoped fix, previously
+        // spec-pinned at 20 batches).
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import spark.implicits._
+        val fixtureDir = "fixtures/stream"
+        require(new java.io.File(s"$fixtureDir/documents.parquet").exists,
+          "ingest50 needs the committed fixtures/stream corpus")
+        val nBatches = 50; val perBatch = 400
+        var dseed = 42L
+        val texts = new Array[String](nBatches * perBatch)
+        (0 until nBatches * perBatch).foreach { i =>
+          dseed = (dseed * 6364136223846793005L + 1442695040888963407L) & Long.MaxValue
+          texts(i) =
+            if (i > 0 && dseed % 10 == 0) texts(i - 1)
+            else (0 until 80).map(j => s"w${(i.toLong * 80 + j) % 5000}").mkString(" ")
+        }
+        def batchRows(b: Int): Seq[(Long, String, java.sql.Timestamp)] =
+          (0 until perBatch).map { i =>
+            val kk = b * perBatch + i
+            (20000000L + kk, texts(kk),
+              new java.sql.Timestamp((1704067200L + kk) * 1000L))
+          }
+        def mean(xs: Seq[Double]) = xs.sum / xs.size
+        def report(tag: String, walls: Array[Double], rdds: Array[Int]): Unit = {
+          println(f"SCALE${k}X[ingest50] $tag per-batch wall: " +
+            f"b1-5 ${mean(walls.slice(0, 5))}%.2f s, " +
+            f"b23-27 ${mean(walls.slice(22, 27))}%.2f s, " +
+            f"b46-50 ${mean(walls.slice(45, 50))}%.2f s " +
+            f"(tail/head ${mean(walls.slice(45, 50)) / mean(walls.slice(0, 5))}%.2fx); " +
+            s"persistent RDDs first/last ${rdds.head}/${rdds.last} (max ${rdds.max})")
+          println(s"SCALE${k}X[ingest50] $tag walls: " +
+            walls.map(w => f"$w%.2f").mkString(","))
+        }
+        locally {
+          val mhIdx = java.nio.file.Files.createTempDirectory("ing50-mh-").toString
+          val spIdx = java.nio.file.Files.createTempDirectory("ing50-sp-").toString
+          graft.operators.Dedup.buildMinhashIndex(spark,
+            Tables(spark, fixtureDir, "documents"), mhIdx, s"$mhIdx#base")
+          graft.operators.Dedup.buildSpanIndex(spark,
+            Tables(spark, fixtureDir, "documents").select(col("doc_id"), col("text")),
+            spIdx)
+          val corpusFps = graft.operators.TextAnalysis
+            .fingerprint(spark, fixtureDir).select(col("fp_md5"))
+          val in = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+          val q = graft.streaming.DocPipeline.fullIngest(
+              in.toDF().toDF("doc_id", "text", "event_time"), corpusFps,
+              mhIdx, spIdx, s"$mhIdx#ing50", append = true) { out =>
+            out.write.format("noop").mode("overwrite").save()
+          }.start()
+          val walls = new Array[Double](nBatches)
+          val rdds = new Array[Int](nBatches)
+          try {
+            for (b <- 0 until nBatches) {
+              val t0 = System.nanoTime()
+              in.addData(batchRows(b)); q.processAllAvailable()
+              walls(b) = (System.nanoTime() - t0) / 1e9
+              rdds(b) = spark.sparkContext.getPersistentRDDs.size
+            }
+          } finally q.stop()
+          report("fullIngest", walls, rdds)
+          spark.catalog.clearCache(); Checkpoints.releaseAll()
+        }
+        locally {
+          val md = java.nio.file.Files.createTempDirectory("ing50-sel-").toString
+          graft.operators.Selection.buildSelectionModel(spark,
+            Tables(spark, fixtureDir, "documents"), md)
+          val in = MemoryStream[(Long, String)](spark)
+          val q = graft.streaming.StreamSelect.scoredIngest(
+              in.toDF().toDF("doc_id", "text"), md) { out =>
+            out.write.format("noop").mode("overwrite").save()
+          }.start()
+          val walls = new Array[Double](nBatches)
+          val rdds = new Array[Int](nBatches)
+          try {
+            for (b <- 0 until nBatches) {
+              val t0 = System.nanoTime()
+              in.addData(batchRows(b).map(r => (r._1, r._2)))
+              q.processAllAvailable()
+              walls(b) = (System.nanoTime() - t0) / 1e9
+              rdds(b) = spark.sparkContext.getPersistentRDDs.size
+            }
+          } finally q.stop()
+          report("select_ingest", walls, rdds)
         }
 
       case other => sys.error(s"unknown SPARK_GRAFT_SCALE_MODE: $other")

@@ -2098,6 +2098,80 @@ object Dedup {
     semanticDedupWith(s, e, Similarity.learnCentroids(s, e, k, iters), tau)
   }
 
+  /** Literal model for the TWO-LEVEL assignment twin (round-15): K=64 —
+    * past [[graft.functions.CentroidAssign.DenseCutoff]], so the
+    * registered query runs the broadcast-model `mapPartitions` path the
+    * dense twins never touch — with the k-means-model geometry (8 base
+    * directions × 8 jitters each; i.i.d. Gaussian directions would give
+    * the coarse quantizer no structure to find, the SemanticDedupSpec
+    * note). */
+  private val SemTwoLevelCents: Seq[Seq[Double]] = {
+    val bases = VectorOps.hyperplanes(8, 64, seed = 51L)
+    val jit = VectorOps.hyperplanes(64, 64, seed = 52L)
+    (0 until 64).map { i =>
+      val b = bases(i / 8); val j = jit(i)
+      b.indices.map(d => b(d) + 0.2 * j(d))
+    }
+  }
+
+  /** Hash-gated twin of the TWO-LEVEL assignment itself
+    * (`q_sem_assign_twolevel_lit`): [[semAssign]] under the K=64 literal
+    * model — coarse ranking, nProbe=2 cell probe, fine argmax — as a
+    * deterministic double program DuckDB re-evaluates bit-identically
+    * (the coarse grouping is [[graft.functions.CentroidAssign.coarsen]]'s
+    * deterministic driver output, inlined into the oracle as literals).
+    * The dense twins gate the K ≤ cutoff expression path; this gates the
+    * NEW large-K path end to end. */
+  def semAssignTwoLevelLitQuery(s: SparkSession, dir: String): DataFrame =
+    semAssign(Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        SemTwoLevelCents)
+      .select(col("vec_id"), col("cid"), col("cent_e4"))
+
+  /** DuckDB twin of [[semAssignTwoLevelLitQuery]]: the same coarse model
+    * (coarsen's cells + members as literal tables), the same tie rules
+    * (coarse: sim DESC, gid DESC; fine: sim DESC, cid DESC), the same
+    * float→double widening and e4 floor. */
+  def semAssignTwoLevelLitSql(dim: Int = 64, nProbe: Int = 2): String = {
+    val (coarse, members) =
+      graft.functions.CentroidAssign.coarsen(SemTwoLevelCents, 8)
+    def normOf(c: Seq[Double]): Double = math.sqrt(c.map(x => x * x).sum)
+    val coVals = coarse.zipWithIndex.map { case (c, g) =>
+      s"($g, ${VectorSql.planeSql(c)}, ${normOf(c)})"
+    }.mkString(",\n  ")
+    val fiVals = members.zipWithIndex.flatMap { case (mem, g) =>
+      mem.map { cid =>
+        val c = SemTwoLevelCents(cid)
+        s"($cid, $g, ${VectorSql.planeSql(c)}, ${normOf(c)})"
+      }
+    }.mkString(",\n  ")
+    def dotN(vec: String, cv: String): String =
+      s"list_sum(list_transform(range(1, ${dim + 1}), i -> $vec[CAST(i AS INT)] * $cv[CAST(i AS INT)]))"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+      |co(gid, cvec, cnorm) AS (VALUES
+      |  $coVals),
+      |fi(cid, gid, cvec, cnorm) AS (VALUES
+      |  $fiVals),
+      |probed AS (
+      |  SELECT vec_id, gid FROM (
+      |    SELECT n.vec_id, co.gid,
+      |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+      |        ${dotN("n.v", "co.cvec")} / (n.nrm * co.cnorm) DESC, co.gid DESC) AS rn
+      |    FROM n, co)
+      |  WHERE rn <= $nProbe),
+      |best AS (
+      |  SELECT vec_id, cid, sim FROM (
+      |    SELECT n.vec_id, fi.cid,
+      |      ${dotN("n.v", "fi.cvec")} / (n.nrm * fi.cnorm) AS sim,
+      |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+      |        ${dotN("n.v", "fi.cvec")} / (n.nrm * fi.cnorm) DESC, fi.cid DESC) AS rn
+      |    FROM n JOIN probed p ON p.vec_id = n.vec_id JOIN fi ON fi.gid = p.gid)
+      |  WHERE rn = 1)
+      |SELECT vec_id, CAST(cid AS BIGINT) AS cid,
+      |  CAST(floor(sim * 10000 + 0.5) AS BIGINT) AS cent_e4
+      |FROM best""".stripMargin
+  }
+
   /** The hash-gated twin: [[semanticDedupWith]] against [[SemLitCents]]. */
   def semanticDedupLitQuery(s: SparkSession, dir: String): DataFrame =
     semanticDedupWith(s,
@@ -3373,6 +3447,7 @@ object Dedup {
     "q_dedup_clusters_local" -> (nearDupClustersLocal _),
     "q_dedup_semantic" -> ((s: SparkSession, d: String) => semanticDedup(s, d)),
     "q_dedup_semantic_lit" -> (semanticDedupLitQuery _),
+    "q_sem_assign_twolevel_lit" -> (semAssignTwoLevelLitQuery _),
     "q_dedup_semantic_inc" -> (semanticIncrementQuery _))
 
   val oracles: Map[String, String] = Map(
@@ -3426,6 +3501,7 @@ object Dedup {
     // keep-farthest-from-centroid (the learned tier shares the code path
     // and is bounded by this twin — §8.6)
     "q_dedup_semantic_lit" -> semanticDedupLitSql(),
+    "q_sem_assign_twolevel_lit" -> semAssignTwoLevelLitSql(),
     // the semantic family's decision-layer increment: the whole SemDeDup
     // program restricted to groups containing a batch vector, keep
     // re-election included

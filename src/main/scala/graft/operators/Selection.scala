@@ -290,9 +290,10 @@ object Selection {
     * n_oov, sb_micro)` — low `sb_micro/n_trans` is the CCNet "tail"
     * (discard or down-weight); `n_oov` exposes the vocabulary miss rate
     * that makes non-reference-language docs score low. */
-  def sbackoffScores(s: SparkSession, dir: String): DataFrame = {
+  def sbackoffScores(s: SparkSession, dir: String,
+                     minCount: Long = 1L): DataFrame = {
     val d = docs(s, dir)
-    val (bgm, ugm, nTot) = sbackoffModelOf(s, d)
+    val (bgm, ugm, nTot) = sbackoffModelOf(s, d, minCount)
     scoreSbackoffWith(s, d, bgm, ugm, oovMicroOf(nTot), bgm.count(), ugm.count())
   }
 
@@ -521,7 +522,8 @@ object Selection {
     * CTE name carries an `lm_` prefix so the chain composes with
     * [[dsirCtes]] in one WITH block (duplicate CTE names — `tk`, `tot` —
     * would otherwise collide in [[storedModelScoreSql]]). */
-  private def sbackoffCtes(modelWhere: String, scoreWhere: String): String =
+  private def sbackoffCtes(modelWhere: String, scoreWhere: String,
+                           minCount: Long = 1L): String =
     s"""WITH lm_tk AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
        |lm_tok AS (SELECT doc_id, lang, unnest(t) AS tok FROM lm_tk),
        |lm_bg AS (
@@ -536,7 +538,8 @@ object Selection {
        |  SELECT b.w1, b.w2,
        |    CAST(floor((ln(c2) - ln(c1)) * 1000000 + 0.5) AS BIGINT) AS bg_micro
        |  FROM (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
-       |        FROM lm_bg WHERE lang = '$TargetLang' AND $modelWhere GROUP BY 1, 2) b
+       |        FROM lm_bg WHERE lang = '$TargetLang' AND $modelWhere GROUP BY 1, 2
+       |        HAVING count(*) >= $minCount) b
        |  JOIN lm_uni u ON u.tok = b.w1),
        |lm_ugm AS (
        |  SELECT tok AS w2,
@@ -568,6 +571,14 @@ object Selection {
 
   val sbackoffScoresSql: String =
     s"""${sbackoffCtes("TRUE", "TRUE")}
+       |${sbackoffTailSql("TRUE")}""".stripMargin
+
+  /** Oracle twin of the PRUNED scorer (`q_sel_lm_sbackoff_pruned`): the
+    * same chain with Brants' cutoff applied in the bigram CTE — one hash
+    * gate over the whole pruned-model path, pinning that pruning only
+    * moves scores through the unigram backoff tier. */
+  def sbackoffPrunedSql(minCount: Long = 2L): String =
+    s"""${sbackoffCtes("TRUE", "TRUE", minCount)}
        |${sbackoffTailSql("TRUE")}""".stripMargin
 
   /** The split boundary as portable SQL — [[Dedup.incrementSplitSql]]'s
@@ -610,12 +621,15 @@ object Selection {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sel_dsir" -> (dsirScores _),
     "q_sel_dsir_gumbel" -> ((s: SparkSession, d: String) => dsirGumbelTopK(s, d)),
-    "q_sel_lm_sbackoff" -> (sbackoffScores _),
+    "q_sel_lm_sbackoff" -> ((s: SparkSession, d: String) => sbackoffScores(s, d)),
+    "q_sel_lm_sbackoff_pruned" ->
+      ((s: SparkSession, d: String) => sbackoffScores(s, d, minCount = 2L)),
     "q_sel_model_score" -> (storedModelScoreQuery _))
 
   val oracles: Map[String, String] = Map(
     "q_sel_dsir" -> dsirScoresSql,
     "q_sel_dsir_gumbel" -> dsirGumbelTopKSql(),
     "q_sel_lm_sbackoff" -> sbackoffScoresSql,
+    "q_sel_lm_sbackoff_pruned" -> sbackoffPrunedSql(),
     "q_sel_model_score" -> storedModelScoreSql())
 }
