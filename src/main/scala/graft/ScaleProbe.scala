@@ -1116,9 +1116,15 @@ object ScaleProbe {
           def mkTailDocs(n: Long, idOffset: Long): DataFrame =
             spark.range(n).as[Long].map { i =>
               val id = i + idOffset
+              // headness in BLOCKS of 4 positions (per-position hashing
+              // would never put two head tokens adjacent — consecutive
+              // positions can't both be ≡0 mod 3 — and no bigram would
+              // ever repeat): head-head bigrams repeat ~50× on average,
+              // every tail bigram is a near-singleton
               val toks = (0 until 80).map { j =>
                 val h = (id * 80 + j) * 2654435761L
-                if (h % 3 == 0) s"h${(h / 3) % 200}" else s"t${h & 0x1FFFFF}"
+                if ((id + j / 4) % 3 == 0) s"h${(h / 3) % 200}"
+                else s"t${h & 0x1FFFFF}"
               }
               (id, "en", toks.mkString(" "))
             }.toDF("doc_id", "lang", "text")
