@@ -135,28 +135,37 @@ object CentroidAssign {
     s
   }
 
+  /** Spark's Double ordering for argmax comparisons: `Double.compare`
+    * ranks NaN ABOVE every value and equal to itself — exactly how the
+    * dense `greatest(struct(sim, cid))` expression orders a NaN cosine
+    * (an all-zero vector makes every sim 0/0 = NaN and the dense path
+    * tie-breaks to the highest cid; the scalar loop must agree or the
+    * two paths diverge on that edge). */
+  private def better(sim: Double, cid: Int, bSim: Double, bCid: Int): Boolean = {
+    val c = java.lang.Double.compare(sim, bSim)
+    c > 0 || (c == 0 && cid > bCid)
+  }
+
   /** The probed coarse cells for one vector: top-`probes` gids by
     * (sim, gid) with ties toward the HIGHER gid — the fine argmax's own
-    * tie direction. */
+    * tie direction (NaN-largest, [[better]]). */
   private def topCells(m: Model, emb: Array[Float], vNorm: Double,
                        probes: Int): Array[Int] = {
     val c = m.coarse.length
     val sims = new Array[Double](c)
     var j = 0
     while (j < c) {
-      val d = vNorm * m.coarseNorm(j)
-      sims(j) = if (d == 0.0) -1.0 else dotFD(emb, m.coarse(j)) / d
+      sims(j) = dotFD(emb, m.coarse(j)) / (vNorm * m.coarseNorm(j))
       j += 1
     }
     val picked = new Array[Int](probes)
     val taken = new Array[Boolean](c)
     var p = 0
     while (p < probes) {
-      var best = -1; var bestSim = Double.NegativeInfinity
+      var best = -1; var bestSim = Double.NaN
       j = 0
       while (j < c) {
-        if (!taken(j) && (sims(j) > bestSim ||
-            (sims(j) == bestSim && (best < 0 || j > best)))) {
+        if (!taken(j) && (best < 0 || better(sims(j), j, bestSim, best))) {
           best = j; bestSim = sims(j)
         }
         j += 1
@@ -168,24 +177,24 @@ object CentroidAssign {
 
   /** `(cid, sim)` of the two-level argmax for one vector: fine argmax
     * over the probed cells' members, dense tie rule (max sim, then max
-    * cid). Arithmetic mirrors `cosine` = dot/(‖v‖·‖c‖) with DotProduct's
-    * fold — bit-identical to the dense expression on covered rows. */
+    * cid, NaN-largest). Arithmetic mirrors `cosine` = dot/(‖v‖·‖c‖) with
+    * DotProduct's fold — bit-identical to the dense expression on
+    * covered rows. */
   private def bestTwoLevel(m: Model, emb: Array[Float],
                            probes: Int): (Int, Double) = {
     var na = 0.0; var i = 0
     while (i < emb.length) { na += emb(i).toDouble * emb(i).toDouble; i += 1 }
     val vNorm = math.sqrt(na)
     val cells = topCells(m, emb, vNorm, probes)
-    var bestCid = -1; var bestSim = Double.NegativeInfinity
+    var bestCid = -1; var bestSim = Double.NaN
     var p = 0
     while (p < cells.length) {
       val mem = m.members(cells(p))
       var q = 0
       while (q < mem.length) {
         val cid = mem(q)
-        val d = vNorm * m.centNorm(cid)
-        val sim = if (d == 0.0) Double.NaN else dotFD(emb, m.cents(cid)) / d
-        if (sim > bestSim || (sim == bestSim && cid > bestCid)) {
+        val sim = dotFD(emb, m.cents(cid)) / (vNorm * m.centNorm(cid))
+        if (bestCid < 0 || better(sim, cid, bestSim, bestCid)) {
           bestCid = cid; bestSim = sim
         }
         q += 1

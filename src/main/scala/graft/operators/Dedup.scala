@@ -1196,37 +1196,56 @@ object Dedup {
     * its per-hash batch minimum. Shared by the batch pipeline increment
     * (which ignores the return) and the stream path's opt-in exact-state
     * leg ([[graft.streaming.DocPipeline.fullIngest]]
-    * `maintainExactState`). */
+    * `maintainExactState`).
+    *
+    * HONEST scale term: the stored-keeper probe reads the FULL keeper
+    * table per call (the join itself is batch-broadcast-shaped, but the
+    * scan is ∝ distinct hashes ever ingested — the batch increment has
+    * always had this shape; the stream flag makes it per-MICRO-batch).
+    * The bounded form is the members.parquet discipline — a
+    * text_hash-partitioned keeper layout probed ∝ batch partitions —
+    * noted as the follow-up when a deployment turns the flag on at high
+    * batch frequency. */
   private[graft] def appendExactState(s: SparkSession, hashed: DataFrame,
                                       groupMin: DataFrame,
                                       indexDir: String): DataFrame = {
     val keepersPath = s"$indexDir/exact_keepers.parquet"
     val edgesPath = s"$indexDir/exact_edges.parquet"
-    val stored = s.read.parquet(parquetPartFiles(s, keepersPath): _*)
-    val withKeeper = graft.Checkpoints.local(hashed
-      .join(groupMin, Seq("text_hash"))
-      .join(stored.select(col("text_hash"), col("keep_id").as("stored_keeper")),
-        Seq("text_hash"), "left"))
-    val nBatch = withKeeper.count() // checkpointed — sizes the appends
-    val newEdges = withKeeper.filter(
-        col("stored_keeper").isNotNull || col("doc_id") =!= col("batch_min"))
-      .select(col("doc_id").as("doc_a"),
-        coalesce(col("stored_keeper"), col("batch_min")).as("doc_b"))
-      .filter(col("doc_a") =!= col("doc_b")) // replay: a registered batch min
-    val newKeepers = withKeeper.filter(col("stored_keeper").isNull)
-      .select(col("text_hash"), col("batch_min").as("keep_id")).distinct()
+    require(hasExactKeepers(s, indexDir),
+      s"$indexDir holds no exact_keepers.parquet — the exact-state leg " +
+        "reads persisted keepers; run Dedup.buildExactState(corpus, indexDir) " +
+        "at index build (the batch increment gates on it; a stream with " +
+        "maintainExactState must be pointed at an index built WITH exact state)")
+    // the keeper lease covers the stored READ too, not just the append:
+    // with the stream a second writer of this table (round-15
+    // maintainExactState), two writers carrying the same new hash could
+    // otherwise both read stored_keeper=null and both register a keeper —
+    // the appendWithIdGuards check-inside-lease rule, applied here
     IndexFamily.withLease(s, keepersPath) {
+      val stored = s.read.parquet(parquetPartFiles(s, keepersPath): _*)
+      val withKeeper = graft.Checkpoints.local(hashed
+        .join(groupMin, Seq("text_hash"))
+        .join(stored.select(col("text_hash"), col("keep_id").as("stored_keeper")),
+          Seq("text_hash"), "left"))
+      val nBatch = withKeeper.count() // checkpointed — sizes the appends
+      val newEdges = withKeeper.filter(
+          col("stored_keeper").isNotNull || col("doc_id") =!= col("batch_min"))
+        .select(col("doc_id").as("doc_a"),
+          coalesce(col("stored_keeper"), col("batch_min")).as("doc_b"))
+        .filter(col("doc_a") =!= col("doc_b")) // replay: a registered batch min
+      val newKeepers = withKeeper.filter(col("stored_keeper").isNull)
+        .select(col("text_hash"), col("batch_min").as("keep_id")).distinct()
       newKeepers.coalesce(appendFileCount(nBatch))
         .write.mode("append").parquet(keepersPath)
+      IndexFamily.withLease(s, edgesPath) {
+        newEdges.coalesce(appendFileCount(nBatch))
+          .write.mode("append").parquet(edgesPath)
+      }
+      withKeeper.filter((col("stored_keeper").isNull &&
+          col("doc_id") === col("batch_min")) ||
+          col("stored_keeper") === col("doc_id"))
+        .select(col("doc_id"))
     }
-    IndexFamily.withLease(s, edgesPath) {
-      newEdges.coalesce(appendFileCount(nBatch))
-        .write.mode("append").parquet(edgesPath)
-    }
-    withKeeper.filter((col("stored_keeper").isNull &&
-        col("doc_id") === col("batch_min")) ||
-        col("stored_keeper") === col("doc_id"))
-      .select(col("doc_id"))
   }
 
   /** Registered composition (`q_dedup_pipeline_inc`): the top-1/5 split's
@@ -2105,7 +2124,7 @@ object Dedup {
     * directions × 8 jitters each; i.i.d. Gaussian directions would give
     * the coarse quantizer no structure to find, the SemanticDedupSpec
     * note). */
-  private val SemTwoLevelCents: Seq[Seq[Double]] = {
+  private[graft] val SemTwoLevelCents: Seq[Seq[Double]] = {
     val bases = VectorOps.hyperplanes(8, 64, seed = 51L)
     val jit = VectorOps.hyperplanes(64, 64, seed = 52L)
     (0 until 64).map { i =>

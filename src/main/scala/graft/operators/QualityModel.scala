@@ -275,13 +275,6 @@ object QualityModel {
     * passes touch exactly this many docs, full stop. */
   val MaxTrainDocs = 65536
 
-  /** Trained tier: GD on a deterministic 20 % hash sample of the corpus
-    * CLAMPED to [[MaxTrainDocs]] (training is FIXED-size, scoring is
-    * CORPUS-sized — the learnCentroids discipline, and the literal
-    * reason this tier scales: at 100 TB the gradient passes touch a
-    * fixed-size sample while the scoring pass is one map-shaped sweep),
-    * quantized, scored through the SHARED gated path, label joined back
-    * for inspection. */
   /** The trained tier's training docs: the 20 % hash slice under the
     * [[MaxTrainDocs]]-class clamp. Hash-ORDERED limit, so the selection
     * is deterministic and caps nest (cap-16's docs ⊂ cap-32's — a
@@ -295,6 +288,13 @@ object QualityModel {
       .limit(cap)
   }
 
+  /** Trained tier: GD on a deterministic 20 % hash sample of the corpus
+    * CLAMPED to [[MaxTrainDocs]] (training is FIXED-size, scoring is
+    * CORPUS-sized — the learnCentroids discipline, and the literal
+    * reason this tier scales: at 100 TB the gradient passes touch a
+    * fixed-size sample while the scoring pass is one map-shaped sweep),
+    * quantized, scored through the SHARED gated path, label joined back
+    * for inspection. */
   def scoreTrainedQuery(s: SparkSession, dir: String): DataFrame = {
     val trainDocs = trainSample(s, dir)
     val (model, _) = train(s, trainDocs,

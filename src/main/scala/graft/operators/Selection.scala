@@ -364,6 +364,9 @@ object Selection {
         s"selection model at $modelDir built with (dim,target)=" +
           s"(${meta.getInt(0)},${meta.getString(1)}); this scorer uses " +
           s"($DsirDim,$TargetLang) — rebuild the model")
+      require(meta.length >= 6,
+        s"selection model at $modelDir carries a ${meta.length}-field meta " +
+          "(pre-threshold-boundary-row format) — rebuild the model")
       val rows = s.read.parquet(s"$modelDir/dsir.parquet").collect()
       require(rows.length == DsirDim,
         s"selection model at $modelDir carries ${rows.length} buckets, expected $DsirDim")
@@ -423,10 +426,17 @@ object Selection {
   def storedModelScoreQuery(s: SparkSession, dir: String): DataFrame = {
     val split = Dedup.incrementSplitAt(s, dir)
     val modelDir = builtModels.computeIfAbsent(dir, _ => {
-      // collision-free per-corpus key (round-14 advice): the sanitized dir
-      // path itself, not a 32-bit hash of it — two corpus dirs can never
-      // share (and silently cross-score through) one model directory
-      val md = modelScratch.resolve(dir.replaceAll("[^A-Za-z0-9._-]", "_")).toString
+      // collision-free per-corpus key (round-14 advice): url-safe base64
+      // of the FULL path is INJECTIVE (lossy character-replacement
+      // sanitization is not: '/a/b' and '/a_b' would share a key and
+      // silently cross-score); paths too long for one filename component
+      // keep a distinguishing prefix plus the full-path hash
+      val enc = java.util.Base64.getUrlEncoder.withoutPadding
+        .encodeToString(dir.getBytes("UTF-8"))
+      val key = if (enc.length <= 200) enc
+        else enc.take(160) + "-" +
+          java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
+      val md = modelScratch.resolve(key).toString
       buildSelectionModel(s, docs(s, dir).where(col("doc_id") < split), md)
       md
     })

@@ -153,19 +153,15 @@ class SemanticDedupSpec extends AnyFunSuite with SparkTestBase {
     import org.apache.spark.sql.functions.{array_contains, col}
     import graft.functions.CentroidAssign
     val e = Tables(spark, sf, "embeddings").select(col("vec_id"), col("embedding"))
-    // K=64 > DenseCutoff: a literal model large enough that the two-level
-    // path genuinely engages (√64 = 8 coarse cells of ~8 members), with
-    // the geometry a REAL k-means model has — centroids come in groups
-    // (8 base directions × 8 jitters), not i.i.d. Gaussian directions
-    // (those are pairwise near-orthogonal in d=64: no coarse structure
-    // exists, and covering degrades toward the nProbe·K/C floor — the
-    // documented worst case, not the deployment shape)
-    val bases = VectorOps.hyperplanes(8, 64, seed = 51L)
-    val jit = VectorOps.hyperplanes(64, 64, seed = 52L)
-    val cents = (0 until 64).map { i =>
-      val b = bases(i / 8); val j = jit(i)
-      b.indices.map(d => b(d) + 0.2 * j(d))
-    }
+    // K=64 > DenseCutoff: THE registered twin's literal model
+    // (Dedup.SemTwoLevelCents — single-sourced so the spec can never
+    // drift from the model q_sem_assign_twolevel_lit actually gates);
+    // k-means-model geometry: 8 base directions × 8 jitters each —
+    // i.i.d. Gaussian directions are pairwise near-orthogonal in d=64,
+    // no coarse structure exists, and covering degrades toward the
+    // nProbe·K/C floor (the documented worst case, not the deployment
+    // shape)
+    val cents = Dedup.SemTwoLevelCents
     val nGroups = math.ceil(math.sqrt(cents.length.toDouble)).toInt
     def best(df: org.apache.spark.sql.DataFrame, tag: String,
              denseCutoff: Int, nProbe: Int) =
