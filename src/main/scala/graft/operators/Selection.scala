@@ -429,14 +429,12 @@ object Selection {
       // collision-free per-corpus key (round-14 advice): url-safe base64
       // of the FULL path is INJECTIVE (lossy character-replacement
       // sanitization is not: '/a/b' and '/a_b' would share a key and
-      // silently cross-score); paths too long for one filename component
-      // keep a distinguishing prefix plus the full-path hash
+      // silently cross-score); encodings longer than one filename
+      // component are split into nested 100-char directory segments —
+      // still injective (a prefix+hash fallback would not be)
       val enc = java.util.Base64.getUrlEncoder.withoutPadding
         .encodeToString(dir.getBytes("UTF-8"))
-      val key = if (enc.length <= 200) enc
-        else enc.take(160) + "-" +
-          java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
-      val md = modelScratch.resolve(key).toString
+      val md = enc.grouped(100).foldLeft(modelScratch)(_.resolve(_)).toString
       buildSelectionModel(s, docs(s, dir).where(col("doc_id") < split), md)
       md
     })
