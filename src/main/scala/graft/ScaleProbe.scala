@@ -1056,6 +1056,81 @@ object ScaleProbe {
           spark.catalog.clearCache(); Checkpoints.releaseAll()
         }
 
+      case "keeperprobe" =>
+        // §8.5.16 (round-15 verdict task 1): the stream exact-state
+        // keeper probe's cost law after the partitioned-layout + bloom-
+        // ladder rework. Claims: per-batch appendExactState wall is FLAT
+        // in stored keeper count (1M vs 10M) because the bloom rules
+        // fresh hashes out driver-side and only the maybes (≈ true dups)
+        // read their _p partitions; the sidecar-less arm degrades to
+        // reading ∝ batch partitions (still pruned); the pre-r16 shape
+        // (full keeper scan per batch) is priced as the comparison.
+        import spark.implicits._
+        val IF = graft.operators.IndexFamily
+        val D = graft.operators.Dedup
+        val batchN = 500 // stream grain
+        for (mult <- Seq(1L, 10L)) {
+          val n = k.toLong * 100000L * mult
+          val idxDir = s"$dst/keeper_$n"
+          locally {
+            val p = new org.apache.hadoop.fs.Path(idxDir)
+            val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            fsys.delete(p, true); fsys.mkdirs(p)
+          }
+          // n distinct stored groups, ids [0, n)
+          val corpus = spark.range(n).select(col("id").as("doc_id"),
+            concat(lit("stored body number "), col("id")).as("text"))
+          time(s"build_exact_state_n$n")(D.buildExactState(spark, corpus, idxDir))
+          var nextId = 2L * n
+          def batch(tag: String, rep: Int,
+                    dupFrac: Double): org.apache.spark.sql.DataFrame = {
+            val rows = (0 until batchN).map { i =>
+              val id = nextId + i
+              // fresh texts are unique per ARM (tag) and rep — an earlier
+              // arm's fresh hashes are stored keepers by now
+              val text =
+                if (i < (batchN * dupFrac).toInt) s"stored body number ${(id * 7919L) % n}"
+                else s"fresh body ${tag}_r${rep}_n${n}_$i"
+              (id, text)
+            }
+            nextId += batchN
+            rows.toDF("doc_id", "text")
+          }
+          def run(tag: String, dupFrac: Double): Unit =
+            for (rep <- 0 until 3) {
+              val b = batch(tag, rep, dupFrac)
+              val hashed = b.select(col("doc_id"), md5(col("text")).as("text_hash"))
+              val gm = hashed.groupBy(col("text_hash"))
+                .agg(min(col("doc_id")).as("batch_min"))
+              time(s"${tag}_n${n}_$rep") {
+                D.appendExactState(spark, hashed, gm, idxDir).count()
+              }
+              println(s"SCALE${k}X[keeperprobe] ${tag}_n${n}_$rep path=" +
+                s"${D.lastKeeperProbePath} parts=${D.lastKeeperProbeParts}/${D.KeeperParts}")
+            }
+          run("probe_fresh", 0.0)   // all-new hashes: bloom rules out ~all
+          run("probe_dup10", 0.1)   // 10% dups: maybes ≈ 50 partitions
+          // fold the accumulated delta, then probe the folded table
+          time(s"fold_delta_n$n")(D.foldKeeperDelta(spark, idxDir))
+          run("probe_folded", 0.1)
+          // sidecar-less degradation: pruned ∝ batch partitions
+          IF.dropIdBloom(spark, s"$idxDir/exact_keepers.parquet")
+          run("probe_nobloom", 0.1)
+          // pre-r16 comparison: the full-keeper-table probe join per batch
+          val keepersPath = s"$idxDir/exact_keepers.parquet"
+          for (rep <- 0 until 3) {
+            val b = batch("fullscan", rep, 0.1)
+            val hashed = b.select(col("doc_id"), md5(col("text")).as("text_hash"))
+            time(s"probe_fullscan_n${n}_$rep") {
+              IF.readSnapshot(spark, keepersPath)
+                .select(col("text_hash"), col("keep_id").as("stored_keeper"))
+                .join(hashed, Seq("text_hash"), "right")
+                .count()
+            }
+          }
+          spark.catalog.clearCache(); Checkpoints.releaseAll()
+        }
+
       case "selection" =>
         // The frozen-model scoring cost law (round-14 Selection family).
         // Claims under measurement, at model-corpus sizes N and 10N:
@@ -1186,6 +1261,20 @@ object ScaleProbe {
           println(f"SCALE${k}X[assigncost] n=$n K=$kc: dense $tDense%.2f s, " +
             f"two-level $tTwo%.2f s (${tDense / tTwo}%.1fx), " +
             f"mismatch $mismatch/$n (${100.0 * mismatch / n}%.1f%%)")
+          // round-16 (verdict task 4): the covering-sized probe depth —
+          // what nProbe the 95% sizing rule picks on this geometry, its
+          // realized mismatch, and the cost delta vs nProbe=2
+          val tSize = time(s"assign_covsize_k$kc") {
+            CentroidAssign.nProbeForCoveringOf(eAll, "embedding", cents, 0.95)
+          }
+          val auto = CentroidAssign.nProbeForCoveringOf(eAll, "embedding", cents, 0.95)
+          val tAuto = run(s"autoprobe$auto", 0, auto)
+          val autoMismatch = bc(bc(eAll, "d2", Int.MaxValue, 1), "t2", 0, auto)
+            .where(col("cid_d2") =!= col("cid_t2")).count()
+          println(f"SCALE${k}X[assigncost] n=$n K=$kc covering95: auto nProbe=$auto " +
+            f"(sizing pass $tSize%.2f s), wall $tAuto%.2f s " +
+            f"(${tAuto / tTwo}%.2fx of nProbe=2, ${tDense / tAuto}%.1fx vs dense), " +
+            f"mismatch $autoMismatch/$n (${100.0 * autoMismatch / n}%.1f%%)")
           spark.catalog.clearCache(); Checkpoints.releaseAll()
         }
 

@@ -165,6 +165,17 @@ object IndexFamily {
   def readSnapshot(s: SparkSession, path: String): DataFrame =
     s.read.parquet(snapshotFiles(s, path): _*)
 
+  /** Root-level flat `.parquet` files of a PARTITIONED table — the
+    * LSM-style append DELTA a high-frequency writer lands between folds
+    * (one or two files per batch, no shuffle, no per-partition file
+    * spray; [[snapshotFiles]] already unions them into every full read).
+    * A pruned prober reads `partitionFiles(touched) ++ flatDeltaFiles`;
+    * a periodic fold merges the delta into its partitions. */
+  def flatDeltaFiles(s: SparkSession, path: String): Seq[String] =
+    fsFor(s, path).listStatus(hp(path)).toSeq
+      .filter(e => e.isFile && e.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString)
+
   // -----------------------------------------------------------------
   // Hash-partitioned decision state (round-13 verdict task 1)
   // -----------------------------------------------------------------

@@ -128,7 +128,16 @@ object DocPipeline {
     * ascending-id arrival). Replay: the keepers-land-first convergence
     * argument (see appendExactState); a redelivered batch re-admits its
     * own registered keepers, so output stays at-least-once. Default
-    * `false` keeps the historical continuous-plan exact stages. */
+    * `false` keeps the historical continuous-plan exact stages.
+    *
+    * ABANDONMENT caveat (round-15 advice): the exact-state append runs
+    * BEFORE the near-dup leg's replay ledger (its output feeds that leg),
+    * so a batch that fails downstream and is then permanently abandoned
+    * (checkpoint dropped, source re-pointed) leaves its keepers
+    * registered for docs that were never emitted. Redelivery of the same
+    * batch converges; abandonment requires
+    * [[graft.operators.Dedup.removeFromExactState]] with the abandoned
+    * batch's ids before re-pointing the stream. */
   def fullIngest(docs: DataFrame, corpusFps: DataFrame,
                  nearDupIndexDir: String, spanIndexDir: String,
                  memoPrefix: String,

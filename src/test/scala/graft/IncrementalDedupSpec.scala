@@ -272,8 +272,10 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestBase {
     Dedup.buildExactState(spark, old.unionByName(batch), full)
     def edgesOf(d: String) = spark.read.parquet(s"$d/exact_edges.parquet")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    def keepersOf(d: String) = spark.read.parquet(s"$d/exact_keepers.parquet")
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    def keepersOf(d: String) =
+      graft.operators.IndexFamily.readSnapshot(spark, s"$d/exact_keepers.parquet")
+        .select(col("text_hash"), col("keep_id"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(edgesOf(idx) == edgesOf(full),
       s"missing=${edgesOf(full) -- edgesOf(idx)} extra=${edgesOf(idx) -- edgesOf(full)}")
     assert(keepersOf(idx) == keepersOf(full))
@@ -291,6 +293,138 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(keepersOf(idx).exists(_._2 == base + 0),
       "the deleted keeper's group must re-elect its minimum surviving member")
     assert(afterEdges.contains((base + 5, base + 0)))
+  }
+
+  test("legacy flat keeper table migrates to the partitioned layout on first " +
+       "touch; appends stay equivalent; out-of-order batch warns, stays connected") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, "alpha body one"), (11L, "alpha body one"),   // corpus dup pair
+      (12L, "beta body two"), (13L, "gamma body three")
+    ).toDF("doc_id", "text")
+    val idx = tmpIdx("legacykeep")
+    Dedup.buildExactState(spark, corpus, idx)
+    val keepersPath = s"$idx/exact_keepers.parquet"
+    // flatten to the PRE-round-16 legacy layout: plain 2-column parquet,
+    // no .parts handshake, no .maxid watermark
+    val legacyRows = spark.read.parquet(keepersPath)
+      .select(col("text_hash"), col("keep_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val fs = new org.apache.hadoop.fs.Path(keepersPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(keepersPath), true)
+    fs.delete(new org.apache.hadoop.fs.Path(keepersPath + ".parts"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(keepersPath + ".maxid"), false)
+    legacyRows.toDF("text_hash", "keep_id")
+      .coalesce(1).write.mode("overwrite").parquet(keepersPath)
+    // ascending append through the legacy table: must migrate once, then
+    // converge to the one-shot rebuild
+    val batch = Seq(
+      (20L, "alpha body one"),     // dup of stored keeper 10
+      (21L, "delta body four"),    // new hash group
+      (22L, "delta body four")     // in-batch twin
+    ).toDF("doc_id", "text")
+    val hashed = batch.select(col("doc_id"), md5(col("text")).as("text_hash"))
+    val groupMin = hashed.groupBy(col("text_hash"))
+      .agg(min(col("doc_id")).as("batch_min"))
+    val admitted = Dedup.appendExactState(spark, hashed, groupMin, idx)
+      .collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(21L), s"got $admitted")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(keepersPath + ".parts")),
+      "first touch must migrate the legacy table to the partitioned layout")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(keepersPath + ".maxid")),
+      "the append must seed/advance the ordering watermark")
+    val oneShot = tmpIdx("legacykeep-full")
+    Dedup.buildExactState(spark,
+      corpus.unionByName(batch), oneShot)
+    def keeperSet(d: String) =
+      graft.operators.IndexFamily.readSnapshot(spark, s"$d/exact_keepers.parquet")
+        .select(col("text_hash"), col("keep_id"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    def edgeSet(d: String) = spark.read.parquet(s"$d/exact_edges.parquet")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keeperSet(idx) == keeperSet(oneShot))
+    assert(edgeSet(idx) == edgeSet(oneShot))
+    // OUT-OF-ORDER batch (ids below the watermark, none stored): warned,
+    // tolerated, and the group stays CONNECTED (split safety) even though
+    // the registered keeper is no longer the global minimum
+    val low = Seq((5L, "delta body four")).toDF("doc_id", "text")
+    val lowHashed = low.select(col("doc_id"), md5(col("text")).as("text_hash"))
+    val lowMin = lowHashed.groupBy(col("text_hash"))
+      .agg(min(col("doc_id")).as("batch_min"))
+    Dedup.appendExactState(spark, lowHashed, lowMin, idx).collect()
+    // 5 must be linked into the delta group via the STORED keeper 21
+    assert(edgeSet(idx).contains((5L, 21L)),
+      s"out-of-order arrival must connect to the stored keeper: ${edgeSet(idx)}")
+  }
+
+  test("keeper-probe bloom ladder: stale-HIGH never false-accepts, stored " +
+       "hashes are never stale-LOW, and the probe reads ~maybes partitions") {
+    import spark.implicits._
+    val IF = graft.operators.IndexFamily
+    val corpus = (0L until 500L).map(i => (i, s"corpus body number $i")).toDF("doc_id", "text")
+    val idx = tmpIdx("keeperbloom")
+    Dedup.buildExactState(spark, corpus, idx)
+    val keepersPath = s"$idx/exact_keepers.parquet"
+    assert(IF.readIdBloom(spark, keepersPath).isDefined,
+      "build must seed the keeper probe bloom")
+    def appendBatch(rows: Seq[(Long, String)]): Set[Long] = {
+      val b = rows.toDF("doc_id", "text")
+      val hashed = b.select(col("doc_id"), md5(col("text")).as("text_hash"))
+      val gm = hashed.groupBy(col("text_hash")).agg(min(col("doc_id")).as("batch_min"))
+      Dedup.appendExactState(spark, hashed, gm, idx)
+        .collect().map(_.getLong(0)).toSet
+    }
+    // an all-fresh batch: every hash bloom-misses → ~0 partitions read
+    val fresh = (1000L until 1100L).map(i => (i, s"fresh body number $i"))
+    assert(appendBatch(fresh) == fresh.map(_._1).toSet)
+    assert(Dedup.lastKeeperProbePath == "bloom+pruned")
+    assert(Dedup.lastKeeperProbeParts <= 5, // fpp·batch stragglers only
+      s"fresh batch read ${Dedup.lastKeeperProbeParts} partitions")
+    // a dup-carrying batch: only the dups' partitions are read
+    val mixed = Seq((2000L, "corpus body number 7"), (2001L, "fresh body number 1001")) ++
+      (2002L until 2050L).map(i => (i, s"other fresh body $i"))
+    val admitted = appendBatch(mixed)
+    assert(!admitted.contains(2000L) && !admitted.contains(2001L),
+      s"stored-hash arrivals must be dropped: $admitted")
+    assert(Dedup.lastKeeperProbeParts <= 7,
+      s"mixed batch read ${Dedup.lastKeeperProbeParts} partitions")
+    // the appends landed as a flat DELTA (covered by the probe's rung 3,
+    // outside the bloom); FOLD it, then stale-LOW impossibility: every
+    // BASE hkey must probe bloom-positive (bloom-before-merge discipline;
+    // a stale-LOW bloom would silently register a second keeper)
+    assert(IF.flatDeltaFiles(spark, keepersPath).nonEmpty,
+      "appends must land as flat delta files")
+    assert(graft.operators.Dedup.foldKeeperDelta(spark, idx))
+    assert(IF.flatDeltaFiles(spark, keepersPath).isEmpty,
+      "fold must drop the delta files")
+    val (_, _, bytes) = IF.readIdBloom(spark, keepersPath).get
+    val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    val storedHkeys = IF.readSnapshot(spark, keepersPath)
+      .select(col("hkey")).collect().map(_.getLong(0))
+    assert(storedHkeys.forall(h => bf.mightContainLong(
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(h, 42L))),
+      "every folded hash must be bloom-contained (stale-LOW = corruption)")
+    // and a folded table keeps dropping: re-arrivals of hashes that were
+    // delta-only before the fold
+    val refold = appendBatch(Seq((5000L, "fresh body number 1001"),
+      (5001L, "brand new after fold")))
+    assert(refold == Set(5001L), s"got $refold")
+    // crash-window law: bloom advanced but files NOT landed (stale-HIGH).
+    // The redelivered/later batch must still register the keeper exactly
+    // once — the maybe goes to the pruned exact read, which finds nothing.
+    val ghost = Seq((3000L, "ghost body never landed"))
+    val ghostHkey = spark.range(1)
+      .select(xxhash64(md5(lit("ghost body never landed")))).head().getLong(0)
+    IF.withLease(spark, keepersPath) {
+      IF.advanceIdBloom(spark, keepersPath, Seq(ghostHkey).toDF("hkey"), "hkey")
+    }
+    assert(appendBatch(ghost) == Set(3000L),
+      "a stale-HIGH bloom must not drop a hash whose keeper never landed")
+    val keepers = IF.readSnapshot(spark, keepersPath)
+      .filter(col("keep_id") === 3000L).count()
+    assert(keepers == 1L, s"ghost hash must register exactly one keeper, got $keepers")
   }
 
   test("pipeline increment == full production pipeline's keep list restricted to the batch") {
