@@ -100,10 +100,18 @@ object Similarity {
     graft.functions.CentroidAssign.withBestCentroid(e, "embedding", cents,
       cidName = "cid", simName = "__sim").drop("__sim")
 
-  /** Per-centroid `(sim, cid)` orderable structs over `embedding` — the
-    * single-sourced scoring arithmetic of [[assignCid]] and
-    * [[ivfPqAssignmentFit]] (the drift statistic must measure exactly
-    * what assignment maximizes, or it measures nothing). */
+  /** Per-centroid `(sim, cid)` orderable structs over `embedding` —
+    * retained as the spec-pinned dense-twin arithmetic
+    * ([[graft.functions.CentroidAssign]]'s K ≤ DenseCutoff plan is
+    * bit-identical to `greatest` over these). The drift telemetry no
+    * longer reads it directly: [[ivfPqAssignmentFit]]/[[ivfPqOccupancy]]
+    * route through [[graft.functions.CentroidAssign.withBestCentroid]]
+    * with [[assignCid]]'s parameters, so the statistic measures exactly
+    * the assignment function that built the stored lists — at K >
+    * DenseCutoff the dense argmax and the two-level path can disagree on
+    * covering-tail rows, and telemetry over the WRONG function can mask
+    * (or invent) the hot-list drift it exists to catch (round-15
+    * advice). */
   private def centroidScores(cents: Seq[Seq[Double]]): Seq[Column] =
     cents.zipWithIndex.map { case (c, i) =>
       struct(VectorOps.cosine(col("embedding"), array(c.map(lit): _*)).as("sim"),
@@ -1025,9 +1033,10 @@ object Similarity {
     val sampled = vecs.select(col("vec_id"), col("embedding"))
       .orderBy(xxhash64(col("vec_id"), lit(7)), col("vec_id"))
       .limit(maxRows)
-    val row = sampled
-      .select(greatest(centroidScores(cents): _*).getField("sim").as("csim"))
-      .agg(avg(col("csim"))).head()
+    val row = graft.functions.CentroidAssign
+      .withBestCentroid(sampled, "embedding", cents,
+        cidName = "__cid", simName = "__csim")
+      .agg(avg(col("__csim"))).head()
     if (row.isNullAt(0)) Double.NaN else row.getDouble(0)
   }
 
@@ -1044,8 +1053,9 @@ object Similarity {
     val sampled = vecs.select(col("vec_id"), col("embedding"))
       .orderBy(xxhash64(col("vec_id"), lit(7)), col("vec_id"))
       .limit(maxRows)
-    val counts = sampled
-      .select(greatest(centroidScores(cents): _*).getField("cid").as("cid"))
+    val counts = graft.functions.CentroidAssign
+      .withBestCentroid(sampled, "embedding", cents,
+        cidName = "cid", simName = "__sim")
       .groupBy(col("cid")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val total = math.max(1L, counts.values.sum)

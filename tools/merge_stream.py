@@ -15,13 +15,21 @@ inconsistent — they live in raw_runs. Driver-side tooling only.
 """
 import json, sys
 
-RATE_KEYS = [
-    "data_driven", "calendar_append", "windowed_update",
-    "doc_pipeline_docs_per_sec", "doc_pipeline_fixture_docs_per_sec",
-    "doc_pipeline_neardup_docs_per_sec", "doc_pipeline_full_docs_per_sec",
-    "span_ingest_docs_per_sec", "select_ingest_docs_per_sec",
-    "embedding_ingest_vecs_per_sec", "semantic_ingest_vecs_per_sec",
-]
+# The three legacy tiers whose rate keys don't follow the *_per_sec
+# naming convention. Every other rate key is discovered dynamically from
+# the runs themselves (round-15 advice: a hardcoded list silently carried
+# run1's value for any new StreamBench tier instead of the best-of-N).
+NAMED_RATE_KEYS = {"data_driven", "calendar_append", "windowed_update"}
+
+
+def rate_keys(runs):
+    keys = set()
+    for r in runs:
+        for k, v in r.items():
+            if (k in NAMED_RATE_KEYS or k.endswith("_per_sec")) \
+                    and isinstance(v, (int, float)):
+                keys.add(k)
+    return sorted(keys)
 
 
 def main(argv):
@@ -45,7 +53,7 @@ def main(argv):
     best = {k: v for k, v in runs[0].items()
             if not (k.endswith("_sec") and not k.endswith("_per_sec"))
             and k not in ("host_before", "host_after")}
-    for k in RATE_KEYS:
+    for k in rate_keys(runs):
         vals = [r.get(k) for r in runs if r.get(k) is not None]
         if vals:
             best[k] = max(vals)
