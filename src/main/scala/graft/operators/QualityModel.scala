@@ -283,7 +283,18 @@ object QualityModel {
                                  cap: Int = MaxTrainDocs): DataFrame = {
     import graft.operators.Sampling.{IdMod, Mix}
     val sampleKey = pmod(pmod(col("doc_id"), lit(IdMod)) * lit(Mix), lit(IdMod)) % 100
-    docs(s, dir).where(sampleKey < 20)
+    val sampled = docs(s, dir).where(sampleKey < 20)
+    // gate the limit pass on a count (round-16, closing the r15 anchor
+    // regression): whether the cap binds is ONE column-pruned doc_id
+    // count, while the TakeOrdered pass it gates carries full rows (text
+    // included) through per-partition heaps and a driver-side merge — and
+    // the trained query consumes this frame three times (features,
+    // labels join, scoring), so the un-gated clamp paid that merge
+    // thrice at gate scale where it never binds. When the count is at or
+    // under the cap the plain filtered frame IS the capped selection
+    // (same set; the hash order only chooses which docs DROP).
+    if (sampled.select(col("doc_id")).count() <= cap) sampled
+    else sampled
       .orderBy(xxhash64(col("doc_id"), lit(15)), col("doc_id"))
       .limit(cap)
   }
