@@ -75,6 +75,10 @@ object Selection {
     * (CCNet's Wikipedia stand-in on this corpus). */
   val TargetLang = "en"
 
+  /** Brants cutoff the DEPLOYMENT stored-model paths default to — see
+    * the note at the object foot for the full pricing rationale. */
+  val StoredModelMinCount = 2L
+
   // -------------------------------------------------------------------
   // DSIR — hashed-n-gram importance resampling
   // -------------------------------------------------------------------
@@ -319,7 +323,7 @@ object Selection {
     * and one `TakeOrderedAndProject` for the threshold. */
   def buildSelectionModel(s: SparkSession, modelDocs: DataFrame,
                           modelDir: String, k: Int = DsirK,
-                          minCount: Long = 1L): Unit = {
+                          minCount: Long = StoredModelMinCount): Unit = {
     import s.implicits._
     val lr = dsirModelOf(s, modelDocs)
     lr.zipWithIndex.map { case (m, b) => (b.toLong, m) }.toSeq
@@ -338,9 +342,10 @@ object Selection {
       .orderBy(col("key_micro").desc, col("doc_id")).limit(k)
       .orderBy(col("key_micro"), col("doc_id").desc).limit(1)
       .select(col("key_micro"), col("doc_id")).head()
-    Seq((DsirDim, TargetLang, nTot, oovMicroOf(nTot), bnd.getLong(0), bnd.getLong(1)))
+    Seq((DsirDim, TargetLang, nTot, oovMicroOf(nTot), bnd.getLong(0), bnd.getLong(1),
+         minCount))
       .toDF("dim", "target_lang", "n_tot", "oov_micro",
-        "key_threshold_micro", "key_threshold_doc_id")
+        "key_threshold_micro", "key_threshold_doc_id", "min_count")
       .coalesce(1).write.mode("overwrite").parquet(s"$modelDir/meta.parquet")
     storedModelMemo.remove(modelDir) // a retrain invalidates the memo
   }
@@ -353,7 +358,8 @@ object Selection {
   private final case class StoredModel(lr: Array[Long], nTot: Long,
                                        oovMicro: Long, thrMicro: Long,
                                        thrDocId: Long,
-                                       bgmRows: Long, ugmRows: Long)
+                                       bgmRows: Long, ugmRows: Long,
+                                       minCount: Long)
   private val storedModelMemo =
     new java.util.concurrent.ConcurrentHashMap[String, StoredModel]()
 
@@ -375,7 +381,10 @@ object Selection {
       StoredModel(lr, meta.getLong(2), meta.getLong(3), meta.getLong(4),
         meta.getLong(5),
         s.read.parquet(s"$modelDir/lm_bigram.parquet").count(),
-        s.read.parquet(s"$modelDir/lm_unigram.parquet").count())
+        s.read.parquet(s"$modelDir/lm_unigram.parquet").count(),
+        // pre-round-16 models carry no cutoff column: they were built
+        // unpruned (the historical minCount=1)
+        if (meta.length >= 7) meta.getLong(6) else 1L)
     })
 
   /** Score a batch `(doc_id, text)` against the FROZEN model at
@@ -603,6 +612,8 @@ object Selection {
     * full-range `lr` CTE, so unseen features get the smoothing ratio —
     * matching the persisted all-bucket weight array. */
   def storedModelScoreSql(k: Int = DsirK): String =
+    // the backoff chain carries the deployment default's Brants cutoff —
+    // the stored model this query scores through is built pruned
     s"""${dsirCtes(s"doc_id < $splitSql", s"doc_id >= $splitSql")},
        |bscore AS (
        |  SELECT doc_id, CAST(sum(lrm) AS BIGINT) AS dsir_micro
@@ -612,7 +623,8 @@ object Selection {
        |    SELECT $gumbelKeySql AS key_micro, doc_id
        |    FROM bscore ORDER BY key_micro DESC, doc_id LIMIT $k)
        |  ORDER BY key_micro ASC, doc_id DESC LIMIT 1),
-       |${sbackoffCtes(s"doc_id < $splitSql", s"doc_id >= $splitSql").replaceFirst("^WITH ", "")}
+       |${sbackoffCtes(s"doc_id < $splitSql", s"doc_id >= $splitSql",
+            StoredModelMinCount).replaceFirst("^WITH ", "")}
        |SELECT s.doc_id, s.n_feat, s.dsir_micro,
        |  $gumbelKeySql AS key_micro,
        |  (($gumbelKeySql) > (SELECT thr FROM thr)
@@ -640,4 +652,21 @@ object Selection {
     "q_sel_lm_sbackoff" -> sbackoffScoresSql,
     "q_sel_lm_sbackoff_pruned" -> sbackoffPrunedSql(),
     "q_sel_model_score" -> storedModelScoreSql())
+
+  /** Brants cutoff the DEPLOYMENT paths default to (round-15 verdict
+    * task 6): `buildSelectionModel` — and so the registered stored-model
+    * query, [[graft.streaming.StreamSelect]], and every at-ingest scorer
+    * over a default-built model — prunes singleton bigrams. §8.5.14
+    * priced it: the raw table is corpus-shaped (3.2M rows at the 100k-doc
+    * probe corpus — over the 2M broadcast convention, so the per-batch LM
+    * join went keyed-shuffle-shaped), the pruned one is vocabulary-shaped
+    * (1.7M — back under it, and the scorer's maybeBroadcast flips to a
+    * broadcast join). The cutoff rides the model meta handshake
+    * (`min_count`), so a scorer can always tell what model it serves;
+    * self-model DEMONSTRATION queries (`q_sel_lm_sbackoff`) keep the
+    * unpruned default 1 with the pruned twin alongside.
+    *
+    * (Declared near the object head: `storedModelScoreSql` interpolates
+    * it while the `oracles` val initializes — a later declaration would
+    * read the uninitialized 0.) */
 }

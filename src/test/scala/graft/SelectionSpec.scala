@@ -171,7 +171,12 @@ class SelectionSpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     val bg1 = bg(md1)
     val bg2 = bg(md2)
-    assert(bg1 == bg(mdDefault), "minCount=1 must be today's model")
+    assert(bg(mdDefault) == bg2,
+      "the DEFAULT stored model must be the PRUNED one (round-16: " +
+      "StoredModelMinCount=2 is the deployment default)")
+    assert(spark.read.parquet(s"$mdDefault/meta.parquet").head()
+      .getLong(6) == Selection.StoredModelMinCount,
+      "the cutoff must ride the model meta handshake")
     // driver-side truth: en-slice bigram counts
     val c2 = docRows.filter(_._2 == "en")
       .flatMap { case (_, _, t) => val w = t.split(" ", -1); w.init.zip(w.tail) }
@@ -256,7 +261,10 @@ class SelectionSpec extends AnyFunSuite with SparkTestBase {
       .map(r => r.getLong(0) -> r).toMap
     val dsir = Selection.dsirScores(spark, sf).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-    val sb = Selection.sbackoffScores(spark, sf).collect()
+    // the default-built stored model is PRUNED — compare against the
+    // pruned self-model twin (the unpruned one is the demonstration tier)
+    val sb = Selection.sbackoffScores(spark, sf,
+        minCount = Selection.StoredModelMinCount).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
     assert(stored.size == dsir.size)
     stored.foreach { case (id, r) =>
