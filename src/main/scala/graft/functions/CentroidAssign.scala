@@ -251,6 +251,99 @@ object CentroidAssign {
       }(Encoders.row(outSchema))
     }
 
+  /** AUTO-SIZE `nProbe` to a covering target (round-16 verdict task 4 —
+    * the §8.5.4 sizing-rule discipline applied to the coarse quantizer):
+    * for each sample vector, rank its coarse cells exactly as the probe
+    * loop does ([[topCells]]'s (sim, gid) tie rule), find the rank of the
+    * cell holding the DENSE argmax winner, and return the smallest
+    * `nProbe` whose sample covering meets `target` — i.e. the empirical
+    * `target`-quantile of the winner-cell rank, plus one. Cost ∝
+    * sample·(C + K)·dim, driver-side at model grain (the dense argmax
+    * runs per SAMPLE row only — this is the sizing pass, not the
+    * assignment). A `target` of 1.0 returns a covering of the whole
+    * sample, NOT a guarantee for unseen rows — the covering-vs-cost curve
+    * is the IVF trade-off, and the auto-choice just pins where a
+    * deployment sits on it instead of a fixed nProbe=2. */
+  def nProbeForCovering(cents: Seq[Seq[Double]],
+                        sample: Seq[Array[Float]],
+                        target: Double = 0.95): Int = {
+    require(target > 0.0 && target <= 1.0, s"covering target $target out of (0,1]")
+    val nGroups = math.max(2, math.ceil(math.sqrt(cents.length.toDouble)).toInt)
+    val m = buildModel(cents, nGroups)
+    val c = m.coarse.length
+    if (sample.isEmpty) return math.min(2, c)
+    val cellOf = new Array[Int](m.cents.length)
+    m.members.zipWithIndex.foreach { case (mem, g) => mem.foreach(cellOf(_) = g) }
+    val ranks = sample.map { emb =>
+      var na = 0.0; var i = 0
+      while (i < emb.length) { na += emb(i).toDouble * emb(i).toDouble; i += 1 }
+      val vNorm = math.sqrt(na)
+      // dense winner (the truth the probed cells must cover)
+      var bestCid = 0; var bestSim = dotFD(emb, m.cents(0)) / (vNorm * m.centNorm(0))
+      i = 1
+      while (i < m.cents.length) {
+        val sim = dotFD(emb, m.cents(i)) / (vNorm * m.centNorm(i))
+        if (better(sim, i, bestSim, bestCid)) { bestCid = i; bestSim = sim }
+        i += 1
+      }
+      val g = cellOf(bestCid)
+      // rank of g under the probe loop's ordering = # cells ranked before it
+      val sims = new Array[Double](c)
+      var j = 0
+      while (j < c) {
+        sims(j) = dotFD(emb, m.coarse(j)) / (vNorm * m.coarseNorm(j)); j += 1
+      }
+      var rank = 0
+      j = 0
+      while (j < c) {
+        if (j != g && better(sims(j), j, sims(g), g)) rank += 1
+        j += 1
+      }
+      rank
+    }
+    val need = math.ceil(target * sample.size).toLong
+    val hist = new Array[Long](c)
+    ranks.foreach(r => hist(r) += 1)
+    var cum = 0L; var p = 0
+    while (p < c) {
+      cum += hist(p)
+      if (cum >= need) return p + 1
+      p += 1
+    }
+    c
+  }
+
+  /** [[nProbeForCovering]] over a DataFrame column: ONE bounded job
+    * collects a deterministic hash-ordered sample (the learnCentroids
+    * sampling discipline), then sizes driver-side. */
+  def nProbeForCoveringOf(df: DataFrame, vecCol: String,
+                          cents: Seq[Seq[Double]],
+                          target: Double = 0.95,
+                          sampleN: Int = 2048): Int = {
+    val rows = df.select(col(vecCol))
+      .orderBy(xxhash64(col(vecCol), lit(11)))
+      .limit(sampleN).collect()
+    nProbeForCovering(cents, rows.map(r => floatArrayOf(r, 0)).toSeq, target)
+  }
+
+  /** [[withBestCentroid]] with the covering-sized `nProbe` — the opt-in
+    * auto knob: dense below the cutoff (covering is exact there by
+    * construction, no sizing pass paid), sampled-and-sized above it. */
+  def withBestCentroidCovering(df: DataFrame, vecCol: String,
+                               cents: Seq[Seq[Double]],
+                               cidName: String = "cid",
+                               simName: String = "sim",
+                               target: Double = 0.95,
+                               sampleN: Int = 2048,
+                               denseCutoff: Int = DenseCutoff): DataFrame =
+    if (cents.length <= denseCutoff)
+      withBestCentroid(df, vecCol, cents, cidName, simName,
+        denseCutoff = denseCutoff)
+    else
+      withBestCentroid(df, vecCol, cents, cidName, simName,
+        nProbe = nProbeForCoveringOf(df, vecCol, cents, target, sampleN),
+        denseCutoff = denseCutoff)
+
   /** Test seam for the covering law: append `coveredName` — the array of
     * cids the two-level path would actually compare for each row (the
     * union of its probed cells' members). SemanticDedupSpec conditions

@@ -193,5 +193,20 @@ class SemanticDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(covered >= (n * 9) / 10,
       s"only $covered/$n rows covered at nProbe=$nProbe — the coarse " +
         "quantizer is not capturing the geometry")
+    // (c) AUTO-SIZED covering (round-16): the sizing rule must choose an
+    // nProbe that actually achieves its target on the full corpus — the
+    // covering floor is now the PARAMETER, not a hardcoded fraction
+    val target = 0.95
+    val auto = CentroidAssign.nProbeForCoveringOf(e, "embedding", cents, target)
+    assert(auto >= 1 && auto <= nGroups, s"auto nProbe $auto out of range")
+    val autoPart = CentroidAssign.withProbedCids(
+      best(e, "d2", Int.MaxValue, 1), "embedding", cents, auto, "probed")
+    val autoCovered = autoPart
+      .where(array_contains(col("probed"), col("cid_d2"))).count()
+    assert(autoCovered >= math.ceil(target * n).toLong,
+      s"auto nProbe=$auto covers only $autoCovered/$n — below the $target target")
+    // monotonicity: a stricter target never picks a smaller probe depth
+    val stricter = CentroidAssign.nProbeForCoveringOf(e, "embedding", cents, 1.0)
+    assert(stricter >= auto)
   }
 }
