@@ -546,6 +546,54 @@ object IndexFamily {
 
   private def bloomSidecarPath(tablePath: String) = tablePath + ".idbloom"
 
+  // --- PENDING-ids sidecar (round-16, r15 verdict task 5) -----------
+  // Every guarded append re-wrote the full clamped (~8 MB) bloom file —
+  // O(1) in index size but the dominant sidecar I/O at micro-batch
+  // frequency. The bloom merge is now DEFERRED: an appending batch lands
+  // its distinct ids in a tiny `.idpending` sidecar (batch-scale bytes,
+  // written crash-safe-HIGH before the files), and the newness guard
+  // treats pending ids exactly like bloom maybes (pending "yes" → the
+  // exact re-check; pending ∪ bloom ⊇ stored ids is the invariant, so
+  // bloom-AND-pending "no" stays definitive). When the pending set
+  // outgrows [[PendingIdsCap]] — or a batch is too large to collect —
+  // the accumulated ids merge into the bloom in one write and the
+  // pending file truncates (bloom-before-truncate: a crash between the
+  // two leaves ids in BOTH sidecars — stale-HIGH, the safe direction).
+
+  private def pendingSidecarPath(tablePath: String) = tablePath + ".idpending"
+
+  /** Pending ids beyond this count fold into the bloom (≈2 MB file at
+    * the cap; a 10k-id stream batch merges every ~26 batches, turning 26
+    * 8 MB bloom rewrites into 26 batch-sized appends + one rewrite). */
+  val PendingIdsCap = 262144
+
+  /** The pending-ids sidecar, empty if absent. Driver-sized by
+    * construction ([[PendingIdsCap]]). */
+  def readPendingIds(s: SparkSession, tablePath: String): Array[Long] = {
+    val fs = fsFor(s, tablePath)
+    val p = hp(pendingSidecarPath(tablePath))
+    if (!fs.exists(p)) Array.emptyLongArray
+    else {
+      val in = new java.io.DataInputStream(
+        new java.io.BufferedInputStream(fs.open(p)))
+      try {
+        val n = in.readInt()
+        Array.fill(n)(in.readLong())
+      } finally in.close()
+    }
+  }
+
+  private[graft] def writePendingIds(s: SparkSession, tablePath: String,
+                                     ids: Array[Long]): Unit = {
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      fsFor(s, tablePath).create(hp(pendingSidecarPath(tablePath)), true)))
+    try { out.writeInt(ids.length); ids.foreach(out.writeLong) }
+    finally out.close()
+  }
+
+  def dropPendingIds(s: SparkSession, tablePath: String): Unit =
+    fsFor(s, tablePath).delete(hp(pendingSidecarPath(tablePath)), false)
+
   /** Bloom sizing, clamped the same way `BloomFilterAggregate` clamps
     * internally (it silently mins against these session confs) so the
     * sidecar header always matches the built filter and batch merges stay
@@ -597,8 +645,12 @@ object IndexFamily {
     }
   }
 
-  def dropIdBloom(s: SparkSession, tablePath: String): Unit =
+  def dropIdBloom(s: SparkSession, tablePath: String): Unit = {
     fsFor(s, tablePath).delete(hp(bloomSidecarPath(tablePath)), false)
+    // pending rides the bloom: without one, the guard's fallback is the
+    // exact scan, which reads table truth
+    dropPendingIds(s, tablePath)
+  }
 
   /** Build (or rebuild) the id bloom sidecar from the table's stored ids
     * (∪ `extraIds` — the incompatible-merge rescue, see
@@ -615,6 +667,11 @@ object IndexFamily {
       if (row.isNullAt(0)) BloomFilter.create(items, bits) // empty table
       else BloomFilter.readFrom(new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](0)))
     writeBloomFile(s, tablePath, items, bits, bloom)
+    // a bloom rebuilt from the table subsumes the pending sidecar: landed
+    // pending ids are in the new bloom; never-landed ones (a crashed
+    // append) are genuinely absent from the table, so treating them as
+    // fresh is correct (bloom write first — a crash here leaves both)
+    dropPendingIds(s, tablePath)
   }
 
   /** Merge a batch's ids into the sidecar BEFORE their append lands (the
@@ -697,8 +754,16 @@ object IndexFamily {
       val maybes = bloomOpt match {
         case Some((_, _, bytes)) =>
           val bloom = BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+          // pending ids are NOT in the bloom yet (the deferred-merge
+          // sidecar) — a pending hit is a maybe exactly like a bloom hit
+          val pending = readPendingIds(s, tablePath)
+          val pendingSet =
+            if (pending.isEmpty) null
+            else { val h = new java.util.HashSet[java.lang.Long](pending.length * 2)
+                   pending.foreach(h.add(_)); h }
           ids.filter(id => bloom.mightContainLong(
-            org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(id, 42L)))
+            org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(id, 42L)) ||
+            (pendingSet != null && pendingSet.contains(id)))
         case None => ids
       }
       if (bloomOpt.isDefined && maybes.isEmpty) { lastNewIdsPath = "bloom"; return 0L }
@@ -721,8 +786,15 @@ object IndexFamily {
       }
       val (maybeIds, nMaybe) = readIdBloom(s, tablePath) match {
         case Some((_, _, bytes)) =>
-          val m = graft.Checkpoints.local(
-            dids.filter(mightContainId(bytes, col(idCol))))
+          import s.implicits._
+          val pending = readPendingIds(s, tablePath)
+          val probed =
+            if (pending.isEmpty) dids.filter(mightContainId(bytes, col(idCol)))
+            else dids.filter(mightContainId(bytes, col(idCol)))
+              .unionByName(dids.join(broadcast(pending.toSeq.toDF(idCol)),
+                Seq(idCol), "left_semi"))
+              .distinct()
+          val m = graft.Checkpoints.local(probed)
           (m, m.count())
         case None => (dids, -1L)
       }
@@ -753,6 +825,7 @@ object IndexFamily {
       if (row.isNullAt(0)) BloomFilter.create(items, bits)
       else BloomFilter.readFrom(new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](0)))
     writeBloomFile(s, tablePath, items, bits, bloom)
+    dropPendingIds(s, tablePath) // stale pending from a previous build
   }
 
   /** The index families' shared guarded append (round-14): holding the
@@ -785,7 +858,30 @@ object IndexFamily {
         peekIdWatermark(s, tablePath).foreach { wm =>
           advanceIdWatermark(s, tablePath, math.max(wm, mx.getLong(0)))
         }
-        advanceIdBloom(s, tablePath, rows.select(col(idCol)), idCol)
+        // DEFERRED bloom maintenance (round-16, r15 verdict task 5):
+        // batch-sized pending append instead of an 8 MB bloom rewrite per
+        // batch. Both sidecar writes happen BEFORE the files land
+        // (stale-HIGH). Batches over the 2M collect convention merge
+        // straight into the bloom — one rewrite amortized over a backfill
+        // is noise, and the pending file stays driver-sized.
+        if (readIdBloom(s, tablePath).isDefined) {
+          if (nRows > 2000000L)
+            advanceIdBloom(s, tablePath, rows.select(col(idCol)), idCol)
+          else {
+            val batchIds = rows.select(col(idCol)).distinct()
+              .collect().map(_.getLong(0))
+            val pending = readPendingIds(s, tablePath)
+            if (pending.length + batchIds.length > PendingIdsCap) {
+              import s.implicits._
+              // bloom first, truncate after — a crash between leaves the
+              // ids in both sidecars (over-checks, never false-accepts)
+              advanceIdBloom(s, tablePath,
+                (pending ++ batchIds).toSeq.toDF(idCol), idCol)
+              dropPendingIds(s, tablePath)
+            } else
+              writePendingIds(s, tablePath, pending ++ batchIds)
+          }
+        }
       }
       rows.coalesce(nFiles).write.mode("append").parquet(tablePath)
       overlap

@@ -359,6 +359,64 @@ class IndexFamilySpec extends AnyFunSuite with SparkTestBase {
     assert(e2.getMessage.contains("already present"))
   }
 
+  test("deferred bloom maintenance (round-16): small guarded appends leave the " +
+       "8MB bloom untouched and land batch-sized pending ids; a crash between " +
+       "appends never false-accepts; the cap folds pending into the bloom") {
+    import spark.implicits._
+    val dir = tmpDir("defer")
+    val path = s"$dir/t.parquet"
+    (0L until 200L by 2).map(i => (i, i)).toDF("doc_id", "v").write.parquet(path)
+    IndexFamily.seedIdGuards(spark, path, "doc_id")
+    val bloomBefore = IndexFamily.readIdBloom(spark, path).get._3
+    // a small below-watermark append (the bloom path): the bloom FILE must
+    // be byte-identical after it — the deferral claim — with the batch ids
+    // in the pending sidecar instead
+    assert(IndexFamily.appendWithIdGuards(
+      Seq((1L, 1L), (3L, 1L)).toDF("doc_id", "v"), path, "doc_id",
+      2L, 1, "deferSpec") == 0L)
+    assert(java.util.Arrays.equals(bloomBefore,
+        IndexFamily.readIdBloom(spark, path).get._3),
+      "a small guarded append must not rewrite the bloom sidecar")
+    assert(IndexFamily.readPendingIds(spark, path).toSet == Set(1L, 3L))
+    // no false accept through the deferral window: a strict re-append of a
+    // pending-only id (bloom says no!) must still convict via the pending
+    // sidecar's exact re-check
+    val e = intercept[IllegalArgumentException] {
+      IndexFamily.appendWithIdGuards(Seq((3L, 9L)).toDF("doc_id", "v"),
+        path, "doc_id", 1L, 1, "deferSpec")
+    }
+    assert(e.getMessage.contains("already present"))
+    assert(IndexFamily.lastNewIdsPath == "bloom+scan")
+    // crash window: pending advanced but files never landed (stale-HIGH).
+    // The id goes to the exact re-check, finds nothing, and is accepted
+    // fresh — over-checking, never refusal, never silent duplicate
+    IndexFamily.writePendingIds(spark, path,
+      IndexFamily.readPendingIds(spark, path) :+ 999L)
+    assert(IndexFamily.appendWithIdGuards(Seq((999L, 9L)).toDF("doc_id", "v"),
+      path, "doc_id", 1L, 1, "deferSpec") == 0L,
+      "a pending id whose append crashed before landing must be accepted fresh")
+    // the cap folds pending into the bloom (bloom-before-truncate): force
+    // it with a batch that overflows the cap, then the bloom must convict
+    // a redelivered id WITHOUT any pending file
+    val big = (100001L to 100000L + IndexFamily.PendingIdsCap)
+      .map(i => (i, 0L)).toDF("doc_id", "v")
+    // ids above the watermark would ride the O(1) path and skip the bloom
+    // machinery entirely — push the watermark up first
+    IndexFamily.advanceIdWatermark(spark, path, 500000L)
+    assert(IndexFamily.appendWithIdGuards(big, path, "doc_id",
+      IndexFamily.PendingIdsCap.toLong, 1, "deferSpec") == 0L)
+    assert(IndexFamily.readPendingIds(spark, path).isEmpty,
+      "overflowing the cap must fold pending into the bloom and truncate")
+    assert(!java.util.Arrays.equals(bloomBefore,
+        IndexFamily.readIdBloom(spark, path).get._3),
+      "the fold must have rewritten the bloom")
+    val e2 = intercept[IllegalArgumentException] {
+      IndexFamily.appendWithIdGuards(Seq((100001L, 9L)).toDF("doc_id", "v"),
+        path, "doc_id", 1L, 1, "deferSpec")
+    }
+    assert(e2.getMessage.contains("already present"))
+  }
+
   test("guarded append's newness check runs INSIDE the table lease (round-15 " +
        "TOCTOU closure): every evaluation of the batch happens with the lease " +
        "held, and a concurrent holder forces up-front refusal") {
