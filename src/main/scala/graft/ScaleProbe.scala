@@ -1044,6 +1044,37 @@ object ScaleProbe {
               assert(ov == batchN.toLong, s"expected $batchN overlaps, got $ov")
             }
           }
+          // round-16 (r15 verdict task 5): per-append SIDECAR I/O at
+          // micro-batch grain — the deferred-bloom arm (pending sidecar,
+          // the new default path) vs the pre-r16 per-batch bloom rewrite.
+          // Below-watermark fresh batches so the bloom machinery engages.
+          locally {
+            import spark.implicits._
+            def freshBatch(rep: Int, base: Long) =
+              (0 until batchN).map(i => (base + rep * 2L * batchN + 2L * i + 1L, 0L))
+                .toDF("doc_id", "v")
+            val bloomFile = new java.io.File(s"$tPath.idbloom")
+            for (rep <- 0 until 3) {
+              val mtime0 = bloomFile.lastModified()
+              time(s"guarded_append_deferred_n${n}_$rep") {
+                IF.appendWithIdGuards(freshBatch(rep, 4L * n), tPath, "doc_id",
+                  batchN.toLong, 1, "probe")
+              }
+              val rewrote = bloomFile.lastModified() != mtime0
+              println(s"SCALE${k}X[appendguard] deferred_n${n}_$rep " +
+                s"bloom_rewritten=$rewrote pending=${IF.readPendingIds(spark, tPath).length}")
+            }
+            // the pre-r16 shape: bloom merged on every batch
+            for (rep <- 0 until 3) {
+              val b = freshBatch(rep, 6L * n)
+              time(s"guarded_append_eagerbloom_n${n}_$rep") {
+                IF.appendWithIdGuards(b, tPath, "doc_id", batchN.toLong, 1, "probe")
+                IF.withLease(spark, tPath) {
+                  IF.advanceIdBloom(spark, tPath, b.select(col("doc_id")), "doc_id")
+                }
+              }
+            }
+          }
           // the pre-round-14 cost: no sidecars, full keyed scan per batch
           IF.resetIdWatermark(spark, tPath)
           IF.dropIdBloom(spark, tPath)
@@ -1053,6 +1084,75 @@ object ScaleProbe {
             }
             assert(IF.lastNewIdsPath == "scan", IF.lastNewIdsPath)
           }
+          spark.catalog.clearCache(); Checkpoints.releaseAll()
+        }
+
+      case "embingest" =>
+        // §8.5.17 (round-15 verdict task 2): the embedding-vector ingest
+        // tier — at 235 vecs/s the slowest stream tier by 5-20× — priced
+        // per stage at the StreamBench workload's own grain (20k-vector
+        // index, 10k-vector micro-batches, 16 bands × 12 bits). Stages:
+        // (A) SRP re-bucketing of the batch (map-only banding);
+        // (B) candidate generation against the stored postings (A + the
+        //     banded join — the stored-postings scan lives here);
+        // (C) + exact-cosine verify on stored vectors (the full probe,
+        //     append=false — C−B is the verify join, which scans the
+        //     WHOLE vectors table per batch: the ∝-index term);
+        // (D) the full survivors call with the index append.
+        import spark.implicits._
+        val D = graft.operators.Dedup
+        def synthVec(id: Long): Array[Float] = {
+          var x = id * 6364136223846793005L + 1442695040888963407L
+          Array.tabulate(64) { _ =>
+            x = x * 6364136223846793005L + 1442695040888963407L
+            ((x >>> 40).toInt % 2048) / 1024.0f - 1.0f
+          }
+        }
+        val (nBands, bandBits) = (16, 12)
+        val idx = s"$dst/embidx"
+        locally {
+          val p = new org.apache.hadoop.fs.Path(dst)
+          val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fsys.delete(new org.apache.hadoop.fs.Path(idx), true); fsys.mkdirs(p)
+        }
+        val idxVecs = (0 until 20000).map(i => (i.toLong, synthVec(i.toLong)))
+          .toDF("vec_id", "embedding")
+        time("build_embedding_index")(
+          D.buildEmbeddingIndex(spark, idxVecs, idx, nBands = nBands,
+            bandBits = bandBits))
+        for (b <- 0 until 3) {
+          val batch = (0 until 10000).map { i =>
+            val k = b * 10000 + i
+            val v = if (k % 10 == 0) synthVec((k % 20000).toLong)
+                    else synthVec(1000000L + k)
+            (100000L + k, v)
+          }.toDF("vec_id", "embedding")
+          val newE = graft.Checkpoints.local(batch.select(
+            col("vec_id").as("doc_id"), col("embedding"),
+            graft.functions.VectorOps.l2Norm(col("embedding")).as("norm")))
+          newE.count()
+          time(s"stageA_band_b$b") {
+            D.embeddingBandedOf(newE, nBands, bandBits, 64)
+              .agg(count(lit(1))).head()
+          }
+          time(s"stageB_cands_b$b") {
+            val oldBanded = spark.read.parquet(
+              graft.operators.IndexMaintenance
+                .parquetPartFiles(spark, s"$idx/postings.parquet"): _*)
+            D.incrementCandidates(oldBanded,
+              D.embeddingBandedOf(newE, nBands, bandBits, 64)
+                .withColumn("is_new", lit(true)),
+              10000L * nBands, Int.MaxValue, "embingest").count()
+          }
+          time(s"stageC_probe_b$b") {
+            D.embeddingDedupIncrement(spark, batch, idx,
+              nBands = nBands, bandBits = bandBits, append = false).count()
+          }
+          time(s"stageD_full_b$b") {
+            D.embeddingIncrementSurvivors(spark, batch, idx,
+              nBands = nBands, bandBits = bandBits, append = true).count()
+          }
+          graft.Checkpoints.release(newE)
           spark.catalog.clearCache(); Checkpoints.releaseAll()
         }
 

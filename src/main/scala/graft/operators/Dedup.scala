@@ -573,7 +573,8 @@ object Dedup {
     *    during materialization and would be invisible to a metrics walk
     *    over the returned result — it is surfaced HERE as a GUARD-ARMED
     *    stderr line at collection time. */
-  private def incrementCandidates(oldBanded: DataFrame, newBanded: DataFrame,
+  // private[graft]: the embingest ScaleProbe stages the per-batch cost
+  private[graft] def incrementCandidates(oldBanded: DataFrame, newBanded: DataFrame,
                                   nNewKeys: Long, bucketCap: Int,
                                   tag: String): DataFrame = {
     val probeKeys = newBanded.select(col("band"), col("bkey")).distinct()
@@ -593,7 +594,11 @@ object Dedup {
           .select(col("band"), col("bkey"))
         all.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
       }
-    val trimmed = graft.Checkpoints.local(trimmedRaw)
+    // un-capped probes (the embedding family) return `all` unchanged —
+    // re-checkpointing the already-checkpointed frame was a full second
+    // materialization pass per micro-batch (round-16 embingest probe)
+    val trimmed =
+      if (trimmedRaw eq all) all else graft.Checkpoints.local(trimmedRaw)
     if (bucketCap != Int.MaxValue)
       graft.Observed.metrics(trimmedRaw).foreach { case (name, row) =>
         val armed = name.startsWith("graft_lsh_trim_") &&
@@ -1878,7 +1883,8 @@ object Dedup {
     * banding arithmetic as [[embeddingNearDupPairs]], single-sourced so
     * the index build, the increment probe, and the full-corpus tier can
     * never drift. */
-  private def embeddingBandedOf(e: DataFrame, nBands: Int, bandBits: Int,
+  // private[graft]: the embingest ScaleProbe stages the per-batch cost
+  private[graft] def embeddingBandedOf(e: DataFrame, nBands: Int, bandBits: Int,
                                 dim: Int): DataFrame = {
     val planes = VectorOps.hyperplanes(nBands * bandBits, dim)
     val bandArr = array((0 until nBands).map { b =>
