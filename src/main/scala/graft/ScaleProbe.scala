@@ -44,6 +44,11 @@ object ScaleProbe {
     val mode = sys.env.getOrElse("SPARK_GRAFT_SCALE_MODE", "battery")
     val dst = s"/tmp/sf${k}x_$mode"
 
+    def time2[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"SCALE${k}X[$mode] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
     def time(name: String)(f: => Unit): Double = {
       val t0 = System.nanoTime(); f
       val sec = (System.nanoTime() - t0) / 1e9
@@ -1139,10 +1144,41 @@ object ScaleProbe {
             val oldBanded = spark.read.parquet(
               graft.operators.IndexMaintenance
                 .parquetPartFiles(spark, s"$idx/postings.parquet"): _*)
-            D.incrementCandidates(oldBanded,
+            val n = D.incrementCandidates(oldBanded,
               D.embeddingBandedOf(newE, nBands, bandBits, 64)
                 .withColumn("is_new", lit(true)),
               10000L * nBands, Int.MaxValue, "embingest").count()
+            println(s"SCALE${k}X[embingest] cands_b$b n=$n")
+          }
+          // sub-stages of B, inlined from incrementCandidates' body
+          locally {
+            val newBanded = D.embeddingBandedOf(newE, nBands, bandBits, 64)
+              .withColumn("is_new", lit(true))
+            time(s"stageB1_probekeys_b$b") {
+              newBanded.select(col("band"), col("bkey")).distinct().count()
+            }
+            val oldBanded = spark.read.parquet(
+              graft.operators.IndexMaintenance
+                .parquetPartFiles(spark, s"$idx/postings.parquet"): _*)
+            val probeKeys = newBanded.select(col("band"), col("bkey")).distinct()
+            val touched = oldBanded
+              .join(broadcast(probeKeys), Seq("band", "bkey"), "left_semi")
+              .withColumn("is_new", lit(false))
+            time(s"stageB2_touched_b$b")(touched.count())
+            val all = time2(s"stageB3_ckpt_b$b") {
+              graft.Checkpoints.local(touched.unionByName(newBanded))
+            }
+            time(s"stageB4_selfjoin_b$b") {
+              all.filter(col("is_new")).as("x")
+                .join(all.as("y"),
+                  col("x.band") === col("y.band") &&
+                    col("x.bkey") === col("y.bkey") &&
+                    col("x.doc_id") =!= col("y.doc_id"))
+                .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+                  greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+                .distinct().count()
+            }
+            graft.Checkpoints.release(all)
           }
           time(s"stageC_probe_b$b") {
             D.embeddingDedupIncrement(spark, batch, idx,

@@ -1886,14 +1886,42 @@ object Dedup {
   // private[graft]: the embingest ScaleProbe stages the per-batch cost
   private[graft] def embeddingBandedOf(e: DataFrame, nBands: Int, bandBits: Int,
                                 dim: Int): DataFrame = {
-    val planes = VectorOps.hyperplanes(nBands * bandBits, dim)
-    val bandArr = array((0 until nBands).map { b =>
-      struct(lit(b).as("band"),
-        VectorOps.srpBucket(col("embedding"),
-          planes.slice(b * bandBits, (b + 1) * bandBits)).as("bkey"))
-    }: _*)
-    e.select(col("doc_id"), explode(bandArr).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
+    // WHY a broadcast-planes mapPartitions, not the srpBucket expression
+    // tree (round-16, the embingest probe's finding): 16 bands × 12 bits
+    // is 192 DotProduct nodes each carrying a 64-double plane literal —
+    // past whole-stage codegen's method limit the tree evaluates
+    // INTERPRETED, and the banding pass measured 6 s per 10k-vector
+    // micro-batch (vs ~0.2 s for this loop) — the same
+    // plan-literal-blowout class [[graft.functions.CentroidAssign]]
+    // measured and documented. The planes are DATA, broadcast once per
+    // plan; the scalar loop mirrors DotProduct's sequential float→double
+    // left fold and srpBucket's `dot ≥ 0 → bit i` rule EXACTLY, so every
+    // hash-gated oracle over the banded keys is bit-identical
+    // (IncrementalDedupSpec's embedding laws + ● q_dedup_embedding pin it).
+    val s = e.sparkSession
+    val planes: Array[Array[Double]] =
+      VectorOps.hyperplanes(nBands * bandBits, dim).map(_.toArray).toArray
+    val bc = s.sparkContext.broadcast(planes)
+    import s.implicits._
+    e.select(col("doc_id"), col("embedding")).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val pl = bc.value
+        it.flatMap { case (id, v) =>
+          (0 until nBands).iterator.map { b =>
+            var key = 0L
+            var j = 0
+            while (j < bandBits) {
+              val p = pl(b * bandBits + j)
+              var d = 0.0
+              var i = 0
+              while (i < p.length) { d += v(i).toDouble * p(i); i += 1 }
+              if (d >= 0) key |= (1L << j)
+              j += 1
+            }
+            (id, b, key)
+          }
+        }
+      }.toDF("doc_id", "band", "bkey")
   }
 
   /** Near-dup a NEW batch of vectors against a [[buildEmbeddingIndex]]
@@ -2230,21 +2258,19 @@ object Dedup {
   def embeddingNearDupPairs(s: SparkSession, dir: String, threshold: Double = 0.4,
                             nBands: Int = 16, bandBits: Int = 4): DataFrame = {
     val dim = 64
-    val planes = VectorOps.hyperplanes(nBands * bandBits, dim)
     val e = Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),
               VectorOps.l2Norm(col("embedding")).as("norm"))
-    val bandArr = array((0 until nBands).map { b =>
-      struct(lit(b).as("band"),
-        VectorOps.srpBucket(col("embedding"),
-          planes.slice(b * bandBits, (b + 1) * bandBits)).as("bkey"))
-    }: _*)
     // banded key table: (vec_id, band, bkey) only — the 64-float vectors do
     // NOT ride through the candidate self-join. Cached: both sides of the
-    // self-join reuse it, and the 64 plane projections per vector are the
-    // expensive part of signature computation.
-    val banded = e.select(col("vec_id"), explode(bandArr).as("bb"))
-      .select(col("vec_id"), col("bb.band"), col("bb.bkey"))
+    // self-join reuse it, and the plane projections per vector are the
+    // expensive part of signature computation. Shares [[embeddingBandedOf]]
+    // (the broadcast-planes loop — see its WHY note; same planes, same
+    // fold, bit-identical keys).
+    val banded = embeddingBandedOf(
+        e.select(col("vec_id").as("doc_id"), col("embedding")),
+        nBands, bandBits, dim)
+      .withColumnRenamed("doc_id", "vec_id")
       .cache()
     // NO bucket cap: 2^bandBits buckets per band means bucket size tracks
     // population, not similarity — widen bandBits at scale instead.
