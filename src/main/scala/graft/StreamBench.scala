@@ -223,6 +223,52 @@ object StreamBench {
         Some(run(fullRows, "timed", doAppend = true))
       } else None
 
+    // fullIngest with the PERSISTED exact state maintained per batch
+    // (round-16: the reworked keeper ladder — partitioned base + bloom +
+    // flat delta — in the stream composition; the default tier above
+    // keeps the continuous watermark-dedup exact stages)
+    val fullExactStateSec: Option[Double] =
+      if (new java.io.File(s"$fixtureDir/documents.parquet").exists) {
+        val mhIdx = java.nio.file.Files.createTempDirectory("sb-fullx-mh-").toString
+        val spIdx = java.nio.file.Files.createTempDirectory("sb-fullx-sp-").toString
+        graft.operators.Dedup.buildMinhashIndex(spark,
+          Tables(spark, fixtureDir, "documents"), mhIdx, s"$mhIdx#base")
+        graft.operators.Dedup.buildExactState(spark,
+          Tables(spark, fixtureDir, "documents").select($"doc_id", $"text"), mhIdx)
+        graft.operators.Dedup.buildSpanIndex(spark,
+          Tables(spark, fixtureDir, "documents").select($"doc_id", $"text"), spIdx)
+        val corpusFps = graft.operators.TextAnalysis
+          .fingerprint(spark, fixtureDir).select($"fp_md5")
+        val fullRows = docRows.map(r => (r._1 + 40000000L, r._2, r._3))
+        def run(rows: Seq[(Long, String, java.sql.Timestamp)], tag: String,
+                mh: String, sp: String, doAppend: Boolean): Double = timed {
+          val in = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+          val docs = in.toDF().toDF("doc_id", "text", "event_time")
+          val q = graft.streaming.DocPipeline.fullIngest(docs, corpusFps,
+              mh, sp, s"$mh#$tag", append = doAppend,
+              maintainExactState = true) { out =>
+            out.write.format("noop").mode("overwrite").save()
+          }.start()
+          in.addData(rows)
+          q.processAllAvailable(); q.stop()
+        }
+        // warm against THROWAWAY state: appendExactState always appends
+        // (no probe-only mode), so warming on the timed index would
+        // register the warm texts and convict their timed re-arrivals
+        locally {
+          val mhW = java.nio.file.Files.createTempDirectory("sb-fullxw-mh-").toString
+          val spW = java.nio.file.Files.createTempDirectory("sb-fullxw-sp-").toString
+          graft.operators.Dedup.buildMinhashIndex(spark,
+            Tables(spark, fixtureDir, "documents"), mhW, s"$mhW#base")
+          graft.operators.Dedup.buildExactState(spark,
+            Tables(spark, fixtureDir, "documents").select($"doc_id", $"text"), mhW)
+          graft.operators.Dedup.buildSpanIndex(spark,
+            Tables(spark, fixtureDir, "documents").select($"doc_id", $"text"), spW)
+          run(fullRows.take(2000), "xwarm", mhW, spW, doAppend = false)
+        }
+        Some(run(fullRows, "xtimed", mhIdx, spIdx, doAppend = true))
+      } else None
+
     // SELECTION-ingest tier (round-14): the frozen-model at-ingest scorer
     // (StreamSelect.scoredIngest — DSIR weight + Gumbel-threshold
     // admission + backoff-LM score per doc) with the model trained ONCE
@@ -337,6 +383,7 @@ object StreamBench {
       s""""doc_pipeline_fixture_docs_per_sec":${fixSec.map(x => f0(nDocs / x)).getOrElse("null")},""" +
       s""""doc_pipeline_neardup_docs_per_sec":${nearDupSec.map(x => f0(nDocs / x)).getOrElse("null")},""" +
       s""""doc_pipeline_full_docs_per_sec":${fullIngestSec.map(x => f0(nDocs / x)).getOrElse("null")},""" +
+      s""""doc_pipeline_full_exactstate_docs_per_sec":${fullExactStateSec.map(x => f0(nDocs / x)).getOrElse("null")},""" +
       s""""span_ingest_docs_per_sec":${spanIngestSec.map(x => f0(nDocs / x)).getOrElse("null")},""" +
       s""""select_ingest_docs_per_sec":${selectIngestSec.map(x => f0(nDocs / x)).getOrElse("null")},""" +
       s""""stream_vecs":$nStreamVecs,""" +
