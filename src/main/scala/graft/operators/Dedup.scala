@@ -1418,6 +1418,13 @@ object Dedup {
         "at index build (the batch increment gates on it; a stream with " +
         "maintainExactState must be pointed at an index built WITH exact state)")
     migrateLegacyKeepers(s, indexDir) // no-op once partitioned (own lease)
+    // self-maintaining delta (the compactIfNeeded telemetry trigger,
+    // in-line because the stream path owns no maintenance cadence): one
+    // flat file lands per batch, and past the threshold the probe's
+    // rung-3 delta read would start to dominate — fold BEFORE taking the
+    // append lease (fold takes its own)
+    if (IndexFamily.flatDeltaFiles(s, keepersPathOf(indexDir)).size > 64)
+      foldKeeperDelta(s, indexDir)
     // the keeper lease covers the stored READ too, not just the append:
     // with the stream a second writer of this table (round-15
     // maintainExactState), two writers carrying the same new hash could
