@@ -1483,6 +1483,47 @@ object ScaleProbe {
           report("fullIngest", walls, rdds)
           spark.catalog.clearCache(); Checkpoints.releaseAll()
         }
+        // round-16: the same 50 batches through the PERSISTED-exact-state
+        // leg (the reworked keeper ladder — partitioned base + bloom +
+        // flat delta, one file per batch). Claims: per-batch wall FLAT
+        // (the probe is bloom+pruned+delta, never ∝ keepers) and storage
+        // at its floor per batch.
+        locally {
+          val mhIdx = java.nio.file.Files.createTempDirectory("ing50x-mh-").toString
+          val spIdx = java.nio.file.Files.createTempDirectory("ing50x-sp-").toString
+          graft.operators.Dedup.buildMinhashIndex(spark,
+            Tables(spark, fixtureDir, "documents"), mhIdx, s"$mhIdx#base")
+          graft.operators.Dedup.buildExactState(spark,
+            Tables(spark, fixtureDir, "documents").select(col("doc_id"), col("text")),
+            mhIdx)
+          graft.operators.Dedup.buildSpanIndex(spark,
+            Tables(spark, fixtureDir, "documents").select(col("doc_id"), col("text")),
+            spIdx)
+          val corpusFps = graft.operators.TextAnalysis
+            .fingerprint(spark, fixtureDir).select(col("fp_md5"))
+          val in = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+          val q = graft.streaming.DocPipeline.fullIngest(
+              in.toDF().toDF("doc_id", "text", "event_time"), corpusFps,
+              mhIdx, spIdx, s"$mhIdx#ing50x", append = true,
+              maintainExactState = true) { out =>
+            out.write.format("noop").mode("overwrite").save()
+          }.start()
+          val walls = new Array[Double](nBatches)
+          val rdds = new Array[Int](nBatches)
+          try {
+            for (b <- 0 until nBatches) {
+              val t0 = System.nanoTime()
+              in.addData(batchRows(b)); q.processAllAvailable()
+              walls(b) = (System.nanoTime() - t0) / 1e9
+              rdds(b) = spark.sparkContext.getPersistentRDDs.size
+            }
+          } finally q.stop()
+          report("fullIngestExactState", walls, rdds)
+          println(s"SCALE${k}X[ingest50] fullIngestExactState keeper delta files: " +
+            graft.operators.IndexFamily.flatDeltaFiles(spark,
+              s"$mhIdx/exact_keepers.parquet").size)
+          spark.catalog.clearCache(); Checkpoints.releaseAll()
+        }
         locally {
           val md = java.nio.file.Files.createTempDirectory("ing50-sel-").toString
           graft.operators.Selection.buildSelectionModel(spark,
