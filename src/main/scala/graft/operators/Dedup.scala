@@ -970,6 +970,14 @@ object Dedup {
     * existed. */
   private[graft] def foldKeeperDelta(s: SparkSession, indexDir: String): Boolean = {
     val path = keepersPathOf(indexDir)
+    // a LEGACY flat keeper table (pre-partitioned-layout build) has no
+    // `.parts` handshake and no hkey column, and flatDeltaFiles would
+    // return its own DATA files — migrate first (no-op once partitioned),
+    // after which the delta is empty by construction. Self-defending here
+    // covers every caller: compactIndex/compactIfNeeded reach this fold
+    // WITHOUT the appendExactState path's own migrate call (round-16
+    // advice: compaction crashed on every legacy exact-state index).
+    migrateLegacyKeepers(s, indexDir)
     val deltaFiles = IndexFamily.flatDeltaFiles(s, path)
     if (deltaFiles.isEmpty) return false
     IndexFamily.withLease(s, path) {
@@ -984,9 +992,18 @@ object Dedup {
       .join(deltaKeys, Seq("hkey"), "left_semi")
     IndexFamily.mergeTouched(s, path, "hkey", deltaKeys,
       keep.unionByName(delta).distinct())
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    deltaFiles.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
+    // delete the folded delta UNDER the table lease (round-16 advice): a
+    // concurrent appendExactState lists-and-materializes the delta inside
+    // its own lease window (its probe frame is eagerly checkpointed), so
+    // a leased deletion can never unlink files a prober still has lazy
+    // reads over; two concurrent folds remain a loud no-corruption race
+    // (the second fold's distinct() absorbs the first's merged rows, and
+    // its deletes of already-gone files are no-ops)
+    IndexFamily.withLease(s, path) {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      deltaFiles.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
+    }
     graft.Checkpoints.release(delta)
     System.err.println(s"[graft] foldKeeperDelta($path): folded " +
       s"${deltaFiles.size} delta files into ${parts.size}/" +

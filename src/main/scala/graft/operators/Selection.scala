@@ -385,7 +385,30 @@ object Selection {
         // pre-round-16 models carry no cutoff column: they were built
         // unpruned (the historical minCount=1)
         if (meta.length >= 7) meta.getLong(6) else 1L)
-    })
+    }) match {
+      case m =>
+        // the handshake CONSULTED, not write-only (round-16 advice): a
+        // corrupt cutoff refuses loudly, and the served model's pruning
+        // discipline is announced once per JVM per modelDir — the "scorer
+        // can always tell what model it serves" promise made observable
+        require(m.minCount >= 1L,
+          s"selection model at $modelDir carries min_count=${m.minCount} " +
+            "(must be >= 1) — meta is corrupt, rebuild the model")
+        if (announcedModels.add(modelDir))
+          System.err.println(s"[graft] scoreWithStoredModel: serving $modelDir " +
+            s"(min_count=${m.minCount}, " +
+            s"${if (m.minCount > 1L) "Brants-pruned" else "unpruned"}; " +
+            s"${m.bgmRows} bigram / ${m.ugmRows} unigram rows)")
+        m
+    }
+
+  private val announcedModels =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** The stored model's persisted Brants cutoff — the meta handshake's
+    * public read side (specs pin the build→serve round-trip with it). */
+  def storedModelMinCount(s: SparkSession, modelDir: String): Long =
+    loadStoredModel(s, modelDir).minCount
 
   /** Score a batch `(doc_id, text)` against the FROZEN model at
     * `modelDir` — the at-ingest scorer ([[graft.streaming.StreamSelect]]

@@ -358,6 +358,48 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestBase {
       s"out-of-order arrival must connect to the stored keeper: ${edgeSet(idx)}")
   }
 
+  test("compactIndex / compactIfNeeded on an index with a LEGACY flat keeper " +
+       "table migrate it instead of crashing, preserving the keeper set") {
+    import spark.implicits._
+    // a near-dup index dir that ALSO carries exact state — the fullIngest
+    // composition compaction maintains (round-16 advice: foldKeeperDelta
+    // on a legacy flat table read the table's own files as a "delta" and
+    // crashed on the missing hkey column)
+    val d = docsAt(sf).filter(col("doc_id") < 60)
+    val idx = tmpIdx("legacycompact")
+    Dedup.buildMinhashIndex(spark, d, idx, s"$idx#b")
+    Dedup.buildExactState(spark, d.select(col("doc_id"), col("text")), idx)
+    val keepersPath = s"$idx/exact_keepers.parquet"
+    val before = graft.operators.IndexFamily.readSnapshot(spark, keepersPath)
+      .select(col("text_hash"), col("keep_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // flatten to the PRE-round-16 legacy layout (no .parts, no sidecars)
+    val fs = new org.apache.hadoop.fs.Path(keepersPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(keepersPath), true)
+    Seq(".parts", ".maxid", ".idbloom", ".idpending").foreach(sfx =>
+      fs.delete(new org.apache.hadoop.fs.Path(keepersPath + sfx), false))
+    before.toSeq.toDF("text_hash", "keep_id")
+      .coalesce(1).write.mode("overwrite").parquet(keepersPath)
+    Dedup.compactIndex(spark, idx, nFiles = 2) // crashed before the fix
+    assert(fs.exists(new org.apache.hadoop.fs.Path(keepersPath + ".parts")),
+      "compaction must migrate the legacy keeper table to the partitioned layout")
+    def keeperSet = graft.operators.IndexFamily.readSnapshot(spark, keepersPath)
+      .select(col("text_hash"), col("keep_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(keeperSet == before, "migration must preserve the keeper set")
+    // the telemetry trigger's keeper-delta leg must also survive a
+    // re-flattened table (it calls the same fold)
+    fs.delete(new org.apache.hadoop.fs.Path(keepersPath), true)
+    Seq(".parts", ".maxid", ".idbloom", ".idpending").foreach(sfx =>
+      fs.delete(new org.apache.hadoop.fs.Path(keepersPath + sfx), false))
+    before.toSeq.toDF("text_hash", "keep_id")
+      // >1 files so the legacy table itself could be mistaken for a delta
+      .repartition(3).write.mode("overwrite").parquet(keepersPath)
+    Dedup.compactIfNeeded(spark, idx, maxPartFiles = 2)
+    assert(keeperSet == before)
+  }
+
   test("keeper-probe bloom ladder: stale-HIGH never false-accepts, stored " +
        "hashes are never stale-LOW, and the probe reads ~maybes partitions") {
     import spark.implicits._

@@ -273,6 +273,18 @@ class SelectionSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("the persisted Brants cutoff round-trips build → serve (the meta " +
+       "handshake is consulted, not write-only)") {
+    val d = Tables(spark, sf, "documents").limit(40)
+    val md3 = freshModelDir("cutoff3")
+    Selection.buildSelectionModel(spark, d, md3, minCount = 3L)
+    assert(Selection.storedModelMinCount(spark, md3) == 3L)
+    val mdDef = freshModelDir("cutoffdef")
+    Selection.buildSelectionModel(spark, d, mdDef)
+    assert(Selection.storedModelMinCount(spark, mdDef) ==
+      Selection.StoredModelMinCount)
+  }
+
   test("stored-model threshold admits exactly the offline top-k on the build corpus") {
     val md = freshModelDir("threshold")
     val d = Tables(spark, sf, "documents")
