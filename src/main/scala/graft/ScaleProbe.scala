@@ -1141,9 +1141,9 @@ object ScaleProbe {
               .agg(count(lit(1))).head()
           }
           time(s"stageB_cands_b$b") {
-            val oldBanded = spark.read.parquet(
-              graft.operators.IndexMaintenance
-                .parquetPartFiles(spark, s"$idx/postings.parquet"): _*)
+            val oldBanded = graft.operators.IndexFamily
+              .readSnapshot(spark, s"$idx/postings.parquet")
+              .select(col("doc_id"), col("band"), col("bkey"))
             val n = D.incrementCandidates(oldBanded,
               D.embeddingBandedOf(newE, nBands, bandBits, 64)
                 .withColumn("is_new", lit(true)),
@@ -1157,9 +1157,9 @@ object ScaleProbe {
             time(s"stageB1_probekeys_b$b") {
               newBanded.select(col("band"), col("bkey")).distinct().count()
             }
-            val oldBanded = spark.read.parquet(
-              graft.operators.IndexMaintenance
-                .parquetPartFiles(spark, s"$idx/postings.parquet"): _*)
+            val oldBanded = graft.operators.IndexFamily
+              .readSnapshot(spark, s"$idx/postings.parquet")
+              .select(col("doc_id"), col("band"), col("bkey"))
             val probeKeys = newBanded.select(col("band"), col("bkey")).distinct()
             val touched = oldBanded
               .join(broadcast(probeKeys), Seq("band", "bkey"), "left_semi")
@@ -1190,6 +1190,115 @@ object ScaleProbe {
           }
           graft.Checkpoints.release(newE)
           spark.catalog.clearCache(); Checkpoints.releaseAll()
+        }
+
+      case "embflat" =>
+        // §8.5.17 addendum (round-16 verdict tasks 1+6): per-batch probe
+        // wall vs STORED INDEX SIZE after the partitioned vector tables —
+        // the claim is the verify leg (64 floats + join per stored row,
+        // the term §8.5.17 named) is now ∝ candidate ids, never ∝ index,
+        // while the postings semi-join scan remains a column-pruned
+        // 24-byte/row pass whose constant the table prices. Arms per
+        // size: the PARTITIONED layout (hasParts) and a LEGACY flat twin
+        // of the same content driven through the same public increment
+        // (the pre-r17 full-scan reads), stream grain (500-vector
+        // batches, 10% stored near-dups).
+        import spark.implicits._
+        val D = graft.operators.Dedup
+        val IF = graft.operators.IndexFamily
+        def synthVec(id: Long): Array[Float] = {
+          var x = id * 6364136223846793005L + 1442695040888963407L
+          Array.tabulate(64) { _ =>
+            x = x * 6364136223846793005L + 1442695040888963407L
+            ((x >>> 40).toInt % 2048) / 1024.0f - 1.0f
+          }
+        }
+        val (nBands, bandBits) = (16, 12)
+        val batchN = 500
+        for (nIdx <- Seq(70000L, 200000L, 700000L)) {
+          val idx = s"$dst/embidx_$nIdx"
+          val flat = s"$dst/embflat_$nIdx"
+          locally {
+            val p = new org.apache.hadoop.fs.Path(dst)
+            val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            fsys.delete(new org.apache.hadoop.fs.Path(idx), true)
+            fsys.delete(new org.apache.hadoop.fs.Path(flat), true)
+            fsys.mkdirs(p)
+          }
+          val idxVecs = spark.range(nIdx).select(col("id").as("vec_id"))
+            .as[Long].map(i => (i, synthVec(i))).toDF("vec_id", "embedding")
+          time(s"build_n$nIdx")(
+            D.buildEmbeddingIndex(spark, idxVecs, idx, nBands, bandBits, 64))
+          // legacy flat twin: same content, pre-r17 layout (no .parts) —
+          // the increment's hasParts branch serves it with full scans
+          IF.readSnapshot(spark, s"$idx/vectors.parquet")
+            .write.parquet(s"$flat/vectors.parquet")
+          IF.readSnapshot(spark, s"$idx/postings.parquet")
+            .select(col("doc_id"), col("band"), col("bkey"))
+            .write.parquet(s"$flat/postings.parquet")
+          spark.read.parquet(s"$idx/meta.parquet")
+            .write.parquet(s"$flat/meta.parquet")
+          IF.seedIdGuards(spark, s"$flat/vectors.parquet", "doc_id")
+          var next = 10L * nIdx
+          def batch(): DataFrame = {
+            val rows = (0 until batchN).map { i =>
+              val id = next + i
+              val v = if (i % 10 == 0) synthVec((id * 7919L) % nIdx)
+                      else synthVec(5L * nIdx + id)
+              (id, v)
+            }
+            next += batchN
+            rows.toDF("vec_id", "embedding")
+          }
+          for (rep <- 0 until 3) {
+            val b = batch()
+            time(s"probe_part_n${nIdx}_$rep") {
+              D.embeddingDedupIncrement(spark, b, idx,
+                nBands = nBands, bandBits = bandBits, append = false).count()
+            }
+            time(s"probe_flat_n${nIdx}_$rep") {
+              D.embeddingDedupIncrement(spark, b, flat,
+                nBands = nBands, bandBits = bandBits, append = false).count()
+            }
+            spark.catalog.clearCache(); Checkpoints.releaseAll()
+          }
+          // appended arm: delta accumulation + the in-line fold trigger
+          for (rep <- 0 until 3) {
+            val b = batch()
+            time(s"append_part_n${nIdx}_$rep") {
+              D.embeddingDedupIncrement(spark, b, idx,
+                nBands = nBands, bandBits = bandBits, append = true).count()
+            }
+            spark.catalog.clearCache(); Checkpoints.releaseAll()
+          }
+        }
+        // SEMANTIC leg (task 6's second half): the cid-partitioned
+        // touched-cells read is ∝ batch cells (≤ k), never ∝ index
+        for (nIdx <- Seq(70000L, 700000L)) {
+          val idx = s"$dst/semidx_$nIdx"
+          locally {
+            val p = new org.apache.hadoop.fs.Path(idx)
+            val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            fsys.delete(p, true)
+          }
+          val cents = graft.operators.Dedup.SemTwoLevelCents // K=64 two-level
+          val idxVecs = spark.range(nIdx).select(col("id").as("vec_id"))
+            .as[Long].map(i => (i, synthVec(i))).toDF("vec_id", "embedding")
+          time(s"sem_build_n$nIdx")(
+            D.buildSemanticIndex(spark, idxVecs, idx, cents))
+          var next = 10L * nIdx
+          for (rep <- 0 until 3) {
+            val rows = (0 until batchN).map { i =>
+              val id = next + i
+              (id, synthVec(5L * nIdx + id))
+            }
+            next += batchN
+            val b = rows.toDF("vec_id", "embedding")
+            time(s"sem_probe_n${nIdx}_$rep") {
+              D.semanticDedupIncrement(spark, b, idx, append = false).count()
+            }
+            spark.catalog.clearCache(); Checkpoints.releaseAll()
+          }
         }
 
       case "keeperprobe" =>

@@ -678,7 +678,7 @@ object Dedup {
 
   /** The split boundary as portable SQL — `(max(doc_id)+1)·num/den` in
     * integer arithmetic, the same value [[incrementSplitAt]] computes. */
-  private[operators] val incrementSplitSql: String =
+  private[graft] val incrementSplitSql: String =
     s"(SELECT ((max(doc_id) + 1) * $IncrementSplitNum) // $IncrementSplitDen FROM documents)"
 
   def minhashIndexBuildSql(): String =
@@ -983,31 +983,17 @@ object Dedup {
     IndexFamily.withLease(s, path) {
       IndexFamily.writeIdBloom(s, path, "hkey")
     }
-    val delta = graft.Checkpoints.local(s.read.parquet(deltaFiles: _*))
-    val deltaKeys = delta.select(col("hkey")).distinct()
-    val parts = IndexFamily.touchedPartitions(s, path, deltaKeys, "hkey")
-    // rows already partitioned that SHARE a touched hkey must re-enter the
-    // merge (mergeTouched replaces by key) — hkey collisions only, ~none
-    val keep = IndexFamily.readPartitions(s, path, parts)
-      .join(deltaKeys, Seq("hkey"), "left_semi")
-    IndexFamily.mergeTouched(s, path, "hkey", deltaKeys,
-      keep.unionByName(delta).distinct())
-    // delete the folded delta UNDER the table lease (round-16 advice): a
+    // the shared merge+delete core (round-17 — the embedding/semantic
+    // vector tables fold through the same code): only the files LISTED
+    // before the bloom rebuild are folded, so a file appended mid-fold
+    // stays in the delta (read wholesale by the probe) instead of
+    // entering the base under a bloom that lacks it. Deletion of the
+    // folded files runs under the table lease (round-16 advice) — a
     // concurrent appendExactState lists-and-materializes the delta inside
-    // its own lease window (its probe frame is eagerly checkpointed), so
-    // a leased deletion can never unlink files a prober still has lazy
-    // reads over; two concurrent folds remain a loud no-corruption race
-    // (the second fold's distinct() absorbs the first's merged rows, and
-    // its deletes of already-gone files are no-ops)
-    IndexFamily.withLease(s, path) {
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      deltaFiles.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
-    }
-    graft.Checkpoints.release(delta)
-    System.err.println(s"[graft] foldKeeperDelta($path): folded " +
-      s"${deltaFiles.size} delta files into ${parts.size}/" +
-      s"${IndexFamily.partsOf(s, path)} partitions")
+    // its own lease window, so the delete can never unlink files a
+    // prober still holds lazy reads over; two concurrent folds remain a
+    // loud no-corruption race (distinct() absorbs, re-deletes are no-ops).
+    IndexFamily.foldDeltaFiles(s, path, "hkey", deltaFiles)
     true
   }
 
@@ -1708,8 +1694,19 @@ object Dedup {
     * documented collapse-first discipline for mega-clusters. */
   def simhashPairsWide(s: SparkSession, dir: String, maxHamming: Int = 3,
                        nBlocks: Int = 6,
-                       bucketCap: Int = HotBucketCap): DataFrame = {
-    val fps = simhashFingerprints(s, dir).cache()
+                       bucketCap: Int = HotBucketCap): DataFrame =
+    simhashPairsWideFrom(simhashFingerprints(s, dir).cache(), maxHamming,
+      nBlocks, bucketCap)
+
+  /** The wide tier over a CALLER-SUPPLIED `(doc_id, simhash)` fingerprint
+    * table — `private[graft]` like [[simhashPairsFrom]]: the pigeonhole
+    * contract is fingerprint-agnostic, so
+    * [[graft.multimodal.Multimodal.phashPairsWide]] rides the identical
+    * banding+verify for its perceptual hashes (round-16 verdict task 2 —
+    * the multimodal family's production-scale tier). */
+  private[graft] def simhashPairsWideFrom(fps: DataFrame, maxHamming: Int,
+                                          nBlocks: Int,
+                                          bucketCap: Int): DataFrame = {
     val banded = simhashWideBandedOf(fps, maxHamming, nBlocks)
     bandedCandidatePairs(banded, "doc_id", "doc_a", "doc_b", bucketCap)
       .join(fps.select(col("doc_id").as("doc_a"), col("simhash").as("fp_a")), "doc_a")
@@ -1736,6 +1733,16 @@ object Dedup {
     * — the banding law of the production SimHash tier, single-sourced for
     * [[simhashPairsWide]] and the persisted index
     * ([[buildSimhashIndex]]/[[simhashDedupIncrement]]). */
+  /** Max per-(band,bkey) posting population of the wide banding — the
+    * spec-facing telemetry of the wide tier's bucket-mass claim (hot
+    * buckets mean near-dup clusters, not corpus fractions). */
+  private[graft] def simhashWideBandedPopulation(fps: DataFrame,
+                                                 maxHamming: Int,
+                                                 nBlocks: Int): Long =
+    simhashWideBandedOf(fps, maxHamming, nBlocks)
+      .groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head().getLong(0)
+
   private def simhashWideBandedOf(fps: DataFrame, maxHamming: Int,
                                   nBlocks: Int): DataFrame = {
     val bounds = wideBlockBounds(nBlocks)
@@ -1768,9 +1775,22 @@ object Dedup {
     * the full-recompute comparison is the brute-force all-pairs oracle
     * itself, because the wide tier is pigeonhole-EXACT at ≤ maxHamming. */
   def buildSimhashIndex(s: SparkSession, d: DataFrame, indexDir: String,
-                        maxHamming: Int = 3, nBlocks: Int = 6): Unit = {
+                        maxHamming: Int = 3, nBlocks: Int = 6): Unit =
+    buildFingerprintIndex(s, simhashFingerprintsOf(s, d), indexDir,
+      maxHamming, nBlocks)
+
+  /** The build over a CALLER-SUPPLIED `(doc_id, simhash)` fingerprint
+    * table — the persisted wide-key index machinery is
+    * fingerprint-agnostic like the banding itself, so the multimodal
+    * perceptual-hash family ([[graft.multimodal.Multimodal
+    * .buildPhashIndex]]) persists through the identical layout, sidecars,
+    * and meta handshake (round-16 verdict task 2). */
+  private[graft] def buildFingerprintIndex(s: SparkSession, fpsIn: DataFrame,
+                                           indexDir: String,
+                                           maxHamming: Int,
+                                           nBlocks: Int): Unit = {
     import s.implicits._
-    val fps = simhashFingerprintsOf(s, d).cache()
+    val fps = fpsIn.cache()
     fps.write.mode("overwrite").parquet(s"$indexDir/fingerprints.parquet")
     // re-seed the id sidecars from the fresh content (buildMinhashIndex's
     // argument: stale-LOW survivors from a previous build would let the
@@ -1799,7 +1819,23 @@ object Dedup {
                             maxHamming: Int = 3, nBlocks: Int = 6,
                             bucketCap: Int = HotBucketCap,
                             append: Boolean = true,
-                            strictIds: Boolean = true): DataFrame = {
+                            strictIds: Boolean = true): DataFrame =
+    fingerprintDedupIncrement(s, simhashFingerprintsOf(s, newDocs), indexDir,
+      maxHamming, nBlocks, bucketCap, append, strictIds,
+      "simhashDedupIncrement")
+
+  /** The increment over a CALLER-SUPPLIED batch fingerprint table — the
+    * [[buildFingerprintIndex]] counterpart, shared verbatim with the
+    * multimodal perceptual-hash family
+    * ([[graft.multimodal.Multimodal.phashDedupIncrement]]). */
+  private[graft] def fingerprintDedupIncrement(s: SparkSession,
+                                               newFpsIn: DataFrame,
+                                               indexDir: String,
+                                               maxHamming: Int, nBlocks: Int,
+                                               bucketCap: Int,
+                                               append: Boolean,
+                                               strictIds: Boolean,
+                                               op: String): DataFrame = {
     val meta = s.read.parquet(s"$indexDir/meta.parquet").head()
     require(meta.getInt(0) == SimhashBits && meta.getInt(1) == nBlocks &&
         meta.getInt(2) == maxHamming,
@@ -1810,13 +1846,13 @@ object Dedup {
     val oldFps = s.read.parquet(parquetPartFiles(s, s"$indexDir/fingerprints.parquet"): _*)
     // registry checkpoint, not .cache() — the per-micro-batch strong-ref
     // accumulation argument at dedupIncrement's newSigs
-    val newFps = graft.Checkpoints.local(simhashFingerprintsOf(s, newDocs))
+    val newFps = graft.Checkpoints.local(newFpsIn)
     val nNew = newFps.count()
     val nBands = wideSubsets(maxHamming, nBlocks).length
     val newBanded = simhashWideBandedOf(newFps, maxHamming, nBlocks)
       .withColumn("is_new", lit(true))
     val cands = incrementCandidates(oldBanded, newBanded,
-      nNew * nBands, bucketCap, "simhashDedupIncrement")
+      nNew * nBands, bucketCap, op)
     val allFps = oldFps.unionByName(newFps)
     // same backfill guard as dedupIncrement's verify: broadcast only while
     // the batch is under the probe bound, else let AQE pick the join
@@ -1831,7 +1867,7 @@ object Dedup {
       // gated append contract + sidecar advance + lease-held sized write,
       // like dedupIncrement's (IndexFamily.appendWithIdGuards)
       IndexFamily.appendWithIdGuards(newFps, s"$indexDir/fingerprints.parquet",
-        "doc_id", nNew, appendFileCount(nNew), "simhashDedupIncrement", strictIds)
+        "doc_id", nNew, appendFileCount(nNew), op, strictIds)
       IndexFamily.withLease(s, s"$indexDir/postings.parquet") {
         simhashWideBandedOf(newFps, maxHamming, nBlocks)
           .coalesce(appendFileCount(nNew * nBands))
@@ -1886,18 +1922,50 @@ object Dedup {
     * `doc_id` is the embeddings table's `vec_id` — the shared maintenance
     * machinery ([[compactIndex]], [[deleteFromDedupIndex]]) is keyed on
     * `doc_id` across all three layouts. */
+  /** The embedding-family state tables' layout modulus, auto-sized at
+    * build so a PARTITION stays ~constant bytes as the index grows —
+    * what makes the increment's candidate-pruned vector read FLAT in
+    * index size (cost ∝ candidate ids × partition size, the §8.5.16
+    * keeper argument): a fixed modulus would let partition size grow ∝
+    * index and pruning would decay back to a full scan. ~512 vectors
+    * (dim 64 ≈ 140 KB) per partition; [[IndexFamily.repartitionState]]
+    * migrates a deployment whose corpus outgrows the build-time choice. */
+  private[graft] def embStateParts(nVectors: Long): Int =
+    math.max(16L, math.min(4096L, (nVectors + 511L) / 512L)).toInt
+
+  /** The embedding postings table's layout key: one hash over the probe
+    * pair `(band, bkey)` — stored in the files (the keeper table's hkey
+    * convention) so maintenance rewrites scatter rows without re-deriving
+    * it. */
+  private def postingKey(band: Column, bkey: Column): Column =
+    xxhash64(band, bkey)
+
   def buildEmbeddingIndex(s: SparkSession, vecs: DataFrame, indexDir: String,
                           nBands: Int = 16, bandBits: Int = 4,
                           dim: Int = 64): Unit = {
     import s.implicits._
     val e = vecs.select(col("vec_id").as("doc_id"), col("embedding"),
       VectorOps.l2Norm(col("embedding")).as("norm")).cache()
-    e.write.mode("overwrite").parquet(s"$indexDir/vectors.parquet")
+    // hash-partitioned on doc_id (round-16 verdict task 1: the verify
+    // join reads only the partitions the candidate ids touch instead of
+    // the whole vector table per micro-batch — the ∝-index term §8.5.17
+    // named)
+    val nParts = embStateParts(e.count())
+    IndexFamily.writePartitioned(e, s"$indexDir/vectors.parquet",
+      "doc_id", nParts)
     // re-seed the id sidecars from the fresh content (the
     // buildMinhashIndex stale-LOW argument)
     IndexFamily.seedIdGuards(s, s"$indexDir/vectors.parquet", "doc_id")
-    embeddingBandedOf(e, nBands, bandBits, dim)
-      .write.mode("overwrite").parquet(s"$indexDir/postings.parquet")
+    // postings hash-partitioned on pkey = xxhash64(band, bkey): the
+    // increment probes with the batch's bucket keys, so only partitions
+    // holding a probed bucket are read. At toy bandBits the bucket space
+    // is dense and every partition is touched (no worse than the full
+    // scan it replaces); at the widened-at-scale bandBits the space is
+    // sparse and the pruning is real (§8.5.17 prices both).
+    IndexFamily.writePartitioned(
+      embeddingBandedOf(e, nBands, bandBits, dim)
+        .withColumn("pkey", postingKey(col("band"), col("bkey"))),
+      s"$indexDir/postings.parquet", "pkey", nParts)
     Seq((nBands, bandBits, dim)).toDF("n_bands", "band_bits", "dim")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta.parquet")
     e.unpersist()
@@ -1974,19 +2042,70 @@ object Dedup {
       s"index at $indexDir built with (bands,bits,dim)=" +
         s"(${meta.getInt(0)},${meta.getInt(1)},${meta.getInt(2)}); " +
         s"caller passed ($nBands,$bandBits,$dim) — rebuild the index")
-    val oldBanded = s.read.parquet(parquetPartFiles(s, s"$indexDir/postings.parquet"): _*)
-    val oldVecs = s.read.parquet(parquetPartFiles(s, s"$indexDir/vectors.parquet"): _*)
+    val postingsPath = s"$indexDir/postings.parquet"
+    val vectorsPath = s"$indexDir/vectors.parquet"
+    // pre-round-17 indexes are FLAT (no .parts handshake) — serve them
+    // with the legacy full-scan reads rather than refusing (rebuild or
+    // repartitionState to adopt the pruned layout)
+    val partitioned = IndexFamily.hasParts(s, postingsPath)
+    if (partitioned && append) {
+      // self-maintaining delta folds (the stream path owns no maintenance
+      // cadence — the appendExactState convention): past the threshold
+      // the wholesale delta read would start to dominate the pruned base.
+      // Gated on `append` — a read-only probe must not mutate the index
+      if (IndexFamily.flatDeltaFiles(s, postingsPath).size > 64)
+        IndexFamily.foldDelta(s, postingsPath, "pkey")
+      if (IndexFamily.flatDeltaFiles(s, vectorsPath).size > 64)
+        IndexFamily.foldDelta(s, vectorsPath, "doc_id")
+    }
     // registry checkpoint, not .cache() — the per-micro-batch strong-ref
     // accumulation argument at dedupIncrement's newSigs
     val newE = graft.Checkpoints.local(
       newVecs.select(col("vec_id").as("doc_id"), col("embedding"),
         VectorOps.l2Norm(col("embedding")).as("norm")))
     val nNew = newE.count()
-    val newBanded = embeddingBandedOf(newE, nBands, bandBits, dim)
-      .withColumn("is_new", lit(true))
-    val cands = graft.Checkpoints.local(incrementCandidates(oldBanded, newBanded,
-      nNew * nBands, Int.MaxValue, "embeddingDedupIncrement"))
-    val allVecs = oldVecs.unionByName(newE)
+    // checkpointed ONCE: the probe's touched-partition set, the candidate
+    // join's both sides, and the postings append all consume the banding
+    // (un-checkpointed, the mapPartitions pass re-ran per consumer)
+    val newBanded = graft.Checkpoints.local(
+      embeddingBandedOf(newE, nBands, bandBits, dim))
+    val newBandedFlagged = newBanded.withColumn("is_new", lit(true))
+    // PRUNED postings probe (round-16 verdict task 1): only partitions a
+    // batch bucket key hashes into are read; the flat append delta — ∝
+    // batches since fold — is read wholesale, the keeper ladder's rung 3
+    val oldBanded =
+      if (partitioned) {
+        val touched = IndexFamily.touchedPartitions(s, postingsPath,
+          newBanded.select(postingKey(col("band"), col("bkey")).as("pkey")),
+          "pkey")
+        val base = IndexFamily.readPartitions(s, postingsPath, touched)
+        val deltaF = IndexFamily.flatDeltaFiles(s, postingsPath)
+        (if (deltaF.isEmpty) base
+         else base.unionByName(s.read.parquet(deltaF: _*)))
+          .select(col("doc_id"), col("band"), col("bkey"))
+      } else {
+        s.read.parquet(parquetPartFiles(s, postingsPath): _*)
+      }
+    val cands = graft.Checkpoints.local(incrementCandidates(oldBanded,
+      newBandedFlagged, nNew * nBands, Int.MaxValue, "embeddingDedupIncrement"))
+    // PRUNED verify read: the exact-cosine join needs stored vectors only
+    // for ids a candidate pair touches — read their doc_id partitions
+    // (∝ candidate ids × ~constant partition size, never ∝ index) plus
+    // the wholesale flat delta; batch vectors come from newE
+    val storedVecs =
+      if (partitioned) {
+        val candIds = cands.select(
+          explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+        val touched = IndexFamily.touchedPartitions(s, vectorsPath,
+          candIds, "doc_id")
+        val base = IndexFamily.readPartitions(s, vectorsPath, touched)
+        val deltaF = IndexFamily.flatDeltaFiles(s, vectorsPath)
+        if (deltaF.isEmpty) base
+        else base.unionByName(s.read.parquet(deltaF: _*))
+      } else {
+        s.read.parquet(parquetPartFiles(s, vectorsPath): _*)
+      }
+    val allVecs = storedVecs.unionByName(newE)
     // broadcast-bound on the TRUE candidate count, not the batch-postings
     // proxy the text families use: the embedding probe is deliberately
     // un-trimmed (no hot-bucket cap — SRP recall), and near-orthogonal
@@ -2007,13 +2126,20 @@ object Dedup {
         floor(col("cos_sim") * lit(10000.0) + lit(0.5)).cast("long").as("cos_e4"))
     if (append) {
       // gated append contract + sidecar advance + lease-held sized write,
-      // like dedupIncrement's (IndexFamily.appendWithIdGuards)
-      IndexFamily.appendWithIdGuards(newE, s"$indexDir/vectors.parquet",
+      // like dedupIncrement's (IndexFamily.appendWithIdGuards). On the
+      // partitioned layout both appends land as FLAT root files — the LSM
+      // delta (one sized write per batch, no per-partition file spray;
+      // folded by the in-line trigger above / compactIndex)
+      IndexFamily.appendWithIdGuards(newE, vectorsPath,
         "doc_id", nNew, appendFileCount(nNew), "embeddingDedupIncrement", strictIds)
-      IndexFamily.withLease(s, s"$indexDir/postings.parquet") {
-        embeddingBandedOf(newE, nBands, bandBits, dim)
-          .coalesce(appendFileCount(nNew * nBands))
-          .write.mode("append").parquet(s"$indexDir/postings.parquet")
+      IndexFamily.withLease(s, postingsPath) {
+        // delta rows carry pkey so base and delta share one schema (the
+        // keeper table's stored-hkey convention)
+        val rows = if (partitioned)
+          newBanded.withColumn("pkey", postingKey(col("band"), col("bkey")))
+        else newBanded
+        rows.coalesce(appendFileCount(nNew * nBands))
+          .write.mode("append").parquet(postingsPath)
       }
     }
     result
@@ -2120,14 +2246,27 @@ object Dedup {
     // micro-batch's append and its ledger marker can duplicate rows —
     // semantically harmless, see StreamDedup.nearDupAgainstIndex, but
     // wasted bytes): rows are naturally unique per (doc, band) on a clean
-    // index, so this is a no-op there and the purity law holds either way
-    IndexMaintenance.rewriteSwap(s, s"$indexDir/postings.parquet")(
-      _.distinct()
-        .repartition(nFiles, col("band"), col("bkey"))
-        .sortWithinPartitions("band", "bkey"))
-    IndexMaintenance.rewriteSwap(s, s"$indexDir/${perDocTableOf(s, indexDir)}")(
-      _.distinct()
-        .repartition(nFiles, col("doc_id")).sortWithinPartitions("doc_id"))
+    // index, so this is a no-op there and the purity law holds either way.
+    // PARTITIONED tables (the round-17 embedding layout) compact through
+    // rewritePartitioned — a rewriteSwap would flatten the layout the
+    // increments' pruned probes depend on; it also absorbs the LSM delta
+    val postingsPath = s"$indexDir/postings.parquet"
+    if (IndexFamily.hasParts(s, postingsPath))
+      IndexFamily.rewritePartitioned(s, postingsPath, "pkey",
+        sortCols = Seq("band", "bkey"))(_.distinct())
+    else
+      IndexMaintenance.rewriteSwap(s, postingsPath)(
+        _.distinct()
+          .repartition(nFiles, col("band"), col("bkey"))
+          .sortWithinPartitions("band", "bkey"))
+    val perDocPath = s"$indexDir/${perDocTableOf(s, indexDir)}"
+    if (IndexFamily.hasParts(s, perDocPath))
+      IndexFamily.rewritePartitioned(s, perDocPath, "doc_id",
+        sortCols = Seq("doc_id"))(_.distinct())
+    else
+      IndexMaintenance.rewriteSwap(s, perDocPath)(
+        _.distinct()
+          .repartition(nFiles, col("doc_id")).sortWithinPartitions("doc_id"))
     // re-tighten the newness guard's bloom sidecar from the compacted
     // content: deletions and torn-append repairs only ever leave it
     // over-containing (safe), but compaction is the natural point to
@@ -2136,10 +2275,9 @@ object Dedup {
     // the bloom and is landing files) and overwrite the sidecar WITHOUT
     // the batch's ids — stale-LOW, the silent-false-accept direction
     // (round-14 review finding)
-    val perDoc = s"$indexDir/${perDocTableOf(s, indexDir)}"
-    if (IndexFamily.readIdBloom(s, perDoc).isDefined)
-      IndexFamily.withLease(s, perDoc) {
-        IndexFamily.writeIdBloom(s, perDoc, "doc_id")
+    if (IndexFamily.readIdBloom(s, perDocPath).isDefined)
+      IndexFamily.withLease(s, perDocPath) {
+        IndexFamily.writeIdBloom(s, perDocPath, "doc_id")
       }
     // exact-keeper LSM maintenance (round-16): fold the append delta into
     // the hash partitions and re-tighten the probe bloom to the surviving
@@ -2159,7 +2297,13 @@ object Dedup {
     * whether the batch was 500 docs or 5M). Returns whether it fired. */
   def compactIfNeeded(s: SparkSession, indexDir: String,
                       maxPartFiles: Int = 64, nFiles: Int = 8): Boolean = {
-    val n = IndexMaintenance.partFileCount(s, s"$indexDir/postings.parquet")
+    val postingsPath = s"$indexDir/postings.parquet"
+    // on the partitioned layout the signal is the LSM delta's file count
+    // — the base holds ~nParts files permanently by design, so the total
+    // would fire a (pointless) full rewrite on every call
+    val n = if (IndexFamily.hasParts(s, postingsPath))
+              IndexFamily.flatDeltaFiles(s, postingsPath).size
+            else IndexMaintenance.partFileCount(s, postingsPath)
     val fire = n > maxPartFiles
     if (fire) {
       System.err.println(s"[graft] compactIndex($indexDir): " +
@@ -2209,10 +2353,17 @@ object Dedup {
           IndexFamily.readSnapshot(s, statePath)
             .select(col("doc_id"), col("cluster_id"))))
       else None
-    IndexMaintenance.rewriteSwap(s, s"$indexDir/postings.parquet")(
-      _.join(ids, Seq("doc_id"), "left_anti"))
-    IndexMaintenance.rewriteSwap(s, s"$indexDir/${perDocTableOf(s, indexDir)}")(
-      _.join(ids, Seq("doc_id"), "left_anti"))
+    // partitioned tables (the round-17 embedding layout) rewrite-filter
+    // IN layout — a rewriteSwap would flatten them
+    def rewriteFiltered(path: String, keyCol: String): Unit =
+      if (IndexFamily.hasParts(s, path))
+        IndexFamily.rewritePartitioned(s, path, keyCol)(
+          _.join(ids, Seq("doc_id"), "left_anti"))
+      else
+        IndexMaintenance.rewriteSwap(s, path)(
+          _.join(ids, Seq("doc_id"), "left_anti"))
+    rewriteFiltered(s"$indexDir/postings.parquet", "pkey")
+    rewriteFiltered(s"$indexDir/${perDocTableOf(s, indexDir)}", "doc_id")
     val exactP = new org.apache.hadoop.fs.Path(s"$indexDir/exact_edges.parquet")
     if (exactP.getFileSystem(s.sparkContext.hadoopConfiguration).exists(exactP))
       deleteFromExactState(s, indexDir, ids)
@@ -2365,6 +2516,13 @@ object Dedup {
     * 0.95+ on L2-normalized CLIP embeddings; the knob is corpus-dependent). */
   val SemDedupTau = 0.4
 
+  /** Covering target for the BUILD-sized assignment depth (round-16
+    * verdict task 3): above the dense cutoff, [[buildSemanticIndex]]
+    * sizes the two-level probe so the sampled covering reaches this
+    * fraction of dense-argmax winners, and persists the choice in the
+    * meta handshake for increments to serve. */
+  val SemAssignCoveringTarget = 0.95
+
   /** SemDeDup with caller-supplied centroids — ONE plan for the learned
     * production tier ([[semanticDedup]]) and the literal-model oracle twin
     * (`q_dedup_semantic_lit`). The published algorithm, re-expressed in
@@ -2404,22 +2562,27 @@ object Dedup {
     * ties toward the higher cid; `cent_e4` is the e4-floored centroid
     * cosine the keep rule orders on (integer order parity is engine-stable
     * where raw-double ties would not be). */
-  private def semAssign(e: DataFrame, cents: Seq[Seq[Double]]): DataFrame =
+  private def semAssign(e: DataFrame, cents: Seq[Seq[Double]],
+                        nProbe: Int = 2): DataFrame =
     // routed through CentroidAssign (round-15): dense `greatest` at the
     // literal-twin model sizes (bit-identical values), two-level coarse-
     // quantized broadcast-model argmax past DenseCutoff — assignment
-    // ∝ n·√K·dim and still map-only, the §8.5.11 K-term closed
+    // ∝ n·√K·dim and still map-only, the §8.5.11 K-term closed. The
+    // default nProbe=2 is the literal twin's pinned depth
+    // (q_sem_assign_twolevel_lit); the persisted-index paths thread the
+    // build-sized stored depth through instead (round-16 verdict task 3)
     graft.functions.CentroidAssign.withBestCentroid(
         e.select(col("vec_id"), col("embedding")), "embedding", cents,
-        cidName = "__cid", simName = "__sim")
+        cidName = "__cid", simName = "__sim", nProbe = nProbe)
       .select(col("vec_id"), col("embedding"),
         VectorOps.l2Norm(col("embedding")).as("norm"),
         col("__cid").cast("long").as("cid"),
         floor(col("__sim") * lit(10000.0) + lit(0.5)).cast("long").as("cent_e4"))
 
   def semanticDedupWith(s: SparkSession, e: DataFrame, cents: Seq[Seq[Double]],
-                        tau: Double = SemDedupTau): DataFrame = {
-    val asg = semAssign(e, cents).cache()
+                        tau: Double = SemDedupTau,
+                        nProbe: Int = 2): DataFrame = {
+    val asg = semAssign(e, cents, nProbe).cache()
     val keys = asg.select(col("vec_id"), col("cid"))
     val cands = keys.select(col("cid"), col("vec_id").as("id_a"))
       .join(keys.select(col("cid"), col("vec_id").as("id_b")), Seq("cid"))
@@ -2621,18 +2784,41 @@ object Dedup {
     *  - `groups.parquet`: `(vec_id, cluster_id, keep)` for members of
     *    MULTI-member semantic groups only (absent ⇒ own singleton, keep)
     *    — state ∝ semantic-dup mass, the [[buildClusterState]] contract;
-    *  - `meta.parquet`: `(k, dim, tau)` — the increment re-derives
-    *    everything else from these plus the stored model. */
+    *  - `meta.parquet`: `(k, dim, tau, n_probe)` — the increment
+    *    re-derives everything else from these plus the stored model;
+    *    `n_probe` is the build-sized two-level assignment depth
+    *    (round-16 verdict task 3), frozen like the model itself. */
   def buildSemanticIndex(s: SparkSession, vecs: DataFrame, indexDir: String,
                          cents: Seq[Seq[Double]], tau: Double = SemDedupTau,
-                         dim: Int = 64): Unit = {
+                         dim: Int = 64,
+                         assignDepth: Option[Int] = None): Unit = {
     import s.implicits._
-    semAssign(vecs, cents)
-      .write.mode("overwrite").parquet(s"$indexDir/vectors.parquet")
+    // assignment depth SIZED AT BUILD (round-16 verdict task 3): above
+    // the dense cutoff the covering rule replaces the fixed nProbe=2, and
+    // the choice is FROZEN in meta so increments assign with exactly the
+    // function that built the stored cells (a depth mismatch would break
+    // cell-locality — the same argument as the frozen centroid model).
+    // `assignDepth` pins it instead: the depth is part of the frozen
+    // model, so a rebuild meant to equal an existing index (the
+    // convergence law's comparison arm) passes the stored one
+    val assignProbe = assignDepth.getOrElse {
+      if (cents.length <= graft.functions.CentroidAssign.DenseCutoff) 2
+      else graft.functions.CentroidAssign
+        .nProbeForCoveringOf(vecs, "embedding", cents, SemAssignCoveringTarget)
+    }
+    // hash-partitioned on cid (round-16 verdict task 1): the increment's
+    // touched-cell read prunes to the batch's cells the way groups.parquet
+    // already prunes to touched labels — a batch touches ≤ k cells, so
+    // the per-batch stored-assignment read is ∝ touched cells, never ∝
+    // index. One cell per partition while k ≤ the cap (pmod is identity
+    // on dense 0..k-1 cids).
+    IndexFamily.writePartitioned(semAssign(vecs, cents, assignProbe),
+      s"$indexDir/vectors.parquet", "cid",
+      math.max(1, math.min(1024, cents.length)))
     // re-seed the id sidecars from the fresh content (the
     // buildMinhashIndex stale-LOW argument)
     IndexFamily.seedIdGuards(s, s"$indexDir/vectors.parquet", "vec_id")
-    val state = semanticDedupWith(s, vecs, cents, tau)
+    val state = semanticDedupWith(s, vecs, cents, tau, assignProbe)
       .select(col("vec_id"), col("cluster_id"), col("keep"))
     val multi = state.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n")).filter(col("n") > 1).select(col("cluster_id"))
@@ -2645,7 +2831,7 @@ object Dedup {
     cents.zipWithIndex.map { case (c, i) => (i.toLong, c) }
       .toDF("cid", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/model.parquet")
-    Seq((cents.length, dim, tau)).toDF("k", "dim", "tau")
+    Seq((cents.length, dim, tau, assignProbe)).toDF("k", "dim", "tau", "n_probe")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta.parquet")
   }
 
@@ -2678,6 +2864,13 @@ object Dedup {
                              strictIds: Boolean = true): DataFrame = {
     val meta = s.read.parquet(s"$indexDir/meta.parquet").head()
     val tau = meta.getDouble(2)
+    // the build-frozen assignment depth (round-16 verdict task 3);
+    // pre-r17 indexes carry no n_probe column and load as the historical
+    // fixed 2 they were built with
+    val storedProbe =
+      if (meta.schema.fieldNames.contains("n_probe"))
+        meta.getInt(meta.fieldIndex("n_probe"))
+      else 2
     val cents: Seq[Seq[Double]] = s.read.parquet(s"$indexDir/model.parquet")
       .orderBy(col("cid")).collect()
       .map(r => r.getSeq[Double](1).toSeq).toSeq
@@ -2692,12 +2885,34 @@ object Dedup {
     // recovery from a true race remains deleteFromSemanticIndex + retry)
     if (append) IndexFamily.requireNoLease(s, groupsPath,
       "semanticDedupIncrement (state-merge pre-check)")
-    val oldAsg = s.read.parquet(parquetPartFiles(s, s"$indexDir/vectors.parquet"): _*)
+    val vecsPath = s"$indexDir/vectors.parquet"
     val groups = IndexFamily.readSnapshot(s, groupsPath)
-    val newAsg = graft.Checkpoints.local(semAssign(newVecs, cents))
+    val newAsg = graft.Checkpoints.local(semAssign(newVecs, cents, storedProbe))
     val nNew = newAsg.count()
     // cells the batch touches (≤ k rows — always broadcastable)
     val batchCells = broadcast(newAsg.select(col("cid")).distinct())
+    // PRUNED stored-assignment read (round-16 verdict task 1): on the
+    // cid-partitioned layout only the batch's cells are read — sound for
+    // BOTH consumers below (touchedOld semi-joins batchCells; centE joins
+    // on touched-group member vec_ids, and every member of a touched
+    // group shares its cell with a batch vector because semantic pairs
+    // are same-cell by construction) — plus the wholesale flat delta
+    // (∝ batches since fold, the keeper ladder's rung 3). Legacy flat
+    // indexes (no .parts) keep the full-scan read.
+    val oldAsg =
+      if (IndexFamily.hasParts(s, vecsPath)) {
+        if (append &&
+            IndexFamily.flatDeltaFiles(s, vecsPath).size > 64)
+          IndexFamily.foldDelta(s, vecsPath, "cid")
+        val base = IndexFamily.readPartitions(s, vecsPath,
+          IndexFamily.touchedPartitions(s, vecsPath,
+            newAsg.select(col("cid")), "cid"))
+        val deltaF = IndexFamily.flatDeltaFiles(s, vecsPath)
+        if (deltaF.isEmpty) base
+        else base.unionByName(s.read.parquet(deltaF: _*))
+      } else {
+        s.read.parquet(parquetPartFiles(s, vecsPath): _*)
+      }
     val touchedOld = oldAsg.join(batchCells, Seq("cid"), "left_semi")
       .withColumn("is_new", lit(false))
     val allSide = touchedOld.unionByName(newAsg.withColumn("is_new", lit(true)))
@@ -2769,7 +2984,12 @@ object Dedup {
     * state by `cluster_id`. Pure reorganization (`distinct()` also repairs
     * any torn-append duplication, as for [[compactIndex]]). */
   def compactSemanticIndex(s: SparkSession, indexDir: String, nFiles: Int = 8): Unit = {
-    IndexMaintenance.rewriteSwap(s, s"$indexDir/vectors.parquet")(
+    // partitioned layout (round 17) compacts in layout, absorbing the LSM
+    // delta; legacy flat indexes keep the rewriteSwap
+    if (IndexFamily.hasParts(s, s"$indexDir/vectors.parquet"))
+      IndexFamily.rewritePartitioned(s, s"$indexDir/vectors.parquet", "cid",
+        sortCols = Seq("cid", "vec_id"))(_.distinct())
+    else IndexMaintenance.rewriteSwap(s, s"$indexDir/vectors.parquet")(
       _.distinct()
         .repartition(nFiles, col("cid")).sortWithinPartitions("cid", "vec_id"))
     // re-tighten the bloom sidecar from the compacted content, under the
@@ -2806,7 +3026,10 @@ object Dedup {
     val stFull = graft.Checkpoints.local(
       IndexFamily.readSnapshot(s, statePath)
         .select(col("vec_id"), col("cluster_id"), col("keep")))
-    IndexMaintenance.rewriteSwap(s, s"$indexDir/vectors.parquet")(
+    if (IndexFamily.hasParts(s, s"$indexDir/vectors.parquet"))
+      IndexFamily.rewritePartitioned(s, s"$indexDir/vectors.parquet", "cid")(
+        _.join(ids, Seq("vec_id"), "left_anti"))
+    else IndexMaintenance.rewriteSwap(s, s"$indexDir/vectors.parquet")(
       _.join(ids, Seq("vec_id"), "left_anti"))
     val touchedLabels = broadcast(
       stFull.join(ids, Seq("vec_id"), "left_semi")
@@ -2814,8 +3037,9 @@ object Dedup {
     val memberIds = stFull.join(touchedLabels, Seq("cluster_id"), "left_semi")
       .join(ids, Seq("vec_id"), "left_anti")
       .select(col("vec_id"))
-    // post-delete assignment of touched-group survivors
-    val asg = s.read.parquet(parquetPartFiles(s, s"$indexDir/vectors.parquet"): _*)
+    // post-delete assignment of touched-group survivors (snapshot read —
+    // layout-agnostic; deletion is rare maintenance, not the probe path)
+    val asg = IndexFamily.readSnapshot(s, s"$indexDir/vectors.parquet")
       .join(memberIds, Seq("vec_id"), "left_semi")
     val l = asg.select(col("cid"), col("vec_id").as("id_a"),
       col("embedding").as("v_a"), col("norm").as("n_a"))

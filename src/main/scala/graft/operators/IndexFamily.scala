@@ -176,6 +176,61 @@ object IndexFamily {
       .filter(e => e.isFile && e.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toString)
 
+  /** Whether `path` carries the partitioned-layout handshake. The read
+    * paths branch on this, NOT on directory shape: a legacy flat table's
+    * own data files are root-level `.parquet` and would be mistaken for
+    * an LSM delta (the round-16 compaction-crash class). */
+  def hasParts(s: SparkSession, path: String): Boolean =
+    fsFor(s, path).exists(hp(partsFile(path)))
+
+  /** Fold a partitioned table's flat LSM append delta into its hash
+    * partitions — the generic compaction step of the append-as-delta
+    * discipline (the keeper-table ladder's fold, shared since round 17
+    * with the embedding/semantic vector tables). The delta file list is
+    * captured ONCE up front and only those files are merged and deleted,
+    * so a concurrent append's fresh delta file is never folded-and-kept
+    * nor dropped-unfolded; a crash after the merge but before the delete
+    * leaves duplicate rows — decision-neutral (the next fold's
+    * `.distinct()` removes them). The deletion runs under the table
+    * lease: a concurrent prober lists AND materializes the delta inside
+    * its own lease window, so a leased delete can never unlink files a
+    * prober still holds lazy reads over. Returns whether a delta
+    * existed. */
+  def foldDelta(s: SparkSession, path: String, keyCol: String): Boolean = {
+    val deltaFiles = flatDeltaFiles(s, path)
+    if (deltaFiles.isEmpty) return false
+    foldDeltaFiles(s, path, keyCol, deltaFiles)
+    true
+  }
+
+  /** The fold's merge+delete core over a pre-captured delta file list —
+    * split out so [[graft.operators.Dedup.foldKeeperDelta]] can insert
+    * its bloom rebuild between the capture and the merge (the bloom must
+    * cover exactly base ∪ captured-delta BEFORE the merge lands, or a
+    * file appended mid-fold would be folded into the base under a bloom
+    * that lacks it — the stale-LOW false-accept direction). */
+  private[graft] def foldDeltaFiles(s: SparkSession, path: String,
+                                    keyCol: String,
+                                    deltaFiles: Seq[String]): Unit = {
+    val delta = graft.Checkpoints.local(s.read.parquet(deltaFiles: _*))
+    val deltaKeys = delta.select(col(keyCol)).distinct()
+    val parts = touchedPartitions(s, path, deltaKeys, keyCol)
+    // partitioned rows SHARING a touched key must re-enter the merge
+    // (mergeTouched replaces by key)
+    val keep = readPartitions(s, path, parts)
+      .join(deltaKeys, Seq(keyCol), "left_semi")
+    mergeTouched(s, path, keyCol, deltaKeys,
+      keep.unionByName(delta).distinct())
+    withLease(s, path) {
+      val fs = fsFor(s, path)
+      deltaFiles.foreach(f => fs.delete(hp(f), false))
+    }
+    graft.Checkpoints.release(delta)
+    System.err.println(s"[graft] foldDelta($path): folded " +
+      s"${deltaFiles.size} delta files into ${parts.size}/" +
+      s"${partsOf(s, path)} partitions")
+  }
+
   // -----------------------------------------------------------------
   // Hash-partitioned decision state (round-13 verdict task 1)
   // -----------------------------------------------------------------
@@ -397,7 +452,11 @@ object IndexFamily {
   /** Full rewrite of a partitioned table that PRESERVES the layout —
     * compaction's shape: `transform` the whole content, land it
     * partitioned, swap every partition (including dropping live
-    * partitions the new content no longer populates). */
+    * partitions the new content no longer populates). Any flat LSM delta
+    * files are ABSORBED: the snapshot read includes them, and the listed
+    * files are deleted inside the same lease after the swap (left in
+    * place, their rows would double on the next read — appends hold the
+    * table lease, so the capture can't miss a file the snapshot read). */
   def rewritePartitioned(s: SparkSession, path: String, keyCol: String,
                          sortCols: Seq[String] = Nil)
                         (transform: DataFrame => DataFrame): Unit = {
@@ -406,6 +465,7 @@ object IndexFamily {
     val fs = fsFor(s, path)
     withLease(s, path) { // covers repair→read→stage→swap (see mergeTouched)
       repairTorn(s, path)
+      val absorbedDelta = flatDeltaFiles(s, path)
       val staged = transform(readSnapshot(s, path))
         .withColumn("_p", partOf(col(keyCol), nParts))
         .repartition(col("_p"))
@@ -423,6 +483,10 @@ object IndexFamily {
           require(fs.rename(fresh, live), s"could not swap $live (old at $park)")
         fs.delete(park, true)
       }
+      // the absorbed delta drops AFTER the swap (a crash between leaves
+      // duplicate rows — decision-neutral, the next rewrite's transform
+      // re-distincts; dropping BEFORE would lose the rows on a crash)
+      absorbedDelta.foreach(f => fs.delete(hp(f), false))
       // inside the lease for the same successor-wipe reason as mergeTouched's
       fs.delete(hp(staging), true)
     }

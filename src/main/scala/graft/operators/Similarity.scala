@@ -26,6 +26,11 @@ object Similarity {
 
   val DefaultK = 10
   val QueryCount = 5 // vec_id < 5 are the demo query vectors
+  /** Covering target for the BUILD-sized assignment depth (round-16
+    * verdict task 3): the smallest nProbe whose sampled two-level
+    * covering reaches this fraction of dense-argmax winners. Declared at
+    * the object head (the val-init-order trap). */
+  val AssignCoveringTarget = 0.95
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
@@ -91,14 +96,19 @@ object Similarity {
 
   /** Assign each vector its nearest centroid id by cosine (argmax via an
     * orderable struct — ties break toward the higher cid, deterministic).
-    * Centroids are literals, so assignment is one map-only pass. */
-  private def assignCid(e: DataFrame, cents: Seq[Seq[Double]]): DataFrame =
+    * Centroids are literals, so assignment is one map-only pass. `nProbe`
+    * is the two-level path's probed-cell depth ABOVE DenseCutoff (a
+    * no-op below it — dense is exact); the persisted-index paths thread
+    * the BUILD-sized depth through here (round-16 verdict task 3) so
+    * build, append, and drift telemetry assign identically. */
+  private def assignCid(e: DataFrame, cents: Seq[Seq[Double]],
+                        nProbe: Int = 2): DataFrame =
     // CentroidAssign (round-15): dense below DenseCutoff — bit-identical
     // to `greatest(centroidScores)`, keeping every literal-twin plan —
     // two-level coarse-quantized broadcast-model argmax above it
     // (assignment ∝ n·√K·dim, still map-only)
     graft.functions.CentroidAssign.withBestCentroid(e, "embedding", cents,
-      cidName = "cid", simName = "__sim").drop("__sim")
+      cidName = "cid", simName = "__sim", nProbe = nProbe).drop("__sim")
 
   /** Per-centroid `(sim, cid)` orderable structs over `embedding` —
     * retained as the spec-pinned dense-twin arithmetic
@@ -853,29 +863,49 @@ object Similarity {
   def buildIvfPqIndexOver(s: SparkSession, vecs: DataFrame, indexDir: String,
                           cents: Seq[Seq[Double]], books: Seq[Seq[Double]],
                           m: Int = 8, subDim: Int = 8,
-                          k: Int = 16): (Seq[Seq[Double]], Seq[Seq[Double]]) = {
+                          k: Int = 16,
+                          assignDepth: Option[Int] = None): (Seq[Seq[Double]], Seq[Seq[Double]]) = {
     import s.implicits._
+    // assignment depth SIZED AT BUILD (round-16 verdict task 3): above
+    // DenseCutoff the two-level argmax probes `assignProbe` coarse cells,
+    // chosen by the covering rule over the build corpus instead of a
+    // fixed 2 — and FROZEN in the model meta so appends and drift
+    // telemetry assign with exactly the function that built the lists
+    // (below the cutoff dense assignment is exact; the sizing pass is
+    // never paid). `assignDepth` pins the depth instead — the depth is
+    // PART of the frozen model, so a rebuild that must equal an existing
+    // index (the append≡rebuild law's comparison arm) passes the stored
+    // one rather than re-sizing over its own (different) corpus
+    val assignProbe = assignDepth.getOrElse {
+      if (cents.length <= graft.functions.CentroidAssign.DenseCutoff) 2
+      else graft.functions.CentroidAssign
+        .nProbeForCoveringOf(vecs, "embedding", cents, AssignCoveringTarget)
+    }
     // codes are HASH-PARTITIONED on cid (round 13): `cid` is the search's
     // probe key — annIvfPqSearch reads ONLY the partitions the probed
     // lists hash into, which is the physical form of the "scan the probed
     // lists" promise (rowgroup stats pruned within a file before; now the
     // unprobed files are never opened at all)
     IndexFamily.writePartitioned(
-      pqEncodeResiduals(assignCid(vecs, cents).select(col("vec_id"), col("cid"), col("embedding")),
+      pqEncodeResiduals(
+        assignCid(vecs, cents, assignProbe).select(col("vec_id"), col("cid"), col("embedding")),
         cents, books, m, subDim, k),
       s"$indexDir/codes.parquet", "cid")
     // drift baselines: the build corpus's assignment fit and IVF list
     // occupancy under the model just frozen — what ivfPqDriftCheck
     // compares every future append against (bounded sampled scans;
     // NaN-guarded for empty builds)
-    val fit = ivfPqAssignmentFit(s, vecs, cents)
+    val fit = ivfPqAssignmentFit(s, vecs, cents, nProbe = assignProbe)
     val occ = if (fit.isNaN) Nil
               else Seq(("fit", 0, Seq(fit)),
-                       ("occ", 0, ivfPqOccupancy(s, vecs, cents)))
+                       ("occ", 0, ivfPqOccupancy(s, vecs, cents, nProbe = assignProbe)))
     // the meta row pins the build hyperparameters: a search with different
     // (m, subDim, k, nCentroids) would mis-index books(j·k + c) and return
-    // plausible-but-wrong neighbors — annIvfPqSearch require()s agreement
-    (Seq(("meta", 0, Seq(m.toDouble, subDim.toDouble, k.toDouble, cents.length.toDouble))) ++
+    // plausible-but-wrong neighbors — annIvfPqSearch require()s agreement.
+    // 5th value: the frozen assignment depth (pre-r17 indexes lack it and
+    // load as the historical 2)
+    (Seq(("meta", 0, Seq(m.toDouble, subDim.toDouble, k.toDouble,
+        cents.length.toDouble, assignProbe.toDouble))) ++
       occ ++
       cents.zipWithIndex.map { case (c, i) => ("cent", i, c) } ++
       books.zipWithIndex.map { case (b, i) => ("book", i, b) })
@@ -893,7 +923,9 @@ object Similarity {
                      kNN: Int = DefaultK, nProbe: Int = 2, rerank: Int = 50,
                      m: Int = 8, subDim: Int = 8, k: Int = 16,
                      nQueries: Int = QueryCount): DataFrame = {
-    val (cents, books) = loadIvfPqModel(s, indexDir, m, subDim, k)
+    // search probes QUERY-side lists via its own nProbe knob; the stored
+    // assignment depth only matters to writers (build/append/telemetry)
+    val (cents, books, _) = loadIvfPqModel(s, indexDir, m, subDim, k)
     val codesPath = s"$indexDir/codes.parquet"
     // the cid-partitioned layout makes "scan the probed lists" physical:
     // read ONLY the partitions the probed cids hash into — unprobed code
@@ -916,7 +948,7 @@ object Similarity {
     * the same file), not a caller comparison. */
   private def loadIvfPqModel(s: SparkSession, indexDir: String,
                              m: Int, subDim: Int,
-                             k: Int): (Seq[Seq[Double]], Seq[Seq[Double]]) = {
+                             k: Int): (Seq[Seq[Double]], Seq[Seq[Double]], Int) = {
     val model = s.read.parquet(s"$indexDir/model.parquet")
       .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getSeq[Double](2).toSeq).toMap
     val cents = (0 until model.count(_._1._1 == "cent")).map(i => model(("cent", i)))
@@ -926,12 +958,15 @@ object Similarity {
     require(meta.map(_.toInt).take(3) == Seq(m, subDim, k),
       s"index at $indexDir built with (m,subDim,k)=(${meta.map(_.toInt).take(3).mkString(",")}); " +
         s"caller passed ($m,$subDim,$k)")
-    require(meta.map(_.toInt).drop(3) == Seq(cents.length),
+    require(meta(3).toInt == cents.length,
       s"index at $indexDir is self-inconsistent: meta says ${meta(3).toInt} centroids, " +
         s"model file holds ${cents.length}")
     require(books.length == m * k,
       s"index at $indexDir holds ${books.length} codewords, expected m*k=${m * k}")
-    (cents, books)
+    // 5th meta value: the build-frozen assignment depth (round-16 verdict
+    // task 3); pre-r17 indexes carry 4 values and load as the historical
+    // fixed 2 they were built with
+    (cents, books, meta.lift(4).map(_.toInt).getOrElse(2))
   }
 
   /** APPEND a batch of new vectors to a [[buildIvfPqIndex]]-persisted
@@ -950,7 +985,7 @@ object Similarity {
   def appendToIvfPqIndex(s: SparkSession, newVecs: DataFrame, indexDir: String,
                          m: Int = 8, subDim: Int = 8, k: Int = 16,
                          driftTolerance: Double = 0.05): DataFrame = {
-    val (cents, books) = loadIvfPqModel(s, indexDir, m, subDim, k)
+    val (cents, books, storedProbe) = loadIvfPqModel(s, indexDir, m, subDim, k)
     // the rebuild trigger, armed per append (bounded sampled scan of the
     // batch): appends keep working under drift — stale quantization is a
     // recall degradation, not an error — but the operator says so loudly
@@ -962,7 +997,12 @@ object Similarity {
           "rebuild the index")
       }
     val codes = pqEncodeResiduals(
-      assignCid(newVecs, cents).select(col("vec_id"), col("cid"), col("embedding")),
+      // the stored depth, not a fixed 2: appended codes must land in the
+      // SAME lists a from-scratch rebuild with this model would produce,
+      // or the append≡rebuild law (IvfPqAppendSpec) breaks above the
+      // dense cutoff
+      assignCid(newVecs, cents, storedProbe)
+        .select(col("vec_id"), col("cid"), col("embedding")),
       cents, books, m, subDim, k)
     // append into the cid-partitioned layout; the lease check inside makes
     // the append-vs-maintenance race refuse instead of losing rows
@@ -1029,13 +1069,14 @@ object Similarity {
     * points, so the statistic costs O(1) at any corpus size. */
   def ivfPqAssignmentFit(s: SparkSession, vecs: DataFrame,
                          cents: Seq[Seq[Double]],
-                         maxRows: Int = 65536): Double = {
+                         maxRows: Int = 65536,
+                         nProbe: Int = 2): Double = {
     val sampled = vecs.select(col("vec_id"), col("embedding"))
       .orderBy(xxhash64(col("vec_id"), lit(7)), col("vec_id"))
       .limit(maxRows)
     val row = graft.functions.CentroidAssign
       .withBestCentroid(sampled, "embedding", cents,
-        cidName = "__cid", simName = "__csim")
+        cidName = "__cid", simName = "__csim", nProbe = nProbe)
       .agg(avg(col("__csim"))).head()
     if (row.isNullAt(0)) Double.NaN else row.getDouble(0)
   }
@@ -1049,13 +1090,14 @@ object Similarity {
     * bounded-sample discipline as [[ivfPqAssignmentFit]]. */
   def ivfPqOccupancy(s: SparkSession, vecs: DataFrame,
                      cents: Seq[Seq[Double]],
-                     maxRows: Int = 65536): Seq[Double] = {
+                     maxRows: Int = 65536,
+                     nProbe: Int = 2): Seq[Double] = {
     val sampled = vecs.select(col("vec_id"), col("embedding"))
       .orderBy(xxhash64(col("vec_id"), lit(7)), col("vec_id"))
       .limit(maxRows)
     val counts = graft.functions.CentroidAssign
       .withBestCentroid(sampled, "embedding", cents,
-        cidName = "cid", simName = "__sim")
+        cidName = "cid", simName = "__sim", nProbe = nProbe)
       .groupBy(col("cid")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val total = math.max(1L, counts.values.sum)
@@ -1095,19 +1137,23 @@ object Similarity {
                       m: Int = 8, subDim: Int = 8, k: Int = 16,
                       fitTolerance: Double = 0.05,
                       occTolerance: Double = 0.25): Option[IvfPqDrift] = {
-    val (cents, _) = loadIvfPqModel(s, indexDir, m, subDim, k)
+    // both legs measure under the index's STORED assignment depth — the
+    // baselines were computed with it at build, and comparing statistics
+    // of two different assignment functions would read as spurious drift
+    val (cents, _, storedProbe) = loadIvfPqModel(s, indexDir, m, subDim, k)
     val stored = s.read.parquet(s"$indexDir/model.parquet")
       .filter(col("kind").isin("fit", "occ"))
       .collect().map(r => r.getString(0) -> r.getSeq[Double](2).toSeq).toMap
     stored.get("fit").map { fitRow =>
       val occTv = stored.get("occ") match {
         case Some(baseOcc) =>
-          val batchOcc = ivfPqOccupancy(s, newVecs, cents)
+          val batchOcc = ivfPqOccupancy(s, newVecs, cents, nProbe = storedProbe)
           0.5 * baseOcc.zipAll(batchOcc, 0.0, 0.0)
             .map { case (p, q) => math.abs(p - q) }.sum
         case None => 0.0
       }
-      IvfPqDrift(fitRow.head, ivfPqAssignmentFit(s, newVecs, cents),
+      IvfPqDrift(fitRow.head,
+        ivfPqAssignmentFit(s, newVecs, cents, nProbe = storedProbe),
         occTv, fitTolerance, occTolerance)
     }
   }

@@ -123,7 +123,7 @@ class IndexMaintenanceSpec extends AnyFunSuite with SparkTestBase {
       vecs.filter(col("vec_id") >= split), idxB, append = false))
     assert(incA == incB && incB.nonEmpty,
       s"missing=${incB.keySet -- incA.keySet} extra=${incA.keySet -- incB.keySet}")
-    assert(spark.read.parquet(s"$idxA/vectors.parquet")
+    assert(graft.operators.IndexFamily.readSnapshot(spark, s"$idxA/vectors.parquet")
       .filter(col("doc_id").isin(deleted: _*)).count() == 0)
   }
 
@@ -184,7 +184,7 @@ class IndexMaintenanceSpec extends AnyFunSuite with SparkTestBase {
       vecs.filter(col("vec_id") < split && !col("vec_id").isin(deleted: _*)), idxB, cents)
     assert(stateOf(idxA) == stateOf(idxB),
       "post-delete state must equal the one-shot rebuild's (keeps re-elected)")
-    assert(spark.read.parquet(s"$idxA/vectors.parquet")
+    assert(graft.operators.IndexFamily.readSnapshot(spark, s"$idxA/vectors.parquet")
       .filter(col("vec_id").isin(deleted: _*)).count() == 0)
     val incA = tuples(Dedup.semanticDedupIncrement(spark,
       vecs.filter(col("vec_id") >= split), idxA, append = false))

@@ -42,6 +42,41 @@ class IvfPqAppendSpec extends AnyFunSuite with SparkTestBase {
       "appended index and same-model full rebuild must serve identical results")
   }
 
+  test("build above the dense cutoff persists the covering-sized assignment " +
+       "depth and append serves it (round-17: stored-depth law)") {
+    import graft.functions.CentroidAssign
+    val split = Similarity.ivfPqAppendSplitAt(spark, sf)
+    val old = emb.filter(col("vec_id") < split)
+    val batch = emb.filter(col("vec_id") >= split)
+    // K=64 > DenseCutoff: the two-level assignment path, where a fixed
+    // nProbe=2 and the covering-sized depth can genuinely disagree
+    val cents = graft.operators.Dedup.SemTwoLevelCents
+    val books = VectorOps.hyperplanes(8 * 16, 8, seed = 79L)
+    val idxAppended = tmpIdx("depth-appended")
+    Similarity.buildIvfPqIndexOver(spark, old, idxAppended, cents, books)
+    // the persisted 5th meta value IS the covering rule's choice over the
+    // build corpus (deterministic hash-ordered sample — recomputable)
+    val meta = spark.read.parquet(s"$idxAppended/model.parquet")
+      .filter(col("kind") === "meta").head().getSeq[Double](2)
+    assert(meta.length == 5, s"meta row must carry the assignment depth: $meta")
+    val expected = CentroidAssign.nProbeForCoveringOf(
+      old.select(col("vec_id"), col("embedding")), "embedding", cents,
+      Similarity.AssignCoveringTarget)
+    assert(meta(4).toInt == expected,
+      s"stored depth ${meta(4).toInt} != covering rule's $expected")
+    assert(expected >= 1 && expected <= math.ceil(math.sqrt(64.0)).toInt)
+    // append ≡ same-model rebuild must STILL hold through the stored
+    // depth — the law that breaks if append assigned at a different
+    // depth. The depth is part of the frozen model, so the rebuild arm
+    // pins it (its own corpus would size a possibly-different one)
+    Similarity.appendToIvfPqIndex(spark, batch, idxAppended)
+    val idxFull = tmpIdx("depth-full")
+    Similarity.buildIvfPqIndexOver(spark, emb, idxFull, cents, books,
+      assignDepth = Some(expected))
+    assert(searchRows(idxAppended) == searchRows(idxFull),
+      "appended index and same-model full rebuild diverged at the stored depth")
+  }
+
   test("append refuses an index built under different hyperparameters") {
     val idx = tmpIdx("mismatch")
     Similarity.buildIvfPqIndexOver(spark, emb.filter(col("vec_id") < 100), idx,

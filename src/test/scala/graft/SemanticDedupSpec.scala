@@ -117,7 +117,45 @@ class SemanticDedupSpec extends AnyFunSuite with SparkTestBase {
     val oneShot = java.nio.file.Files.createTempDirectory("semidx-full-").toString
     Dedup.buildSemanticIndex(spark, vecs, oneShot, cents)
     assert(stateOf(inc) == stateOf(oneShot))
-    assert(spark.read.parquet(s"$inc/vectors.parquet").count() == vecs.count())
+    assert(graft.operators.IndexFamily
+      .readSnapshot(spark, s"$inc/vectors.parquet").count() == vecs.count())
+  }
+
+  test("stored-depth law (round-17): a build past the dense cutoff persists " +
+       "the covering-sized depth, increments serve it, and convergence holds") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.CentroidAssign
+    // K=64 > DenseCutoff: the two-level path where nProbe genuinely
+    // matters (the registered twin's literal model)
+    val cents = Dedup.SemTwoLevelCents
+    val vecs = Tables(spark, sf, "embeddings").select(col("vec_id"), col("embedding"))
+    val build = vecs.filter(col("vec_id") < 300)
+    val idx = java.nio.file.Files.createTempDirectory("semidx-depth-").toString
+    Dedup.buildSemanticIndex(spark, build, idx, cents)
+    // the persisted depth IS the covering rule's choice over the build
+    // corpus (deterministic hash-ordered sample — recomputable)
+    val meta = spark.read.parquet(s"$idx/meta.parquet").head()
+    val stored = meta.getInt(meta.fieldIndex("n_probe"))
+    val expected = CentroidAssign.nProbeForCoveringOf(
+      build, "embedding", cents, Dedup.SemAssignCoveringTarget)
+    assert(stored == expected, s"stored depth $stored != covering rule's $expected")
+    assert(stored >= 1 && stored <= math.ceil(math.sqrt(64.0)).toInt)
+    // increments assign at the STORED depth, so appended state converges
+    // to a one-shot rebuild pinned at that same depth (the depth is part
+    // of the frozen model — the comparison arm must not re-size over its
+    // own corpus)
+    Dedup.semanticDedupIncrement(spark,
+      vecs.filter(col("vec_id") >= 300 && col("vec_id") < 400), idx).collect()
+    Dedup.semanticDedupIncrement(spark, vecs.filter(col("vec_id") >= 400), idx).collect()
+    val oneShot = java.nio.file.Files.createTempDirectory("semidx-depth-full-").toString
+    Dedup.buildSemanticIndex(spark, vecs, oneShot, cents,
+      assignDepth = Some(stored))
+    def stateOf(dir: String): Set[(Long, Long, Int)] =
+      spark.read.parquet(s"$dir/groups.parquet").collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster_id"),
+          r.getAs[Int]("keep"))).toSet
+    assert(stateOf(idx) == stateOf(oneShot),
+      "stored-depth increments must converge to the pinned-depth rebuild")
   }
 
   test("an empty batch is a no-op on the semantic index") {

@@ -591,8 +591,8 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val batch = vecs.filter(col("vec_id") >= 400)
       .select(col("vec_id"), col("embedding"))
     def counts() = (
-      spark.read.parquet(s"$idx/vectors.parquet").count(),
-      spark.read.parquet(s"$idx/postings.parquet").count())
+      graft.operators.IndexFamily.readSnapshot(spark, s"$idx/vectors.parquet").count(),
+      graft.operators.IndexFamily.readSnapshot(spark, s"$idx/postings.parquet").count())
     val first = graft.streaming.StreamDedup.embeddingBatch(batch, 7L, idx)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     val afterFirst = counts()
@@ -636,12 +636,14 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     Dedup.buildSemanticIndex(spark, vecs, oneShot, cents)
     assert(stateOf(idx) == stateOf(oneShot),
       "streamed appends must converge to the one-shot rebuild state")
-    val nVecs = spark.read.parquet(s"$idx/vectors.parquet").count()
+    val nVecs = graft.operators.IndexFamily
+      .readSnapshot(spark, s"$idx/vectors.parquet").count()
     assert(nVecs == vecs.count())
     // redelivery of an already-ledgered micro-batch id grows nothing
     val batch = vecs.filter(col("vec_id") >= 400)
     graft.streaming.StreamDedup.semanticBatch(batch, 1L, idx).collect()
-    assert(spark.read.parquet(s"$idx/vectors.parquet").count() == nVecs,
+    assert(graft.operators.IndexFamily
+        .readSnapshot(spark, s"$idx/vectors.parquet").count() == nVecs,
       "replay must not grow the index")
     assert(stateOf(idx) == stateOf(oneShot), "replay must not disturb state")
   }
