@@ -183,6 +183,14 @@ object Multimodal {
     // the multimodal near-dup tier (round-16): banded perceptual-hash
     // pairs, hash-gated against the brute-force oracle
     "q_mm_dedup_phash" -> ((s: SparkSession, d: String) => phashPairs(s, d)),
+    // round-17 production tiers: exact-fingerprint collapse, the wide-key
+    // C(6,3) banding at radius 3, and the persisted-index increment —
+    // each hash-gated against the brute force over its population
+    "q_mm_dedup_phash_collapsed" -> ((s: SparkSession, d: String) =>
+      phashPairsCollapsed(s, d)),
+    "q_mm_dedup_phash_wide" -> ((s: SparkSession, d: String) =>
+      phashPairsWide(s, d)),
+    "q_mm_dedup_phash_inc" -> (phashIncrementQuery _),
     // scalar projection (checksum, not the binary) for driver sortability
     "q_mm_resize" -> ((s: SparkSession, d: String) =>
       resizeMedia(s, d).select(
@@ -316,9 +324,16 @@ object Multimodal {
     * [[graft.operators.Dedup.simhashPairsFrom]], which [[phashPairs]]
     * reuses verbatim (pigeonhole recall is fingerprint-agnostic). Map-only
     * typed map, per-partition codec state like every decode pass. */
-  private[graft] def phashFingerprints(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def phashFingerprints(s: SparkSession, dir: String): DataFrame =
+    phashFingerprintsOf(s, mediaTable(s, dir))
+
+  /** Fingerprints of a CALLER-SUPPLIED media frame `(media_id, content)`
+    * — the per-batch half the persisted-index increment fingerprints
+    * with (only the batch is ever decoded; stored media is represented
+    * by its 8-byte fingerprint). */
+  private[graft] def phashFingerprintsOf(s: SparkSession, media: DataFrame): DataFrame = {
     import s.implicits._
-    mediaTable(s, dir).select("media_id", "content").as[(Long, Array[Byte])]
+    media.select("media_id", "content").as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) => (id, phashOf(bytes)) })
       .toDF("doc_id", "simhash")
   }
@@ -340,12 +355,145 @@ object Multimodal {
     * that the gate corpus's planted near-dup texts collide. */
   val PhashMaxHamming = 7
 
-  /** DuckDB twin of [[phashPairs]]: recompute the thumb pixels
+  /** The production wide-key tier's radius (round-16 verdict task 2):
+    * ≤ 3 flipped bits of 63 — the C(6,3)=20-table Manku corner, where
+    * band keys span ~2^32 values instead of the narrow tier's 256 and a
+    * hot bucket MEANS a near-dup cluster (the [[graft.operators.Dedup
+    * .HotBucketCap]] precondition), not 1/256th of the corpus. */
+  val PhashWideMaxHamming = 3
+
+  // -----------------------------------------------------------------
+  // Production-scale perceptual near-dup tiers (round-16 verdict task 2):
+  // the narrow 8×8 banding above is pigeonhole-exact but its per-band
+  // bucket population is structurally n/256 — corpus-quadratic at scale
+  // (the round-7 "weak by design" shape on text). These are the same two
+  // escapes the text family ships, applied to the perceptual fingerprint:
+  // exact-fingerprint collapse (identical thumbs are the dominant mass in
+  // real image corpora) and the wide-key C(6,3) tier at its exact radius.
+  // -----------------------------------------------------------------
+
+  /** §8.5.1 composition discipline on the perceptual family, REGISTERED
+    * (`q_mm_dedup_phash_collapsed`): collapse exact-fingerprint
+    * duplicates to their min-id representative FIRST (identical thumbs —
+    * an exact, deterministic groupBy on the 8-byte fingerprint), then run
+    * the identical narrow banded pipeline over the survivors. The narrow
+    * tier's quadratic term is Σ cluster² over identical-fingerprint
+    * groups, which exact duplication dominates; collapsing removes that
+    * mass while changing no near-dup semantics among representatives, so
+    * the oracle is the same brute-force scan restricted to
+    * `min(media_id) per phash`. */
+  def phashPairsCollapsed(s: SparkSession, dir: String,
+                          maxHamming: Int = PhashMaxHamming): DataFrame = {
+    val fps = phashFingerprints(s, dir)
+    val reps = fps.groupBy(col("simhash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("simhash"))
+      .cache()
+    graft.operators.Dedup.simhashPairsFrom(reps, maxHamming)
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        col("hamming"))
+  }
+
+  /** PRODUCTION perceptual near-dup tier, REGISTERED
+    * (`q_mm_dedup_phash_wide`): the Manku wide-key banding
+    * ([[graft.operators.Dedup.simhashPairsWideFrom]] — the contract is
+    * fingerprint-agnostic) at radius ≤ [[PhashWideMaxHamming]], with the
+    * observable hot-bucket cap. Pigeonhole recall stays exact at the
+    * reduced radius; bucket population drops from n/256 to chance
+    * (~n/2^32) plus genuine near-identical clusters — the shape that
+    * survives a 100 TB image corpus. */
+  def phashPairsWide(s: SparkSession, dir: String,
+                     maxHamming: Int = PhashWideMaxHamming,
+                     nBlocks: Int = 6,
+                     bucketCap: Int = graft.operators.Dedup.HotBucketCap): DataFrame =
+    graft.operators.Dedup
+      .simhashPairsWideFrom(phashFingerprints(s, dir).cache(), maxHamming,
+        nBlocks, bucketCap)
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        col("hamming"))
+
+  /** Persist the perceptual near-dup index — the
+    * [[graft.operators.Dedup.buildSimhashIndex]] machinery (layout,
+    * sidecars, meta handshake) over [[phashOf]] fingerprints: stored
+    * media is represented by 8 bytes per item, and an ingest batch is
+    * decoded exactly once. */
+  def buildPhashIndex(s: SparkSession, media: DataFrame, indexDir: String,
+                      maxHamming: Int = PhashWideMaxHamming,
+                      nBlocks: Int = 6): Unit =
+    graft.operators.Dedup.buildFingerprintIndex(s,
+      phashFingerprintsOf(s, media), indexDir, maxHamming, nBlocks)
+
+  /** Dedup a NEW media batch against a [[buildPhashIndex]] persisted
+    * index — the daily-ingest shape on the perceptual family: decode +
+    * fingerprint ONLY the batch, probe the stored wide-key postings,
+    * verify `bit_count(xor) ≤ maxHamming` on the 8-byte fingerprints,
+    * append when asked. Cost ∝ batch + touched postings, never ∝ the
+    * stored corpus. */
+  def phashDedupIncrement(s: SparkSession, newMedia: DataFrame, indexDir: String,
+                          maxHamming: Int = PhashWideMaxHamming,
+                          nBlocks: Int = 6,
+                          bucketCap: Int = graft.operators.Dedup.HotBucketCap,
+                          append: Boolean = true,
+                          strictIds: Boolean = true): DataFrame =
+    graft.operators.Dedup.fingerprintDedupIncrement(s,
+      phashFingerprintsOf(s, newMedia), indexDir, maxHamming, nBlocks,
+      bucketCap, append, strictIds, "phashDedupIncrement")
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        col("hamming"))
+
+  /** Per-JVM scratch + memo for the registered increment
+    * (`q_mm_dedup_phash_inc`) — the
+    * [[graft.operators.Dedup.simhashIncrementQuery]] convention: base
+    * index over the proportional bottom-4/5 media split, built on first
+    * use; `append = false` keeps repeat runs pure. */
+  private lazy val phashIndexScratch: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft-phidx-")
+  private val builtPhashIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def phashIncrementQuery(s: SparkSession, dir: String): DataFrame = {
+    val split = graft.operators.Dedup.incrementSplitAt(s, dir)
+    val had = builtPhashIndexes.containsKey(dir)
+    val idx = builtPhashIndexes.computeIfAbsent(dir, _ => {
+      val p = phashIndexScratch.resolve(java.lang.Integer.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(dir))).toString
+      buildPhashIndex(s, mediaTable(s, dir).filter(col("media_id") < split), p)
+      p
+    })
+    println(s"[graft] q_mm_dedup_phash_inc: index " +
+      s"${if (had) "cache-hit" else "built-on-first-use"} at $idx")
+    phashDedupIncrement(s,
+      mediaTable(s, dir).filter(col("media_id") >= split), idx, append = false)
+  }
+
+  /** DuckDB twin of the perceptual-hash tiers: recompute the thumb pixels
     * (`(i·n)//64` stride positions — the resize oracle's arithmetic at
     * budget 64), the ≥-mean bits, and brute-force ALL pairs at the
     * radius. Brute force is the right oracle shape for a pigeonhole-exact
-    * banding (the [[graft.operators.Dedup.simhashPairsSql]] argument). */
-  def phashPairsSql(maxHamming: Int = PhashMaxHamming): String =
+    * banding (the [[graft.operators.Dedup.simhashPairsSql]] argument):
+    * narrow, collapsed, wide, and increment tiers all must EQUAL the
+    * all-pairs scan over their respective population.
+    *  - `collapsed`: restrict both sides to `min(media_id) per phash`
+    *    (exact-fingerprint representatives — mirrors
+    *    [[phashPairsCollapsed]]'s groupBy exactly);
+    *  - `incrementOnly`: restrict to pairs touching the top-1/5 media
+    *    split (the [[graft.operators.Dedup.incrementSplitSql]]
+    *    convention — media ids ARE doc ids). */
+  def phashPairsSql(maxHamming: Int = PhashMaxHamming,
+                    collapsed: Boolean = false,
+                    incrementOnly: Boolean = false): String = {
+    val fpr =
+      if (collapsed)
+        """fpr AS (
+          |  SELECT fp.media_id, fp.phash FROM fp
+          |  JOIN (SELECT min(media_id) AS media_id FROM fp GROUP BY phash) k
+          |    USING (media_id))""".stripMargin
+      else "fpr AS (SELECT media_id, phash FROM fp)"
+    val splitPred =
+      if (incrementOnly)
+        s"\n  AND (a.media_id >= ${graft.operators.Dedup.incrementSplitSql}" +
+          s" OR b.media_id >= ${graft.operators.Dedup.incrementSplitSql})"
+      else ""
     s"""WITH $mediaCte,
       |px AS (
       |  SELECT media_id, length(content) AS n, content,
@@ -367,16 +515,22 @@ object Multimodal {
       |  LEFT JOIN pv v USING (media_id)
       |  LEFT JOIN (SELECT media_id, sum(p) AS s FROM pv GROUP BY 1) t
       |    USING (media_id)
-      |  GROUP BY 1)
+      |  GROUP BY 1),
+      |$fpr
       |SELECT a.media_id AS media_a, b.media_id AS media_b,
       |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
-      |FROM fp a JOIN fp b ON a.media_id < b.media_id
-      |WHERE bit_count(xor(a.phash, b.phash)) <= $maxHamming""".stripMargin
+      |FROM fpr a JOIN fpr b ON a.media_id < b.media_id
+      |WHERE bit_count(xor(a.phash, b.phash)) <= $maxHamming$splitPred""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "q_mm_decode_meta" -> decodeMetaSql,
     "q_mm_features" -> featuresSql,
     "q_mm_resize" -> resizeSql,
     "q_mm_frame_sample" -> frameSampleSql,
-    "q_mm_dedup_phash" -> phashPairsSql())
+    "q_mm_dedup_phash" -> phashPairsSql(),
+    "q_mm_dedup_phash_collapsed" -> phashPairsSql(collapsed = true),
+    "q_mm_dedup_phash_wide" -> phashPairsSql(PhashWideMaxHamming),
+    "q_mm_dedup_phash_inc" -> phashPairsSql(PhashWideMaxHamming,
+      incrementOnly = true))
 }

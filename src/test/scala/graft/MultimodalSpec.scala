@@ -118,4 +118,91 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     val small = Multimodal.phashOf("abcde".getBytes("UTF-8"))
     assert((small >>> 5) == 0L, "bits past the payload length must be unset")
   }
+
+  test("phash production tiers (round-17): wide == brute at radius 3, " +
+       "collapsed == brute among representatives, bucket mass bounded") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val fps = Multimodal.phashFingerprints(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    def brute(pop: Seq[(Long, Long)], r: Int) = (for {
+      (a, fa) <- pop; (b, fb) <- pop if a < b
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= r
+    } yield (a, b, h.toLong)).toSet
+    // wide tier: pigeonhole-exact at its reduced radius
+    val rw = Multimodal.PhashWideMaxHamming
+    val wide = Multimodal.phashPairsWide(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(wide == brute(fps.toSeq, rw),
+      s"missing=${brute(fps.toSeq, rw) -- wide} extra=${wide -- brute(fps.toSeq, rw)}")
+    // collapsed tier: brute force among min-id exact-fingerprint reps
+    val reps = fps.groupBy(_._2).map { case (_, g) => g.minBy(_._1) }.toSeq
+    val collapsed = Multimodal.phashPairsCollapsed(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(collapsed == brute(reps, Multimodal.PhashMaxHamming))
+    // planted mega-cluster: collapse removes the identical mass entirely
+    // (one rep survives, no intra-cluster pairs), and the wide tier's hot
+    // bucket means exactly that cluster — the cap trims it OBSERVABLY
+    // while the uncapped run stays exact
+    val base = 0x155555555555555L
+    val cluster = (1L to 50L).map(i => (i, base))
+    val outlier = Seq((100L, base ^ 0x7L), (200L, ~base & ~(1L << 63)))
+    val planted = (cluster ++ outlier).toDF("doc_id", "simhash")
+    val uncapped = graft.operators.Dedup
+      .simhashPairsWideFrom(planted, rw, 6, Int.MaxValue)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(uncapped == brute(cluster ++ outlier, rw))
+    assert(uncapped.size == 50 * 49 / 2 + 50, "cluster pairs + outlier at radius 3")
+    val capped = graft.operators.Dedup
+      .simhashPairsWideFrom(planted, rw, 6, bucketCap = 10)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(capped.subsetOf(uncapped) && capped.size < uncapped.size,
+      "a sub-cluster bucket cap must trim pairs (observably), never invent them")
+    // bucket-population law (the n/256 -> chance claim): on the real
+    // corpus the wide keys leave bucket mass at near-dup-cluster grain —
+    // max (band,bkey) population is bounded by the largest exact/near
+    // cluster + chance, far under the narrow tier's structural n/256 load
+    val n = fps.length.toLong
+    val wideBuckets = Multimodal.phashFingerprints(spark, sf)
+      .select(col("doc_id"), col("simhash"))
+    val maxWide = graft.operators.Dedup
+      .simhashWideBandedPopulation(wideBuckets, rw, 6)
+    assert(maxWide <= math.max(8L, n / 64),
+      s"wide-key max bucket $maxWide vs n=$n — keys are not spreading")
+  }
+
+  test("phash persisted index (round-17): increment == brute restricted to " +
+       "the batch, appended increments converge with the one-shot base") {
+    import org.apache.spark.sql.functions.col
+    val media = Multimodal.mediaTable(spark, sf)
+    val split = graft.operators.Dedup.incrementSplitAt(spark, sf)
+    val rw = Multimodal.PhashWideMaxHamming
+    val fps = Multimodal.phashFingerprints(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val expected = (for {
+      (a, fa) <- fps; (b, fb) <- fps if a < b
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= rw
+      if a >= split || b >= split
+    } yield (a, b, h.toLong)).toSet
+    // one-shot base over the old split, pure probe of the new split
+    val idx = java.nio.file.Files.createTempDirectory("phidx-law-").toString
+    Multimodal.buildPhashIndex(spark, media.filter(col("media_id") < split), idx)
+    val got = Multimodal.phashDedupIncrement(spark,
+        media.filter(col("media_id") >= split), idx, append = false)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(got == expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+    // convergence: the same base reached by an APPENDED mid-batch serves
+    // the identical probe (arrival-order contract: ids monotone)
+    val mid = split / 2
+    val idx2 = java.nio.file.Files.createTempDirectory("phidx-law2-").toString
+    Multimodal.buildPhashIndex(spark, media.filter(col("media_id") < mid), idx2)
+    Multimodal.phashDedupIncrement(spark,
+      media.filter(col("media_id") >= mid && col("media_id") < split), idx2)
+      .collect()
+    val got2 = Multimodal.phashDedupIncrement(spark,
+        media.filter(col("media_id") >= split), idx2, append = false)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(got2 == expected, "appended base diverged from the one-shot build")
+  }
 }
