@@ -1213,11 +1213,25 @@ object ScaleProbe {
             ((x >>> 40).toInt % 2048) / 1024.0f - 1.0f
           }
         }
-        val (nBands, bandBits) = (16, 12)
+        val nBands = 16
         val batchN = 500
-        for (nIdx <- Seq(70000L, 200000L, 700000L)) {
-          val idx = s"$dst/embidx_$nIdx"
-          val flat = s"$dst/embflat_$nIdx"
+        // bandBits SCALED to the corpus like a deployment sizes them
+        // (target ≤ ~1 stored vector per bucket — at a fixed 12 bits the
+        // 700k corpus held ~171/bucket and CANDIDATE volume itself grew ∝
+        // index, drowning the read-path law this probe prices)
+        // the 24-bit leg at 2M is the SPARSE-candidate regime: chance
+        // collisions drop to ~0.1/batch-vector, so candidate ids ≪
+        // partitions and the doc_id pruning actually bites — the regime a
+        // dup-heavy production ingest (exact copies survive ANY bits)
+        // lives in; the lower-bits rows are the chance-candidate-
+        // SATURATED regime, where candidate mass itself is ∝ n·2^-bits
+        // (the LSH radius/recall tradeoff, priced in the addendum)
+        for ((nIdx, bandBits) <- Seq((70000L, 17), (200000L, 18),
+                                     (700000L, 20), (2000000L, 21),
+                                     (2000000L, 24))) {
+          val tag = s"${nIdx}_b$bandBits"
+          val idx = s"$dst/embidx_$tag"
+          val flat = s"$dst/embflat_$tag"
           locally {
             val p = new org.apache.hadoop.fs.Path(dst)
             val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1227,7 +1241,7 @@ object ScaleProbe {
           }
           val idxVecs = spark.range(nIdx).select(col("id").as("vec_id"))
             .as[Long].map(i => (i, synthVec(i))).toDF("vec_id", "embedding")
-          time(s"build_n$nIdx")(
+          time(s"build_n$tag")(
             D.buildEmbeddingIndex(spark, idxVecs, idx, nBands, bandBits, 64))
           // legacy flat twin: same content, pre-r17 layout (no .parts) —
           // the increment's hasParts branch serves it with full scans
@@ -1250,13 +1264,25 @@ object ScaleProbe {
             next += batchN
             rows.toDF("vec_id", "embedding")
           }
+          val totalVecBytes = {
+            val fsys = new org.apache.hadoop.fs.Path(idx)
+              .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            graft.operators.IndexFamily
+              .snapshotFiles(spark, s"$idx/vectors.parquet")
+              .map(f => fsys.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen)
+              .sum
+          }
           for (rep <- 0 until 3) {
             val b = batch()
-            time(s"probe_part_n${nIdx}_$rep") {
+            time(s"probe_part_n${tag}_$rep") {
               D.embeddingDedupIncrement(spark, b, idx,
                 nBands = nBands, bandBits = bandBits, append = false).count()
             }
-            time(s"probe_flat_n${nIdx}_$rep") {
+            println(s"SCALE${k}X[embflat] verify_read_n${tag}_$rep: " +
+              s"parts=${D.lastVerifyReadParts._1}/${D.lastVerifyReadParts._2} " +
+              s"bytes=${D.lastVerifyReadBytes} of $totalVecBytes " +
+              f"(${100.0 * D.lastVerifyReadBytes / math.max(1L, totalVecBytes)}%.1f%%)")
+            time(s"probe_flat_n${tag}_$rep") {
               D.embeddingDedupIncrement(spark, b, flat,
                 nBands = nBands, bandBits = bandBits, append = false).count()
             }
@@ -1265,15 +1291,20 @@ object ScaleProbe {
           // appended arm: delta accumulation + the in-line fold trigger
           for (rep <- 0 until 3) {
             val b = batch()
-            time(s"append_part_n${nIdx}_$rep") {
+            time(s"append_part_n${tag}_$rep") {
               D.embeddingDedupIncrement(spark, b, idx,
                 nBands = nBands, bandBits = bandBits, append = true).count()
             }
             spark.catalog.clearCache(); Checkpoints.releaseAll()
           }
         }
-        // SEMANTIC leg (task 6's second half): the cid-partitioned
-        // touched-cells read is ∝ batch cells (≤ k), never ∝ index
+        // SEMANTIC leg (task 6's second half): K TRACKS the corpus
+        // (~512 vectors per cell — §8.5.11's sizing discipline; SemDeDup
+        // itself ran K=50k over 5B). Then BOTH per-batch terms are
+        // index-free: pair mass = batch × n/K and the cid-partitioned
+        // touched-cells read ≤ batch cells × n/K rows. At a FIXED small K
+        // the pair mass alone is ∝ index — no layout can fix a mis-sized
+        // model, which is exactly why the build sizes its own depth.
         for (nIdx <- Seq(70000L, 700000L)) {
           val idx = s"$dst/semidx_$nIdx"
           locally {
@@ -1281,10 +1312,11 @@ object ScaleProbe {
             val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
             fsys.delete(p, true)
           }
-          val cents = graft.operators.Dedup.SemTwoLevelCents // K=64 two-level
+          val kCells = math.max(64, (nIdx / 512L).toInt)
+          val cents = graft.functions.VectorOps.hyperplanes(kCells, 64, seed = 61L)
           val idxVecs = spark.range(nIdx).select(col("id").as("vec_id"))
             .as[Long].map(i => (i, synthVec(i))).toDF("vec_id", "embedding")
-          time(s"sem_build_n$nIdx")(
+          time(s"sem_build_n${nIdx}_k$kCells")(
             D.buildSemanticIndex(spark, idxVecs, idx, cents))
           var next = 10L * nIdx
           for (rep <- 0 until 3) {
@@ -1297,6 +1329,9 @@ object ScaleProbe {
             time(s"sem_probe_n${nIdx}_$rep") {
               D.semanticDedupIncrement(spark, b, idx, append = false).count()
             }
+            println(s"SCALE${k}X[embflat] sem_read_n${nIdx}_$rep: " +
+              s"parts=${D.lastSemReadParts._1}/${D.lastSemReadParts._2} " +
+              s"bytes=${D.lastSemReadBytes}")
             spark.catalog.clearCache(); Checkpoints.releaseAll()
           }
         }

@@ -1927,11 +1927,14 @@ object Dedup {
     * what makes the increment's candidate-pruned vector read FLAT in
     * index size (cost ∝ candidate ids × partition size, the §8.5.16
     * keeper argument): a fixed modulus would let partition size grow ∝
-    * index and pruning would decay back to a full scan. ~512 vectors
-    * (dim 64 ≈ 140 KB) per partition; [[IndexFamily.repartitionState]]
-    * migrates a deployment whose corpus outgrows the build-time choice. */
+    * index and pruning would decay back to a full scan. ~4096 vectors
+    * (dim 64 ≈ 1.1 MB) per partition — measured at 512 the layout was
+    * METADATA-bound (the §8.5.17 embflat probe: hundreds of 140 KB
+    * files made the pruned arm slower than the flat scan it replaced);
+    * [[IndexFamily.repartitionState]] migrates a deployment whose corpus
+    * outgrows the build-time choice. */
   private[graft] def embStateParts(nVectors: Long): Int =
-    math.max(16L, math.min(4096L, (nVectors + 511L) / 512L)).toInt
+    math.max(16L, math.min(4096L, (nVectors + 4095L) / 4096L)).toInt
 
   /** The embedding postings table's layout key: one hash over the probe
     * pair `(band, bkey)` — stored in the files (the keeper table's hkey
@@ -1939,6 +1942,14 @@ object Dedup {
     * it. */
   private def postingKey(band: Column, bkey: Column): Column =
     xxhash64(band, bkey)
+
+  /** §8.5.17 probe telemetry: the last increment's verify-read pruning —
+    * `(partitions touched, total partitions)` and bytes opened. */
+  @volatile private[graft] var lastVerifyReadParts: (Int, Int) = (0, 0)
+  @volatile private[graft] var lastVerifyReadBytes: Long = 0L
+  /** Same telemetry for the semantic increment's touched-cells read. */
+  @volatile private[graft] var lastSemReadParts: (Int, Int) = (0, 0)
+  @volatile private[graft] var lastSemReadBytes: Long = 0L
 
   def buildEmbeddingIndex(s: SparkSession, vecs: DataFrame, indexDir: String,
                           nBands: Int = 16, bandBits: Int = 4,
@@ -1956,16 +1967,18 @@ object Dedup {
     // re-seed the id sidecars from the fresh content (the
     // buildMinhashIndex stale-LOW argument)
     IndexFamily.seedIdGuards(s, s"$indexDir/vectors.parquet", "doc_id")
-    // postings hash-partitioned on pkey = xxhash64(band, bkey): the
-    // increment probes with the batch's bucket keys, so only partitions
-    // holding a probed bucket are read. At toy bandBits the bucket space
-    // is dense and every partition is touched (no worse than the full
-    // scan it replaces); at the widened-at-scale bandBits the space is
-    // sparse and the pruning is real (§8.5.17 prices both).
-    IndexFamily.writePartitioned(
-      embeddingBandedOf(e, nBands, bandBits, dim)
-        .withColumn("pkey", postingKey(col("band"), col("bkey"))),
-      s"$indexDir/postings.parquet", "pkey", nParts)
+    // postings stay FLAT deliberately (measured, §8.5.17 round-17
+    // addendum): a pkey-partitioned layout was built and REJECTED on
+    // data — a batch emits nNew×nBands bucket keys, structurally more
+    // than any sane partition count, so every partition is touched at
+    // every grain and the layout pays file-level overhead for zero
+    // pruning (+30-60% per probe at 70k-2M vectors). The postings probe
+    // is an inherently-scan shape: a columnar 24-byte/row broadcast
+    // semi-join whose ∝-index constant the addendum prices; the
+    // EXPENSIVE ∝-index term was always the verify join, which the
+    // doc_id-partitioned vectors table above bounds.
+    embeddingBandedOf(e, nBands, bandBits, dim)
+      .write.mode("overwrite").parquet(s"$indexDir/postings.parquet")
     Seq((nBands, bandBits, dim)).toDF("n_bands", "band_bits", "dim")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta.parquet")
     e.unpersist()
@@ -2044,17 +2057,18 @@ object Dedup {
         s"caller passed ($nBands,$bandBits,$dim) — rebuild the index")
     val postingsPath = s"$indexDir/postings.parquet"
     val vectorsPath = s"$indexDir/vectors.parquet"
-    // pre-round-17 indexes are FLAT (no .parts handshake) — serve them
-    // with the legacy full-scan reads rather than refusing (rebuild or
-    // repartitionState to adopt the pruned layout)
-    val partitioned = IndexFamily.hasParts(s, postingsPath)
-    if (partitioned && append) {
-      // self-maintaining delta folds (the stream path owns no maintenance
+    // per-TABLE layout detection: round-17 indexes partition vectors only
+    // (postings measured all-touched at every grain — see the build's
+    // rationale); a transitional round-17-dev index with partitioned
+    // postings and a pre-r17 flat index both serve correctly through the
+    // same branches
+    val partitionedVecs = IndexFamily.hasParts(s, vectorsPath)
+    val partitionedPostings = IndexFamily.hasParts(s, postingsPath)
+    if (partitionedVecs && append) {
+      // self-maintaining delta fold (the stream path owns no maintenance
       // cadence — the appendExactState convention): past the threshold
       // the wholesale delta read would start to dominate the pruned base.
       // Gated on `append` — a read-only probe must not mutate the index
-      if (IndexFamily.flatDeltaFiles(s, postingsPath).size > 64)
-        IndexFamily.foldDelta(s, postingsPath, "pkey")
       if (IndexFamily.flatDeltaFiles(s, vectorsPath).size > 64)
         IndexFamily.foldDelta(s, vectorsPath, "doc_id")
     }
@@ -2064,28 +2078,18 @@ object Dedup {
       newVecs.select(col("vec_id").as("doc_id"), col("embedding"),
         VectorOps.l2Norm(col("embedding")).as("norm")))
     val nNew = newE.count()
-    // checkpointed ONCE: the probe's touched-partition set, the candidate
-    // join's both sides, and the postings append all consume the banding
-    // (un-checkpointed, the mapPartitions pass re-ran per consumer)
+    // checkpointed ONCE: the candidate join's both sides and the postings
+    // append all consume the banding (un-checkpointed, the mapPartitions
+    // pass re-ran per consumer)
     val newBanded = graft.Checkpoints.local(
       embeddingBandedOf(newE, nBands, bandBits, dim))
     val newBandedFlagged = newBanded.withColumn("is_new", lit(true))
-    // PRUNED postings probe (round-16 verdict task 1): only partitions a
-    // batch bucket key hashes into are read; the flat append delta — ∝
-    // batches since fold — is read wholesale, the keeper ladder's rung 3
+    // the postings probe: a columnar 24-byte/row broadcast-semi-join scan
+    // (snapshot read covers a partitioned transitional layout's delta)
     val oldBanded =
-      if (partitioned) {
-        val touched = IndexFamily.touchedPartitions(s, postingsPath,
-          newBanded.select(postingKey(col("band"), col("bkey")).as("pkey")),
-          "pkey")
-        val base = IndexFamily.readPartitions(s, postingsPath, touched)
-        val deltaF = IndexFamily.flatDeltaFiles(s, postingsPath)
-        (if (deltaF.isEmpty) base
-         else base.unionByName(s.read.parquet(deltaF: _*)))
-          .select(col("doc_id"), col("band"), col("bkey"))
-      } else {
-        s.read.parquet(parquetPartFiles(s, postingsPath): _*)
-      }
+      (if (partitionedPostings) IndexFamily.readSnapshot(s, postingsPath)
+       else s.read.parquet(parquetPartFiles(s, postingsPath): _*))
+        .select(col("doc_id"), col("band"), col("bkey"))
     val cands = graft.Checkpoints.local(incrementCandidates(oldBanded,
       newBandedFlagged, nNew * nBands, Int.MaxValue, "embeddingDedupIncrement"))
     // PRUNED verify read: the exact-cosine join needs stored vectors only
@@ -2093,12 +2097,23 @@ object Dedup {
     // (∝ candidate ids × ~constant partition size, never ∝ index) plus
     // the wholesale flat delta; batch vectors come from newE
     val storedVecs =
-      if (partitioned) {
+      if (partitionedVecs) {
         val candIds = cands.select(
           explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
         val touched = IndexFamily.touchedPartitions(s, vectorsPath,
           candIds, "doc_id")
-        val base = IndexFamily.readPartitions(s, vectorsPath, touched)
+        val files = IndexFamily.partitionFiles(s, vectorsPath, touched)
+        // §8.5.17 telemetry: the verify read's realized pruning — parts
+        // touched / total and bytes actually opened (the law is in BYTES
+        // at probe scale, where walls sit inside scheduler noise)
+        val fsys = new org.apache.hadoop.fs.Path(vectorsPath)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        lastVerifyReadParts = (touched.size, IndexFamily.partsOf(s, vectorsPath))
+        lastVerifyReadBytes = files.map(f =>
+          fsys.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
+        val base =
+          if (files.nonEmpty) s.read.parquet(files: _*)
+          else IndexFamily.readSnapshot(s, vectorsPath).limit(0)
         val deltaF = IndexFamily.flatDeltaFiles(s, vectorsPath)
         if (deltaF.isEmpty) base
         else base.unionByName(s.read.parquet(deltaF: _*))
@@ -2133,9 +2148,9 @@ object Dedup {
       IndexFamily.appendWithIdGuards(newE, vectorsPath,
         "doc_id", nNew, appendFileCount(nNew), "embeddingDedupIncrement", strictIds)
       IndexFamily.withLease(s, postingsPath) {
-        // delta rows carry pkey so base and delta share one schema (the
-        // keeper table's stored-hkey convention)
-        val rows = if (partitioned)
+        // transitional partitioned-postings layout carries pkey in the
+        // files; flat (the round-17 shape) appends the banding as-is
+        val rows = if (partitionedPostings)
           newBanded.withColumn("pkey", postingKey(col("band"), col("bkey")))
         else newBanded
         rows.coalesce(appendFileCount(nNew * nBands))
@@ -2803,8 +2818,13 @@ object Dedup {
     // convergence law's comparison arm) passes the stored one
     val assignProbe = assignDepth.getOrElse {
       if (cents.length <= graft.functions.CentroidAssign.DenseCutoff) 2
-      else graft.functions.CentroidAssign
-        .nProbeForCoveringOf(vecs, "embedding", cents, SemAssignCoveringTarget)
+      else {
+        val p = graft.functions.CentroidAssign
+          .nProbeForCoveringOf(vecs, "embedding", cents, SemAssignCoveringTarget)
+        System.err.println(s"[graft] buildSemanticIndex($indexDir): covering-" +
+          s"sized assignProbe=$p (K=${cents.length}, target=$SemAssignCoveringTarget)")
+        p
+      }
     }
     // hash-partitioned on cid (round-16 verdict task 1): the increment's
     // touched-cell read prunes to the batch's cells the way groups.parquet
@@ -2904,9 +2924,19 @@ object Dedup {
         if (append &&
             IndexFamily.flatDeltaFiles(s, vecsPath).size > 64)
           IndexFamily.foldDelta(s, vecsPath, "cid")
-        val base = IndexFamily.readPartitions(s, vecsPath,
-          IndexFamily.touchedPartitions(s, vecsPath,
-            newAsg.select(col("cid")), "cid"))
+        val touched = IndexFamily.touchedPartitions(s, vecsPath,
+          newAsg.select(col("cid")), "cid")
+        val files = IndexFamily.partitionFiles(s, vecsPath, touched)
+        // §8.5.17 telemetry (the embedding family's convention): the
+        // touched-cells read's realized pruning in partitions and bytes
+        val fsys = new org.apache.hadoop.fs.Path(vecsPath)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        lastSemReadParts = (touched.size, IndexFamily.partsOf(s, vecsPath))
+        lastSemReadBytes = files.map(f =>
+          fsys.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
+        val base =
+          if (files.nonEmpty) s.read.parquet(files: _*)
+          else IndexFamily.readSnapshot(s, vecsPath).limit(0)
         val deltaF = IndexFamily.flatDeltaFiles(s, vecsPath)
         if (deltaF.isEmpty) base
         else base.unionByName(s.read.parquet(deltaF: _*))

@@ -878,8 +878,13 @@ object Similarity {
     // one rather than re-sizing over its own (different) corpus
     val assignProbe = assignDepth.getOrElse {
       if (cents.length <= graft.functions.CentroidAssign.DenseCutoff) 2
-      else graft.functions.CentroidAssign
-        .nProbeForCoveringOf(vecs, "embedding", cents, AssignCoveringTarget)
+      else {
+        val p = graft.functions.CentroidAssign
+          .nProbeForCoveringOf(vecs, "embedding", cents, AssignCoveringTarget)
+        System.err.println(s"[graft] buildIvfPqIndexOver($indexDir): covering-" +
+          s"sized assignProbe=$p (K=${cents.length}, target=$AssignCoveringTarget)")
+        p
+      }
     }
     // codes are HASH-PARTITIONED on cid (round 13): `cid` is the search's
     // probe key — annIvfPqSearch reads ONLY the partitions the probed
