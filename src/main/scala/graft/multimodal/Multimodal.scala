@@ -333,7 +333,12 @@ object Multimodal {
     * by its 8-byte fingerprint). */
   private[graft] def phashFingerprintsOf(s: SparkSession, media: DataFrame): DataFrame = {
     import s.implicits._
-    media.select("media_id", "content").as[(Long, Array[Byte])]
+    // spreadForCompute: the decode+hash map and the banded joins built on
+    // it were single-task on the narrow bench scan (Dedup.spreadForCompute
+    // rationale — no-op at deployment partition counts)
+    graft.operators.Dedup.spreadForCompute(
+        media.select(col("media_id"), col("content")))
+      .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) => (id, phashOf(bytes)) })
       .toDF("doc_id", "simhash")
   }
@@ -345,8 +350,13 @@ object Multimodal {
     * brute-force DuckDB twin ([[phashPairsSql]]) hash-gates the whole
     * path: codec pixel math → fingerprint → banding → verify. */
   def phashPairs(s: SparkSession, dir: String, maxHamming: Int = PhashMaxHamming): DataFrame =
+    // eager checkpoint, not .cache() (r17): four concurrent consumers of
+    // the fingerprint table (banded x/y + both verify sides) raced a lazy
+    // cache and re-ran the image DECODE + hash per branch — the costliest
+    // map in the family (the minhashLshPairs double-compute class)
     graft.operators.Dedup
-      .simhashPairsFrom(phashFingerprints(s, dir).cache(), maxHamming)
+      .simhashPairsFrom(graft.Checkpoints.local(
+        phashFingerprints(s, dir)), maxHamming)
       .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
         col("hamming"))
 
@@ -385,10 +395,10 @@ object Multimodal {
   def phashPairsCollapsed(s: SparkSession, dir: String,
                           maxHamming: Int = PhashMaxHamming): DataFrame = {
     val fps = phashFingerprints(s, dir)
-    val reps = fps.groupBy(col("simhash"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"), col("simhash"))
-      .cache()
+    val reps = graft.Checkpoints.local(
+      fps.groupBy(col("simhash"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"), col("simhash")))
     graft.operators.Dedup.simhashPairsFrom(reps, maxHamming)
       .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
         col("hamming"))
@@ -407,8 +417,8 @@ object Multimodal {
                      nBlocks: Int = 6,
                      bucketCap: Int = graft.operators.Dedup.HotBucketCap): DataFrame =
     graft.operators.Dedup
-      .simhashPairsWideFrom(phashFingerprints(s, dir).cache(), maxHamming,
-        nBlocks, bucketCap)
+      .simhashPairsWideFrom(graft.Checkpoints.local(
+        phashFingerprints(s, dir)), maxHamming, nBlocks, bucketCap)
       .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
         col("hamming"))
 

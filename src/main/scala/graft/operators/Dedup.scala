@@ -36,6 +36,23 @@ object Dedup {
 
   private def docs(s: SparkSession, dir: String) = Tables(s, dir, "documents")
 
+  /** Spread a NARROW source across the session's cores before expensive
+    * per-row work (r17 optimization, guide §2.5 "input skew ... repartition
+    * immediately after the read"): the bench corpora are single-row-group
+    * parquet files, so their scans are structurally ONE partition no
+    * matter the split config — every downstream map (shingling,
+    * fingerprints, image decodes) and every broadcast-join probe built on
+    * the scan runs single-threaded (measured: the q_dedup_simhash
+    * candidate stage at p50 = 28 ms / max = 5 249 ms across 32 tasks).
+    * SCALE-ADAPTIVE, not a constant: a source already at ≥ cores
+    * partitions (any deployment-sized table) passes through untouched, so
+    * this never shrinks or reshuffles real corpora — it only unlocks idle
+    * cores when the input arrives narrower than the machine. */
+  private[graft] def spreadForCompute(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** (doc_id, sh_hash) postings: one row per DISTINCT 3-word shingle per
     * doc, carrying the shingle's 64-bit xxHash instead of the string —
     * shuffle keys shrink ~4x, and MinHash permutations re-hash an 8-byte
@@ -53,7 +70,7 @@ object Dedup {
 
   private def postingsOf(s: SparkSession, d: DataFrame): DataFrame = {
     import s.implicits._
-    d.select(col("doc_id"), col("text")).as[(Long, String)]
+    spreadForCompute(d.select(col("doc_id"), col("text"))).as[(Long, String)]
       .flatMap { case (id, text) =>
         val w = text.split(" ", -1)
         if (w.length < 3) Iterator.empty
@@ -232,7 +249,10 @@ object Dedup {
     * than true Jaccard (and than the oracle); the capped index belongs to
     * the approximate path ([[minhashLshPairs]]). */
   def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val post = postings(s, dir).cache() // reused: sizes + both join sides
+    // eager checkpoint (r17): three concurrent consumers (sizes + both
+    // join sides) raced a lazy cache and re-ran the shingling flatMap —
+    // the minhashLshPairs profile's double-compute class
+    val post = graft.Checkpoints.local(postings(s, dir))
     val sizes = post.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val a = post.select(col("sh_hash"), col("doc_id").as("doc_a"))
     val b = post.select(col("sh_hash"), col("doc_id").as("doc_b"))
@@ -347,7 +367,22 @@ object Dedup {
     * the engines' tie-breaking differs. */
   def minhashLshPairs(s: SparkSession, dir: String, threshold: Double = 0.5,
                       bucketCap: Int = HotBucketCap): DataFrame = {
+    // EAGERLY MATERIALIZED cache (r17 optimization, guide §1/§2.4): the
+    // signature table has FIVE concurrent consumers in the final plan
+    // (banded x/y self-join sides, the hot-bucket count, both verify join
+    // sides), and a LAZY cache lets the independent stages race to
+    // populate it — the profiler measured the 128-perm signature stage
+    // executing TWICE per run (14.6 s + 7.3 s of task time at sf0.1)
+    // before either branch won the cache race. The count() forces one
+    // materialization before the plan is built. Cache, NOT an eager
+    // checkpoint: a checkpoint CUTS the plan, which (a) removes the
+    // shingle-guard observe from the returned plan (the observability
+    // contract DedupSpec/LshSkewSpec pin walks Observed.metrics over the
+    // RESULT) and (b) lets AQE empty-relation propagation prune the
+    // lsh-trim observe when the cap empties the pair set — both measured
+    // as spec failures before this formulation.
     val sigs = minhashSignatures(s, dir).cache()
+    sigs.count()
     val cands = bandedCandidatePairs(bandedOf(sigs), "doc_id", "doc_a", "doc_b", bucketCap)
     verifyOnSignatures(cands, sigs, threshold)
   }
@@ -451,7 +486,12 @@ object Dedup {
   def buildMinhashIndex(s: SparkSession, d: DataFrame, indexDir: String,
                         memoKey: String): Unit = {
     import s.implicits._
-    val sigs = minhashSignaturesOf(s, d, memoKey).cache()
+    // eager checkpoint (r17): the build consumes the signatures twice
+    // (parquet write + banded postings write); a lazy .cache() recomputed
+    // the signature aggregation for the second write when the first's
+    // cache population hadn't finished (the minhashLshPairs race, measured
+    // in the same profile)
+    val sigs = graft.Checkpoints.local(minhashSignaturesOf(s, d, memoKey))
     sigs.write.mode("overwrite").parquet(s"$indexDir/signatures.parquet")
     // a rebuild invalidates any previous build's id sidecars at this path
     // — re-seeded from the fresh content (watermark + id bloom, the
@@ -461,7 +501,7 @@ object Dedup {
     Seq((MinhashPerms, MinhashBands))
       .toDF("perms", "bands")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta.parquet")
-    sigs.unpersist()
+    graft.Checkpoints.release(sigs)
   }
 
   /** Dedup a NEW batch of documents against a [[buildMinhashIndex]]
@@ -1577,7 +1617,11 @@ object Dedup {
     * the identical fingerprint map. */
   def simhashFingerprintsOf(s: SparkSession, d: DataFrame): DataFrame = {
     import s.implicits._
-    d.select(col("doc_id"), col("text")).as[(Long, String)]
+    // spreadForCompute: beyond the fingerprint map itself, every banded
+    // candidate join downstream inherits this frame's partitioning
+    // through the checkpoint — a narrow source made the whole
+    // candidate+verify stage single-task (r17 profile)
+    spreadForCompute(d.select(col("doc_id"), col("text"))).as[(Long, String)]
       .map { case (id, text) => (id, graft.functions.SimHash.simhash64(text)) }
       .toDF("doc_id", "simhash")
   }
@@ -1631,7 +1675,10 @@ object Dedup {
     * `bit_count(xor) ≤ maxHamming`. Narrower bands ⇒ more candidates; the
     * verification filter keeps output exact. */
   def simhashPairs(s: SparkSession, dir: String, maxHamming: Int = 7): DataFrame =
-    simhashPairsFrom(simhashFingerprints(s, dir).cache(), maxHamming)
+    // eager checkpoint, not .cache() — the fingerprint table has four
+    // concurrent consumers (banded x/y + both verify sides); the lazy
+    // cache re-ran the per-doc fingerprint map per branch (r17 profile)
+    simhashPairsFrom(graft.Checkpoints.local(simhashFingerprints(s, dir)), maxHamming)
 
   /** The composition-discipline tier §8.5.1 prescribes for the narrow
     * SimHash corner, REGISTERED (`q_dedup_simhash_collapsed`): collapse
@@ -1645,7 +1692,8 @@ object Dedup {
   def simhashPairsCollapsed(s: SparkSession, dir: String, maxHamming: Int = 7): DataFrame = {
     val keep = exactDedup(s, dir).select(col("keep_id").as("doc_id"))
     val collapsed = docs(s, dir).join(keep, Seq("doc_id"), "left_semi")
-    simhashPairsFrom(simhashFingerprintsOf(s, collapsed).cache(), maxHamming)
+    simhashPairsFrom(graft.Checkpoints.local(
+      simhashFingerprintsOf(s, collapsed)), maxHamming)
   }
 
   /** `private[graft]`: [[graft.multimodal.Multimodal.phashPairs]] reuses
@@ -1695,8 +1743,8 @@ object Dedup {
   def simhashPairsWide(s: SparkSession, dir: String, maxHamming: Int = 3,
                        nBlocks: Int = 6,
                        bucketCap: Int = HotBucketCap): DataFrame =
-    simhashPairsWideFrom(simhashFingerprints(s, dir).cache(), maxHamming,
-      nBlocks, bucketCap)
+    simhashPairsWideFrom(graft.Checkpoints.local(
+      simhashFingerprints(s, dir)), maxHamming, nBlocks, bucketCap)
 
   /** The wide tier over a CALLER-SUPPLIED `(doc_id, simhash)` fingerprint
     * table — `private[graft]` like [[simhashPairsFrom]]: the pigeonhole
@@ -1790,7 +1838,9 @@ object Dedup {
                                            maxHamming: Int,
                                            nBlocks: Int): Unit = {
     import s.implicits._
-    val fps = fpsIn.cache()
+    // eager checkpoint (r17): two consumers (fingerprint write + banded
+    // postings write) — the buildMinhashIndex lazy-cache race class
+    val fps = graft.Checkpoints.local(fpsIn)
     fps.write.mode("overwrite").parquet(s"$indexDir/fingerprints.parquet")
     // re-seed the id sidecars from the fresh content (buildMinhashIndex's
     // argument: stale-LOW survivors from a previous build would let the
@@ -1801,7 +1851,7 @@ object Dedup {
     Seq((SimhashBits, nBlocks, maxHamming))
       .toDF("bits", "n_blocks", "max_hamming")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta.parquet")
-    fps.unpersist()
+    graft.Checkpoints.release(fps)
   }
 
   /** Dedup a NEW batch against a [[buildSimhashIndex]] persisted index —
