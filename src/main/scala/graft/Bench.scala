@@ -229,11 +229,14 @@ object Bench {
     // anchor (min-of-medians protocol, VERDICT r7 #1) — an unattended
     // default-config sweep must never overwrite it (that is exactly how
     // the round-8 anchor was lost to a contended-host run). Default
-    // sweeps land in BENCH_run.json; writing the anchor is an explicit
-    // SPARK_GRAFT_BENCH_OUT=BENCH_local.json decision. Filtered runs
-    // stay off both.
+    // sweeps land in BENCH_run_c$cpus.json — suffixed by the core count
+    // because the driver sweeps TWICE (main cpus + a low-cpus scaling run)
+    // and a shared default file name let the second run destroy the first
+    // run's per-query map (round-17 PERF had n_common=0 for exactly this).
+    // Writing the anchor is an explicit SPARK_GRAFT_BENCH_OUT=
+    // BENCH_local.json decision. Filtered runs stay off both.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      if (only.isDefined) "BENCH_partial.json" else "BENCH_run.json")
+      if (only.isDefined) s"BENCH_partial_c$cpus.json" else s"BENCH_run_c$cpus.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case NonFatal(e) => System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
