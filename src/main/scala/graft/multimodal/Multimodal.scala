@@ -395,10 +395,16 @@ object Multimodal {
   def phashPairsCollapsed(s: SparkSession, dir: String,
                           maxHamming: Int = PhashMaxHamming): DataFrame = {
     val fps = phashFingerprints(s, dir)
+    // spreadForCompute BEFORE the checkpoint (r18): AQE coalesces the
+    // tiny collapse aggregation to ONE partition, and the banded
+    // self-join + verify inherit that width through the checkpoint —
+    // profiled as a single 2.6 s task emitting the full 21.8 MB pair
+    // shuffle while 31 cores idled
     val reps = graft.Checkpoints.local(
-      fps.groupBy(col("simhash"))
-        .agg(min(col("doc_id")).as("doc_id"))
-        .select(col("doc_id"), col("simhash")))
+      graft.operators.Dedup.spreadForCompute(
+        fps.groupBy(col("simhash"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"), col("simhash"))))
     graft.operators.Dedup.simhashPairsFrom(reps, maxHamming)
       .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
         col("hamming"))

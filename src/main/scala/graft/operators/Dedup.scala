@@ -47,10 +47,76 @@ object Dedup {
     * SCALE-ADAPTIVE, not a constant: a source already at ≥ cores
     * partitions (any deployment-sized table) passes through untouched, so
     * this never shrinks or reshuffles real corpora — it only unlocks idle
-    * cores when the input arrives narrower than the machine. */
+    * cores when the input arrives narrower than the machine.
+    *
+    * Width is estimated from the PHYSICAL PLAN, never `df.rdd` (r18, the
+    * r17 advice): with AQE on, `Dataset.rdd` over any plan containing an
+    * exchange materializes every upstream query stage just to expose a
+    * partition count — and that work is then discarded when the
+    * repartition branch is taken (the collapsed tiers paid their
+    * exact-dedup groupBy + semi-join TWICE per run; measured
+    * q_mm_dedup_phash_collapsed 3.23 s → the estimator build). The
+    * estimator walks `queryExecution.sparkPlan` (planning only, no
+    * execution): a shuffle exchange yields its own partition count, a
+    * broadcast side is transparent (the streamed side carries the width),
+    * file scans plan their splits driver-side, and any leaf it cannot
+    * size is assumed WIDE — the pass-through default, never a shuffle
+    * added on a guess. Streaming frames pass through untouched
+    * (`df.rdd` would throw AnalysisException on them; the increment entry
+    * points are shared with foreachBatch bodies, which hand in batch
+    * frames — this guard is for the next streaming caller). */
   private[graft] def spreadForCompute(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    val qe = df.queryExecution
+    // `sparkPlan` predates EnsureRequirements, so exchanges are not in it
+    // yet — detect shuffle-inducing shapes on the optimized LOGICAL plan
+    val shuffleish = qe.optimizedPlan.find {
+      case _: Aggregate | _: Join | _: Distinct | _: Deduplicate |
+           _: Window | _: Sort | _: RepartitionOperation => true
+      case _ => false
+    }.isDefined
+    if (shuffleish) {
+      // The RUNTIME width of a shuffled/joined frame is AQE's choice,
+      // ≈ bytes / advisoryPartitionSize — no static count says anything.
+      // Below target × advisory AQE coalesces the frame narrower than the
+      // machine (at bench scale: to ONE partition, which serialized the
+      // collapsed tiers' decode maps); there the explicit spread is a tiny
+      // shuffle that unlocks idle cores. Above it the runtime width is
+      // already ≥ target and stacking a repartition would re-shuffle real
+      // data — pass through. Planning-time stats mis-estimating only
+      // matters inside the one window around target × advisory (~2 GB at
+      // 32 cores): a wrong "small" pays one bounded shuffle, a wrong
+      // "big" costs idle cores on a frame headed into expensive per-row
+      // work.
+      val bytes = qe.optimizedPlan.stats.sizeInBytes
+      val advisory = df.sparkSession.sessionState.conf.getConf(
+        org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES)
+      if (bytes < BigInt(advisory) * target) df.repartition(target) else df
+    } else if (estimatedWidth(qe.sparkPlan, target) >= target) df
+    else df.repartition(target)
+  }
+
+  /** Conservative output-width estimate of a physical plan without
+    * executing it. `unknown` (the caller's target) is the fallback for
+    * leaves that cannot be sized driver-side — over-estimating width only
+    * skips an optional repartition; under-estimating would add one. */
+  private[graft] def estimatedWidth(
+      plan: org.apache.spark.sql.execution.SparkPlan, unknown: Int): Int = {
+    import org.apache.spark.sql.execution._
+    plan match {
+      // a broadcast side never bounds the output width — report it as 0
+      // so the max over join children picks the streamed side
+      case _: exchange.BroadcastExchangeLike => 0
+      case e: exchange.ShuffleExchangeLike => e.numPartitions
+      // file split planning is driver-side metadata work (no job)
+      case f: FileSourceScanExec => f.inputRDD.getNumPartitions
+      case r: RDDScanExec => r.inputRDD.getNumPartitions // checkpointed frames
+      case _: LocalTableScanExec => 1 // literal rows: spreading is cheap
+      case _: LeafExecNode => unknown // in-memory scans etc.: assume wide
+      case n => (n.children.map(estimatedWidth(_, unknown)) :+ 0).max
+    }
   }
 
   /** (doc_id, sh_hash) postings: one row per DISTINCT 3-word shingle per

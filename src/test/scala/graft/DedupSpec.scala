@@ -378,4 +378,39 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       assert(keptPerSpan(sp) == 1, s"dup span kept ${keptPerSpan(sp)} copies")
     }
   }
+
+  test("spreadForCompute sizes width from the plan without executing (r18)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    // a plan WITH an exchange: the pre-r18 df.rdd probe materialized every
+    // upstream query stage under AQE just to read a partition count
+    val withExchange = spark.range(0, 64).toDF("doc_id")
+      .groupBy(col("doc_id")).count()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = Dedup.spreadForCompute(withExchange)
+      // a SMALL exchange-bearing frame gets the explicit spread (AQE
+      // would coalesce it to ~1 partition at this size), decided from
+      // planning-time stats — never by executing the upstream stages
+      assert(out ne withExchange, "small shuffled frame should spread")
+      Thread.sleep(500) // listener-bus drain
+      assert(jobs.get() == 0,
+        s"width probe launched ${jobs.get()} job(s) — the r17 advice regression")
+    } finally { spark.sparkContext.removeSparkListener(listener); () }
+    // a narrow raw scan still spreads to the session's parallelism
+    val narrow = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val spread = Dedup.spreadForCompute(narrow)
+    assert(spread.rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism, "narrow scan should spread")
+    // streaming frames pass through (df.rdd would throw on them)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val ms = MemoryStream[String](spark)
+    val sdf = ms.toDF()
+    assert(Dedup.spreadForCompute(sdf) eq sdf, "streaming frame must pass through")
+  }
 }
