@@ -570,6 +570,31 @@ object Dedup {
     graft.Checkpoints.release(sigs)
   }
 
+  /** Per-generation memo of an index's `meta.parquet` hyperparameter row:
+    * the handshake is a pure function of the file's CONTENT, and
+    * re-reading the one-row parquet cost a ~0.3 s job PER increment (r18
+    * profile). The memo key embeds the meta directory's file listing
+    * (paths + mtimes + lengths — one driver fs call), so a rebuilt or
+    * externally rewritten meta file misses the memo and is re-read: the
+    * different-hyperparameters refusal stays live (IncrementalDedupSpec
+    * pins it). */
+  private val metaRowMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.Row]()
+  private[graft] def readMetaRow(s: SparkSession, indexDir: String): org.apache.spark.sql.Row = {
+    val metaPath = s"$indexDir/meta.parquet"
+    val p = new org.apache.hadoop.fs.Path(metaPath)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val gen = fs.listStatus(p)
+      .map(st => s"${st.getPath.getName}:${st.getModificationTime}:${st.getLen}")
+      .sorted.mkString(",")
+    metaRowMemo.computeIfAbsent(s"$metaPath@$gen",
+      _ => s.read.parquet(metaPath).head())
+  }
+  private def minhashMeta(s: SparkSession, indexDir: String): (Int, Int) = {
+    val r = readMetaRow(s, indexDir)
+    (r.getInt(0), r.getInt(1))
+  }
+
   /** Dedup a NEW batch of documents against a [[buildMinhashIndex]]
     * persisted index: sign the batch (cost ∝ batch), probe the index's
     * postings with the batch's band keys, verify candidates on
@@ -595,9 +620,9 @@ object Dedup {
                      bucketCap: Int = HotBucketCap,
                      append: Boolean = true,
                      strictIds: Boolean = true): DataFrame = {
-    val meta = s.read.parquet(s"$indexDir/meta.parquet").head()
-    require(meta.getInt(0) == MinhashPerms && meta.getInt(1) == MinhashBands,
-      s"index at $indexDir built with (perms,bands)=(${meta.getInt(0)},${meta.getInt(1)}); " +
+    val meta = minhashMeta(s, indexDir)
+    require(meta == ((MinhashPerms, MinhashBands)),
+      s"index at $indexDir built with (perms,bands)=$meta; " +
         s"this build uses ($MinhashPerms,$MinhashBands) — rebuild the index")
     // SNAPSHOT the index's part files before anything lazy is built over
     // them: the append at the end must not leak the batch into the
@@ -1232,57 +1257,125 @@ object Dedup {
       dedupIncrement(s, newDocs, indexDir, memoKey, threshold, bucketCap, append,
           strictIds)
         .select(col("doc_a"), col("doc_b")))
-    val nPairs = newPairs.count() // checkpointed above — a metadata count
-    // labels of components adjacent to any new pair; bounded by 2·pairs,
-    // so the daily-batch case broadcasts (the incrementCandidates bound)
-    val touchedDocs = newPairs
-      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
-    // the member→label LOOKUP: against the doc_id-keyed projection it
-    // reads only the partitions the batch's doc_ids hash into (round-14
-    // verdict task 2 — this was the one remaining full-state read in the
-    // daily path); a projection-less legacy state falls back to the full
-    // snapshot scan. Either way the read is a SNAPSHOT (explicit file
-    // list) taken before the merge swaps anything. Eagerly materialized:
-    // the partition-set collect, the membership semi-join, and the
-    // merge's affected/anti-join legs all consume it.
-    val touchedLabelsRaw = graft.Checkpoints.local(
-      if (useProjection) {
-        val mp = memberLookupPath(indexDir)
-        IndexFamily.readPartitions(s, mp,
-            IndexFamily.touchedPartitions(s, mp, touchedDocs, "doc_id"))
-          .join(touchedDocs, Seq("doc_id"), "left_semi")
-          .select(col("cluster_id")).distinct()
-      } else
-        IndexFamily.readSnapshot(s, statePath)
+    // Daily-batch FAST PATH (r18, guide §1/§5 — the increment was
+    // job-LATENCY-bound, not data-bound: 40 sequential sub-second jobs,
+    // max stage input 3.3 MB): the decision layer after the pair probe is
+    // bounded by the [[LocalCcEdgeBound]] convention anyway (the old path
+    // collected the touched subgraph into the local union-find too), so
+    // collect the pairs ONCE and run the two lookup round trips as ONE
+    // job each — partition arithmetic ([[IndexFamily.partOf]]'s pmod)
+    // driver-side over the collected keys, the appendExactState
+    // discipline. Old shape: pairs count + 2×(partition-set collect +
+    // pruned read + checkpoint) + edge-list checkpoint + count + collect
+    // ≈ 9 actions; new shape: 3 collects. Reads stay partition-pruned
+    // SNAPSHOTS (explicit file lists) exactly as before; an over-bound
+    // batch (or an over-bound touched-component mass, detected by the
+    // limit probe below) falls back to the distributed formulation.
+    val bound = LocalCcEdgeBound
+    val pairRows = newPairs.limit(bound.toInt + 1).collect()
+    val fastLabels: Option[DataFrame] =
+      if (pairRows.length > bound) None
+      else {
+        import s.implicits._
+        val touchedDocArr = pairRows.iterator
+          .flatMap(r => Iterator(r.getLong(0), r.getLong(1))).toArray.distinct
+        def partsFor(keys: Array[Long], nParts: Int): Seq[Int] =
+          keys.map(k => (((k % nParts) + nParts) % nParts).toInt).distinct.toSeq
+        val touchedDocsLocal = touchedDocArr.toSeq.toDF("doc_id")
+        // round trip 1 — member→label lookup, partitions computed
+        // driver-side from the collected doc ids (one job)
+        val labelArr: Array[Long] =
+          (if (useProjection) {
+            val mp = memberLookupPath(indexDir)
+            IndexFamily.readPartitions(s, mp,
+                partsFor(touchedDocArr, IndexFamily.partsOf(s, mp)))
+              .join(broadcast(touchedDocsLocal), Seq("doc_id"), "left_semi")
+          } else
+            IndexFamily.readSnapshot(s, statePath)
+              .select(col("doc_id"), col("cluster_id"))
+              .join(broadcast(touchedDocsLocal), Seq("doc_id"), "left_semi"))
+            .select(col("cluster_id")).distinct().collect().map(_.getLong(0))
+        // round trip 2 — membership of touched components from the
+        // cluster_id-colocated state partitions (one job); the limit
+        // probe bounds the driver transfer like the pair collect
+        val labelsLocal = labelArr.toSeq.toDF("cluster_id")
+        val stateRows = IndexFamily.readPartitions(s, statePath,
+            partsFor(labelArr, IndexFamily.partsOf(s, statePath)))
+          .join(broadcast(labelsLocal), Seq("cluster_id"), "left_semi")
           .select(col("doc_id"), col("cluster_id"))
-          .join(touchedDocs, Seq("doc_id"), "left_semi")
-          .select(col("cluster_id")).distinct())
-    val touchedLabels = IndexFamily.maybeBroadcast(touchedLabelsRaw, 2 * nPairs)
-    // membership of touched components: read ONLY the partitions their
-    // labels hash into (rows colocate by cluster_id — the layout's point)
-    val touchedState = IndexFamily.readPartitions(s, statePath,
-        IndexFamily.touchedPartitions(s, statePath, touchedLabelsRaw, "cluster_id"))
-      .join(touchedLabels, Seq("cluster_id"), "left_semi")
-    val starEdges = touchedState.filter(col("doc_id") =!= col("cluster_id"))
-      .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
-    // clusterPairsTiered materializes its input up front (collected under
-    // the local bound, checkpointed above it), so the returned labels no
-    // longer reference the snapshot files the merge swaps away; the
-    // touched subgraph of a daily batch sits under the bound and takes the
-    // job-launch-free local tier
-    val relabeled = clusterPairsTiered(starEdges.unionByName(newPairs))
-      .withColumn("keep", col("doc_id") === col("cluster_id"))
-    if (append)
-      // every member of a batch-touching component gets its (possibly
-      // unchanged) fresh label in BOTH tables; a crash inside the commit
-      // window is repaired by the next increment's ensureMemberLookup
-      // (projection rebuilt from the authoritative labels)
-      commitStateAndProjection(s, indexDir, useProjection,
-        touchedLabelsRaw.select(col("cluster_id")),
-        relabeled.select(col("doc_id"), col("cluster_id"), col("keep")),
-        relabeled.select(col("doc_id")),
-        relabeled.select(col("doc_id"), col("cluster_id")))
-    relabeled.select(col("doc_id"), col("cluster_id"))
+          .limit(bound.toInt + 1).collect()
+        if (stateRows.length + pairRows.length > bound) None
+        else {
+          val edges = Array.newBuilder[(Long, Long)]
+          stateRows.foreach { r =>
+            if (r.getLong(0) != r.getLong(1)) edges += ((r.getLong(0), r.getLong(1)))
+          }
+          pairRows.foreach(r => edges += ((r.getLong(0), r.getLong(1))))
+          val relabeled = localCcLabels(s, edges.result())
+            .withColumn("keep", col("doc_id") === col("cluster_id"))
+          if (append)
+            commitStateAndProjection(s, indexDir, useProjection,
+              labelsLocal.select(col("cluster_id")),
+              relabeled.select(col("doc_id"), col("cluster_id"), col("keep")),
+              relabeled.select(col("doc_id")),
+              relabeled.select(col("doc_id"), col("cluster_id")))
+          Some(relabeled.select(col("doc_id"), col("cluster_id")))
+        }
+      }
+    fastLabels.getOrElse {
+      // backfill tier: the original distributed formulation, verbatim
+      val nPairs = newPairs.count() // checkpointed above — a metadata count
+      // labels of components adjacent to any new pair; bounded by 2·pairs,
+      // so the daily-batch case broadcasts (the incrementCandidates bound)
+      val touchedDocs = newPairs
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+      // the member→label LOOKUP: against the doc_id-keyed projection it
+      // reads only the partitions the batch's doc_ids hash into (round-14
+      // verdict task 2 — this was the one remaining full-state read in the
+      // daily path); a projection-less legacy state falls back to the full
+      // snapshot scan. Either way the read is a SNAPSHOT (explicit file
+      // list) taken before the merge swaps anything. Eagerly materialized:
+      // the partition-set collect, the membership semi-join, and the
+      // merge's affected/anti-join legs all consume it.
+      val touchedLabelsRaw = graft.Checkpoints.local(
+        if (useProjection) {
+          val mp = memberLookupPath(indexDir)
+          IndexFamily.readPartitions(s, mp,
+              IndexFamily.touchedPartitions(s, mp, touchedDocs, "doc_id"))
+            .join(touchedDocs, Seq("doc_id"), "left_semi")
+            .select(col("cluster_id")).distinct()
+        } else
+          IndexFamily.readSnapshot(s, statePath)
+            .select(col("doc_id"), col("cluster_id"))
+            .join(touchedDocs, Seq("doc_id"), "left_semi")
+            .select(col("cluster_id")).distinct())
+      val touchedLabels = IndexFamily.maybeBroadcast(touchedLabelsRaw, 2 * nPairs)
+      // membership of touched components: read ONLY the partitions their
+      // labels hash into (rows colocate by cluster_id — the layout's point)
+      val touchedState = IndexFamily.readPartitions(s, statePath,
+          IndexFamily.touchedPartitions(s, statePath, touchedLabelsRaw, "cluster_id"))
+        .join(touchedLabels, Seq("cluster_id"), "left_semi")
+      val starEdges = touchedState.filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
+      // clusterPairsTiered materializes its input up front (collected under
+      // the local bound, checkpointed above it), so the returned labels no
+      // longer reference the snapshot files the merge swaps away; the
+      // touched subgraph of a daily batch sits under the bound and takes the
+      // job-launch-free local tier
+      val relabeled = clusterPairsTiered(starEdges.unionByName(newPairs))
+        .withColumn("keep", col("doc_id") === col("cluster_id"))
+      if (append)
+        // every member of a batch-touching component gets its (possibly
+        // unchanged) fresh label in BOTH tables; a crash inside the commit
+        // window is repaired by the next increment's ensureMemberLookup
+        // (projection rebuilt from the authoritative labels)
+        commitStateAndProjection(s, indexDir, useProjection,
+          touchedLabelsRaw.select(col("cluster_id")),
+          relabeled.select(col("doc_id"), col("cluster_id"), col("keep")),
+          relabeled.select(col("doc_id")),
+          relabeled.select(col("doc_id"), col("cluster_id")))
+      relabeled.select(col("doc_id"), col("cluster_id"))
+    }
   }
 
   /** At-ingest near-dup dedup of one batch against a [[buildMinhashIndex]]
@@ -1395,12 +1488,19 @@ object Dedup {
                              bucketCap: Int = HotBucketCap,
                              append: Boolean = true,
                              strictIds: Boolean = true): DataFrame = {
+    // checkpoint the batch ONCE (r18): the id-extent guard, the signature
+    // leg (via clusterIncrement), the md5 leg and the final keep list all
+    // consumed `newDocs` as independent subtrees — four scans of the
+    // batch source per increment; one materialization ∝ batch replaces
+    // them (stream callers run inside Checkpoints.scoped, so the blocks
+    // release per micro-batch)
+    val batch = graft.Checkpoints.local(newDocs.select(col("doc_id"), col("text")))
     // the arrival-order contract is OUTPUT-load-bearing here (round-13
     // verdict task 3): both legs keep-the-minimum, so a batch doc with an
     // id below an indexed doc would flip decisions the full pipeline
     // makes the other way (and invalidate already-shipped keeps) —
     // REFUSED, not assumed (O(1) against the signatures id watermark)
-    val batchExt = newDocs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val batchExt = batch.agg(min(col("doc_id")), max(col("doc_id"))).head()
     if (!batchExt.isNullAt(0))
       // advance = false: the downstream guarded append advances the
       // watermark itself (crash-safe-high, inside the lease); advancing
@@ -1408,22 +1508,28 @@ object Dedup {
       // and the monotone fast path could never fire on the pipeline
       // (round-14 review finding)
       IndexFamily.requireIdsAbove(s, s"$indexDir/signatures.parquet", "doc_id",
-        newDocs.select(col("doc_id")), batchExt.getLong(0), batchExt.getLong(1),
+        batch.select(col("doc_id")), batchExt.getLong(0), batchExt.getLong(1),
         "dedupPipelineIncrement", strictIds, advance = false)
-    val labels = clusterIncrement(s, newDocs, indexDir, memoKey,
+    val labels = clusterIncrement(s, batch, indexDir, memoKey,
       threshold, bucketCap, append, strictIds)
     val nearDrops = labels.filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"))
-    val hashed = newDocs.select(col("doc_id"), md5(col("text")).as("text_hash"))
+    val hashed = batch.select(col("doc_id"), md5(col("text")).as("text_hash"))
     val groupMin = hashed.groupBy(col("text_hash"))
       .agg(min(col("doc_id")).as("batch_min"))
+    // drop = "hash in corpus" ∪ "not the batch minimum of its hash group"
+    // — the two legs as separate keyed probes (r18): the former
+    // distinct + left-join + coalesce-filter formulation paid a full
+    // aggregation shuffle of corpusFps per increment just to build an
+    // existence flag; a left-semi needs no dedup of its right side and
+    // the union of the two legs is the identical drop set
     val exactDrops = hashed
-      .join(corpusFps.select(col("text_hash")).distinct()
-        .withColumn("in_corpus", lit(true)), Seq("text_hash"), "left")
-      .join(groupMin, Seq("text_hash"))
-      .filter(coalesce(col("in_corpus"), lit(false)) ||
-        col("doc_id") =!= col("batch_min"))
+      .join(corpusFps.select(col("text_hash")), Seq("text_hash"), "left_semi")
       .select(col("doc_id"))
+      .unionByName(hashed
+        .join(groupMin, Seq("text_hash"))
+        .filter(col("doc_id") =!= col("batch_min"))
+        .select(col("doc_id")))
     // EXACT-state maintenance (round-14, closing the round-13 advice):
     // when the index carries persisted exact state (buildExactState's
     // edges + keeper tables), the increment appends the batch's exact-dup
@@ -1457,7 +1563,7 @@ object Dedup {
     // there).
     if (append && hasExactKeepers(s, indexDir))
       appendExactState(s, hashed, groupMin, indexDir)
-    newDocs.select(col("doc_id"))
+    batch.select(col("doc_id"))
       .join(nearDrops.unionByName(exactDrops).distinct(), Seq("doc_id"), "left_anti")
   }
 
@@ -1952,7 +2058,7 @@ object Dedup {
                                                append: Boolean,
                                                strictIds: Boolean,
                                                op: String): DataFrame = {
-    val meta = s.read.parquet(s"$indexDir/meta.parquet").head()
+    val meta = readMetaRow(s, indexDir)
     require(meta.getInt(0) == SimhashBits && meta.getInt(1) == nBlocks &&
         meta.getInt(2) == maxHamming,
       s"index at $indexDir built with (bits,blocks,maxHamming)=" +
@@ -2165,7 +2271,7 @@ object Dedup {
                               dim: Int = 64,
                               append: Boolean = true,
                               strictIds: Boolean = true): DataFrame = {
-    val meta = s.read.parquet(s"$indexDir/meta.parquet").head()
+    val meta = readMetaRow(s, indexDir)
     require(meta.getInt(0) == nBands && meta.getInt(1) == bandBits &&
         meta.getInt(2) == dim,
       s"index at $indexDir built with (bands,bits,dim)=" +
@@ -2998,7 +3104,7 @@ object Dedup {
                              indexDir: String,
                              append: Boolean = true,
                              strictIds: Boolean = true): DataFrame = {
-    val meta = s.read.parquet(s"$indexDir/meta.parquet").head()
+    val meta = readMetaRow(s, indexDir)
     val tau = meta.getDouble(2)
     // the build-frozen assignment depth (round-16 verdict task 3);
     // pre-r17 indexes carry no n_probe column and load as the historical
@@ -3165,7 +3271,7 @@ object Dedup {
     * shape with re-election. */
   def deleteFromSemanticIndex(s: SparkSession, indexDir: String,
                               vecIds: DataFrame): Unit = {
-    val tau = s.read.parquet(s"$indexDir/meta.parquet").head().getDouble(2)
+    val tau = readMetaRow(s, indexDir).getDouble(2)
     val idsRaw = vecIds.select(col("vec_id")).distinct()
     val ids = IndexFamily.maybeBroadcast(idsRaw, idsRaw.count())
     val statePath = s"$indexDir/groups.parquet"
@@ -3817,7 +3923,7 @@ object Dedup {
                            indexDir: String, spanLen: Int = 10,
                            append: Boolean = true,
                            strictIds: Boolean = true): DataFrame = {
-    val meta = s.read.parquet(s"$indexDir/meta.parquet").head()
+    val meta = readMetaRow(s, indexDir)
     require(meta.getInt(0) == spanLen && meta.getLong(1) == SpanCanonMod,
       s"index at $indexDir built with (spanLen,canonMod)=" +
         s"(${meta.getInt(0)},${meta.getLong(1)}); caller passed " +
