@@ -385,12 +385,28 @@ object Dedup {
     def fold(b: Int, base: Long): Column =
       (0 until 4).foldLeft(lit(b.toLong): Column)((acc, r) =>
         (acc * base + element_at(col("sig"), b * 4 + r + 1)) % M)
-    val bandStructs = array((0 until MinhashBands).map { b =>
-      struct(lit(b).as("band"),
+    // Two steps, NOT one explode(array(32 × struct(fold, fold))) (r18):
+    // a Generate carrying the whole 64-fold tree is too large for
+    // whole-stage codegen and evaluated INTERPRETED — ~6 s of task time
+    // per evaluation at sf0.1, and the LSH plan evaluates the banding at
+    // three consumer sites (self-join x/y + hot-bucket count). A Project
+    // computes the 32 keys first (codegen splits long expression lists
+    // across methods, so it stays compiled), and the Generate then
+    // explodes plain column references. Same fold arithmetic — the
+    // oracle's band keys are unchanged. Deliberately NOT a typed flatMap:
+    // object ops erase the child's doc_id partitioning, which forces an
+    // exchange under the pair-distinct, and a cap-emptied pair set then
+    // AQE-empty-propagates the trim observe out of the returned plan
+    // (reproduced: three DedupSpec/LshSkewSpec failures).
+    val keyed = sigs.select(
+      col("doc_id") +: (0 until MinhashBands).map { b =>
         shiftleft(fold(b, graft.functions.PolyHash.BaseA), 30)
-          .bitwiseOR(fold(b, graft.functions.PolyHash.BaseB)).as("bkey"))
+          .bitwiseOR(fold(b, graft.functions.PolyHash.BaseB)).as(s"_bk$b")
+      }: _*)
+    val bandStructs = array((0 until MinhashBands).map { b =>
+      struct(lit(b).as("band"), col(s"_bk$b").as("bkey"))
     }: _*)
-    sigs.select(col("doc_id"), explode(bandStructs).as("bb"))
+    keyed.select(col("doc_id"), explode(bandStructs).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
   }
 
@@ -449,7 +465,16 @@ object Dedup {
     // as spec failures before this formulation.
     val sigs = minhashSignatures(s, dir).cache()
     sigs.count()
-    val cands = bandedCandidatePairs(bandedOf(sigs), "doc_id", "doc_a", "doc_b", bucketCap)
+    // the BANDED postings are cached too (r18): the banded projection has
+    // three consumers (self-join x/y + hot-bucket count), and each read
+    // of the sigs cache decodes 128-slot arrays out of the columnar cache
+    // just to fold them down to 8-byte keys — cache the thin
+    // (doc_id, band, bkey) rows once and the array cache is only touched
+    // by the two verify joins that actually need signatures. Cache, not
+    // checkpoint, for the same observe-visibility contract as `sigs`.
+    val banded = bandedOf(sigs).cache()
+    banded.count()
+    val cands = bandedCandidatePairs(banded, "doc_id", "doc_a", "doc_b", bucketCap)
     verifyOnSignatures(cands, sigs, threshold)
   }
 
@@ -4187,7 +4212,11 @@ object Dedup {
     * produce no postings and would otherwise slip through. Returns the
     * kept document id set. */
   def dedupPipeline(s: SparkSession, dir: String): DataFrame = {
-    val clusters = nearDupClusters(s, dir)
+    // same tiered dispatch as [[dedupPipelineLsh]] (r18): the pipeline
+    // compositions take the cost-optimal connected-components tier; the
+    // three q_dedup_clusters* queries remain the per-tier showcases
+    val clusters = clusterPairsTiered(ngramJaccardPairs(s, dir)
+      .select(col("doc_a"), col("doc_b")))
     val removedNearDup = clusters.filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"))
     val keepers = exactDedup(s, dir).select(col("keep_id"))
@@ -4212,7 +4241,15 @@ object Dedup {
     * ([[minhashLshPairs]]); DedupSpec pins equivalence to a local
     * union-find over the same pair stream plus the exact-dup groups. */
   def dedupPipelineLsh(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val clusters = clusterPairs(
+    // clusterPairsTiered, not clusterPairs (r18): the production pair set
+    // is edge-bounded at the decision layer, and the neighbor-min loop
+    // paid O(component diameter) sequential rounds of join + checkpoint +
+    // count per run (~10 small jobs at sf0.1) where the bounded tier is
+    // ONE collect into the driver union-find (and the O(log n) star
+    // alternation past the bound). Labels are identical by the pinned
+    // tier-equivalence law (DedupSpec "local union-find tier matches the
+    // distributed tiers"); the oracle gate holds unchanged.
+    val clusters = clusterPairsTiered(
       minhashLshPairs(s, dir, threshold).select(col("doc_a"), col("doc_b")))
     val removedNearDup = clusters.filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"))
